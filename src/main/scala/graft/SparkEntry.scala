@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.ColumnOps
+import graft.queries.{AnalyticsQueries, ParityQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the declared operator inventory (one entry per
+  * implemented operator); `oracleSql` holds the DuckDB-equivalent ANSI
+  * SQL the driver hash-compares against at sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship pipeline on sf0.001: snapshot → merge-key projection →
+    * CDC latest-per-key merge — the core reference semantics
+    * (ingest + idempotent downstream merge) in one plan. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+    val keyed = ColumnOps.withMergeKey(lineitem, Seq("l_orderkey", "l_linenumber"))
+    ColumnOps.latestByKey(keyed,
+      keyColumn = graft.model.Constants.MergeKeyColumn,
+      versionColumn = "l_shipdate",
+      tieBreakers = Seq("l_orderkey", "l_linenumber"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ParityQueries.queries ++ AnalyticsQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    ParityQueries.oracles ++ AnalyticsQueries.oracles
 }

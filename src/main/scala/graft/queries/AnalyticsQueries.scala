@@ -1,0 +1,272 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryKit._
+
+/** Relational core: aggregation, joins, windows, top-k, set ops,
+  * rollup, streaming-style tumbling windows. The reference pushes all
+  * relational work into the source database (SURVEY.md §2.4-2.6); our
+  * engine executes it natively on Spark, so these queries are the
+  * capability + performance surface the bench measures.
+  *
+  * Scale notes (100 TB): the dimension sides of every join here are
+  * orders-of-magnitude smaller than the fact table — Spark's AQE
+  * broadcast-joins them automatically; aggregations are partial
+  * (map-side combine) before the single shuffle on the group keys.
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-flavor pricing summary over lineitem. One shuffle on the
+    * 2-value group key after map-side partial aggregation. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decSum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .as("sum_disc_price"),
+        decAvg(col("l_quantity")).as("avg_qty"),
+        decAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-flavor: top 10 BUILDING-segment orders by revenue.
+    * customer is broadcast; revenue is an exact decimal sum so the
+    * top-k ordering is identical on both engines. */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val customer = table(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val orders = table(spark, dir, "orders")
+    val lineitem = table(spark, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(decSum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3TopOrdersSql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-flavor: revenue by nation across a 5-table star join.
+    * region/nation/customer broadcast into the orders⨝lineitem stream. */
+  def q5RegionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = table(spark, dir, "region")
+    val nation = table(spark, dir, "nation")
+    val customer = table(spark, dir, "customer")
+    val orders = table(spark, dir, "orders")
+    val lineitem = table(spark, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        decSum(col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q5RegionalRevenueSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Ranking window: top-3 orders per customer by totalprice.
+    * One shuffle on o_custkey; deterministic tie-break on o_orderkey. */
+  def windowTopPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    table(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rnk")
+  }
+
+  val windowTopPerCustomerSql: String =
+    """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |  FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin
+
+  /** Global top-k: TakeOrderedAndProject, no full sort at scale. */
+  def topKOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(20)
+
+  val topKOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin
+
+  /** Distinct aggregation: supplier/part reach per return flag. */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val distinctAggSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Set op: customers that have at least one order (INTERSECT). */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer").select("c_custkey")
+      .intersect(table(spark, dir, "orders").select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  val setIntersectSql: String =
+    """SELECT c_custkey FROM customer
+      |INTERSECT
+      |SELECT o_custkey FROM orders
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Set op: customers with no orders (EXCEPT / anti join). */
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer").select("c_custkey")
+      .except(table(spark, dir, "orders").select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  val setExceptSql: String =
+    """SELECT c_custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey FROM orders
+      |ORDER BY c_custkey""".stripMargin
+
+  /** ROLLUP over the region→nation hierarchy (customer counts).
+    * NULLS FIRST pinned explicitly — Spark and DuckDB default
+    * differently. */
+  def rollupCustomers(spark: SparkSession, dir: String): DataFrame = {
+    // Expressed in SQL: Dataset-API rollup over a multi-join trips
+    // Spark 4.1's DetectAmbiguousSelfJoin false positive (the Expand
+    // node re-emits the grouping attributes). Catalyst still broadcasts
+    // both dimensions and prunes the scans.
+    table(spark, dir, "customer").createOrReplaceTempView("g_customer")
+    table(spark, dir, "nation").createOrReplaceTempView("g_nation")
+    table(spark, dir, "region").createOrReplaceTempView("g_region")
+    spark.sql(
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+        |FROM g_customer
+        |JOIN g_nation ON c_nationkey = n_nationkey
+        |JOIN g_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  val rollupCustomersSql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  /** Tumbling-window aggregation over the events stream table — the
+    * batch shape of `groupBy(window($"ts", "1 hour"))`; at scale this is
+    * the watermarked Structured Streaming aggregate. */
+  def eventsTumbling(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(date_trunc("hour", tsMicros("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        decSum(col("value")).as("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  val eventsTumblingSql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Semi-join: orders from customers with positive balance. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .join(broadcast(table(spark, dir, "customer").filter(col("c_acctbal") > 0)),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  val semiJoinSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "agg_q1_pricing" -> q1Pricing,
+    "join_q3_top_orders" -> q3TopOrders,
+    "join_q5_regional_revenue" -> q5RegionalRevenue,
+    "window_top_per_customer" -> windowTopPerCustomer,
+    "topk_orders" -> topKOrders,
+    "agg_distinct" -> distinctAgg,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
+    "agg_rollup" -> rollupCustomers,
+    "events_tumbling_window" -> eventsTumbling,
+    "join_semi" -> semiJoin)
+
+  val oracles: Map[String, String] = Map(
+    "agg_q1_pricing" -> q1PricingSql,
+    "join_q3_top_orders" -> q3TopOrdersSql,
+    "join_q5_regional_revenue" -> q5RegionalRevenueSql,
+    "window_top_per_customer" -> windowTopPerCustomerSql,
+    "topk_orders" -> topKOrdersSql,
+    "agg_distinct" -> distinctAggSql,
+    "set_except" -> setExceptSql,
+    "set_intersect" -> setIntersectSql,
+    "agg_rollup" -> rollupCustomersSql,
+    "events_tumbling_window" -> eventsTumblingSql,
+    "join_semi" -> semiJoinSql)
+}

@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the declared query inventory.
+  *
+  * Every query here exists twice — once as a Spark plan, once as ANSI
+  * SQL for the DuckDB oracle — and the two must match hash-for-hash on
+  * the driver's compare. Two rules keep that true:
+  *
+  *   1. Aggregates over doubles go through exact decimal arithmetic and
+  *      are cast back to double at the end ([[decSum]]): floating-point
+  *      summation order differs between Spark's partial aggregation and
+  *      DuckDB, but decimal sums are exact on both engines.
+  *   2. Every query ends in a total ORDER BY over a deterministic,
+  *      duplicate-free key prefix, mirrored in the oracle SQL.
+  */
+object QueryKit {
+  /** `spark.read.parquet` over one driver-generated table.
+    *
+    * The events table stores TIMESTAMP(NANOS), which Spark's Parquet
+    * reader rejects by default; `nanosAsLong` surfaces it as epoch-nanos
+    * LongType and [[tsMicros]] converts where a timestamp is needed. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Epoch-nanos long column → TimestampType (microsecond floor).
+    * Integral `div` — `/` on longs is double division, which is not
+    * exact at epoch-nanos magnitude. Mirror in DuckDB:
+    * `make_timestamp(epoch_ns(ts) // 1000)`. */
+  def tsMicros(colName: String): Column =
+    timestamp_micros(expr(s"$colName div 1000"))
+
+  /** Exact sum of a double column: decimal-accumulate, then one final
+    * rounding to double. Deterministic regardless of partitioning. */
+  def decSum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Matching oracle fragment for [[decSum]]. */
+  def decSumSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** Exact average: decimal sum divided by count, evaluated in double.
+    * Same expression on both engines. */
+  def decAvg(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double") / count(lit(1))
+
+  def decAvgSql(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)"
+}
