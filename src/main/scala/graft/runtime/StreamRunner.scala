@@ -1,0 +1,100 @@
+package graft.runtime
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+
+import graft.model._
+
+/** Plugin extension point — the reference's IStreamGraphBuilder
+  * (src/Services/Base/IStreamGraphBuilder.cs:12-20): a concrete stream
+  * declares how to build its DataFrame and how to sink it.
+  */
+trait StreamGraphBuilder {
+  /** Declare the (possibly streaming) DataFrame for this context. */
+  def build(ctx: StreamContext, spark: SparkSession): DataFrame
+  /** Attach the sink and start the query. */
+  def start(ctx: StreamContext, df: DataFrame, trigger: Trigger): StreamingQuery
+  /** Graceful-completion hook (COMPLETED token etc.). */
+  def onCompleted(ctx: StreamContext): Unit = ()
+}
+
+/** Stream lifecycle host (reference: StreamRunnerService.cs +
+  * StreamLifetimeService.cs + ArcaneExceptionHandler.cs; SURVEY.md
+  * §3.1):
+  *
+  *  - backfill context ⇒ `Trigger.AvailableNow` (drain then stop);
+  *    stream context ⇒ `Trigger.ProcessingTime(interval)`
+  *  - SIGTERM ⇒ `query.stop()`; an interrupted backfill exits RESTART
+  *    and never publishes a completion token
+  *  - SchemaMismatchException ⇒ report + exit SUCCESS so the operator
+  *    restarts the stream in backfill mode
+  *  - SchemaInconsistentException ⇒ exit RESTART; anything else FATAL
+  */
+final class StreamRunner(
+    spark: SparkSession,
+    processingInterval: java.time.Duration = java.time.Duration.ofSeconds(15),
+    statusReporter: String => Unit = s => System.err.println(s"[stream-status] $s")) {
+
+  @volatile private var stopRequested = false
+
+  def requestStop(): Unit = { stopRequested = true }
+
+  /** Run one stream to completion; returns the process exit code. */
+  def run(ctx: StreamContext, builder: StreamGraphBuilder): Int = {
+    val trigger =
+      if (ctx.isBackfilling) Trigger.AvailableNow()
+      else Trigger.ProcessingTime(processingInterval.toMillis)
+    try {
+      val df = builder.build(ctx, spark)
+      val query = builder.start(ctx, df, trigger)
+      val hook = new Thread(() => { stopRequested = true; query.stop() })
+      Runtime.getRuntime.addShutdownHook(hook)
+      try query.awaitTermination()
+      finally {
+        try Runtime.getRuntime.removeShutdownHook(hook) catch { case NonFatal(_) => }
+      }
+      if (stopRequested && ctx.isBackfilling) {
+        // interrupted backfill must re-run from scratch; no token
+        ExitCodes.Restart
+      } else {
+        builder.onCompleted(ctx)
+        ExitCodes.Success
+      }
+    } catch {
+      case e: SchemaMismatchException =>
+        // drift is an expected lifecycle event: tell the operator to
+        // restart us in backfill mode (reference annotates the k8s Job:
+        // arcane/state=schema-mismatch) and exit cleanly
+        statusReporter(s"schema-mismatch: ${e.getMessage}")
+        ExitCodes.Success
+      case e: SchemaInconsistentException =>
+        statusReporter(s"schema-inconsistent: ${e.getMessage}")
+        ExitCodes.Restart
+      case NonFatal(e) =>
+        statusReporter(s"fatal: ${e.getMessage}")
+        ExitCodes.Fatal
+    }
+  }
+}
+
+/** `rows.incoming`-style metrics via StreamingQueryListener (reference:
+  * DeclaredMetrics.cs:11 + SourceTags.cs:28-38). */
+final class RowCountListener(
+    streamId: String,
+    streamKind: String,
+    isBackfilling: Boolean,
+    emit: (String, Map[String, String], Long) => Unit)
+    extends StreamingQueryListener {
+
+  private val tags = Map(
+    "arcane.stream_id" -> streamId,
+    "arcane.stream_kind" -> streamKind,
+    "arcane.mode" -> (if (isBackfilling) "backfill" else "stream"))
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+    emit("rows.incoming", tags, e.progress.numInputRows)
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+}

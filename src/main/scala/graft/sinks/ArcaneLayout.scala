@@ -1,0 +1,149 @@
+package graft.sinks
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.model.{Constants, StreamPartition}
+import graft.schema.SchemaOps
+
+/** Writers reproducing the reference's blob-storage output layout so a
+  * downstream merge job built for the reference consumes our output
+  * unchanged (reference: src/Sinks/Parquet/ParquetSink.cs:199-323,
+  * MultilineJsonSink.cs:169-254; layout documented in SURVEY.md §2.2):
+  *
+  * {{{
+  * <target>/data/part-{uuid}-{shortHash}-chunk.parquet   (or .json)
+  * <target>/data/_batch_date=yyyy-MM-dd/...              (optional)
+  * <target>/schema/schema-{uuid}-{fullHash}.parquet      (empty, schema-only)
+  * <target>/metadata/v0/partitions.json                  (deleted when empty)
+  * <target>/{fullHash}.COMPLETED                         (graceful stop only)
+  * }}}
+  *
+  * Delivery is at-least-once append-only with fresh UUIDs per flush —
+  * dedup is the consumer's job via ARCANE_MERGE_KEY. Unlike the
+  * reference, nothing is buffered in driver memory: executors write
+  * Spark part-files which are then renamed (a pure metadata operation
+  * on any real filesystem/object-store committer) to the arcane names.
+  */
+object ArcaneLayout {
+
+  private def fs(df: DataFrame, path: String): FileSystem =
+    new Path(path).getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+
+  /** Write one batch of rows as `data/part-{uuid}-{hash}-chunk.{ext}`
+    * files. `maxRecordsPerFile` plays the reference's `rowGroupsPerFile`
+    * role (bounds file size without collecting to the driver). Returns
+    * the written file names. */
+  def writeDataBatch(
+      df: DataFrame,
+      targetPath: String,
+      format: String = "parquet",
+      batchDatePartition: Boolean = false,
+      maxRecordsPerFile: Long = 0L): Seq[String] = {
+    val schemaHash = SchemaOps.shortFingerprint(df.schema)
+    val dataDir = s"$targetPath/data"
+    val tmpDir = s"$targetPath/.staging-${UUID.randomUUID()}"
+    val ext = if (format == "json") "json" else "parquet"
+
+    val out = if (batchDatePartition)
+      df.withColumn("_batch_date", date_format(current_date(), "yyyy-MM-dd"))
+    else df
+    val writer = out.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (batchDatePartition) writer.partitionBy("_batch_date") else writer)
+      .format(format).save(tmpDir)
+
+    // rename staged spark part-files to the arcane naming scheme,
+    // preserving any _batch_date= subdirectories
+    val filesystem = fs(df, targetPath)
+    val staged = filesystem.globStatus(new Path(s"$tmpDir/*" ) ) ++
+      filesystem.globStatus(new Path(s"$tmpDir/_batch_date=*/*"))
+    val written = staged.toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map { s =>
+        val sub = s.getPath.getParent.getName match {
+          case d if d.startsWith("_batch_date=") => d + "/"
+          case _ => ""
+        }
+        val name = s"${sub}part-${UUID.randomUUID()}-$schemaHash-chunk.$ext"
+        val dest = new Path(s"$dataDir/$name")
+        filesystem.mkdirs(dest.getParent)
+        filesystem.rename(s.getPath, dest)
+        name
+      }
+    filesystem.delete(new Path(tmpDir), true)
+    written
+  }
+
+  /** Publish the schema as an empty Parquet file under `schema/`, with
+    * the merge-key column name recorded in the file's key-value
+    * metadata (reference: ParquetOperations.cs:126-149 writes an empty
+    * file whose bytes double as the fingerprint; we fingerprint the
+    * canonical StructType JSON instead — consumers compare hashes only
+    * for equality, see SURVEY.md §7.4). */
+  def writeSchemaFile(df: DataFrame, targetPath: String): String = {
+    // mark the merge-key field in its metadata; Spark persists field
+    // metadata in the parquet footer (org.apache.spark.sql.parquet.row
+    // .metadata), which is where consumers recover the merge-key name
+    val schema = StructType(df.schema.fields.map { f =>
+      if (f.name == Constants.MergeKeyColumn)
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putBoolean("isMergeKey", true).build())
+      else f
+    })
+    val hash = SchemaOps.fingerprint(df.schema)
+    val tmpDir = s"$targetPath/.schema-staging-${UUID.randomUUID()}"
+    df.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(tmpDir)
+    val filesystem = fs(df, targetPath)
+    val part = filesystem.globStatus(new Path(s"$tmpDir/part-*"))
+      .headOption.getOrElse(
+        throw new IllegalStateException("empty schema write produced no file"))
+    val dest = new Path(s"$targetPath/schema/schema-${UUID.randomUUID()}-$hash.parquet")
+    filesystem.mkdirs(dest.getParent)
+    filesystem.rename(part.getPath, dest)
+    filesystem.delete(new Path(tmpDir), true)
+    hash
+  }
+
+  /** Write (or, when `partitions` is empty, delete) the partition
+    * advertisement (reference: PartitionsWriter.cs:37-47 — deletes the
+    * file when no partitions are configured). */
+  def writePartitionsMetadata(
+      df: DataFrame,
+      targetPath: String,
+      partitions: Seq[StreamPartition]): Unit = {
+    val filesystem = fs(df, targetPath)
+    val path = new Path(s"$targetPath/metadata/v0/partitions.json")
+    if (partitions.isEmpty) {
+      filesystem.delete(path, false)
+    } else {
+      filesystem.mkdirs(path.getParent)
+      val out = filesystem.create(path, true)
+      out.write(partitions.map(_.toJson).mkString("[", ",", "]").getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
+  /** Drop the `{hash}.COMPLETED` token. Only the runner calls this, and
+    * only on graceful completion — never after failure or kill-switch
+    * interruption (reference: ParquetSink.cs:244-261, invariant tested
+    * at ParquetSinkTests.cs:174-310). */
+  def writeCompletionToken(df: DataFrame, targetPath: String, schemaHash: String): Unit = {
+    val filesystem = fs(df, targetPath)
+    val out = filesystem.create(
+      new Path(s"$targetPath/${Constants.completedTokenFile(schemaHash)}"), true)
+    out.close()
+  }
+
+  def completionTokenExists(df: DataFrame, targetPath: String, schemaHash: String): Boolean =
+    fs(df, targetPath).exists(
+      new Path(s"$targetPath/${Constants.completedTokenFile(schemaHash)}"))
+}

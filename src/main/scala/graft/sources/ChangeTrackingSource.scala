@@ -1,0 +1,152 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.Constants
+import graft.ops.ColumnOps
+
+/** SQL Server Change Tracking source (reference:
+  * src/Sources/SqlServer/SqlServerChangeTrackingSource.cs; SURVEY.md
+  * §2.1 S2), rebuilt as a version-checkpointed JDBC micro-batch loop.
+  *
+  * The CT predicate (`CHANGETABLE(CHANGES ..., @lastVersion)`) stays
+  * pushed down into SQL Server — the correct choice at 100 TB too:
+  * change tables are small and the server prunes them by version. The
+  * delta query RIGHT-JOINs the base table to fetch current row values
+  * per changed PK (NULLs for deletes). Unlike the reference, the
+  * current version is persisted by the caller (checkpoint), not held in
+  * memory (SURVEY.md §2.8 improvement).
+  */
+object ChangeTrackingQueries {
+
+  /** T-SQL merge-key expression over the PK columns — must stay
+    * byte-compatible with [[ColumnOps.mergeKeyExpr]]'s UTF-16LE output
+    * (nvarchar is UTF-16LE; reference: SqlSnippets/GetSelectAllQuery.sql:6). */
+  def mergeKeyTsql(pkColumns: Seq[String], alias: String): String = {
+    val joined = pkColumns
+      .map(c => s"cast($alias.[$c] as nvarchar(128))")
+      .mkString(" + '#' + ")
+    s"lower(convert(nvarchar(128), HashBytes('SHA2_256', $joined), 2))"
+  }
+
+  /** PK-match clause between the change rows and the base table. The
+    * partition-aware variant also matches deletes unconditionally
+    * (reference: SqlServerChangeTrackingSource.cs:289-310). */
+  def matchClause(pkColumns: Seq[String], partitionExpression: Option[String]): String = {
+    val pkMatch = pkColumns.map(c => s"tq.[$c] = ct.[$c]").mkString(" and ")
+    partitionExpression match {
+      case Some(p) => s"(ct.SYS_CHANGE_OPERATION = 'D' or ($pkMatch and $p))"
+      case None => pkMatch
+    }
+  }
+
+  /** Column list: PKs from the changes side (present for deletes),
+    * non-PKs from the base table, CT metadata passed through
+    * (reference: SqlServerChangeTrackingSource.cs:321-335). */
+  def deltaColumns(pkColumns: Seq[String], nonPkColumns: Seq[String]): String =
+    (pkColumns.map(c => s"ct.[$c]") ++
+      nonPkColumns.map(c => s"tq.[$c]") ++
+      Seq("ct.SYS_CHANGE_VERSION", "ct.SYS_CHANGE_OPERATION")).mkString(", ")
+
+  /** Incremental delta query against CHANGETABLE. */
+  def selectDelta(
+      schemaName: String,
+      tableName: String,
+      pkColumns: Seq[String],
+      nonPkColumns: Seq[String],
+      lastVersion: Long,
+      partitionExpression: Option[String] = None): String =
+    s"""SELECT ${deltaColumns(pkColumns, nonPkColumns)},
+       | CHANGE_TRACKING_CURRENT_VERSION() AS ${Constants.ChangeTrackingVersionColumn},
+       | ${mergeKeyTsql(pkColumns, "ct")} AS ${Constants.MergeKeyColumn}
+       |FROM [$schemaName].[$tableName] tq
+       |RIGHT JOIN (SELECT ct.* FROM CHANGETABLE(CHANGES [$schemaName].[$tableName], $lastVersion) ct) ct
+       |ON ${matchClause(pkColumns, partitionExpression)}""".stripMargin
+
+  /** Full-load (backfill) query: snapshot with literal change metadata
+    * (version 0, operation 'I'; reference:
+    * SqlServerChangeTrackingSource.cs:337-349). */
+  def selectAll(
+      schemaName: String,
+      tableName: String,
+      pkColumns: Seq[String],
+      nonPkColumns: Seq[String]): String =
+    s"""SELECT ${(pkColumns ++ nonPkColumns).map(c => s"tq.[$c]").mkString(", ")},
+       | 0 AS ${Constants.ChangeVersionColumn},
+       | 'I' AS ${Constants.ChangeOperationColumn},
+       | CHANGE_TRACKING_CURRENT_VERSION() AS ${Constants.ChangeTrackingVersionColumn},
+       | ${mergeKeyTsql(pkColumns, "tq")} AS ${Constants.MergeKeyColumn}
+       |FROM [$schemaName].[$tableName] tq""".stripMargin
+
+  /** Version re-seed after restart: earliest commit inside the lookback
+    * window (reference: SqlServerChangeTrackingSource.cs:271-287). */
+  def seekVersionByLookback(lookBackSeconds: Long): String =
+    s"""SELECT MIN(commit_ts) FROM sys.dm_tran_commit_table
+       |WHERE commit_time > DATEADD(second, -$lookBackSeconds, GETUTCDATE())""".stripMargin
+
+  def seekVersionAfter(version: Long): String =
+    s"SELECT MIN(commit_ts) FROM sys.dm_tran_commit_table WHERE commit_ts > $version"
+
+  /** INFORMATION_SCHEMA primary-key probe (reference:
+    * SqlSnippets/GetColumns.sql via SqlServerUtils.cs:20-36). */
+  def selectPkColumns(schemaName: String, tableName: String): String =
+    s"""SELECT kcu.COLUMN_NAME FROM INFORMATION_SCHEMA.TABLE_CONSTRAINTS tc
+       |JOIN INFORMATION_SCHEMA.KEY_COLUMN_USAGE kcu
+       |  ON tc.CONSTRAINT_NAME = kcu.CONSTRAINT_NAME
+       | AND tc.TABLE_SCHEMA = kcu.TABLE_SCHEMA AND tc.TABLE_NAME = kcu.TABLE_NAME
+       |WHERE tc.CONSTRAINT_TYPE = 'PRIMARY KEY'
+       |  AND tc.TABLE_SCHEMA = '$schemaName' AND tc.TABLE_NAME = '$tableName'
+       |ORDER BY kcu.ORDINAL_POSITION""".stripMargin
+}
+
+/** Abstraction over the database round-trip so the polling logic is
+  * testable without SQL Server (the sandbox has none; SURVEY.md §7.4).
+  * Production: [[JdbcExecutor]]. Tests: recorded DataFrames. */
+trait SqlExecutor {
+  def queryDataFrame(sql: String): DataFrame
+  def queryScalar(sql: String): Option[Long]
+}
+
+/** JDBC-backed executor: the query ships to the server via the `query`
+  * dbtable option, so all CT predicates evaluate server-side. */
+final class JdbcExecutor(spark: SparkSession, url: String,
+    connectionProperties: java.util.Properties) extends SqlExecutor {
+  override def queryDataFrame(sql: String): DataFrame =
+    spark.read.jdbc(url, s"($sql) q", connectionProperties)
+  override def queryScalar(sql: String): Option[Long] =
+    queryDataFrame(sql).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+}
+
+/** Version-checkpointed CT polling source.
+  *
+  * @param lookBackSeconds restart re-seed window (default 1 day,
+  *        reference: SqlServerChangeTrackingSource.cs:128)
+  */
+final class ChangeTrackingSource(
+    executor: SqlExecutor,
+    schemaName: String,
+    tableName: String,
+    pkColumns: Seq[String],
+    nonPkColumns: Seq[String],
+    partitionExpression: Option[String] = None,
+    lookBackSeconds: Long = 86400L) {
+
+  /** Backfill snapshot at the current CT version. */
+  def fullLoad(): DataFrame =
+    executor.queryDataFrame(
+      ChangeTrackingQueries.selectAll(schemaName, tableName, pkColumns, nonPkColumns))
+
+  /** One incremental pull: changes since `lastVersion` (or since the
+    * lookback window when no version is known). Caller persists the max
+    * emitted ChangeTrackingVersion as the next offset. */
+  def pullChanges(lastVersion: Option[Long]): DataFrame = {
+    val from = lastVersion.orElse(
+      executor.queryScalar(
+        ChangeTrackingQueries.seekVersionByLookback(lookBackSeconds))
+    ).getOrElse(0L)
+    executor.queryDataFrame(
+      ChangeTrackingQueries.selectDelta(schemaName, tableName, pkColumns,
+        nonPkColumns, from, partitionExpression))
+  }
+}

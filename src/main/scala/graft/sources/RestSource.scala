@@ -1,0 +1,229 @@
+package graft.sources
+
+import java.time.{Instant, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Paginated REST API source (reference: src/Sources/RestApi;
+  * SURVEY.md §2.1 S4, §2.10), rebuilt as a driver-side fetch loop whose
+  * records are parallelized into DataFrames.
+  *
+  * The HTTP round-trip is behind [[HttpFetch]] so the pagination/
+  * templating/auth state machines are testable offline (the reference
+  * tests them with mocked HttpClient the same way). Pagination state is
+  * an explicit serializable value ([[PageState]]) — persist it in a
+  * checkpoint to resume mid-pagination, improving on the reference's
+  * in-memory pointers (SURVEY.md §2.10).
+  */
+object RestSource {
+  private val mapper = new ObjectMapper()
+
+  /** The single seam to the outside world. */
+  trait HttpFetch {
+    /** Returns the response body, or None for tolerated transient
+      * statuses (429/408 — reference: RestApiSource.cs:503-515). */
+    def fetch(uri: String, headers: Map[String, String], body: Option[String]): Option[String]
+  }
+
+  /** Auth providers (reference: §2.10 FixedHeader / DynamicBearer). */
+  trait AuthProvider { def headers(): Map[String, String] }
+
+  final case class FixedHeaderAuth(fixed: Map[String, String]) extends AuthProvider {
+    override def headers(): Map[String, String] = fixed
+  }
+
+  /** Bearer token fetched from an auth endpoint and cached until
+    * shortly before expiry (reference:
+    * DynamicBearerAuthenticatedMessageProvider.cs:99-153). */
+  final class DynamicBearerAuth(
+      fetcher: HttpFetch,
+      tokenUri: String,
+      tokenRequestBody: Option[String],
+      tokenField: String = "token",
+      expiresInField: String = "expiresIn",
+      headerName: String = "Authorization",
+      scheme: String = "Bearer",
+      clock: () => Long = () => System.currentTimeMillis()) extends AuthProvider {
+    private var cached: Option[(String, Long)] = None
+    override def headers(): Map[String, String] = synchronized {
+      val now = clock()
+      val token = cached match {
+        case Some((t, expiry)) if now < expiry => t
+        case _ =>
+          val resp = fetcher.fetch(tokenUri, Map.empty, tokenRequestBody)
+            .getOrElse(throw new RuntimeException("auth endpoint unavailable"))
+          val node = mapper.readTree(resp)
+          val t = node.path(tokenField).asText()
+          val ttlSec = node.path(expiresInField).asLong(3600L)
+          cached = Some((t, now + (ttlSec - 60L) * 1000L)) // renew 60s early
+          t
+      }
+      Map(headerName -> s"$scheme $token".trim)
+    }
+  }
+
+  /** URL/body template: `@field` placeholders resolved against a value
+    * map (reference: RestApiTemplate.cs:33-106). */
+  def resolveTemplate(template: String, values: Map[String, String]): String =
+    values.toSeq.sortBy(-_._1.length) // longest-first so @dateFrom wins over @date
+      .foldLeft(template) { case (acc, (k, v)) => acc.replace("@" + k, v) }
+
+  /** Serializable pagination offset. */
+  final case class PageState(
+      pointer: Option[String],
+      pagesRead: Int,
+      exhausted: Boolean)
+  object PageState { val initial: PageState = PageState(None, 0, exhausted = false) }
+
+  /** Page-pointer state machines (reference: §2.10 PageResolvers). */
+  sealed trait PageResolver {
+    /** Next state given the last response (None before the first call). */
+    def next(state: PageState, lastResponse: Option[JsonNode]): PageState
+  }
+
+  /** 1-based counter bounded by a total-pages field read from the first
+    * response (reference: PageCountingResolver.cs:28-62). */
+  final case class PageCountingResolver(totalPagesKeyChain: Seq[String]) extends PageResolver {
+    override def next(state: PageState, lastResponse: Option[JsonNode]): PageState =
+      lastResponse match {
+        case None => PageState(Some("1"), 0, exhausted = false)
+        case Some(resp) =>
+          val total = keyChain(resp, totalPagesKeyChain).map(_.asLong(0L)).getOrElse(0L)
+          val current = state.pointer.map(_.toLong).getOrElse(1L)
+          if (current < total) PageState(Some((current + 1).toString), state.pagesRead + 1, exhausted = false)
+          else PageState(None, state.pagesRead + 1, exhausted = true)
+      }
+  }
+
+  /** Offset pointer advanced by a fixed page size; stops on an empty
+    * content array (reference: PageOffsetResolver.cs:31-59). */
+  final case class PageOffsetResolver(responseSize: Int, contentKeyChain: Seq[String])
+      extends PageResolver {
+    override def next(state: PageState, lastResponse: Option[JsonNode]): PageState =
+      lastResponse match {
+        case None => PageState(Some("0"), 0, exhausted = false)
+        case Some(resp) =>
+          val n = keyChain(resp, contentKeyChain).map(_.size()).getOrElse(0)
+          if (n < responseSize) PageState(None, state.pagesRead + 1, exhausted = true)
+          else PageState(
+            Some((state.pointer.map(_.toLong).getOrElse(0L) + responseSize).toString),
+            state.pagesRead + 1, exhausted = false)
+      }
+  }
+
+  /** Continuation token extracted from each response; stops when the
+    * token property is missing/null (reference:
+    * PageNextTokenResolver.cs:25-51). */
+  final case class PageNextTokenResolver(tokenKeyChain: Seq[String]) extends PageResolver {
+    override def next(state: PageState, lastResponse: Option[JsonNode]): PageState =
+      lastResponse match {
+        case None => PageState(None, 0, exhausted = false)
+        case Some(resp) => keyChain(resp, tokenKeyChain) match {
+          case Some(tok) if !tok.isNull && tok.asText().nonEmpty =>
+            PageState(Some(tok.asText()), state.pagesRead + 1, exhausted = false)
+          case _ => PageState(None, state.pagesRead + 1, exhausted = true)
+        }
+      }
+  }
+
+  /** Tolerant property-key-chain traversal (reference:
+    * RestApiExtensions.cs:19-52 — missing keys yield nothing, not an
+    * error). */
+  def keyChain(node: JsonNode, chain: Seq[String]): Option[JsonNode] =
+    chain.foldLeft(Option(node)) {
+      case (Some(n), key) if n.has(key) => Some(n.get(key))
+      case _ => None
+    }
+
+  /** Extract the record array from a response body; non-array single
+    * objects are emitted as one record. */
+  def extractRecords(body: String, recordKeyChain: Seq[String]): Seq[String] = {
+    val root = mapper.readTree(body)
+    keyChain(root, recordKeyChain) match {
+      case Some(n) if n.isArray =>
+        val b = Vector.newBuilder[String]; n.forEach(e => b += e.toString); b.result()
+      case Some(n) if n.isObject => Vector(n.toString)
+      case _ if recordKeyChain.isEmpty && root.isArray =>
+        val b = Vector.newBuilder[String]; root.forEach(e => b += e.toString); b.result()
+      case _ => Vector.empty
+    }
+  }
+
+  val IsoFormat: DateTimeFormatter =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(ZoneOffset.UTC)
+
+  /** Date-range template values for one poll (reference:
+    * SimpleUriProvider.cs:47-108 — backfill reads from
+    * `backFillStartDate`, stream mode from now − lookback). */
+  def dateRange(
+      isBackfilling: Boolean,
+      backfillStart: Instant,
+      lookBack: java.time.Duration,
+      now: Instant): Map[String, String] = {
+    val from = if (isBackfilling) backfillStart else now.minus(lookBack)
+    Map(
+      "dateFrom" -> IsoFormat.format(from),
+      "dateTo" -> IsoFormat.format(now),
+      "date" -> IsoFormat.format(from))
+  }
+}
+
+/** One polling REST stream: template → auth → fetch → extract →
+  * paginate, yielding a DataFrame per completed pagination sweep.
+  */
+final class RestSource(
+    spark: SparkSession,
+    fetcher: RestSource.HttpFetch,
+    auth: RestSource.AuthProvider,
+    uriTemplate: String,
+    resolver: Option[RestSource.PageResolver],
+    recordKeyChain: Seq[String],
+    apiSchema: Option[StructType] = None,
+    maxPages: Int = 10000) {
+
+  import RestSource._
+
+  /** Run one full pagination sweep with the given template values and
+    * return all records as a DataFrame (schema applied via from_json
+    * when declared, inferred otherwise). */
+  def sweep(templateValues: Map[String, String]): DataFrame = {
+    val records = Vector.newBuilder[String]
+    var state = resolver.map(_.next(PageState.initial, None)).getOrElse(PageState.initial)
+    var lastResponse: Option[JsonNode] = None
+    var pages = 0
+    var continue = true
+    while (continue && pages < maxPages) {
+      val values = templateValues ++ state.pointer.map("page" -> _).toMap
+      val uri = resolveTemplate(uriTemplate, values)
+      fetcher.fetch(uri, auth.headers(), None) match {
+        case Some(body) =>
+          records ++= extractRecords(body, recordKeyChain)
+          lastResponse = Some(RestSource.mapper.readTree(body))
+        case None => // tolerated transient failure: empty page, retry next poll
+          lastResponse = None
+      }
+      pages += 1
+      resolver match {
+        case Some(r) =>
+          state = r.next(state, lastResponse)
+          continue = !state.exhausted && lastResponse.isDefined
+        case None => continue = false // non-paginated: one request per poll
+      }
+    }
+    toDataFrame(records.result())
+  }
+
+  private def toDataFrame(jsonRecords: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val ds = spark.createDataset(jsonRecords)
+    apiSchema match {
+      case Some(schema) =>
+        ds.toDF("json").select(from_json(col("json"), schema).as("r")).select("r.*")
+      case None => spark.read.json(ds)
+    }
+  }
+}
