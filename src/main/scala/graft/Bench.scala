@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Emits exactly ONE JSON line on stdout (plus a copy
+  * at BENCH_LOCAL.json) for the driver to parse.
+  *
+  * Measurement contract (round-1 verdict fixes):
+  *  - a full warm-up pass first, so JVM/codegen/file-cache startup cost
+  *    isn't attributed to whichever query runs first;
+  *  - each query executes via the `noop` sink, which evaluates the
+  *    whole declared plan (sorts, projections) without letting Catalyst
+  *    short-circuit to a count;
+  *  - failures are reported in the JSON (`failed`), never swallowed.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +19,40 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def execute(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        Some(name)
+      }
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    queries.foreach { case (n, fn) => execute(n, fn) } // warm-up
+
+    var failed = List.empty[String]
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      execute(name, fn).foreach(f => failed ::= f)
       name -> (System.nanoTime() - t0) / 1e9
     }
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val sf = sfDir.split("/").reverse.collectFirst {
+      case s if s.startsWith("sf") => s.drop(2)
+    }.getOrElse("0")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf,"failed":$failedJson}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(3)
   }
 }

@@ -55,9 +55,12 @@ final class StreamRunner(
       finally {
         try Runtime.getRuntime.removeShutdownHook(hook) catch { case NonFatal(_) => }
       }
-      if (stopRequested && ctx.isBackfilling) {
-        // interrupted backfill must re-run from scratch; no token
-        ExitCodes.Restart
+      if (stopRequested) {
+        // any interruption suppresses the completion token (reference:
+        // ParquetSink.SaveCompletionToken skips on interruption,
+        // asserted Times.Never in ParquetSinkTests.cs:174-310); an
+        // interrupted backfill additionally must re-run from scratch
+        if (ctx.isBackfilling) ExitCodes.Restart else ExitCodes.Success
       } else {
         builder.onCompleted(ctx)
         ExitCodes.Success

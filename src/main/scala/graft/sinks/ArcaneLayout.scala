@@ -18,10 +18,15 @@ import graft.schema.SchemaOps
   * {{{
   * <target>/data/part-{uuid}-{shortHash}-chunk.parquet   (or .json)
   * <target>/data/_batch_date=yyyy-MM-dd/...              (optional)
-  * <target>/schema/schema-{uuid}-{fullHash}.parquet      (empty, schema-only)
+  * <target>/schema/schema-{uuid}-{shortHash}.parquet     (empty, schema-only)
   * <target>/metadata/v0/partitions.json                  (deleted when empty)
-  * <target>/{fullHash}.COMPLETED                         (graceful stop only)
+  * <target>/{shortHash}.COMPLETED                        (graceful stop only)
   * }}}
+  *
+  * The SAME 7-char short hash names part files, the schema file, and
+  * the COMPLETED token, so reference-built consumers can correlate the
+  * three (reference: ParquetSink.cs:220-256 uses one short hash
+  * throughout).
   *
   * Delivery is at-least-once append-only with fresh UUIDs per flush —
   * dedup is the consumer's job via ARCANE_MERGE_KEY. Unlike the
@@ -85,7 +90,8 @@ object ArcaneLayout {
     * metadata (reference: ParquetOperations.cs:126-149 writes an empty
     * file whose bytes double as the fingerprint; we fingerprint the
     * canonical StructType JSON instead — consumers compare hashes only
-    * for equality, see SURVEY.md §7.4). */
+    * for equality, see SURVEY.md §7.4). Returns the 7-char short hash —
+    * the same one used in part filenames and the COMPLETED token. */
   def writeSchemaFile(df: DataFrame, targetPath: String): String = {
     // mark the merge-key field in its metadata; Spark persists field
     // metadata in the parquet footer (org.apache.spark.sql.parquet.row
@@ -96,7 +102,7 @@ object ArcaneLayout {
           .withMetadata(f.metadata).putBoolean("isMergeKey", true).build())
       else f
     })
-    val hash = SchemaOps.fingerprint(df.schema)
+    val hash = SchemaOps.shortFingerprint(df.schema)
     val tmpDir = s"$targetPath/.schema-staging-${UUID.randomUUID()}"
     df.sparkSession.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)

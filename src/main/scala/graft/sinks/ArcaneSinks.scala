@@ -45,7 +45,7 @@ final class ArcaneParquetSink(config: SinkConfig, format: String = "parquet") {
     if (!initialized) {
       schemaHashValue = Some(
         if (config.createSchemaFile) ArcaneLayout.writeSchemaFile(df, config.targetPath)
-        else SchemaOps.fingerprint(df.schema))
+        else SchemaOps.shortFingerprint(df.schema))
       ArcaneLayout.writePartitionsMetadata(df, config.targetPath, config.partitions)
       initialized = true
     }

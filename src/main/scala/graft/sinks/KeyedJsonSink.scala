@@ -1,14 +1,19 @@
 package graft.sinks
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Path-addressed JSON sink (reference: src/Sinks/Json/JsonSink.cs:18-167;
   * SURVEY.md §2.2 K3): input rows carry (path, timestamp, body); each
-  * record is wrapped as `{timestamp, body}` and lands under
-  * `<root>/<path>/`. The reference writes one blob per (path, batch);
-  * `partitionBy` reproduces the path-addressing with distributed writes
-  * instead of a driver-side loop.
+  * record is wrapped as `{timestamp, body}` and lands under the literal
+  * `<root>/<path>/` directory — exactly where a reference-built
+  * consumer looks for it.
+  *
+  * The write itself is distributed (`partitionBy` on the path column);
+  * the Hive-style `__path=<escaped>` directories it produces are then
+  * renamed to the raw paths — a metadata-only move of O(distinct paths)
+  * directories on the driver, not O(rows).
   */
 object KeyedJsonSink {
 
@@ -17,7 +22,7 @@ object KeyedJsonSink {
       rootPath: String,
       pathColumn: String = "path",
       timestampColumn: String = "timestamp",
-      bodyColumn: String = "body"): Unit =
+      bodyColumn: String = "body"): Unit = {
     df.select(
         col(pathColumn).as("__path"),
         col(timestampColumn).as("timestamp"),
@@ -25,4 +30,43 @@ object KeyedJsonSink {
       .write.mode(SaveMode.Append)
       .partitionBy("__path")
       .json(rootPath)
+
+    // rename __path=<escaped>/ → literal <path>/ (merging into any
+    // directory left by a previous batch)
+    val root = new Path(rootPath)
+    val fs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    fs.globStatus(new Path(s"$rootPath/__path=*")).foreach { d =>
+      val raw = unescapePathName(d.getPath.getName.stripPrefix("__path="))
+      val dest = new Path(root, raw)
+      if (!fs.exists(dest)) {
+        fs.mkdirs(dest.getParent)
+        fs.rename(d.getPath, dest)
+      } else {
+        fs.listStatus(d.getPath).filter(_.isFile).foreach { f =>
+          fs.rename(f.getPath, new Path(dest, f.getPath.getName))
+        }
+        fs.delete(d.getPath, true)
+      }
+    }
+  }
+
+  /** Invert Hive partition-value escaping (`%xx` sequences) so the raw
+    * path — including `/` separators — is restored. Mirrors
+    * org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils. */
+  private[sinks] def unescapePathName(escaped: String): String = {
+    val sb = new StringBuilder(escaped.length)
+    var i = 0
+    while (i < escaped.length) {
+      val c = escaped.charAt(i)
+      if (c == '%' && i + 2 < escaped.length &&
+          isHex(escaped.charAt(i + 1)) && isHex(escaped.charAt(i + 2))) {
+        sb.append(Integer.parseInt(escaped.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
 }

@@ -30,12 +30,15 @@ object ChangeTrackingQueries {
   }
 
   /** PK-match clause between the change rows and the base table. The
-    * partition-aware variant also matches deletes unconditionally
-    * (reference: SqlServerChangeTrackingSource.cs:289-310). */
+    * partition-aware variant always requires the PK match and only
+    * waives the partition predicate for deletes — a delete row must
+    * still join only its own base row (NULLs), never cross-join the
+    * whole table (reference: SqlServerChangeTrackingSource.cs:289-310,
+    * GetMatchStatement). */
   def matchClause(pkColumns: Seq[String], partitionExpression: Option[String]): String = {
     val pkMatch = pkColumns.map(c => s"tq.[$c] = ct.[$c]").mkString(" and ")
     partitionExpression match {
-      case Some(p) => s"(ct.SYS_CHANGE_OPERATION = 'D' or ($pkMatch and $p))"
+      case Some(p) => s"($pkMatch and (ct.SYS_CHANGE_OPERATION = 'D' or $p))"
       case None => pkMatch
     }
   }

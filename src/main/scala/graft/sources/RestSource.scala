@@ -172,8 +172,28 @@ object RestSource {
   }
 }
 
+/** Raised when a page stays transiently unavailable (429/408) past the
+  * bounded retry budget. Extends TimeoutException so the supervision
+  * decider treats it as retry-the-stream, matching the reference's
+  * restart-on-timeout policy (RestApiSource.cs:355-361). */
+final class TransientFetchException(uri: String, attempts: Int)
+    extends java.util.concurrent.TimeoutException(
+      s"page unavailable after $attempts attempts: $uri")
+
 /** One polling REST stream: template → auth → fetch → extract →
-  * paginate, yielding a DataFrame per completed pagination sweep.
+  * paginate.
+  *
+  * Production paths consume [[sweepChunks]] — a lazy iterator emitting
+  * one DataFrame per `pagesPerChunk` pages, so at most one chunk of
+  * records is ever resident on the driver (the reference buffers
+  * nothing but also emits row-at-a-time; a whole-sweep buffer would
+  * violate the 100 TB rule, SURVEY.md §7.4). [[sweep]] materializes the
+  * union for tests/small pulls.
+  *
+  * A transient fetch failure (429/408 → None) is retried in place with
+  * linear backoff rather than silently truncating the sweep (the
+  * reference retries transient statuses; RestApiSource.cs:503-515);
+  * exhausting the budget raises [[TransientFetchException]].
   */
 final class RestSource(
     spark: SparkSession,
@@ -183,38 +203,69 @@ final class RestSource(
     resolver: Option[RestSource.PageResolver],
     recordKeyChain: Seq[String],
     apiSchema: Option[StructType] = None,
-    maxPages: Int = 10000) {
+    maxPages: Int = 10000,
+    pagesPerChunk: Int = 100,
+    maxRetriesPerPage: Int = 3,
+    backoff: Int => Unit = attempt => Thread.sleep(1000L * attempt)) {
 
   import RestSource._
 
-  /** Run one full pagination sweep with the given template values and
-    * return all records as a DataFrame (schema applied via from_json
-    * when declared, inferred otherwise). */
-  def sweep(templateValues: Map[String, String]): DataFrame = {
-    val records = Vector.newBuilder[String]
-    var state = resolver.map(_.next(PageState.initial, None)).getOrElse(PageState.initial)
-    var lastResponse: Option[JsonNode] = None
-    var pages = 0
-    var continue = true
-    while (continue && pages < maxPages) {
-      val values = templateValues ++ state.pointer.map("page" -> _).toMap
-      val uri = resolveTemplate(uriTemplate, values)
+  /** Fetch one page, retrying tolerated transient failures. */
+  private def fetchWithRetry(uri: String): String = {
+    var attempt = 0
+    while (attempt <= maxRetriesPerPage) {
       fetcher.fetch(uri, auth.headers(), None) match {
-        case Some(body) =>
-          records ++= extractRecords(body, recordKeyChain)
-          lastResponse = Some(RestSource.mapper.readTree(body))
-        case None => // tolerated transient failure: empty page, retry next poll
-          lastResponse = None
-      }
-      pages += 1
-      resolver match {
-        case Some(r) =>
-          state = r.next(state, lastResponse)
-          continue = !state.exhausted && lastResponse.isDefined
-        case None => continue = false // non-paginated: one request per poll
+        case Some(body) => return body
+        case None =>
+          attempt += 1
+          if (attempt <= maxRetriesPerPage) backoff(attempt)
       }
     }
-    toDataFrame(records.result())
+    throw new TransientFetchException(uri, maxRetriesPerPage + 1)
+  }
+
+  /** Lazily run one pagination sweep, emitting a DataFrame per
+    * `pagesPerChunk` pages. Pages are fetched on demand as the caller
+    * advances the iterator. */
+  def sweepChunks(templateValues: Map[String, String]): Iterator[DataFrame] =
+    new Iterator[DataFrame] {
+      private var state =
+        resolver.map(_.next(PageState.initial, None)).getOrElse(PageState.initial)
+      private var pages = 0
+      private var continue = true
+
+      override def hasNext: Boolean = continue && pages < maxPages
+
+      override def next(): DataFrame = {
+        val records = Vector.newBuilder[String]
+        var inChunk = 0
+        while (continue && pages < maxPages && inChunk < pagesPerChunk) {
+          val values = templateValues ++ state.pointer.map("page" -> _).toMap
+          val uri = resolveTemplate(uriTemplate, values)
+          val body = fetchWithRetry(uri)
+          records ++= extractRecords(body, recordKeyChain)
+          val lastResponse = Some(RestSource.mapper.readTree(body))
+          pages += 1
+          inChunk += 1
+          resolver match {
+            case Some(r) =>
+              state = r.next(state, lastResponse)
+              continue = !state.exhausted
+            case None => continue = false // non-paginated: one request per poll
+          }
+        }
+        toDataFrame(records.result())
+      }
+    }
+
+  /** Run one full pagination sweep and return all records as a single
+    * DataFrame (schema applied via from_json when declared, inferred
+    * otherwise). Prefer [[sweepChunks]] for unbounded APIs. */
+  def sweep(templateValues: Map[String, String]): DataFrame = {
+    val chunks = sweepChunks(templateValues)
+    if (!chunks.hasNext) toDataFrame(Vector.empty)
+    // allowMissingColumns: chunk schemas can differ when inferred
+    else chunks.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private def toDataFrame(jsonRecords: Seq[String]): DataFrame = {
