@@ -27,12 +27,13 @@ object SparkEntry {
       tieBreakers = Seq("l_orderkey", "l_linenumber"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * LLM-pipeline extension layer (graft.ext). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ AnalyticsQueries.queries
+    ParityQueries.queries ++ AnalyticsQueries.queries ++ graft.ext.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracles ++ AnalyticsQueries.oracles
+    ParityQueries.oracles ++ AnalyticsQueries.oracles ++ graft.ext.ExtQueries.oracles
 }

@@ -1,0 +1,394 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.QueryKit.table
+
+/** Driver-checked query inventory for the LLM-pipeline extension layer
+  * (dedup / similarity / multimodal / text analysis). Each query exists
+  * twice — Spark plan + DuckDB oracle SQL — and both derive their
+  * constants (word lists, k/band geometry, chunk sizes) from the same
+  * Scala values so they cannot drift apart.
+  *
+  * Portability rules that make the hash-compare exact:
+  *  - hashes are md5/sha256 hex strings (identical in both engines);
+  *  - MinHash mins are lexicographic string mins (byte-wise on ASCII);
+  *  - counts/sizes are BIGINT on both sides;
+  *  - float math (cosine) folds left-to-right in double on both sides
+  *    and is emitted as `round(x·10⁴)` BIGINT.
+  */
+object ExtQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- shared geometry (referenced by BOTH engines) ----
+  private val MinhashK = 12
+  private val LshBands = 4
+  private val LshRows = 3
+  private val ShingleN = 3
+  private val ChunkW = 32
+  private val ChunkS = 24
+  private val FingerprintK = 4
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+
+  private def toksDf(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+
+  /** DuckDB fragment producing the identical token arrays. */
+  private val TokCte =
+    "tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)"
+
+  /** DuckDB fragment producing the identical shingle arrays. */
+  private val ShCte =
+    s"""sh AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - ${ShingleN - 1}),
+       |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+       |  FROM tok WHERE len(toks) >= $ShingleN)""".stripMargin
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // ------------------------------------------------------------------
+  // text_stats: per-document token statistics + quality gate
+  // ------------------------------------------------------------------
+
+  private val StopWords = TextOps.LangMarkers.head._2 // the en list
+
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    toksDf(spark, dir)
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_unique_tokens"),
+        expr("cast(aggregate(toks, 0, (a, t) -> a + length(t)) as bigint)")
+          .as("total_token_chars"),
+        expr("cast(array_max(transform(toks, t -> length(t))) as bigint)")
+          .as("max_token_len"),
+        TextOps.wordListHits(col("toks"), StopWords).as("n_stopwords"))
+      .withColumn("quality_ok",
+        when(col("n_tokens").between(10, 5000)
+            && col("n_unique_tokens") * 4 >= col("n_tokens")
+            && col("max_token_len") <= 30, 1L).otherwise(0L))
+      .orderBy("doc_id")
+
+  private val textStatsSql =
+    s"""WITH $TokCte
+       |SELECT doc_id,
+       |  len(toks)::BIGINT AS n_tokens,
+       |  len(list_distinct(toks))::BIGINT AS n_unique_tokens,
+       |  list_aggregate(list_transform(toks, t -> len(t)), 'sum')::BIGINT AS total_token_chars,
+       |  list_aggregate(list_transform(toks, t -> len(t)), 'max')::BIGINT AS max_token_len,
+       |  len(list_filter(toks, t -> list_contains(${sqlList(StopWords)}, t)))::BIGINT AS n_stopwords,
+       |  (CASE WHEN len(toks) BETWEEN 10 AND 5000
+       |        AND 4 * len(list_distinct(toks)) >= len(toks)
+       |        AND list_aggregate(list_transform(toks, t -> len(t)), 'max') <= 30
+       |        THEN 1 ELSE 0 END)::BIGINT AS quality_ok
+       |FROM tok ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // text_lang_id: stopword-hit language heuristic
+  // ------------------------------------------------------------------
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val withHits = TextOps.LangMarkers.foldLeft(toksDf(spark, dir)) {
+      case (d, (lang, words)) =>
+        d.withColumn(s"hits_$lang", TextOps.wordListHits(col("toks"), words))
+    }
+    withHits
+      .withColumn("lang_guess",
+        TextOps.langGuess(TextOps.LangMarkers.map { case (l, _) => l -> col(s"hits_$l") }))
+      .select(Seq(col("doc_id")) ++
+        TextOps.LangMarkers.map { case (l, _) => col(s"hits_$l") } :+
+        col("lang_guess"): _*)
+      .orderBy("doc_id")
+  }
+
+  private val textLangIdSql = {
+    val hitCols = TextOps.LangMarkers.map { case (lang, words) =>
+      s"len(list_filter(toks, t -> list_contains(${sqlList(words)}, t)))::BIGINT AS hits_$lang"
+    }.mkString(",\n  ")
+    val langs = TextOps.LangMarkers.map(_._1)
+    val caseArms = langs.zipWithIndex.map { case (l, i) =>
+      val conds = (s"hits_$l > 0" +: langs.drop(i + 1).map(o => s"hits_$l >= hits_$o"))
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString("\n       ")
+    s"""WITH $TokCte,
+       |h AS (SELECT doc_id,
+       |  $hitCols
+       |FROM tok)
+       |SELECT doc_id, ${langs.map(l => s"hits_$l").mkString(", ")},
+       |  CASE $caseArms
+       |       ELSE 'unk' END AS lang_guess
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // text_chunk: sliding-window token chunker (W tokens, stride S)
+  // ------------------------------------------------------------------
+
+  def textChunk(spark: SparkSession, dir: String): DataFrame =
+    toksDf(spark, dir)
+      .filter(size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")))
+      .withColumn("start", explode(sequence(lit(1), col("n"), lit(ChunkS))))
+      .select(
+        col("doc_id"),
+        expr(s"cast((start - 1) div $ChunkS as bigint)").as("chunk_idx"),
+        least(lit(ChunkW), col("n") - col("start") + 1).cast("long").as("chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start"), lit(ChunkW))).as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+
+  private val textChunkSql =
+    s"""WITH $TokCte,
+       |c AS (SELECT doc_id, toks, len(toks) AS n,
+       |        unnest(generate_series(1, len(toks), $ChunkS)) AS s
+       |      FROM tok WHERE len(toks) > 0)
+       |SELECT doc_id,
+       |  ((s - 1) // $ChunkS)::BIGINT AS chunk_idx,
+       |  least($ChunkW, n - s + 1)::BIGINT AS chunk_tokens,
+       |  array_to_string(toks[s:least(s + ${ChunkW - 1}, n)], ' ') AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ------------------------------------------------------------------
+  // text_fingerprint: bottom-k shingle sketch
+  // ------------------------------------------------------------------
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    toksDf(spark, dir)
+      .filter(size(col("toks")) >= ShingleN)
+      .withColumn("sh", TextOps.shingles(col("toks"), ShingleN))
+      .select(
+        col("doc_id"),
+        size(array_distinct(col("sh"))).cast("long").as("n_shingles"),
+        TextOps.bottomKFingerprint(col("sh"), FingerprintK).as("fingerprint"))
+      .orderBy("doc_id")
+
+  private val textFingerprintSql =
+    s"""WITH $TokCte, $ShCte
+       |SELECT doc_id,
+       |  len(list_distinct(sh))::BIGINT AS n_shingles,
+       |  md5(array_to_string(list_sort(list_transform(list_distinct(sh), s -> md5(s)))[1:$FingerprintK], '|')) AS fingerprint
+       |FROM sh ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // dedup_exact: content-hash groupBy keep-first over a corpus with
+  // real duplicates (documents ∪ id-shifted documents)
+  // ------------------------------------------------------------------
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    Dedup.exact(corpus, "doc_id", "text").orderBy("content_hash")
+  }
+
+  private val dedupExactSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+      |n AS (SELECT doc_id,
+      |  sha256(array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ')) AS content_hash
+      |FROM corpus)
+      |SELECT content_hash, min(doc_id) AS keep_doc_id, count(*)::BIGINT AS n_copies
+      |FROM n GROUP BY content_hash ORDER BY content_hash""".stripMargin
+
+  // ------------------------------------------------------------------
+  // dedup_minhash: LSH-banded candidate pairs (no cartesian)
+  // ------------------------------------------------------------------
+
+  /** DuckDB CTEs mirroring [[Dedup.minhashProject]]: sig + exploded
+    * band keys. */
+  private val SigCtes = {
+    val sigList = (0 until MinhashK).map(i =>
+      s"list_aggregate(list_transform(sh, s -> md5('$i|' || s)), 'min')").mkString(",\n    ")
+    val bandList = (0 until LshBands).map { j =>
+      val slots = (1 to LshRows).map(r => s"sig[${j * LshRows + r}]").mkString(" || '|' || ")
+      s"md5($slots)"
+    }.mkString(", ")
+    s"""sig AS (SELECT doc_id, [
+       |    $sigList] AS sig FROM sh),
+       |band AS (SELECT doc_id, [$bandList] AS bands FROM sig),
+       |ex AS (SELECT doc_id, unnest(bands) AS bk FROM band),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ex a JOIN ex b ON a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val proj = Dedup.minhashProject(docs(spark, dir).select("doc_id", "text"),
+      "doc_id", "text", MinhashK, LshBands, LshRows, ShingleN)
+    Dedup.minhashCandidates(proj, "doc_id", MinhashK).orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupMinhashSql =
+    s"""WITH $TokCte, $ShCte,
+       |$SigCtes
+       |SELECT p.doc_a, p.doc_b,
+       |  len(list_filter(generate_series(1, $MinhashK), i -> sa.sig[i] = sb.sig[i]))::BIGINT AS n_sig_match
+       |FROM pairs p
+       |JOIN sig sa ON sa.doc_id = p.doc_a
+       |JOIN sig sb ON sb.doc_id = p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // dedup_jaccard: exact n-gram Jaccard verification of LSH candidates
+  // ------------------------------------------------------------------
+
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val proj = Dedup.minhashProject(docs(spark, dir).select("doc_id", "text"),
+      "doc_id", "text", MinhashK, LshBands, LshRows, ShingleN)
+    val candidates = Dedup.minhashCandidates(proj, "doc_id", MinhashK).drop("n_sig_match")
+    val shingleSets = toksDf(spark, dir)
+      .filter(size(col("toks")) >= ShingleN)
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("toks"), ShingleN)).as("shd"))
+    Dedup.jaccardVerify(candidates, shingleSets, threshold = 0.8)
+      .select("doc_a", "doc_b", "n_common", "n_union", "is_dup")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupJaccardSql =
+    s"""WITH $TokCte, $ShCte,
+       |$SigCtes,
+       |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh)
+       |SELECT p.doc_a, p.doc_b,
+       |  len(list_intersect(a.shd, b.shd))::BIGINT AS n_common,
+       |  len(list_distinct(a.shd || b.shd))::BIGINT AS n_union,
+       |  (CASE WHEN 10 * len(list_intersect(a.shd, b.shd)) >= 8 * len(list_distinct(a.shd || b.shd))
+       |        THEN 1 ELSE 0 END)::BIGINT AS is_dup
+       |FROM pairs p
+       |JOIN shd a ON a.doc_id = p.doc_a
+       |JOIN shd b ON b.doc_id = p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // dedup_simhash: 32-bit SimHash sketch per document
+  // ------------------------------------------------------------------
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    toksDf(spark, dir)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), TextOps.simhash32("toks").as("simhash32"))
+      .orderBy("doc_id")
+
+  private val dedupSimhashSql =
+    s"""WITH $TokCte,
+       |tokexp AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), (j // 4) + 1, 1)) - 1)
+       |               & (1 << (3 - (j % 4)))) != 0 THEN 1 ELSE -1 END) AS v
+       |  FROM tokexp CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) bits
+       |  GROUP BY doc_id, j)
+       |SELECT doc_id,
+       |  sum(CASE WHEN v >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS simhash32
+       |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // sim_topk: exact cosine top-10 for query vectors (brute force,
+  // query side broadcast)
+  // ------------------------------------------------------------------
+
+  private val DotSql =
+    "list_aggregate(list_transform(generate_series(1, 64), i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE), 'sum')"
+  private val NormSql =
+    "sqrt(list_aggregate(list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), 'sum'))"
+
+  def simTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    Similarity.cosineTopK(e.filter(col("vec_id") < 5), e, "vec_id", "embedding", k = 10)
+      .select("query_id", "neighbor_id", "score_e4", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  private val simTopKSql =
+    s"""WITH e AS (SELECT vec_id, embedding, $NormSql AS nrm FROM embeddings),
+       |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    cast(round($DotSql / (q.nrm * n.nrm) * 10000) AS BIGINT) AS score_e4
+       |  FROM e q JOIN e n ON n.vec_id != q.vec_id
+       |  WHERE q.vec_id < 5),
+       |r AS (SELECT query_id, neighbor_id, score_e4,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score_e4 DESC, neighbor_id) AS rnk
+       |  FROM p)
+       |SELECT query_id, neighbor_id, score_e4, rnk FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // ------------------------------------------------------------------
+  // sim_ann_lsh: sign-bucket ANN — candidates only within the query's
+  // bucket, joined on the bucket key (the 100 TB plan shape)
+  // ------------------------------------------------------------------
+
+  private val BucketSql =
+    "list_aggregate(list_transform(generate_series(0, 7), i -> CASE WHEN embedding[i+1] > embedding[i+33] THEN (1 << i) ELSE 0 END), 'sum')::BIGINT"
+
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    Similarity.annTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3, bits = 8)
+      .select("query_id", "neighbor_id", "bucket", "score_e4", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  private val simAnnLshSql =
+    s"""WITH e AS (SELECT vec_id, embedding, $NormSql AS nrm, $BucketSql AS bucket FROM embeddings),
+       |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.bucket AS bucket,
+       |    cast(round($DotSql / (q.nrm * n.nrm) * 10000) AS BIGINT) AS score_e4
+       |  FROM e q JOIN e n ON q.bucket = n.bucket AND n.vec_id != q.vec_id
+       |  WHERE q.vec_id < 20),
+       |r AS (SELECT query_id, neighbor_id, bucket, score_e4,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score_e4 DESC, neighbor_id) AS rnk
+       |  FROM p)
+       |SELECT query_id, neighbor_id, bucket, score_e4, rnk FROM r WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // ------------------------------------------------------------------
+  // multimodal_ingest: binary payload + content-addressed identity
+  // ------------------------------------------------------------------
+
+  def multimodalIngest(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"), col("source"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("byte_len"),
+        sha2(col("payload"), 256).as("content_sha"),
+        col("source"))
+      .orderBy("doc_id")
+
+  private val multimodalIngestSql =
+    """SELECT doc_id,
+      |  octet_length(encode(text))::BIGINT AS byte_len,
+      |  sha256(text) AS content_sha,
+      |  source
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+
+  val queries: Map[String, Q] = Map(
+    "text_stats" -> (textStats(_, _)),
+    "text_lang_id" -> (textLangId(_, _)),
+    "text_chunk" -> (textChunk(_, _)),
+    "text_fingerprint" -> (textFingerprint(_, _)),
+    "dedup_exact" -> (dedupExact(_, _)),
+    "dedup_minhash" -> (dedupMinhash(_, _)),
+    "dedup_jaccard" -> (dedupJaccard(_, _)),
+    "dedup_simhash" -> (dedupSimhash(_, _)),
+    "sim_topk" -> (simTopK(_, _)),
+    "sim_ann_lsh" -> (simAnnLsh(_, _)),
+    "multimodal_ingest" -> (multimodalIngest(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "text_lang_id" -> textLangIdSql,
+    "text_chunk" -> textChunkSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "sim_topk" -> simTopKSql,
+    "sim_ann_lsh" -> simAnnLshSql,
+    "multimodal_ingest" -> multimodalIngestSql)
+}

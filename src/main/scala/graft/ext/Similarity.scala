@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity search over `array<float>` columns (VERDICT r1
+  * rank 0; SURVEY.md §7.1 module 7).
+  *
+  * Two tiers:
+  *  - [[cosineTopK]]: brute force — broadcast the (small) query set
+  *    against the full corpus; exact, O(|queries|·|corpus|·dim). The
+  *    correctness baseline, and the right plan whenever the query set
+  *    fits in a broadcast.
+  *  - [[annTopK]]: sign-bucket LSH — each vector hashes to a bucket
+  *    from deterministic coordinate-difference hyperplanes; search is a
+  *    shuffle hash join on the bucket key, so cost scales with bucket
+  *    occupancy, never |corpus|². The 100 TB path: buckets partition
+  *    the corpus and each executor scans only its bucket.
+  *
+  * All vector math runs in double via `zip_with`/`aggregate` in strict
+  * left-to-right order — bit-reproducible by any engine folding the
+  * same way (the DuckDB oracle does). Scores are emitted as
+  * `score_e4 = round(cosine·10⁴)` BIGINTs so results hash-compare
+  * exactly with no float representation drift.
+  */
+object Similarity {
+
+  /** Strict left-to-right dot product of two array columns, in double. */
+  def dot(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+       |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin)
+
+  def l2Norm(a: String): Column = sqrt(dot(a, a))
+
+  /** Deterministic sign-bucket code: bit i set iff v[i] > v[i+offset].
+    * Coordinate-difference hyperplanes need no stored projection matrix
+    * (and no RNG), so the bucketing is reproducible everywhere. */
+  def signBucket(embCol: String, bits: Int = 8, offset: Int = 32): Column = expr(
+    s"""aggregate(sequence(0, ${bits - 1}), 0, (acc, i) -> acc +
+       |  CASE WHEN element_at($embCol, i + 1) > element_at($embCol, i + 1 + $offset)
+       |       THEN shiftleft(1, i) ELSE 0 END)""".stripMargin)
+
+  /** Normalize to (id, embedding, nrm) with the L2 norm precomputed. */
+  def withNorm(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol), col(embCol).as("embedding"))
+      .withColumn("nrm", l2Norm("embedding"))
+
+  private def scored(q: DataFrame, n: DataFrame, joinCond: Column): DataFrame =
+    q.alias("q").join(n.alias("n"), joinCond)
+      .withColumn("score_e4",
+        round(dot("q.embedding", "n.embedding") / (col("q.nrm") * col("n.nrm")) * 10000)
+          .cast("long"))
+
+  /** Exact top-k neighbors for each query vector (brute force; the
+    * query side is broadcast so the corpus never shuffles). */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame = {
+    val q = withNorm(queries, idCol, embCol)
+    val n = withNorm(corpus, idCol, embCol)
+    val joined = scored(broadcast(q), n, col(s"q.$idCol") =!= col(s"n.$idCol"))
+    rank(joined, idCol, k)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's sign
+    * bucket; join is a hash join on the bucket key. Recall trades off
+    * against `bits` (more bits ⇒ smaller buckets ⇒ faster, lower
+    * recall). */
+  def annTopK(queries: DataFrame, corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, bits: Int = 8): DataFrame = {
+    val dim = 64 // offset pairs (i, i+dim/2) keep hyperplanes in-range
+    val q = withNorm(queries, idCol, embCol)
+      .withColumn("qbucket", signBucket("embedding", bits, dim / 2))
+    val n = withNorm(corpus, idCol, embCol)
+      .withColumn("nbucket", signBucket("embedding", bits, dim / 2))
+    val joined = scored(q, n,
+      col("qbucket") === col("nbucket") && col(s"q.$idCol") =!= col(s"n.$idCol"))
+      .withColumn("bucket", col("qbucket").cast("long"))
+    rank(joined, idCol, k)
+  }
+
+  private def rank(scoredPairs: DataFrame, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(s"q.$idCol"))
+      .orderBy(col("score_e4").desc, col(s"n.$idCol"))
+    scoredPairs
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .withColumn("query_id", col(s"q.$idCol"))
+      .withColumn("neighbor_id", col(s"n.$idCol"))
+  }
+}

@@ -1,0 +1,169 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+
+/** Unit coverage for the LLM-pipeline operators (graft.ext): token /
+  * shingle contracts, dedup invariants, similarity math, and the
+  * no-cartesian plan guarantee for the LSH candidate join. */
+class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  behavior of "TextOps.tokens"
+
+  it should "lowercase, split on non-alphanumerics, and drop empties" in {
+    import spark.implicits._
+    df((1L, "Hello, World!!  foo-bar 42"))
+      .select(TextOps.tokens(col("text"))).as[Seq[String]].head() shouldBe
+      Seq("hello", "world", "foo", "bar", "42")
+  }
+
+  it should "produce word n-gram shingles" in {
+    import spark.implicits._
+    df((1L, "a b c d"))
+      .select(TextOps.shingles(TextOps.tokens(col("text")), 3))
+      .as[Seq[String]].head() shouldBe Seq("a b c", "b c d")
+  }
+
+  behavior of "Dedup.exact"
+
+  it should "collapse case/punctuation variants to one group" in {
+    import spark.implicits._
+    val out = Dedup.exact(
+      df((1L, "Hello World"), (2L, "hello,   world!"), (3L, "different")),
+      "doc_id", "text").as[(String, Long, Long)].collect().sortBy(_._2)
+    out.length shouldBe 2
+    out.head._2 shouldBe 1L // keep-first
+    out.head._3 shouldBe 2L // both variants in one group
+  }
+
+  behavior of "Dedup minhash LSH"
+
+  private val nearDupCorpus = df(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (3L, "completely unrelated text about spark catalyst optimizer internals"))
+
+  it should "bucket near-duplicates together and skip unrelated docs" in {
+    import spark.implicits._
+    val proj = Dedup.minhashProject(nearDupCorpus, "doc_id", "text")
+    val pairs = Dedup.minhashCandidates(proj, "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs.flatMap(p => Set(p._1, p._2)) should not contain 3L
+  }
+
+  it should "estimate high signature agreement for near-dups" in {
+    import spark.implicits._
+    val proj = Dedup.minhashProject(nearDupCorpus, "doc_id", "text")
+    val m = Dedup.minhashCandidates(proj, "doc_id")
+      .select("n_sig_match").as[Long].head()
+    m should be >= 6L // >half of the 12 slots for ~0.8 jaccard
+  }
+
+  it should "never plan a cartesian product for candidate pairs" in {
+    val proj = Dedup.minhashProject(nearDupCorpus, "doc_id", "text")
+    val plan = Dedup.minhashCandidates(proj, "doc_id")
+      .queryExecution.executedPlan.toString
+    plan.toLowerCase should not include "cartesian"
+    plan.toLowerCase should not include "broadcastnestedloop"
+  }
+
+  it should "verify candidates with exact jaccard" in {
+    import spark.implicits._
+    val proj = Dedup.minhashProject(nearDupCorpus, "doc_id", "text")
+    val candidates = Dedup.minhashCandidates(proj, "doc_id").drop("n_sig_match")
+    val shd = nearDupCorpus
+      .select(col("doc_id"), array_distinct(
+        TextOps.shingles(TextOps.tokens(col("text")), 3)).as("shd"))
+    val verified = Dedup.jaccardVerify(candidates, shd)
+      .select("doc_a", "doc_b", "n_common", "n_union", "is_dup")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    verified.length shouldBe 1
+    val (_, _, common, union, isDup) = verified.head
+    common shouldBe 10L // 11-shingle docs differing in the last word
+    union shouldBe 12L
+    isDup shouldBe 1L // 10/12 >= 0.8
+  }
+
+  behavior of "TextOps.simhash32"
+
+  it should "give identical sketches for identical token bags" in {
+    import spark.implicits._
+    val out = df((1L, "alpha beta gamma"), (2L, "ALPHA beta: gamma."))
+      .select(TextOps.tokens(col("text")).as("toks"))
+      .select(TextOps.simhash32("toks")).as[Long].collect()
+    out(0) shouldBe out(1)
+    out(0) should be >= 0L
+    out(0) should be < (1L << 32)
+  }
+
+  behavior of "Similarity"
+
+  private def embDf(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  it should "rank exact cosine neighbors correctly" in {
+    import spark.implicits._
+    val pad = Seq.fill(61)(0f)
+    val e = embDf(
+      (0L, Seq(1f, 0f, 0f) ++ pad),
+      (1L, Seq(1f, 0.1f, 0f) ++ pad), // nearly parallel to q
+      (2L, Seq(0f, 1f, 0f) ++ pad),   // orthogonal
+      (3L, Seq(-1f, 0f, 0f) ++ pad))  // opposite
+    val out = Similarity.cosineTopK(e.filter(col("vec_id") === 0L), e,
+        "vec_id", "embedding", k = 3)
+      .select("neighbor_id", "score_e4", "rnk")
+      .orderBy("rnk").as[(Long, Long, Long)].collect()
+    out.map(_._1).toSeq shouldBe Seq(1L, 2L, 3L)
+    out(0)._2 shouldBe 9950L // cos = 1/sqrt(1.01) ≈ 0.99504
+    out(1)._2 shouldBe 0L
+    out(2)._2 shouldBe -10000L
+  }
+
+  it should "only compare within sign buckets for ANN" in {
+    import spark.implicits._
+    // v[i] vs v[i+32]: doc 0/1 share bucket (all bits 1), doc 2 differs
+    val hi = (0 until 64).map(i => if (i < 32) 1f else 0f)
+    val lo = (0 until 64).map(i => if (i < 32) 0f else 1f)
+    val e = embDf((0L, hi), (1L, hi.map(_ * 2f)), (2L, lo))
+    val out = Similarity.annTopK(e, e, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    out shouldBe Set((0L, 1L), (1L, 0L)) // 2 is alone in its bucket
+  }
+
+  behavior of "Multimodal"
+
+  it should "ingest binary files with content-addressed identity" in {
+    import spark.implicits._
+    val dir = tempDir("mm")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.png"),
+      Array[Byte](1, 2, 3, 4))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.wav"),
+      Array[Byte](9, 9))
+    val in = Multimodal.readBinaryDir(spark, dir)
+    val keyed = Multimodal.withContentKey(in)
+    keyed.columns should contain(graft.model.Constants.MergeKeyColumn)
+    val feats = Multimodal.extractFeatures(keyed)
+      .collect().sortBy(_.path)
+    feats.length shouldBe 2
+    feats(0).mime shouldBe "image/png"
+    feats(0).byteLen shouldBe 4L
+    feats(1).mime shouldBe "audio/wav"
+    // content sha matches the merge key (same bytes, same hash)
+    val mk = keyed.filter(col("path").endsWith("a.png"))
+      .select(graft.model.Constants.MergeKeyColumn).as[String].head()
+    feats(0).contentSha shouldBe mk
+    // deterministic pseudo-decode
+    feats(0).width should (be >= 16 and be < 80)
+  }
+}
