@@ -42,7 +42,30 @@ final class StreamRunner(
   def requestStop(): Unit = { stopRequested = true }
 
   /** Run one stream to completion; returns the process exit code. */
-  def run(ctx: StreamContext, builder: StreamGraphBuilder): Int = {
+  def run(ctx: StreamContext, builder: StreamGraphBuilder): Int =
+    runPhase(ctx, builder, publishOnComplete = true)
+
+  /** The reference's backfill-then-stream state machine
+    * (GraphStageLogicExtensions.cs:18-34, used by all three incremental
+    * sources): drain the backfill with `Trigger.AvailableNow`, then —
+    * unless `stopAfterBackfill` — restart the same graph in incremental
+    * mode with `Trigger.ProcessingTime`. Spark cannot flip a running
+    * query's trigger, so the flip is two sequential queries (SURVEY.md
+    * §7.4); the completion token is published only when the FINAL phase
+    * completes gracefully, never between phases and never on
+    * interruption. */
+  def runWithFlip(ctx: StreamContext, builder: StreamGraphBuilder,
+      stopAfterBackfill: Boolean = false): Int = {
+    if (!ctx.isBackfilling) run(ctx, builder)
+    else {
+      val backfillCode = runPhase(ctx, builder, publishOnComplete = stopAfterBackfill)
+      if (backfillCode != ExitCodes.Success || stopRequested || stopAfterBackfill) backfillCode
+      else run(ctx.copy(isBackfilling = false), builder)
+    }
+  }
+
+  private def runPhase(ctx: StreamContext, builder: StreamGraphBuilder,
+      publishOnComplete: Boolean): Int = {
     val trigger =
       if (ctx.isBackfilling) Trigger.AvailableNow()
       else Trigger.ProcessingTime(processingInterval.toMillis)
@@ -62,7 +85,7 @@ final class StreamRunner(
         // interrupted backfill additionally must re-run from scratch
         if (ctx.isBackfilling) ExitCodes.Restart else ExitCodes.Success
       } else {
-        builder.onCompleted(ctx)
+        if (publishOnComplete) builder.onCompleted(ctx)
         ExitCodes.Success
       }
     } catch {

@@ -142,7 +142,8 @@ final class ChangeTrackingSource(
 
   /** One incremental pull: changes since `lastVersion` (or since the
     * lookback window when no version is known). Caller persists the max
-    * emitted ChangeTrackingVersion as the next offset. */
+    * emitted ChangeTrackingVersion as the next offset (see
+    * [[ChangeTrackingPoller]]). */
   def pullChanges(lastVersion: Option[Long]): DataFrame = {
     val from = lastVersion.orElse(
       executor.queryScalar(
@@ -151,5 +152,36 @@ final class ChangeTrackingSource(
     executor.queryDataFrame(
       ChangeTrackingQueries.selectDelta(schemaName, tableName, pkColumns,
         nonPkColumns, from, partitionExpression))
+  }
+}
+
+/** Version-checkpointed CT poll loop: read offset → pull delta →
+  * deliver → commit the new offset. Commit happens strictly AFTER a
+  * successful delivery, giving the reference's at-least-once contract
+  * with durable offsets instead of its in-memory version + lookback
+  * re-seed (SqlServerChangeTrackingSource.cs:213,455-459; SURVEY.md
+  * §2.8 improvement).
+  */
+final class ChangeTrackingPoller(
+    source: ChangeTrackingSource,
+    store: graft.runtime.OffsetStore,
+    offsetKey: String = "ct-version") {
+
+  import org.apache.spark.sql.functions.{col, max}
+
+  /** Run one poll cycle; returns the committed version (None when no
+    * changes arrived and no version was known). */
+  def pollOnce(deliver: DataFrame => Unit): Option[Long] = {
+    val last = store.readLong(offsetKey)
+    val df = source.pullChanges(last).cache()
+    try {
+      deliver(df)
+      val maxVersion = df
+        .agg(max(col(Constants.ChangeTrackingVersionColumn)))
+        .collect().headOption
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      maxVersion.foreach(v => store.writeLong(offsetKey, v))
+      maxVersion.orElse(last)
+    } finally { df.unpersist(); () }
   }
 }

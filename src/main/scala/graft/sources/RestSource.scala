@@ -72,12 +72,34 @@ object RestSource {
     values.toSeq.sortBy(-_._1.length) // longest-first so @dateFrom wins over @date
       .foldLeft(template) { case (acc, (k, v)) => acc.replace("@" + k, v) }
 
-  /** Serializable pagination offset. */
+  /** Serializable pagination offset. Persist via [[PageState.toJson]]
+    * in an [[graft.runtime.OffsetStore]] so a restart resumes
+    * mid-pagination instead of re-sweeping (improvement over the
+    * reference's in-memory pointer, PagedUriProvider.cs:25,67-71). */
   final case class PageState(
       pointer: Option[String],
       pagesRead: Int,
       exhausted: Boolean)
-  object PageState { val initial: PageState = PageState(None, 0, exhausted = false) }
+
+  object PageState {
+    val initial: PageState = PageState(None, 0, exhausted = false)
+
+    def toJson(s: PageState): String = {
+      val node = mapper.createObjectNode()
+      s.pointer.foreach(node.put("pointer", _))
+      node.put("pagesRead", s.pagesRead)
+      node.put("exhausted", s.exhausted)
+      node.toString
+    }
+
+    def fromJson(json: String): PageState = {
+      val node = mapper.readTree(json)
+      PageState(
+        pointer = if (node.hasNonNull("pointer")) Some(node.get("pointer").asText()) else None,
+        pagesRead = node.path("pagesRead").asInt(0),
+        exhausted = node.path("exhausted").asBoolean(false))
+    }
+  }
 
   /** Page-pointer state machines (reference: §2.10 PageResolvers). */
   sealed trait PageResolver {
@@ -224,19 +246,23 @@ final class RestSource(
     throw new TransientFetchException(uri, maxRetriesPerPage + 1)
   }
 
-  /** Lazily run one pagination sweep, emitting a DataFrame per
-    * `pagesPerChunk` pages. Pages are fetched on demand as the caller
-    * advances the iterator. */
-  def sweepChunks(templateValues: Map[String, String]): Iterator[DataFrame] =
-    new Iterator[DataFrame] {
-      private var state =
-        resolver.map(_.next(PageState.initial, None)).getOrElse(PageState.initial)
+  /** Lazily run one pagination sweep, emitting one (DataFrame,
+    * resume-state) pair per `pagesPerChunk` pages. Pages are fetched
+    * on demand as the caller advances the iterator; checkpointing the
+    * emitted state after writing the chunk makes a restart resume at
+    * exactly the next unread page (zero duplicate pages). */
+  def sweepChunksWithState(
+      templateValues: Map[String, String],
+      resumeFrom: Option[PageState] = None): Iterator[(DataFrame, PageState)] =
+    new Iterator[(DataFrame, PageState)] {
+      private var state = resumeFrom.getOrElse(
+        resolver.map(_.next(PageState.initial, None)).getOrElse(PageState.initial))
       private var pages = 0
-      private var continue = true
+      private var continue = !state.exhausted
 
       override def hasNext: Boolean = continue && pages < maxPages
 
-      override def next(): DataFrame = {
+      override def next(): (DataFrame, PageState) = {
         val records = Vector.newBuilder[String]
         var inChunk = 0
         while (continue && pages < maxPages && inChunk < pagesPerChunk) {
@@ -254,9 +280,13 @@ final class RestSource(
             case None => continue = false // non-paginated: one request per poll
           }
         }
-        toDataFrame(records.result())
+        (toDataFrame(records.result()), state)
       }
     }
+
+  /** Chunked sweep without state tracking. */
+  def sweepChunks(templateValues: Map[String, String]): Iterator[DataFrame] =
+    sweepChunksWithState(templateValues).map(_._1)
 
   /** Run one full pagination sweep and return all records as a single
     * DataFrame (schema applied via from_json when declared, inferred
