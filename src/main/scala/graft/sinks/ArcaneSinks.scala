@@ -32,7 +32,7 @@ final case class SinkConfig(
   * preserving the reference's invariant that an interrupted or failed
   * stream never publishes a token (ParquetSink.cs:246-250).
   */
-final class ArcaneParquetSink(config: SinkConfig, format: String = "parquet") {
+class ArcaneParquetSink(config: SinkConfig, format: String = "parquet") {
 
   @volatile private var initialized = false
   @volatile private var schemaHashValue: Option[String] = None

@@ -57,7 +57,10 @@ object RestSource {
           val resp = fetcher.fetch(tokenUri, Map.empty, tokenRequestBody)
             .getOrElse(throw new RuntimeException("auth endpoint unavailable"))
           val node = mapper.readTree(resp)
-          val t = node.path(tokenField).asText()
+          if (!node.hasNonNull(tokenField))
+            throw new RuntimeException(
+              s"auth response has no '$tokenField' field: $resp")
+          val t = node.get(tokenField).asText()
           val ttlSec = node.path(expiresInField).asLong(3600L)
           cached = Some((t, now + (ttlSec - 60L) * 1000L)) // renew 60s early
           t
@@ -121,18 +124,27 @@ object RestSource {
       }
   }
 
-  /** Offset pointer advanced by a fixed page size; stops on an empty
-    * content array (reference: PageOffsetResolver.cs:31-59). */
-  final case class PageOffsetResolver(responseSize: Int, contentKeyChain: Seq[String])
-      extends PageResolver {
+  /** Offset pointer advanced by a fixed page size. Reference semantics
+    * (PageOffsetResolver.cs:31-59, sequence asserted by
+    * PageResolverTests.cs:13-22): only an EMPTY content array ends
+    * pagination (a short final page does not); an empty response before
+    * pagination started initializes the pointer instead of stopping. */
+  final case class PageOffsetResolver(responseSize: Int, contentKeyChain: Seq[String],
+      startOffset: Long = 0L) extends PageResolver {
     override def next(state: PageState, lastResponse: Option[JsonNode]): PageState =
       lastResponse match {
-        case None => PageState(Some("0"), 0, exhausted = false)
+        case None =>
+          if (state.pointer.isDefined) PageState(None, state.pagesRead, exhausted = true)
+          else PageState(Some(startOffset.toString), state.pagesRead, exhausted = false)
         case Some(resp) =>
-          val n = keyChain(resp, contentKeyChain).map(_.size()).getOrElse(0)
-          if (n < responseSize) PageState(None, state.pagesRead + 1, exhausted = true)
-          else PageState(
-            Some((state.pointer.map(_.toLong).getOrElse(0L) + responseSize).toString),
+          val n = keyChain(resp, contentKeyChain)
+            .map(c => if (c.isArray) c.size() else 0).getOrElse(0)
+          if (n == 0) {
+            if (state.pointer.isEmpty)
+              PageState(Some(startOffset.toString), state.pagesRead + 1, exhausted = false)
+            else PageState(None, state.pagesRead + 1, exhausted = true)
+          } else PageState(
+            Some((state.pointer.map(_.toLong).getOrElse(startOffset) + responseSize).toString),
             state.pagesRead + 1, exhausted = false)
       }
   }
