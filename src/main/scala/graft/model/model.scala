@@ -78,6 +78,70 @@ object StreamContext {
       spec = env.getOrElse(SpecVar, "{}"))
 }
 
+/** Typed accessor over the `STREAMCONTEXT__SPEC` JSON — the framework
+  * half of the reference's plugin-context deserialization
+  * (StreamContext.cs:45-53): concrete stream specs pick their fields
+  * through this, with the reference's two custom codecs reproduced —
+  * unix-epoch-seconds timestamps (Configuration/UnixTimeConverter.cs:12-22)
+  * and integer-seconds durations (SecondsToTimeSpanConverter.cs:12-21).
+  */
+final class StreamSpec private (root: com.fasterxml.jackson.databind.JsonNode) {
+
+  private def node(path: String): com.fasterxml.jackson.databind.JsonNode =
+    path.split('.').foldLeft(root)((n, k) => n.path(k))
+
+  def string(path: String): Option[String] = {
+    val n = node(path)
+    if (n.isMissingNode || n.isNull) None else Some(n.asText())
+  }
+
+  def long(path: String): Option[Long] = {
+    val n = node(path)
+    if (n.isNumber) Some(n.asLong())
+    else if (n.isTextual) n.asText().toLongOption
+    else None
+  }
+
+  def boolean(path: String): Option[Boolean] = {
+    val n = node(path)
+    if (n.isBoolean) Some(n.asBoolean()) else None
+  }
+
+  /** Unix-epoch-seconds field → Instant (UnixTimeConverter parity). */
+  def unixTime(path: String): Option[java.time.Instant] =
+    long(path).map(java.time.Instant.ofEpochSecond)
+
+  /** Integer-seconds field → Duration (SecondsToTimeSpanConverter
+    * parity; the reference encodes every interval this way). */
+  def secondsDuration(path: String): Option[java.time.Duration] =
+    long(path).map(java.time.Duration.ofSeconds)
+
+  def stringList(path: String): Seq[String] = {
+    val n = node(path)
+    if (!n.isArray) Nil
+    else {
+      val b = Vector.newBuilder[String]
+      n.forEach(e => b += e.asText())
+      b.result()
+    }
+  }
+}
+
+object StreamSpec {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Parse the raw spec JSON; malformed input fails loudly (the
+    * operator misconfigured the stream — FATAL territory, not a default). */
+  def parse(specJson: String): StreamSpec = {
+    val root = mapper.readTree(specJson)
+    if (root == null || !root.isObject)
+      throw new IllegalArgumentException(s"STREAMCONTEXT spec is not a JSON object: $specJson")
+    new StreamSpec(root)
+  }
+
+  def fromContext(ctx: StreamContext): StreamSpec = parse(ctx.spec)
+}
+
 /** Partition advertisement written to `metadata/v0/partitions.json` for
   * downstream consumers (reference:
   * src/Sinks/Services/StreamMetadata/V1/PartitionsWriter.cs:14-48;

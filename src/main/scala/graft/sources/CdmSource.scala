@@ -75,15 +75,50 @@ final class CdmSource(
   /** Backfill: read all base-entity CSVs and normalize to feed shape
     * (inject End_LSN/DML_Action='INSERT'/Seq_Val/Update_Mask, rename
     * LSN→Start_LSN, drop _SysRowId, reorder; reference:
-    * CdmChangeFeedSource.cs:222-294). */
+    * CdmChangeFeedSource.cs:222-294).
+    *
+    * Schemas are resolved PER FOLDER: each CSV parses against the
+    * `<entity>.cdm.json` sitting next to it, falling back to the
+    * entity-level document — partitioned Dynamics exports redeclare the
+    * schema per partition folder and column order may differ between
+    * them (reference: CdmChangeFeedSource.cs:222-241 resolves the
+    * schema from each blob's own path). The driver does one recursive
+    * listing; each folder's CSVs are still read as one distributed
+    * scan, and the per-folder frames align by feed column order before
+    * the union. */
   def backfill(): DataFrame = {
     val feed = feedSchema()
-    val base = baseSchema()
-    val raw = spark.read.options(csvOptions).schema(base)
-      .csv(s"$rootPath/Tables/$entityName/${entityName.toUpperCase}_*.csv")
-    val keyed = ColumnOps.withMergeKeyFrom(raw, "RECID")
-    ColumnOps.cdmBackfillNormalize(keyed,
-      feed.fieldNames.toSeq :+ Constants.MergeKeyColumn)
+    val outputColumns = feed.fieldNames.toSeq :+ Constants.MergeKeyColumn
+    val fs = hadoopFs
+    val prefix = s"${entityName.toUpperCase}_"
+    val files = {
+      val b = Vector.newBuilder[Path]
+      val it = fs.listFiles(new Path(s"$rootPath/Tables/$entityName"), true)
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (name.startsWith(prefix) && name.endsWith(".csv")) b += f.getPath
+      }
+      b.result()
+    }
+    val frames = files.groupBy(_.getParent).toSeq
+      .sortBy(_._1.toString)
+      .map { case (folder, folderFiles) =>
+        val localSchema = new Path(folder, s"$entityName.cdm.json")
+        val schema =
+          if (fs.exists(localSchema)) CdmSchema.fromJson(readText(localSchema))
+          else baseSchema()
+        val raw = spark.read.options(csvOptions).schema(schema)
+          .csv(folderFiles.map(_.toString).sorted: _*)
+        ColumnOps.cdmBackfillNormalize(
+          ColumnOps.withMergeKeyFrom(raw, "RECID"), outputColumns)
+      }
+    if (frames.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(
+          feed.fields :+ org.apache.spark.sql.types.StructField(
+            Constants.MergeKeyColumn, org.apache.spark.sql.types.StringType)))
+    else frames.reduce(_ unionByName _)
   }
 
   /** Incremental batch read of change-feed CSVs, optionally filtered by

@@ -240,14 +240,18 @@ final class RestSource(
     maxPages: Int = 10000,
     pagesPerChunk: Int = 100,
     maxRetriesPerPage: Int = 3,
-    backoff: Int => Unit = attempt => Thread.sleep(1000L * attempt)) {
+    backoff: Int => Unit = attempt => Thread.sleep(1000L * attempt),
+    rateLimiter: Option[graft.runtime.TokenBucket] = None) {
 
   import RestSource._
 
-  /** Fetch one page, retrying tolerated transient failures. */
+  /** Fetch one page, rate-limited and retrying tolerated transient
+    * failures (the reference wraps every pull in its Polly rate-limit
+    * policy, RestApiSource.cs:444-447). */
   private def fetchWithRetry(uri: String): String = {
     var attempt = 0
     while (attempt <= maxRetriesPerPage) {
+      rateLimiter.foreach(_.acquire())
       fetcher.fetch(uri, auth.headers(), None) match {
         case Some(body) => return body
         case None =>

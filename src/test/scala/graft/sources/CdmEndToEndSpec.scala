@@ -68,19 +68,32 @@ class CdmEndToEndSpec extends AnyFlatSpec with Matchers with SparkFixture {
     """{"name": "QTY", "dataFormat": "Int32"},
       |        {"name": "ADDED", "dataFormat": "String"}""".stripMargin)
 
-  /** Write the SampleData-style layout: 11 base rows (6 + 5 across two
-    * files), 8 change-feed rows — the reference's counts. */
+  /** Base document for the partition subfolder: NAME/QTY order swapped
+    * — folder-local schema resolution must honor it
+    * (CdmChangeFeedSource.cs:222-241). */
+  private val baseSwappedCdmJson = baseCdmJson.replace(
+    """{"name": "NAME", "dataFormat": "String"},
+      |        {"name": "QTY", "dataFormat": "Int32"}""".stripMargin,
+    """{"name": "QTY", "dataFormat": "Int32"},
+      |        {"name": "NAME", "dataFormat": "String"}""".stripMargin)
+
+  /** Write the SampleData-style layout: 11 base rows (6 at the entity
+    * root + 5 in a partition subfolder with a swapped-column local
+    * schema), 8 change-feed rows — the reference's counts. */
   private def writeFixture(): String = {
     val root = tempDir("cdm-e2e")
-    Files.createDirectories(Paths.get(s"$root/Tables/$entity"))
+    Files.createDirectories(Paths.get(s"$root/Tables/$entity/2024"))
     Files.createDirectories(Paths.get(s"$root/ChangeFeed/$entity"))
     Files.writeString(Paths.get(s"$root/Tables/$entity/$entity.cdm.json"), baseCdmJson)
+    Files.writeString(Paths.get(s"$root/Tables/$entity/2024/$entity.cdm.json"),
+      baseSwappedCdmJson)
     Files.writeString(Paths.get(s"$root/ChangeFeed/$entity.cdm.json"), feedCdmJson)
     def baseRow(i: Int) = s"row$i,0X0$i,$i,name$i,${i * 10}"
+    def swappedRow(i: Int) = s"row$i,0X0$i,$i,${i * 10},name$i" // QTY before NAME
     Files.writeString(Paths.get(s"$root/Tables/$entity/WIDGET_00001.csv"),
       (1 to 6).map(baseRow).mkString("\n"))
-    Files.writeString(Paths.get(s"$root/Tables/$entity/WIDGET_00002.csv"),
-      (7 to 11).map(baseRow).mkString("\n"))
+    Files.writeString(Paths.get(s"$root/Tables/$entity/2024/WIDGET_00002.csv"),
+      (7 to 11).map(swappedRow).mkString("\n"))
     def feedRow(i: Int, action: String) =
       s""""0XA$i",,"$action","0XS$i","0XFF",${100 + i},feed$i,${i * 7}"""
     Files.writeString(Paths.get(s"$root/ChangeFeed/$entity/batch1.csv"),
@@ -100,6 +113,10 @@ class CdmEndToEndSpec extends AnyFlatSpec with Matchers with SparkFixture {
     bf.select(countDistinct(col("DML_Action"))).head().getLong(0) shouldBe 1
     bf.select("DML_Action").head().getString(0) shouldBe "INSERT"
     bf.filter(col(Constants.MergeKeyColumn) === "5").count() shouldBe 1
+    // folder-local schema honored: the swapped-column subfolder rows
+    // still land QTY in QTY (sum over i*10 for i=1..11)
+    bf.agg(sum("QTY")).head().getLong(0) shouldBe 660L
+    bf.filter(col("RECID") === 9).select("NAME").head().getString(0) shouldBe "name9"
   }
 
   it should "read 8 incremental rows and 19 in total" in {

@@ -15,7 +15,7 @@ class ConnectorOffsetSpec extends AnyFlatSpec with Matchers with SparkFixture {
 
   // ---------------- CT version checkpointing ----------------
 
-  private final class RecordingExecutor(versions: Seq[Long]) extends SqlExecutor {
+  private class RecordingExecutor(versions: Seq[Long]) extends SqlExecutor {
     val sqls = scala.collection.mutable.ListBuffer[String]()
     override def queryDataFrame(sql: String): DataFrame = {
       sqls += sql
@@ -54,6 +54,40 @@ class ConnectorOffsetSpec extends AnyFlatSpec with Matchers with SparkFixture {
     val ex = new RecordingExecutor(Seq.empty)
     new ChangeTrackingPoller(ctSource(ex), store).pollOnce(_ => ()) shouldBe Some(50L)
     store.readLong("ct-version") shouldBe Some(50L)
+  }
+
+  behavior of "ChangeTrackingSource.fullLoad partitioning"
+
+  it should "probe PK bounds and issue a range-partitioned read" in {
+    val calls = scala.collection.mutable.ListBuffer[(String, String, Long, Long, Int)]()
+    val ex = new SqlExecutor {
+      override def queryDataFrame(sql: String): DataFrame =
+        fail(s"expected a partitioned read, got single-stream: $sql")
+      override def queryScalar(sql: String): Option[Long] =
+        if (sql.contains("MIN")) Some(1L) else Some(5000L)
+      override def queryDataFramePartitioned(sql: String, pc: String,
+          lo: Long, hi: Long, n: Int): DataFrame = {
+        calls += ((sql, pc, lo, hi, n))
+        spark.range(1).toDF()
+      }
+    }
+    new ChangeTrackingSource(ex, "dbo", "t", Seq("id"), Seq("v"),
+      fullLoadPartitionColumn = Some("id"), fullLoadNumPartitions = 16).fullLoad()
+    calls.size shouldBe 1
+    val (sql, pc, lo, hi, n) = calls.head
+    sql should include("CHANGE_TRACKING_CURRENT_VERSION()")
+    (pc, lo, hi, n) shouldBe (("id", 1L, 5000L, 16))
+  }
+
+  it should "fall back to a single read when bounds collapse" in {
+    val ex = new RecordingExecutor(Seq.empty) {
+      override def queryScalar(sql: String): Option[Long] = { sqls += sql; Some(1L) }
+    }
+    new ChangeTrackingSource(ex, "dbo", "t", Seq("id"), Seq("v"),
+      fullLoadPartitionColumn = Some("id")).fullLoad()
+    // min==max ⇒ plain read (the RecordingExecutor's queryDataFrame)
+    ex.sqls.count(_.contains("SELECT MIN")) shouldBe 1
+    ex.sqls.last should include("CHANGE_TRACKING_CURRENT_VERSION()")
   }
 
   it should "not commit when delivery fails" in {
