@@ -25,7 +25,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def execute(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] =
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+      try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        System.err.println(f"[bench] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        None
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
         Some(name)

@@ -23,7 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** k per-permutation MinHash values over a shingle array column. */
+  /** k per-permutation MinHash values over a shingle array column.
+    *
+    * NOTE: only for small arrays/tests. The production signature path
+    * is [[minhashProject]]'s explode→partial-min formulation: nested
+    * higher-order functions are interpreted (no codegen) AND Catalyst's
+    * ProjectCollapsing re-inlines the whole array build into every
+    * downstream reference, multiplying the md5 work ~12× — measured
+    * 300+ s vs ~3 s on the sf0.1 corpus. */
   def minhashSig(shinglesCol: Column, k: Int): Column =
     array((0 until k).map(i =>
       array_min(transform(shinglesCol, s => md5(concat(lit(s"$i|"), s))))): _*)
@@ -42,18 +49,34 @@ object Dedup {
     df.groupBy(sha2(TextOps.normalized(col(textCol)), 256).as("content_hash"))
       .agg(min(col(idCol)).as("keep_" + idCol), count(lit(1)).as("n_copies"))
 
-  /** Doc → (id, sig, bands) projection; rows with fewer than
-    * `shingleN` tokens carry no shingles and are dropped (they can't
-    * near-dup by n-gram overlap). Entirely narrow — no shuffle. */
+  /** Doc → (id, sig, bands) projection via explode → k partial-min
+    * aggregates: each shingle row feeds k codegen'd `min(md5(i|s))`
+    * accumulators, so every md5 is computed exactly once and the
+    * shuffle moves only (id, k partial mins) after map-side combine —
+    * the signature traffic, not the corpus. The Aggregate is also an
+    * optimizer barrier, so the downstream band-key md5s reference the
+    * materialized h-columns instead of re-inlining the signature build
+    * (see [[minhashSig]]'s scaladoc for why the pure-HOF form loses).
+    */
   def minhashProject(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3,
       shingleN: Int = 3): DataFrame = {
     require(bands * rowsPerBand == k, "bands * rowsPerBand must equal k")
-    df.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+    val exploded = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleN)
-      .withColumn("sh", TextOps.shingles(col("toks"), shingleN))
-      .select(col(idCol), minhashSig(col("sh"), k).as("sig"))
-      .withColumn("bands", lshBandKeys(col("sig"), bands, rowsPerBand))
+      .select(col(idCol), explode(TextOps.shingles(col("toks"), shingleN)).as("s"))
+    val hCols = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+    val sig = exploded.groupBy(col(idCol)).agg(hCols.head, hCols.tail: _*)
+    val bandCols = (0 until bands).map { j =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"h${j * rowsPerBand + r}")): _*))
+    }
+    sig.select(
+      col(idCol),
+      array((0 until k).map(i => col(s"h$i")): _*).as("sig"),
+      array(bandCols: _*).as("bands"))
   }
 
   /** Candidate near-dup pairs: explode band keys, self-join on the
@@ -74,6 +97,28 @@ object Dedup {
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           v => v)).cast("long"))
       .drop("sig_a", "sig_b")
+  }
+
+  /** Doc → (id, simhash32) via explode → 32 codegen'd bit-vote sums:
+    * each token's md5 is computed once (the per-row HOF form,
+    * [[TextOps.simhash32]], recomputes it per bit — 32×); the shuffle
+    * carries 32 partial sums per doc after map-side combine. Bit
+    * semantics identical to the HOF form. */
+  def simhashProject(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), explode(col("toks")).as("t"))
+      .select(col(idCol), md5(col("t")).as("h"))
+    val bitCols = (0 until 32).map { j =>
+      val nibble = conv(col("h").substr(lit(j / 4 + 1), lit(1)), 16, 10).cast("int")
+      val mask = 1 << (3 - (j % 4))
+      sum(when(nibble.bitwiseAND(lit(mask)) =!= 0, 1).otherwise(-1)).as(s"b$j")
+    }
+    val votes = ex.groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
+    votes.select(col(idCol),
+      (0 until 32).map(j => when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash32"))
   }
 
   /** Exact n-gram Jaccard verification over candidate pairs: join the

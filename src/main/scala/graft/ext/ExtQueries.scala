@@ -269,9 +269,7 @@ object ExtQueries {
   // ------------------------------------------------------------------
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    toksDf(spark, dir)
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), TextOps.simhash32("toks").as("simhash32"))
+    Dedup.simhashProject(docs(spark, dir).select("doc_id", "text"), "doc_id", "text")
       .orderBy("doc_id")
 
   private val dedupSimhashSql =

@@ -105,6 +105,18 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     out(0) should be < (1L << 32)
   }
 
+  it should "produce the same sketch from the HOF form and the aggregate form" in {
+    import spark.implicits._
+    val corpus = nearDupCorpus
+    val viaHof = corpus
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.simhash32("toks").as("simhash32"))
+      .as[(Long, Long)].collect().toMap
+    val viaAgg = Dedup.simhashProject(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    viaAgg shouldBe viaHof
+  }
+
   behavior of "Similarity"
 
   private def embDf(rows: (Long, Seq[Float])*) = {
