@@ -191,11 +191,12 @@ object AnalyticsQueries {
     // Expressed in SQL: Dataset-API rollup over a multi-join trips
     // Spark 4.1's DetectAmbiguousSelfJoin false positive (the Expand
     // node re-emits the grouping attributes). Catalyst still broadcasts
-    // both dimensions and prunes the scans.
+    // both dimensions and prunes the scans. The views are dropped after
+    // planning — nothing leaks into the shared session catalog.
     table(spark, dir, "customer").createOrReplaceTempView("g_customer")
     table(spark, dir, "nation").createOrReplaceTempView("g_nation")
     table(spark, dir, "region").createOrReplaceTempView("g_region")
-    spark.sql(
+    try spark.sql(
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
         |FROM g_customer
@@ -203,6 +204,8 @@ object AnalyticsQueries {
         |JOIN g_region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    finally Seq("g_customer", "g_nation", "g_region")
+      .foreach(spark.catalog.dropTempView(_): Unit)
   }
 
   val rollupCustomersSql: String =

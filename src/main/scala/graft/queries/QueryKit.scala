@@ -21,9 +21,13 @@ object QueryKit {
     *
     * The events table stores TIMESTAMP(NANOS), which Spark's Parquet
     * reader rejects by default; `nanosAsLong` surfaces it as epoch-nanos
-    * LongType and [[tsMicros]] converts where a timestamp is needed. */
+    * LongType and [[tsMicros]] converts where a timestamp is needed.
+    * The conf flip is scoped to the one table that needs it instead of
+    * mutating the shared session on every call. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (name == "events" &&
+        !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
