@@ -363,6 +363,87 @@ object ExtQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // dedup_embed_cosine: embedding-space near-dup pairs (bucketed, like
+  // MinHash-LSH but over vectors)
+  // ------------------------------------------------------------------
+
+  def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embedNearDupPairs(
+        emb(spark, dir).select("vec_id", "embedding"),
+        "vec_id", "embedding", minScoreE4 = 3000L)
+      .orderBy("id_a", "id_b")
+
+  private val dedupEmbedCosineSql =
+    s"""WITH e AS (SELECT vec_id, embedding, $NormSql AS nrm, $BucketSql AS bucket FROM embeddings)
+       |SELECT q.vec_id AS id_a, n.vec_id AS id_b, q.bucket AS bucket,
+       |  cast(round($DotSql / (q.nrm * n.nrm) * 10000) AS BIGINT) AS score_e4
+       |FROM e q JOIN e n ON q.bucket = n.bucket AND q.vec_id < n.vec_id
+       |WHERE cast(round($DotSql / (q.nrm * n.nrm) * 10000) AS BIGINT) >= 3000
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // text_bpe_tokens: BPE-ish sub-token counting (letter runs / digit
+  // runs / punctuation runs) vs whitespace tokens
+  // ------------------------------------------------------------------
+
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
+  def textBpeTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  private val textBpeTokensSql =
+    s"""SELECT doc_id,
+       |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))::BIGINT AS n_ws_tokens,
+       |  len(regexp_extract_all(lower(text), '$BpePattern'))::BIGINT AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // text_rolling_hash: Rabin–Karp fingerprint of the normalized text
+  // via the native codegen'd RollingHash expression
+  // ------------------------------------------------------------------
+
+  def textRollingHash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    docs(spark, dir)
+      .select(col("doc_id"), TextOps.normalized(col("text")).as("norm"))
+      .select(col("doc_id"), expr("graft_rolling_hash(norm)").as("rhash"))
+      .orderBy("doc_id")
+  }
+
+  private val textRollingHashSql =
+    """WITH n AS (SELECT doc_id,
+      |  array_to_string(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''), ' ') AS norm
+      |FROM documents)
+      |SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(0::BIGINT,
+      |      list_transform(generate_series(1, len(norm)), i -> ascii(substr(norm, i, 1))::BIGINT)),
+      |    (acc, c) -> (acc * 257 + c) % 1000000007) AS rhash
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // source_blob_listing: S5 blob-listing parity (filenames under the
+  // table prefix). Oracle pins the correctness SF's directory — the
+  // gate runs at sf0.01 only.
+  // ------------------------------------------------------------------
+
+  def sourceBlobListing(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.BlobListingSource.list(spark, dir)
+      .filter(col("name").endsWith(".parquet"))
+      .select(element_at(split(col("name"), "/"), -1).as("file"))
+      .orderBy("file")
+
+  private val sourceBlobListingSql =
+    """SELECT parse_filename(file) AS file
+      |FROM glob('/root/testdata/sf0.01/*.parquet') ORDER BY file""".stripMargin
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "text_stats" -> (textStats(_, _)),
@@ -375,6 +456,10 @@ object ExtQueries {
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     "sim_ann_lsh" -> (simAnnLsh(_, _)),
+    "dedup_embed_cosine" -> (dedupEmbedCosine(_, _)),
+    "text_bpe_tokens" -> (textBpeTokens(_, _)),
+    "text_rolling_hash" -> (textRollingHash(_, _)),
+    "source_blob_listing" -> (sourceBlobListing(_, _)),
     "multimodal_ingest" -> (multimodalIngest(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -388,5 +473,9 @@ object ExtQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "sim_topk" -> simTopKSql,
     "sim_ann_lsh" -> simAnnLshSql,
+    "dedup_embed_cosine" -> dedupEmbedCosineSql,
+    "text_bpe_tokens" -> textBpeTokensSql,
+    "text_rolling_hash" -> textRollingHashSql,
+    "source_blob_listing" -> sourceBlobListingSql,
     "multimodal_ingest" -> multimodalIngestSql)
 }

@@ -79,6 +79,26 @@ object Similarity {
     rank(joined, idCol, k)
   }
 
+  /** Embedding-cosine near-dup pairs: candidates restricted to shared
+    * sign buckets (hash join on the bucket key — never all-pairs),
+    * kept when cosine ≥ threshold. The embedding-space sibling of
+    * MinHash-LSH text dedup: same bucket-then-verify shape, so the
+    * exact-verify cost is O(bucket collisions), not O(n²). */
+  def embedNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+      minScoreE4: Long, bits: Int = 8): DataFrame = {
+    val dim = 64
+    val a = withNorm(df, idCol, embCol)
+      .withColumn("qbucket", signBucket("embedding", bits, dim / 2))
+    val b = withNorm(df, idCol, embCol)
+      .withColumn("nbucket", signBucket("embedding", bits, dim / 2))
+    scored(a, b,
+      col("qbucket") === col("nbucket") && col(s"q.$idCol") < col(s"n.$idCol"))
+      .filter(col("score_e4") >= minScoreE4)
+      .select(
+        col(s"q.$idCol").as("id_a"), col(s"n.$idCol").as("id_b"),
+        col("qbucket").cast("long").as("bucket"), col("score_e4"))
+  }
+
   private def rank(scoredPairs: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col(s"q.$idCol"))
       .orderBy(col("score_e4").desc, col(s"n.$idCol"))
