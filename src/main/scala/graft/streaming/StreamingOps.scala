@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming operators for the ingestion + training-data pipeline
+  * (SURVEY.md §2.8: watermarks/windows are free in Spark and absent in
+  * the reference; custom state via KeyValueGroupedDataset is the
+  * §2.9-sanctioned extension point).
+  *
+  * All state here is Spark-managed (checkpointed, partitioned by key) —
+  * at 100 TB the state store scales with distinct keys per watermark
+  * horizon, not with throughput.
+  */
+object StreamingOps {
+
+  /** Watermarked tumbling-window aggregate over an event stream:
+    * count + exact decimal sum per (window, key). Late rows beyond the
+    * watermark are dropped by Spark's state eviction. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      valueCol: String,
+      windowLength: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLength), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("sum_value"))
+
+  /** Streaming exact dedup: emit only the FIRST occurrence of each key
+    * across micro-batches, with explicit per-key state via
+    * flatMapGroupsWithState — the custom-state extension tier. For
+    * bounded-lateness dedup prefer the built-in
+    * `dropDuplicatesWithinWatermark`; this variant holds state
+    * indefinitely (cap the key domain or add state timeouts in
+    * production). */
+  def firstSeen[T](ds: Dataset[T], key: T => String)(
+      implicit enc: Encoder[T]): Dataset[T] = {
+    implicit val stateEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    ds.groupByKey(key)(Encoders.STRING)
+      .flatMapGroupsWithState[Boolean, T](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[T], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          }
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+
+/** Physical-plan audit of the declared query inventory: the plans must
+  * not merely pass the oracle, they must be the plans you'd want at
+  * 100 TB — broadcasts on small sides, filters and projections pushed
+  * into the parquet scan, TakeOrderedAndProject for top-k, and no
+  * cartesian anywhere. Runs against sf0.001 (planning is
+  * scale-independent). */
+class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  behavior of "query plans"
+
+  it should "broadcast every dimension side of the regional-revenue join" in {
+    val p = plan("join_q5_regional_revenue")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin" // no shuffle join against dims
+  }
+
+  it should "plan top-k as TakeOrderedAndProject, not sort-all" in {
+    plan("topk_orders") should include("TakeOrderedAndProject")
+  }
+
+  it should "push the market-segment filter into the parquet scan" in {
+    plan("join_q3_top_orders") should
+      include regex "PushedFilters: \\[[^\\]]*EqualTo\\(c_mktsegment,BUILDING\\)"
+  }
+
+  it should "prune the scan to the projected columns" in {
+    val p = plan("parity_date_partition")
+    p should include("ReadSchema")
+    // orders has 9 columns; this projection needs exactly two
+    p should include("o_orderkey")
+    p should not include "o_comment"
+    p should not include "o_totalprice"
+  }
+
+  it should "never plan a cartesian or nested-loop for the LSH dedup pipeline" in {
+    Seq("dedup_minhash", "dedup_jaccard", "sim_ann_lsh", "dedup_embed_cosine").foreach { q =>
+      val p = plan(q).toLowerCase
+      withClue(q) {
+        p should not include "cartesianproduct"
+        p should not include "broadcastnestedloop"
+      }
+    }
+  }
+
+  it should "broadcast the query side of brute-force similarity search" in {
+    // the ONE sanctioned nested-loop: 5 broadcast query vectors against
+    // the corpus — by construction, never corpus × corpus
+    plan("sim_topk") should include("BroadcastNestedLoopJoin")
+  }
+
+  it should "keep per-row extension queries free of data shuffles" in {
+    // narrow ops: the only exchange allowed is the final orderBy the
+    // oracle-determinism harness requires
+    Seq("text_stats", "text_lang_id", "text_bpe_tokens", "multimodal_ingest",
+      "text_rolling_hash").foreach { q =>
+      val p = plan(q)
+      withClue(q) {
+        "Exchange".r.findAllIn(p).size should be <= 2 // range-partition sort only (AQE may reuse one)
+        p should not include "HashAggregate" // no accidental aggregation
+      }
+    }
+  }
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+import graft.runtime.RowCountListener
+
+/** Structured Streaming semantics: watermarked windowed aggregation
+  * (late-row eviction), stateful first-seen dedup, and the
+  * rows.incoming metrics listener (reference: DeclaredMetrics.cs:11 +
+  * SourceTags.cs:28-38). MemoryStream drives the queries
+  * synchronously. */
+class StreamingOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  behavior of "windowedCounts with watermark"
+
+  it should "aggregate per tumbling window and drop late rows past the watermark" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingOps.windowedCounts(
+      in.toDF().toDF("ts", "k", "v"), "ts", "k", "v", "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .option("checkpointLocation", tempDir("win-ckpt"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      in.addData((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "b", 5.0))
+      q.processAllAvailable()
+      // advance the watermark far past the first windows...
+      in.addData((ts(40), "a", 9.0))
+      q.processAllAvailable()
+      // ...then send a row 40 min late: must be dropped by state eviction
+      in.addData((ts(2), "a", 100.0))
+      q.processAllAvailable()
+      in.addData((ts(59), "z", 0.0)) // push watermark so 10:40 window closes
+      q.processAllAvailable()
+
+      val out = spark.table("win_out")
+        .select(col("window.start").as("ws"), col("k"), col("n_events"), col("sum_value"))
+        .as[(Timestamp, String, Long, Double)].collect().sortBy(r => (r._1.getTime, r._2))
+      // closed windows only (append mode): [10:00 a], [10:05 b], [10:40 a]
+      out.map(r => (r._1, r._2, r._3, r._4)) shouldBe Array(
+        (ts(0), "a", 2L, 3.0),  // the late 100.0 was NOT added
+        (ts(5), "b", 1L, 5.0),
+        (ts(40), "a", 1L, 9.0))
+    } finally q.stop()
+  }
+
+  behavior of "firstSeen stateful dedup"
+
+  it should "emit only the first occurrence of each key across micro-batches" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    val deduped = StreamingOps.firstSeen[(String, Int)](in.toDS(), _._1)
+    val q = deduped.toDF("k", "v").writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", tempDir("dedup-ckpt"))
+      .start()
+    try {
+      in.addData(("a", 1), ("a", 2), ("b", 3))
+      q.processAllAvailable()
+      in.addData(("a", 4), ("c", 5)) // a is already-seen state
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").as[(String, Int)].collect().sortBy(_._1)
+      out.map(_._1).toSeq shouldBe Seq("a", "b", "c")
+      out.toMap.apply("a") shouldBe 1 // kept the FIRST value
+    } finally q.stop()
+  }
+
+  behavior of "RowCountListener"
+
+  it should "emit rows.incoming with the stream tags" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Map[String, String], Long)]()
+    val listener = new RowCountListener("s1", "cdm", isBackfilling = false,
+      (m, tags, n) => { emitted.add((m, tags, n)); () })
+    spark.streams.addListener(listener)
+    val in = MemoryStream[Int]
+    val q = in.toDF().writeStream.format("memory").queryName("listener_out")
+      .option("checkpointLocation", tempDir("listener-ckpt"))
+      .start()
+    try {
+      in.addData(1, 2, 3)
+      q.processAllAvailable()
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (emitted.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      val rowEvents = emitted.asScala.filter(_._3 > 0).toSeq
+      rowEvents should not be empty
+      val (metric, tags, n) = rowEvents.head
+      metric shouldBe "rows.incoming"
+      n shouldBe 3L
+      tags shouldBe Map(
+        "arcane.stream_id" -> "s1",
+        "arcane.stream_kind" -> "cdm",
+        "arcane.mode" -> "stream")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+}
