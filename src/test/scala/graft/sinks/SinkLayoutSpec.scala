@@ -1,0 +1,92 @@
+package graft.sinks
+
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+import graft.model.StreamPartition
+
+/** Direct layout coverage for the JSON-lines sink, partition-metadata
+  * delete-when-empty, file-size bounding, and the keyed path-addressed
+  * sink (reference: MultilineJsonSink.cs:169-254,
+  * PartitionsWriter.cs:37-47, JsonSink.cs:124-167). */
+class SinkLayoutSpec extends AnyFlatSpec with Matchers with SparkFixture {
+
+  private def files(dir: String, sub: String = ""): Seq[String] = {
+    val d = new java.io.File(if (sub.isEmpty) dir else s"$dir/$sub")
+    Option(d.listFiles()).map(_.map(_.getName).toSeq).getOrElse(Nil)
+      .filterNot(_.startsWith("."))
+  }
+
+  behavior of "MultilineJsonSink"
+
+  it should "write json-lines parts with the same short hash as schema and token" in {
+    import spark.implicits._
+    val target = tempDir("json-sink")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val sink = MultilineJsonSink(SinkConfig(target))
+    sink.writeBatch(df)
+    sink.complete(df)
+    val hash = sink.schemaHash.get
+    all(files(target, "data")) should (startWith("part-") and endWith(s"-$hash-chunk.json"))
+    files(target, "schema").head should endWith(s"-$hash.parquet")
+    files(target) should contain(s"$hash.COMPLETED")
+    // the payload is real JSON-lines
+    spark.read.json(s"$target/data").orderBy("id")
+      .as[(Long, String)].collect().toSeq shouldBe Seq((1L, "a"), (2L, "b"))
+  }
+
+  behavior of "partitions metadata"
+
+  it should "write partitions.json and delete it when partitions clear" in {
+    import spark.implicits._
+    val target = tempDir("pmeta")
+    val df = Seq(1).toDF("x")
+    val parts = Seq(StreamPartition("dt", "yyyyMM", "date_format(d,'yyyyMM')", isDatePartition = true))
+    ArcaneLayout.writePartitionsMetadata(df, target, parts)
+    val f = new java.io.File(s"$target/metadata/v0/partitions.json")
+    f.exists() shouldBe true
+    val json = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    json should include(""""field_name":"dt"""")
+    json should include(""""is_date_partition":true""")
+    // reference deletes the file when no partitions are configured
+    ArcaneLayout.writePartitionsMetadata(df, target, Nil)
+    f.exists() shouldBe false
+  }
+
+  behavior of "maxRecordsPerFile"
+
+  it should "bound part-file size like the reference's rowGroupsPerFile" in {
+    import spark.implicits._
+    val target = tempDir("bounded")
+    val df = (1 to 100).toDF("x").coalesce(1)
+    val written = ArcaneLayout.writeDataBatch(df, target, maxRecordsPerFile = 30L)
+    written.size should be >= 4 // 100 rows / 30 per file
+    spark.read.parquet(s"$target/data").count() shouldBe 100
+  }
+
+  behavior of "KeyedJsonSink"
+
+  it should "land records under literal nested paths with {timestamp, body}" in {
+    import spark.implicits._
+    val root = tempDir("keyed")
+    val df = Seq(
+      ("tenant1/2024/01", "2024-01-01T00:00:00Z", """{"a":1}"""),
+      ("tenant1/2024/02", "2024-02-01T00:00:00Z", """{"a":2}"""),
+      ("tenant2", "2024-01-05T00:00:00Z", """{"b":3}"""))
+      .toDF("path", "timestamp", "body")
+    KeyedJsonSink.writeBatch(df, root)
+    // literal nested directories, exactly where a reference consumer looks
+    new java.io.File(s"$root/tenant1/2024/01").isDirectory shouldBe true
+    new java.io.File(s"$root/tenant2").isDirectory shouldBe true
+    val rows = spark.read.json(s"$root/tenant1/2024/01")
+    rows.columns.sorted.toSeq shouldBe Seq("body", "timestamp")
+    rows.select("body").head().getString(0) shouldBe """{"a":1}"""
+    // appending a second batch merges into the existing directory
+    KeyedJsonSink.writeBatch(
+      Seq(("tenant2", "2024-01-06T00:00:00Z", """{"b":4}""")).toDF("path", "timestamp", "body"),
+      root)
+    spark.read.json(s"$root/tenant2").count() shouldBe 2
+  }
+}
