@@ -164,6 +164,10 @@ object RestSource {
       }
   }
 
+  /** Parse a response body to a JSON tree (shared with the DSv2
+    * source's driver-side sizing probe). */
+  def parseJson(body: String): JsonNode = mapper.readTree(body)
+
   /** Tolerant property-key-chain traversal (reference:
     * RestApiExtensions.cs:19-52 — missing keys yield nothing, not an
     * error). */

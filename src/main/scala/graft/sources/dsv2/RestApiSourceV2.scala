@@ -1,0 +1,181 @@
+package graft.sources.dsv2
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.RestSource
+
+/** DataSource v2 streaming REST source — the SURVEY §7.1-module-5 /
+  * §2.10 design: a `MicroBatchStream` whose offsets are sweep epochs
+  * (JSON in the checkpoint WAL, so recovery is Spark-native), with the
+  * per-sweep PAGE FETCHING DISTRIBUTED across executors. This is the
+  * 100 TB shape the driver-loop [[graft.sources.RestSource]] cannot
+  * reach: with a page-count paginated API, the driver probes one page
+  * to learn the page count, then executors fetch disjoint page ranges
+  * in parallel.
+  *
+  * {{{
+  * spark.readStream
+  *   .format("graft.sources.dsv2.RestApiTableProvider")
+  *   .option("uriTemplate", "https://api/items?page=@page")
+  *   .option("totalPagesKeyChain", "meta.totalPages")
+  *   .option("recordKeyChain", "items")
+  *   .option("fetcherClass", "com.example.JdkHttpFetch") // HttpFetch with no-arg ctor
+  *   .load()                                              // → value: STRING (one JSON record per row)
+  * }}}
+  *
+  * Output rows are raw JSON strings; apply `from_json(schema)` (e.g.
+  * from [[graft.schema.OpenApiSchema]]) downstream. Delivery is
+  * at-least-once per the engine contract (the sizing probe's page is
+  * re-fetched by the partition that owns it).
+  *
+  * Options: `uriTemplate` (with `@page`), `recordKeyChain`,
+  * `totalPagesKeyChain` (dot-separated), `fetcherClass`,
+  * `pagesPerPartition` (default 8), `maxSweeps` (stop advancing offsets
+  * after N sweeps — backfill/test bound; default unbounded),
+  * `startPage` (default 1).
+  */
+class RestApiTableProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RestApiTableV2.OutputSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RestApiTableV2(properties)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object RestApiTableV2 {
+  val OutputSchema: StructType = StructType(Seq(StructField("value", StringType)))
+
+  /** Instantiate the executor-side fetcher from its class name. */
+  def fetcher(className: String): RestSource.HttpFetch =
+    Class.forName(className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[RestSource.HttpFetch]
+}
+
+final class RestApiTableV2(properties: util.Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"rest(${properties.get("uriTemplate")})"
+  override def schema(): StructType = RestApiTableV2.OutputSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = RestApiTableV2.OutputSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new RestMicroBatchStream(options.asCaseSensitiveMap())
+      }
+    }
+}
+
+/** Offset = number of completed pagination sweeps. */
+final case class RestSweepOffset(sweep: Long) extends Offset {
+  override def json(): String = s"""{"sweep":$sweep}"""
+}
+
+/** One executor task: fetch pages [firstPage, lastPage] of one sweep. */
+final case class RestPageRangePartition(
+    sweep: Long, firstPage: Long, lastPage: Long) extends InputPartition
+
+final class RestMicroBatchStream(props: util.Map[String, String])
+    extends MicroBatchStream {
+
+  private val uriTemplate = require("uriTemplate")
+  private val fetcherClass = require("fetcherClass")
+  private val recordKeyChain = chain(props.get("recordKeyChain"))
+  private val totalPagesKeyChain = chain(props.get("totalPagesKeyChain"))
+  private val pagesPerPartition =
+    Option(props.get("pagesPerPartition")).map(_.toLong).getOrElse(8L)
+  private val maxSweeps =
+    Option(props.get("maxSweeps")).map(_.toLong).getOrElse(Long.MaxValue)
+  private val startPage = Option(props.get("startPage")).map(_.toLong).getOrElse(1L)
+
+  private def require(key: String): String =
+    Option(props.get(key)).getOrElse(
+      throw new IllegalArgumentException(s"rest source option '$key' is required"))
+  private def chain(v: String): Seq[String] =
+    Option(v).map(_.split('.').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  @volatile private var committed = 0L
+  // sweep → page count: Spark may plan the same batch several times
+  // (planning, execution, recovery); the sizing probe runs once per sweep
+  private val probeCache = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+
+  override def initialOffset(): Offset = RestSweepOffset(0L)
+
+  /** Each trigger runs one more sweep, up to `maxSweeps`. */
+  override def latestOffset(): Offset =
+    RestSweepOffset(math.min(committed + 1, maxSweeps))
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = "\"sweep\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+    RestSweepOffset(m.map(_.group(1).toLong).getOrElse(0L))
+  }
+
+  override def commit(end: Offset): Unit =
+    committed = end.asInstanceOf[RestSweepOffset].sweep
+
+  /** Driver-side sizing probe: fetch the first page once to learn the
+    * page count, then hand executors disjoint page ranges. */
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[RestSweepOffset].sweep
+    val to = end.asInstanceOf[RestSweepOffset].sweep
+    (from until to).flatMap { sweep =>
+      val totalPages = probeCache.computeIfAbsent(sweep, _ => {
+        val probe = RestApiTableV2.fetcher(fetcherClass)
+          .fetch(RestSource.resolveTemplate(uriTemplate,
+            Map("page" -> startPage.toString)), Map.empty, None)
+          .getOrElse(throw new graft.sources.TransientFetchException(uriTemplate, 1))
+        RestSource.keyChain(RestSource.parseJson(probe), totalPagesKeyChain)
+          .map(_.asLong(1L)).getOrElse(1L)
+      })
+      val lastPage = startPage + math.max(totalPages, 1L) - 1
+      (startPage to lastPage by pagesPerPartition).map { first =>
+        RestPageRangePartition(sweep, first,
+          math.min(first + pagesPerPartition - 1, lastPage))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val template = uriTemplate
+    val fc = fetcherClass
+    val rk = recordKeyChain
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[RestPageRangePartition]
+        new PartitionReader[InternalRow] {
+          private val fetch = RestApiTableV2.fetcher(fc)
+          private var page = p.firstPage
+          private var records: Iterator[String] = Iterator.empty
+          private var current: String = _
+
+          override def next(): Boolean = {
+            while (!records.hasNext && page <= p.lastPage) {
+              val uri = RestSource.resolveTemplate(template, Map("page" -> page.toString))
+              val body = fetch.fetch(uri, Map.empty, None).getOrElse(
+                throw new graft.sources.TransientFetchException(uri, 1))
+              records = RestSource.extractRecords(body, rk).iterator
+              page += 1
+            }
+            if (records.hasNext) { current = records.next(); true } else false
+          }
+          override def get(): InternalRow =
+            InternalRow(UTF8String.fromString(current))
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+
+  override def stop(): Unit = ()
+}
