@@ -363,6 +363,80 @@ object ExtQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // sim_ivf: inverted-file ANN — cells from nearest-centroid
+  // assignment (k=8 deterministic seed centroids), nProbe=1
+  // ------------------------------------------------------------------
+
+  private val SqDistSql =
+    "list_aggregate(list_transform(generate_series(1, 64), i -> (e.embedding[i]::DOUBLE - c.cemb[i]::DOUBLE) * (e.embedding[i]::DOUBLE - c.cemb[i]::DOUBLE)), 'sum')"
+
+  def simIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    Similarity.ivfTopK(
+        e.filter(col("vec_id") < 10), e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "cell", "score_e4", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  private val simIvfSql =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+       |e AS (SELECT vec_id, embedding, $NormSql AS nrm FROM embeddings),
+       |asg AS (
+       |  SELECT vec_id, embedding, nrm, cid AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $SqDistSql ASC, c.cid ASC) AS rn
+       |    FROM e CROSS JOIN c) t WHERE rn = 1),
+       |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.cell AS cell,
+       |    cast(round($DotSql / (q.nrm * n.nrm) * 10000) AS BIGINT) AS score_e4
+       |  FROM asg q JOIN asg n ON q.cell = n.cell AND n.vec_id != q.vec_id
+       |  WHERE q.vec_id < 10),
+       |r AS (SELECT query_id, neighbor_id, cell, score_e4,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score_e4 DESC, neighbor_id) AS rnk
+       |  FROM p)
+       |SELECT query_id, neighbor_id, cell, score_e4, rnk FROM r WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // ------------------------------------------------------------------
+  // source_similarity: corpus-level MinHash — one union signature per
+  // source, pairwise signature agreement (which sources share content)
+  // ------------------------------------------------------------------
+
+  def sourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = docs(spark, dir)
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleN)
+      .select(col("source"), explode(TextOps.shingles(col("toks"), ShingleN)).as("s"))
+    val hCols = (0 until MinhashK).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+    val sig = exploded.groupBy(col("source")).agg(hCols.head, hCols.tail: _*)
+      .select(col("source"),
+        array((0 until MinhashK).map(i => col(s"h$i")): _*).as("sig"))
+    sig.alias("a").join(sig.alias("b"), col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("source_a"), col("b.source").as("source_b"),
+        size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+          v => v)).cast("long").as("n_sig_match"))
+      .orderBy("source_a", "source_b")
+  }
+
+  private val sourceSimilaritySql = {
+    val sigList = (0 until MinhashK).map(i =>
+      s"min(md5('$i|' || s)) AS h$i").mkString(",\n    ")
+    s"""WITH $TokCte, $ShCte,
+       |ex AS (SELECT t.source, unnest(sh.sh) AS s
+       |  FROM sh JOIN (SELECT doc_id, source FROM documents) t ON t.doc_id = sh.doc_id),
+       |sig AS (SELECT source,
+       |    $sigList
+       |  FROM ex GROUP BY source),
+       |sigl AS (SELECT source, [${(0 until MinhashK).map(i => s"h$i").mkString(", ")}] AS sig FROM sig)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  len(list_filter(generate_series(1, $MinhashK), i -> a.sig[i] = b.sig[i]))::BIGINT AS n_sig_match
+       |FROM sigl a JOIN sigl b ON a.source < b.source
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // dedup_embed_cosine: embedding-space near-dup pairs (bucketed, like
   // MinHash-LSH but over vectors)
   // ------------------------------------------------------------------
@@ -456,6 +530,8 @@ object ExtQueries {
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     "sim_ann_lsh" -> (simAnnLsh(_, _)),
+    "sim_ivf" -> (simIvf(_, _)),
+    "source_similarity" -> (sourceSimilarity(_, _)),
     "dedup_embed_cosine" -> (dedupEmbedCosine(_, _)),
     "text_bpe_tokens" -> (textBpeTokens(_, _)),
     "text_rolling_hash" -> (textRollingHash(_, _)),
@@ -473,6 +549,8 @@ object ExtQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "sim_topk" -> simTopKSql,
     "sim_ann_lsh" -> simAnnLshSql,
+    "sim_ivf" -> simIvfSql,
+    "source_similarity" -> sourceSimilaritySql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql,
     "text_bpe_tokens" -> textBpeTokensSql,
     "text_rolling_hash" -> textRollingHashSql,

@@ -79,6 +79,49 @@ object Similarity {
     rank(joined, idCol, k)
   }
 
+  /** Squared-L2 distance between two array columns, strict left fold. */
+  def sqDist(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> (cast(x as double) - cast(y as double))
+       |  * (cast(x as double) - cast(y as double))),
+       |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin)
+
+  /** IVF cell assignment: nearest of the (broadcast) centroid set by
+    * squared L2, ties to the lowest centroid id. The cross join is
+    * |rows| × |centroids| — centroids are metadata-sized, so this is a
+    * narrow broadcast pass, the standard IVF assignment shape. */
+  def assignCells(df: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String): DataFrame = {
+    val c = centroids.select(col(idCol).as("cid"), col(embCol).as("cemb"))
+    val assigned = withNorm(df, idCol, embCol)
+      .crossJoin(broadcast(c))
+      .withColumn("dist", sqDist("embedding", "cemb"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dist").asc, col("cid").asc)
+    assigned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("embedding"), col("nrm"), col("cid").as("cell"))
+  }
+
+  /** IVF approximate top-k: vectors are bucketed into inverted-file
+    * cells by nearest centroid; a query searches only its own cell
+    * (nProbe = 1), joined on the cell key. The second of the two ANN
+    * structures (vs [[annTopK]]'s LSH sign buckets): cells follow the
+    * data distribution, buckets are data-independent. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String, k: Int): DataFrame = {
+    val q = assignCells(queries, centroids, idCol, embCol)
+      .withColumnRenamed("cell", "qcell")
+    val n = assignCells(corpus, centroids, idCol, embCol)
+      .withColumnRenamed("cell", "ncell")
+    val joined = q.alias("q").join(n.alias("n"),
+        col("qcell") === col("ncell") && col(s"q.$idCol") =!= col(s"n.$idCol"))
+      .withColumn("score_e4",
+        round(dot("q.embedding", "n.embedding") / (col("q.nrm") * col("n.nrm")) * 10000)
+          .cast("long"))
+      .withColumn("cell", col("qcell"))
+    rank(joined, idCol, k)
+  }
+
   /** Embedding-cosine near-dup pairs: candidates restricted to shared
     * sign buckets (hash join on the bucket key — never all-pairs),
     * kept when cosine ≥ threshold. The embedding-space sibling of

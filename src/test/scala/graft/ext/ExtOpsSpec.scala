@@ -142,6 +142,25 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     out(2)._2 shouldBe -10000L
   }
 
+  it should "assign IVF cells to the nearest centroid and search only the cell" in {
+    import spark.implicits._
+    val pad = Seq.fill(62)(0f)
+    val e = embDf(
+      (0L, Seq(10f, 0f) ++ pad),  // centroid A
+      (1L, Seq(0f, 10f) ++ pad),  // centroid B
+      (2L, Seq(9f, 1f) ++ pad),   // near A
+      (3L, Seq(1f, 9f) ++ pad),   // near B
+      (4L, Seq(8f, 0f) ++ pad))   // near A
+    val centroids = e.filter(col("vec_id") < 2)
+    val cells = Similarity.assignCells(e, centroids, "vec_id", "embedding")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    cells shouldBe Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L)
+    val out = Similarity.ivfTopK(e.filter(col("vec_id") === 2L), e, centroids,
+        "vec_id", "embedding", k = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    out shouldBe Set(0L, 4L) // cell A only — 1 and 3 are in the other cell
+  }
+
   it should "only compare within sign buckets for ANN" in {
     import spark.implicits._
     // v[i] vs v[i+32]: doc 0/1 share bucket (all bits 1), doc 2 differs
