@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+
+/** Scale-path machinery: salted aggregation for hot keys and bucketed
+  * co-located joins (pre-partitioned storage ⇒ no shuffle at join
+  * time). These are plan-shape guarantees, verified on small data. */
+class ScaleOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
+
+  behavior of "Skew.saltedAggregate"
+
+  it should "produce exactly the unsalted results" in {
+    import spark.implicits._
+    // one hot key (90% of rows) + a tail
+    val df = ((1 to 900).map(i => ("hot", i.toLong)) ++
+      (1 to 100).map(i => (s"k${i % 7}", i.toLong))).toDF("k", "v")
+    val out = Skew.saltedAggregate(df, Seq("k"), saltBuckets = 8,
+        Seq(Skew.sumOf(col("v"), "sum_v"), Skew.countAll("n"),
+          Skew.maxOf(col("v"), "max_v")))
+      .orderBy("k").as[(String, Long, Long, Long)].collect()
+    val expected = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"), max("v").as("m"))
+      .orderBy("k").as[(String, Long, Long, Long)].collect()
+    out shouldBe expected
+  }
+
+  it should "plan two exchanges (balanced) instead of one skewed" in {
+    import spark.implicits._
+    val df = Seq(("a", 1L)).toDF("k", "v")
+    val plan = Skew.saltedAggregate(df, Seq("k"), 8, Seq(Skew.countAll("n")))
+      .queryExecution.optimizedPlan.toString
+    // partial phase really groups on (k, __salt)
+    plan should include("__salt")
+  }
+
+  behavior of "bucketed co-located join"
+
+  it should "join two bucketed tables without a shuffle" in {
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    graft.queries.QueryKit.table(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    graft.queries.QueryKit.table(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    // at test scale the planner would rightly broadcast instead; force
+    // the shuffle-join path to expose the bucketing guarantee
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem").join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // co-located: storage partitioning satisfies the join distribution
+      plan should include("SortMergeJoin")
+      plan should not include "Exchange"
+      joined.count() should be > 0L
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}

@@ -77,6 +77,27 @@ class StreamingOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally q.stop()
   }
 
+  it should "dedup within the watermark horizon via the built-in stateful op" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val deduped = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("wmdedup_out")
+      .option("checkpointLocation", tempDir("wmdedup-ckpt"))
+      .start()
+    try {
+      in.addData((ts(0), "a"), (ts(1), "a"), (ts(2), "b"))
+      q.processAllAvailable()
+      in.addData((ts(3), "a")) // duplicate inside the horizon: dropped
+      q.processAllAvailable()
+      spark.table("wmdedup_out").select("k").as[String].collect().sorted.toSeq shouldBe
+        Seq("a", "b")
+    } finally q.stop()
+  }
+
   behavior of "RowCountListener"
 
   it should "emit rows.incoming with the stream tags" in {
