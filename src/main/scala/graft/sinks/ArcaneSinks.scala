@@ -36,17 +36,24 @@ class ArcaneParquetSink(config: SinkConfig, format: String = "parquet") {
 
   @volatile private var initialized = false
   @volatile private var schemaHashValue: Option[String] = None
+  @volatile private var frozenSchema: Option[org.apache.spark.sql.types.StructType] = None
 
   def schemaHash: Option[String] = schemaHashValue
 
   /** Idempotent start-of-stream publication: schema file + partition
-    * metadata (reference writes these before the first data batch). */
+    * metadata (reference writes these before the first data batch).
+    * The first batch's schema is FROZEN — later batches must match it
+    * structurally (the reference's silently-interposed validation flow,
+    * SchemaBoundSink.cs:25-26 + FastParquetSchemaValidator.cs:13-47:
+    * a mid-stream shape change is a SchemaInconsistentException ⇒ exit
+    * RESTART). */
   def initialize(df: DataFrame): Unit = synchronized {
     if (!initialized) {
       schemaHashValue = Some(
         if (config.createSchemaFile) ArcaneLayout.writeSchemaFile(df, config.targetPath)
         else SchemaOps.shortFingerprint(df.schema))
       ArcaneLayout.writePartitionsMetadata(df, config.targetPath, config.partitions)
+      frozenSchema = Some(df.schema)
       initialized = true
     }
   }
@@ -54,6 +61,13 @@ class ArcaneParquetSink(config: SinkConfig, format: String = "parquet") {
   /** Write one micro-batch (or one batch-mode DataFrame). */
   def writeBatch(df: DataFrame): Seq[String] = {
     initialize(df)
+    frozenSchema.foreach { frozen =>
+      SchemaOps.requireArity(frozen, df.schema.fields.length)
+      if (!SchemaOps.structurallyEqual(frozen, df.schema))
+        throw new graft.model.SchemaInconsistentException(
+          s"Batch schema ${df.schema.simpleString} does not match the " +
+            s"frozen sink schema ${frozen.simpleString}")
+    }
     ArcaneLayout.writeDataBatch(df, config.targetPath, format,
       config.batchDatePartition, config.maxRecordsPerFile)
   }

@@ -53,7 +53,7 @@ object KeyedJsonSink {
   /** Invert Hive partition-value escaping (`%xx` sequences) so the raw
     * path — including `/` separators — is restored. Mirrors
     * org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils. */
-  private[sinks] def unescapePathName(escaped: String): String = {
+  private[graft] def unescapePathName(escaped: String): String = {
     val sb = new StringBuilder(escaped.length)
     var i = 0
     while (i < escaped.length) {
