@@ -122,7 +122,9 @@ final class RestMicroBatchStream(props: util.Map[String, String])
   }
 
   override def commit(end: Offset): Unit =
-    committed = end.asInstanceOf[RestSweepOffset].sweep
+    // monotonic: on checkpoint recovery Spark re-commits the restored
+    // offset; never let a stale in-memory counter regress past it
+    committed = math.max(committed, end.asInstanceOf[RestSweepOffset].sweep)
 
   /** Driver-side sizing probe: fetch the first page once to learn the
     * page count, then hand executors disjoint page ranges. */
