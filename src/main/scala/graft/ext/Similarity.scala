@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Strict left-to-right dot product of two array columns, in double. */
-  def dot(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
-       |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin)
+  /** Strict left-to-right dot product of two `array<float>` columns in
+    * double — the native codegen'd [[graft.functions.VectorDot]]
+    * expression (one fused primitive loop; the portable
+    * `zip_with`/`aggregate` fold it replaces is interpreted and ~10×
+    * slower per row, with bit-identical results). */
+  def dot(a: String, b: String): Column = expr(s"graft_vector_dot($a, $b)")
 
   def l2Norm(a: String): Column = sqrt(dot(a, a))
 
@@ -41,10 +43,14 @@ object Similarity {
        |  CASE WHEN element_at($embCol, i + 1) > element_at($embCol, i + 1 + $offset)
        |       THEN shiftleft(1, i) ELSE 0 END)""".stripMargin)
 
-  /** Normalize to (id, embedding, nrm) with the L2 norm precomputed. */
-  def withNorm(df: DataFrame, idCol: String, embCol: String): DataFrame =
+  /** Normalize to (id, embedding, nrm) with the L2 norm precomputed.
+    * Registers the native vector expressions on the session — every
+    * similarity entry point funnels through here. */
+  def withNorm(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol), col(embCol).as("embedding"))
       .withColumn("nrm", l2Norm("embedding"))
+  }
 
   private def scored(q: DataFrame, n: DataFrame, joinCond: Column): DataFrame =
     q.alias("q").join(n.alias("n"), joinCond)

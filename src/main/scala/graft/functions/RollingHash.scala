@@ -61,7 +61,11 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 /** Session registration for the engine's native expressions. Idempotent
   * — safe to call from every query lambda. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
       "graft_rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "graft_vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "scala_udf")
+  }
 }

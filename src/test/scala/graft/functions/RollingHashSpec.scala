@@ -32,6 +32,34 @@ class RollingHashSpec extends AnyFlatSpec with Matchers with SparkFixture {
       .select(expr("graft_rolling_hash(s)")).collect().head.isNullAt(0) shouldBe true
   }
 
+  behavior of "VectorDot expression"
+
+  it should "match the interpreted zip_with/aggregate fold bit-for-bit" in {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 50).map(_ =>
+      (Seq.fill(64)(rnd.nextFloat() - 0.5f), Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("a", "b")
+    val native = df.select(expr("graft_vector_dot(a, b)")).as[Double].collect()
+    val hof = df.select(expr(
+      """aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)),
+        |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin)).as[Double].collect()
+    // bit-identical, not approximately equal — same IEEE op sequence
+    native.map(java.lang.Double.doubleToLongBits).toSeq shouldBe
+      hof.map(java.lang.Double.doubleToLongBits).toSeq
+  }
+
+  it should "handle length mismatch and reject non-float-array inputs" in {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq((Seq(1f, 2f, 3f), Seq(10f, 10f)))
+      .toDF("a", "b").select(expr("graft_vector_dot(a, b)"))
+      .as[Double].head() shouldBe 30.0
+    an[Exception] should be thrownBy
+      Seq((1, 2)).toDF("a", "b").select(expr("graft_vector_dot(a, b)")).collect()
+  }
+
   it should "run inside whole-stage codegen with correct results" in {
     import spark.implicits._
     GraftFunctions.register(spark)
