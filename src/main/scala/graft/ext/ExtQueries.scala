@@ -342,6 +342,106 @@ object ExtQueries {
        |ORDER BY query_id, rnk""".stripMargin
 
   // ------------------------------------------------------------------
+  // pipeline_corpus_clean: the composite training-data cleaning
+  // pipeline as ONE declarative plan — quality gate → exact dedup
+  // (keep-first per content hash) → near-dup removal (drop the higher
+  // id of every verified LSH pair)
+  // ------------------------------------------------------------------
+
+  def pipelineCorpusClean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withToks = toksDf(spark, dir)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_unique", size(array_distinct(col("toks"))).cast("long"))
+    val quality = withToks
+      .filter(col("n_tokens").between(10, 5000) && col("n_unique") * 4 >= col("n_tokens"))
+    val firstOfHash = quality
+      .withColumn("content_hash", sha2(concat_ws(" ", col("toks")), 256))
+      .withColumn("hash_rank", row_number().over(
+        Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+      .filter(col("hash_rank") === 1)
+
+    val proj = Dedup.minhashProject(docs(spark, dir).select("doc_id", "text"),
+      "doc_id", "text", MinhashK, LshBands, LshRows, ShingleN)
+    val candidates = Dedup.minhashCandidates(proj, "doc_id", MinhashK).drop("n_sig_match")
+    val shingleSets = toksDf(spark, dir)
+      .filter(size(col("toks")) >= ShingleN)
+      .select(col("doc_id"), array_distinct(TextOps.shingles(col("toks"), ShingleN)).as("shd"))
+    val nearDups = Dedup.jaccardVerify(candidates, shingleSets, threshold = 0.8)
+      .filter(col("is_dup") === 1)
+      .select(col("doc_b").as("doc_id")).distinct()
+
+    firstOfHash
+      .join(nearDups, Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  private val pipelineCorpusCleanSql =
+    s"""WITH $TokCte, $ShCte,
+       |$SigCtes,
+       |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+       |near_dups AS (
+       |  SELECT DISTINCT p.doc_b AS doc_id FROM pairs p
+       |  JOIN shd a ON a.doc_id = p.doc_a JOIN shd b ON b.doc_id = p.doc_b
+       |  WHERE 10 * len(list_intersect(a.shd, b.shd)) >= 8 * len(list_distinct(a.shd || b.shd))),
+       |stats AS (SELECT doc_id, toks,
+       |    len(toks)::BIGINT AS n_tokens, len(list_distinct(toks))::BIGINT AS n_unique
+       |  FROM tok),
+       |quality AS (SELECT * FROM stats
+       |  WHERE n_tokens BETWEEN 10 AND 5000 AND 4 * n_unique >= n_tokens),
+       |first_of_hash AS (
+       |  SELECT doc_id, n_tokens, row_number() OVER (
+       |      PARTITION BY sha256(array_to_string(toks, ' ')) ORDER BY doc_id) AS hash_rank
+       |  FROM quality)
+       |SELECT f.doc_id, f.n_tokens FROM first_of_hash f
+       |LEFT JOIN near_dups d ON d.doc_id = f.doc_id
+       |WHERE f.hash_rank = 1 AND d.doc_id IS NULL
+       |ORDER BY f.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // embed_quantize: per-vector int8 quantization (min/max affine) —
+  // embedding storage compression for the training pipeline
+  // ------------------------------------------------------------------
+
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("vec_id"),
+        expr("array_min(transform(embedding, x -> cast(x as double)))").as("mn"),
+        expr("array_max(transform(embedding, x -> cast(x as double)))").as("mx"),
+        col("embedding"))
+      .select(col("vec_id"),
+        expr("cast(round(mn * 1000000) as bigint)").as("mn_e6"),
+        expr("cast(round(mx * 1000000) as bigint)").as("mx_e6"),
+        expr("""transform(embedding, x ->
+                CASE WHEN mx > mn
+                     THEN cast(round((cast(x as double) - mn) / (mx - mn) * 254 - 127) as int)
+                     ELSE 0 END)""").as("q"))
+      .select(col("vec_id"), col("mn_e6"), col("mx_e6"),
+        expr("cast(aggregate(q, 0, (a, v) -> a + v) as bigint)").as("q_sum"),
+        md5(concat_ws(",", expr("transform(q, v -> cast(v as string))"))).as("q_checksum"))
+      .orderBy("vec_id")
+
+  private val embedQuantizeSql =
+    """WITH b AS (
+      |  SELECT vec_id, embedding,
+      |    list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'min') AS mn,
+      |    list_aggregate(list_transform(embedding, x -> x::DOUBLE), 'max') AS mx
+      |  FROM embeddings),
+      |q AS (SELECT vec_id, mn, mx,
+      |    list_transform(embedding, x ->
+      |      CASE WHEN mx > mn
+      |           THEN cast(round((x::DOUBLE - mn) / (mx - mn) * 254 - 127) AS INTEGER)
+      |           ELSE 0 END) AS q
+      |  FROM b)
+      |SELECT vec_id,
+      |  cast(round(mn * 1000000) AS BIGINT) AS mn_e6,
+      |  cast(round(mx * 1000000) AS BIGINT) AS mx_e6,
+      |  list_aggregate(q, 'sum')::BIGINT AS q_sum,
+      |  md5(array_to_string(q, ',')) AS q_checksum
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // multimodal_ingest: binary payload + content-addressed identity
   // ------------------------------------------------------------------
 
@@ -532,6 +632,8 @@ object ExtQueries {
     "sim_ann_lsh" -> (simAnnLsh(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
     "source_similarity" -> (sourceSimilarity(_, _)),
+    "pipeline_corpus_clean" -> (pipelineCorpusClean(_, _)),
+    "embed_quantize" -> (embedQuantize(_, _)),
     "dedup_embed_cosine" -> (dedupEmbedCosine(_, _)),
     "text_bpe_tokens" -> (textBpeTokens(_, _)),
     "text_rolling_hash" -> (textRollingHash(_, _)),
@@ -551,6 +653,8 @@ object ExtQueries {
     "sim_ann_lsh" -> simAnnLshSql,
     "sim_ivf" -> simIvfSql,
     "source_similarity" -> sourceSimilaritySql,
+    "pipeline_corpus_clean" -> pipelineCorpusCleanSql,
+    "embed_quantize" -> embedQuantizeSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql,
     "text_bpe_tokens" -> textBpeTokensSql,
     "text_rolling_hash" -> textRollingHashSql,
