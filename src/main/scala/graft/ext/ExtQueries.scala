@@ -342,6 +342,38 @@ object ExtQueries {
        |ORDER BY query_id, rnk""".stripMargin
 
   // ------------------------------------------------------------------
+  // source_sketch: bounded-memory bottom-k content sketch per source
+  // via the typed Aggregator extension tier (BottomKSketch)
+  // ------------------------------------------------------------------
+
+  private val SketchK = 8
+
+  def sourceSketch(spark: SparkSession, dir: String): DataFrame = {
+    val bottomK = graft.functions.BottomKSketch(SketchK)
+    docs(spark, dir)
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleN)
+      .select(col("source"),
+        explode(TextOps.shingles(col("toks"), ShingleN)).as("s"))
+      .groupBy(col("source"))
+      .agg(bottomK(md5(col("s"))).as("sk"))
+      .select(col("source"),
+        size(col("sk")).cast("long").as("k_actual"),
+        md5(concat_ws("|", col("sk"))).as("sketch"))
+      .orderBy("source")
+  }
+
+  private val sourceSketchSql =
+    s"""WITH $TokCte, $ShCte,
+       |ex AS (SELECT t.source, md5(unnest(sh.sh)) AS h
+       |  FROM sh JOIN (SELECT doc_id, source FROM documents) t ON t.doc_id = sh.doc_id),
+       |sk AS (SELECT source, list_sort(list_distinct(list(h)))[1:$SketchK] AS sk
+       |  FROM ex GROUP BY source)
+       |SELECT source, len(sk)::BIGINT AS k_actual,
+       |  md5(array_to_string(sk, '|')) AS sketch
+       |FROM sk ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
   // pipeline_corpus_clean: the composite training-data cleaning
   // pipeline as ONE declarative plan — quality gate → exact dedup
   // (keep-first per content hash) → near-dup removal (drop the higher
@@ -634,6 +666,7 @@ object ExtQueries {
     "source_similarity" -> (sourceSimilarity(_, _)),
     "pipeline_corpus_clean" -> (pipelineCorpusClean(_, _)),
     "embed_quantize" -> (embedQuantize(_, _)),
+    "source_sketch" -> (sourceSketch(_, _)),
     "dedup_embed_cosine" -> (dedupEmbedCosine(_, _)),
     "text_bpe_tokens" -> (textBpeTokens(_, _)),
     "text_rolling_hash" -> (textRollingHash(_, _)),
@@ -655,6 +688,7 @@ object ExtQueries {
     "source_similarity" -> sourceSimilaritySql,
     "pipeline_corpus_clean" -> pipelineCorpusCleanSql,
     "embed_quantize" -> embedQuantizeSql,
+    "source_sketch" -> sourceSketchSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql,
     "text_bpe_tokens" -> textBpeTokensSql,
     "text_rolling_hash" -> textRollingHashSql,

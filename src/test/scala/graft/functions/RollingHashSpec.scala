@@ -32,6 +32,25 @@ class RollingHashSpec extends AnyFlatSpec with Matchers with SparkFixture {
       .select(expr("graft_rolling_hash(s)")).collect().head.isNullAt(0) shouldBe true
   }
 
+  behavior of "BottomKSketch aggregator"
+
+  it should "keep the k smallest distinct values with a bounded buffer, any partitioning" in {
+    import spark.implicits._
+    val agg = new BottomKSketch(3)
+    // reduce respects cap + dedup
+    val reduced = Seq("d", "b", "d", "a", "c", "e").foldLeft(agg.zero)(agg.reduce)
+    reduced shouldBe List("a", "b", "c")
+    // merge is commutative and capped
+    agg.merge(List("a", "z"), List("b", "a")) shouldBe List("a", "b", "z")
+    // end-to-end: result independent of physical partitioning
+    val data = (1 to 200).map(i => ("g" + (i % 3), f"v$i%03d"))
+    def run(parts: Int) = data.toDF("g", "v").repartition(parts)
+      .groupBy("g").agg(BottomKSketch(3)(col("v")).as("sk"))
+      .orderBy("g").as[(String, Seq[String])].collect().toSeq
+    run(1) shouldBe run(7)
+    run(7).head._2 shouldBe Seq("v003", "v006", "v009") // g0's smallest
+  }
+
   behavior of "VectorDot expression"
 
   it should "match the interpreted zip_with/aggregate fold bit-for-bit" in {
