@@ -55,6 +55,30 @@ class StreamingOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally q.stop()
   }
 
+  it should "drain the driver's events table through the windowed aggregate" in {
+    import graft.queries.QueryKit
+    val dir = "/root/testdata/sf0.001"
+    val batch = QueryKit.table(spark, dir, "events") // sets nanosAsLong
+    val streamIn = spark.readStream
+      .schema(batch.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_utc", QueryKit.tsMicros("ts"))
+    val agg = StreamingOps.windowedCounts(
+      streamIn, "ts_utc", "event_type", "value", "1 hour", "1 minute")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("events_stream_out")
+      .option("checkpointLocation", tempDir("events-stream-ckpt"))
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000) shouldBe true
+      val out = spark.table("events_stream_out")
+      out.agg(sum("n_events")).head().getLong(0) shouldBe batch.count()
+      out.select("event_type").distinct().count() shouldBe
+        batch.select("event_type").distinct().count()
+    } finally q.stop()
+  }
+
   behavior of "firstSeen stateful dedup"
 
   it should "emit only the first occurrence of each key across micro-batches" in {
