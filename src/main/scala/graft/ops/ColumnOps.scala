@@ -102,6 +102,36 @@ object ColumnOps {
       .drop("__rn")
   }
 
+  /** Event-time as-of join: for each left row, the single right row
+    * with the greatest `rightTime` ≤ `leftTime` for the same key (the
+    * enrich-events-with-latest-dimension-state pattern a CDC consumer
+    * runs constantly). Composed from built-ins — hash join on the key,
+    * then a windowed argmax per left row — per the extension
+    * preference order (compose before custom plans, SURVEY §2.9/§4):
+    * Catalyst keeps the key join shuffled/broadcast as appropriate and
+    * the inequality as a cheap post-join filter. Left rows with no
+    * match survive with null right columns.
+    *
+    * @param uniqueLeftId    a unique left column (window partition key)
+    * @param rightTieBreakers extra descending sort columns for a
+    *        deterministic pick when right times tie
+    */
+  def asOfJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      uniqueLeftId: String,
+      rightTieBreakers: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = left.join(right,
+      col(leftKey) === col(rightKey) && col(rightTime) <= col(leftTime), "left")
+    val w = Window.partitionBy(col(uniqueLeftId))
+      .orderBy(col(rightTime).desc +: rightTieBreakers.map(col(_).desc): _*)
+    joined.withColumn("__asof_rn", row_number().over(w))
+      .filter(col("__asof_rn") === 1)
+      .drop("__asof_rn")
+  }
+
   /** Drop rows marked deleted after a CDC merge (operation 'D'). */
   def applyDeletes(df: DataFrame,
       operationColumn: String = Constants.ChangeOperationColumn): DataFrame =

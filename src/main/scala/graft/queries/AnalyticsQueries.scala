@@ -247,7 +247,34 @@ object AnalyticsQueries {
       |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** As-of join: each event enriched with the user's latest order at
+    * or before the event date ([[ColumnOps.asOfJoin]] — hash join on
+    * the user key + windowed argmax, no custom plan needed). */
+  def asofLatestOrder(spark: SparkSession, dir: String): DataFrame = {
+    val events = table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        to_date(tsMicros("ts")).as("event_date"))
+    val orders = table(spark, dir, "orders")
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+    graft.ops.ColumnOps.asOfJoin(events, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "event_date", rightTime = "o_orderdate",
+        uniqueLeftId = "event_id", rightTieBreakers = Seq("o_orderkey"))
+      .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+      .orderBy("event_id")
+  }
+
+  val asofLatestOrderSql: String =
+    """SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+      |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e LEFT JOIN orders o
+      |    ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(make_timestamp(epoch_ns(e.ts) // 1000) AS DATE)
+      |) t WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "join_asof" -> asofLatestOrder,
     "agg_q1_pricing" -> q1Pricing,
     "join_q3_top_orders" -> q3TopOrders,
     "join_q5_regional_revenue" -> q5RegionalRevenue,
@@ -261,6 +288,7 @@ object AnalyticsQueries {
     "join_semi" -> semiJoin)
 
   val oracles: Map[String, String] = Map(
+    "join_asof" -> asofLatestOrderSql,
     "agg_q1_pricing" -> q1PricingSql,
     "join_q3_top_orders" -> q3TopOrdersSql,
     "join_q5_regional_revenue" -> q5RegionalRevenueSql,

@@ -84,6 +84,27 @@ class ColumnOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     ColumnOps.applyDeletes(df).select("k").as[String].collect().toSeq shouldBe Seq("a", "c")
   }
 
+  behavior of "asOfJoin"
+
+  it should "pick the latest right row at-or-before each left time, nulls when none" in {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "u1", 10L), // after both versions: latest wins
+      (2L, "u1", 5L),  // exactly ON version 5: inclusive
+      (3L, "u1", 1L),  // before any version: null
+      (4L, "u2", 10L)  // key with no right rows at all: null
+    ).toDF("event_id", "k", "t")
+    val versions = Seq(
+      ("u1", 2L, "v@2"), ("u1", 5L, "v@5"), ("u3", 1L, "other"))
+      .toDF("vk", "vt", "payload")
+    val out = ColumnOps.asOfJoin(events, versions,
+        "k", "vk", "t", "vt", "event_id", rightTieBreakers = Seq("payload"))
+      .select("event_id", "payload").as[(Long, Option[String])]
+      .collect().sortBy(_._1)
+    out.toSeq shouldBe Seq(
+      (1L, Some("v@5")), (2L, Some("v@5")), (3L, None), (4L, None))
+  }
+
   behavior of "nonEmptyLines"
 
   // the text-mode ingestion guard (reference CdmChangeFeedSource.cs:325);
