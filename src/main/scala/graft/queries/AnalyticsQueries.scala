@@ -273,8 +273,39 @@ object AnalyticsQueries {
       |    ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(make_timestamp(epoch_ns(e.ts) // 1000) AS DATE)
       |) t WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** Range (interval) join: per event, how many of the same user's
+    * events land in the following hour — a sessionization-style
+    * follow-count. Plans as a hash join on the user key with the time
+    * range as a post-join filter — the key carries the selectivity, so
+    * the plan scales like any equi-join (a dedicated range-join
+    * strategy only pays off for keyless interval joins). The range is
+    * computed in raw epoch-nanos integer math, exact on both engines. */
+  def rangeJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e1 = table(spark, dir, "events").select(
+      col("event_id"), col("user_id"), col("ts"))
+    val e2 = table(spark, dir, "events").select(
+      col("user_id").as("u2"), col("ts").as("ts2"))
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    e1.join(e2,
+        col("user_id") === col("u2")
+          && col("ts2") > col("ts") && col("ts2") <= col("ts") + hourNs)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_next_hour"))
+      .orderBy("event_id")
+  }
+
+  val rangeJoinEventsSql: String =
+    """SELECT e1.event_id, count(*)::BIGINT AS n_next_hour
+      |FROM events e1 JOIN events e2
+      |  ON e2.user_id = e1.user_id
+      | AND epoch_ns(e2.ts) > epoch_ns(e1.ts)
+      | AND epoch_ns(e2.ts) <= epoch_ns(e1.ts) + 3600000000000
+      |GROUP BY e1.event_id
+      |ORDER BY e1.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "join_asof" -> asofLatestOrder,
+    "join_range" -> rangeJoinEvents,
     "agg_q1_pricing" -> q1Pricing,
     "join_q3_top_orders" -> q3TopOrders,
     "join_q5_regional_revenue" -> q5RegionalRevenue,
@@ -289,6 +320,7 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "join_asof" -> asofLatestOrderSql,
+    "join_range" -> rangeJoinEventsSql,
     "agg_q1_pricing" -> q1PricingSql,
     "join_q3_top_orders" -> q3TopOrdersSql,
     "join_q5_regional_revenue" -> q5RegionalRevenueSql,
