@@ -63,11 +63,14 @@ object ArcaneLayout {
       .format(format).save(tmpDir)
 
     // rename staged spark part-files to the arcane naming scheme,
-    // preserving any _batch_date= subdirectories
+    // preserving any _batch_date= subdirectories. Renames run on a
+    // bounded thread pool: a metadata no-op per file on HDFS-likes, but
+    // a copy on object stores — parallelism bounds the commit latency
+    // at O(files / 16) round-trips instead of O(files)
     val filesystem = fs(df, targetPath)
     val staged = filesystem.globStatus(new Path(s"$tmpDir/*" ) ) ++
       filesystem.globStatus(new Path(s"$tmpDir/_batch_date=*/*"))
-    val written = staged.toSeq
+    val toMove = staged.toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .map { s =>
@@ -75,14 +78,26 @@ object ArcaneLayout {
           case d if d.startsWith("_batch_date=") => d + "/"
           case _ => ""
         }
-        val name = s"${sub}part-${UUID.randomUUID()}-$schemaHash-chunk.$ext"
-        val dest = new Path(s"$dataDir/$name")
-        filesystem.mkdirs(dest.getParent)
-        filesystem.rename(s.getPath, dest)
-        name
+        s.getPath -> s"${sub}part-${UUID.randomUUID()}-$schemaHash-chunk.$ext"
       }
-    filesystem.delete(new Path(tmpDir), true)
-    written
+    toMove.map(_._2).map(n => new Path(s"$dataDir/$n").getParent).distinct
+      .foreach(filesystem.mkdirs(_): Unit)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, toMove.size)))
+    try {
+      val futures = toMove.map { case (src, name) =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = {
+            if (!filesystem.rename(src, new Path(s"$dataDir/$name")))
+              throw new java.io.IOException(s"rename failed: $src -> $name")
+            name
+          }
+        })
+      }
+      val written = futures.map(_.get())
+      filesystem.delete(new Path(tmpDir), true)
+      written
+    } finally pool.shutdown()
   }
 
   /** Publish the schema as an empty Parquet file under `schema/`, with

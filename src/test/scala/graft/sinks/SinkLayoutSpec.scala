@@ -66,6 +66,31 @@ class SinkLayoutSpec extends AnyFlatSpec with Matchers with SparkFixture {
     spark.read.parquet(s"$target/data").count() shouldBe 100
   }
 
+  behavior of "ArcaneLayoutReader (the consumer contract)"
+
+  it should "gate on the token, then merge duplicates by key and apply deletes" in {
+    import spark.implicits._
+    val target = tempDir("reader")
+    val sink = new ArcaneParquetSink(SinkConfig(target))
+    // at-least-once producer: key k1 upserted twice then deleted; k2 survives
+    val batch1 = Seq(("k1", 1L, "I", "v1"), ("k2", 1L, "I", "x1"))
+      .toDF("ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION", "payload")
+    val batch2 = Seq(("k1", 2L, "U", "v2"), ("k1", 3L, "D", null.asInstanceOf[String]))
+      .toDF("ARCANE_MERGE_KEY", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION", "payload")
+    sink.writeBatch(batch1)
+    sink.writeBatch(batch2)
+
+    // no token yet: consuming must fail
+    an[ArcaneLayoutReader.IncompleteOutputException] should be thrownBy
+      ArcaneLayoutReader.readRaw(spark, target)
+
+    sink.complete(batch1)
+    ArcaneLayoutReader.readRaw(spark, target).count() shouldBe 4
+    val merged = ArcaneLayoutReader.readMerged(spark, target)
+      .select("ARCANE_MERGE_KEY", "payload").as[(String, String)].collect().toMap
+    merged shouldBe Map("k2" -> "x1") // k1's latest version is the delete
+  }
+
   behavior of "KeyedJsonSink"
 
   it should "land records under literal nested paths with {timestamp, body}" in {
