@@ -303,9 +303,80 @@ object AnalyticsQueries {
       |GROUP BY e1.event_id
       |ORDER BY e1.event_id""".stripMargin
 
+  /** Window FRAMES (beyond ranking): per-customer running spend
+    * (unbounded-preceding row frame over exact decimals) and days
+    * since the previous order (lag). One shuffle on the customer key
+    * serves both window functions. */
+  def windowFrames(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    table(spark, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast("decimal(18,4)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("days_since_prev",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("long"))
+      .select("o_custkey", "o_orderkey", "running_spend", "days_since_prev")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowFramesSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |  date_diff('day',
+      |    lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |    o_orderdate)::BIGINT AS days_since_prev
+      |FROM orders WHERE o_custkey < 100
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** CUBE over (status, priority): all four grouping-set combinations,
+    * NULLS FIRST pinned like the rollup query. */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        decSum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val cubeOrdersSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n_orders,
+       |  ${decSumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** Pivot: per-user event counts spread across event-type columns
+    * (explicit value list ⇒ stable output schema, the scale-sane form —
+    * an unlisted pivot would need a distinct-scan planning pass). */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val pivotEventsSql: String =
+    """SELECT user_id,
+      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "join_asof" -> asofLatestOrder,
     "join_range" -> rangeJoinEvents,
+    "window_frames" -> windowFrames,
+    "agg_cube" -> cubeOrders,
+    "agg_pivot" -> pivotEvents,
     "agg_q1_pricing" -> q1Pricing,
     "join_q3_top_orders" -> q3TopOrders,
     "join_q5_regional_revenue" -> q5RegionalRevenue,
@@ -321,6 +392,9 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "join_asof" -> asofLatestOrderSql,
     "join_range" -> rangeJoinEventsSql,
+    "window_frames" -> windowFramesSql,
+    "agg_cube" -> cubeOrdersSql,
+    "agg_pivot" -> pivotEventsSql,
     "agg_q1_pricing" -> q1PricingSql,
     "join_q3_top_orders" -> q3TopOrdersSql,
     "join_q5_regional_revenue" -> q5RegionalRevenueSql,
