@@ -68,6 +68,20 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     m should be >= 6L // >half of the 12 slots for ~0.8 jaccard
   }
 
+  it should "compute identical signatures via the HOF form and the aggregate form" in {
+    import spark.implicits._
+    val viaAgg = Dedup.minhashProject(nearDupCorpus, "doc_id", "text")
+      .select("doc_id", "sig", "bands")
+      .as[(Long, Seq[String], Seq[String])].collect().sortBy(_._1)
+    val viaHof = nearDupCorpus
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), Dedup.minhashSig(col("sh"), 12).as("sig"))
+      .withColumn("bands", Dedup.lshBandKeys(col("sig"), 4, 3))
+      .select("doc_id", "sig", "bands")
+      .as[(Long, Seq[String], Seq[String])].collect().sortBy(_._1)
+    viaAgg shouldBe viaHof
+  }
+
   it should "never plan a cartesian product for candidate pairs" in {
     val proj = Dedup.minhashProject(nearDupCorpus, "doc_id", "text")
     val plan = Dedup.minhashCandidates(proj, "doc_id")
