@@ -100,6 +100,53 @@ class ConnectorOffsetSpec extends AnyFlatSpec with Matchers with SparkFixture {
     store.readLong("ct-version") shouldBe Some(50L) // at-least-once redelivery
   }
 
+  behavior of "CT end-to-end ingestion (poller → arcane sink)"
+
+  it should "run full load then incremental polls into the sink layout with committed offsets" in {
+    import graft.runtime.BatchPoller
+    import graft.sinks.{ArcaneLayoutReader, ArcaneParquetSink, SinkConfig}
+    import spark.implicits._
+
+    // scripted server: full load of 3 rows @v100, then deltas v101
+    // (update of id 1) and v102 (delete of id 2); one fixed CT shape
+    def frame(rows: Seq[(Long, String, String, Long, Long, String)]): DataFrame =
+      rows.toDF("id", "v", "SYS_CHANGE_OPERATION", "SYS_CHANGE_VERSION",
+        "ChangeTrackingVersion", "ARCANE_MERGE_KEY")
+    val ex = new SqlExecutor {
+      var polls = 0
+      override def queryScalar(sql: String): Option[Long] = Some(100L)
+      override def queryDataFrame(sql: String): DataFrame =
+        if (sql.contains("CHANGETABLE")) {
+          polls += 1
+          if (polls == 1) frame(Seq((1L, "updated", "U", 101L, 101L, "k1")))
+          else frame(Seq((2L, null, "D", 102L, 102L, "k2")))
+        } else frame(Seq(
+          (1L, "a", "I", 0L, 100L, "k1"),
+          (2L, "b", "I", 0L, 100L, "k2"),
+          (3L, "c", "I", 0L, 100L, "k3")))
+    }
+    val source = ctSource(ex)
+    val store = new OffsetStore(spark, tempDir("ct-e2e-ckpt"))
+    val target = tempDir("ct-e2e-sink")
+    val sink = new ArcaneParquetSink(SinkConfig(target))
+    def deliver(df: DataFrame): Unit = { sink.writeBatch(df.drop("ChangeTrackingVersion")); () }
+
+    deliver(source.fullLoad()) // backfill snapshot
+
+    // two incremental polls through the poll loop, offsets committed
+    val poller = new ChangeTrackingPoller(source, store)
+    new BatchPoller(java.time.Duration.ofMillis(1), sleep = _ => ()).run(maxPolls = 2) { () =>
+      poller.pollOnce(deliver): Unit
+    }
+    store.readLong("ct-version") shouldBe Some(102L)
+    sink.complete(source.fullLoad())
+
+    // consumer view: latest per key, deletes applied ⇒ k1 updated, k2 gone, k3 intact
+    val merged = ArcaneLayoutReader.readMerged(spark, target)
+      .select("ARCANE_MERGE_KEY", "v").as[(String, String)].collect().toMap
+    merged shouldBe Map("k1" -> "updated", "k3" -> "c")
+  }
+
   // ---------------- REST mid-pagination resume ----------------
 
   /** 5-page API: {"total": 5, "items": [...]} keyed by ?page=N. */
