@@ -71,6 +71,31 @@ class RestApiSourceV2Spec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally q.stop()
   }
 
+  it should "land a sweep in the arcane sink layout under AvailableNow" in {
+    import graft.sinks.{ArcaneLayoutReader, ArcaneParquetSink, SinkConfig}
+    FakePagedApi.calls.clear()
+    val stream = spark.readStream
+      .format(classOf[RestApiTableProvider].getName)
+      .option("uriTemplate", "http://api/items?page=@page")
+      .option("totalPagesKeyChain", "meta.totalPages")
+      .option("recordKeyChain", "items")
+      .option("fetcherClass", classOf[FakePagedApi].getName)
+      .option("maxSweeps", "1")
+      .load()
+    val target = tempDir("restv2-sink")
+    val sink = new ArcaneParquetSink(SinkConfig(target))
+    val q = sink.start(stream, tempDir("restv2-sink-ckpt"),
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try q.awaitTermination(60000) shouldBe true
+    finally q.stop()
+    sink.complete(stream)
+
+    ArcaneLayoutReader.isComplete(spark, target) shouldBe true
+    val rows = ArcaneLayoutReader.readRaw(spark, target)
+    rows.count() shouldBe 10 // one full paginated sweep
+    rows.columns.toSeq shouldBe Seq("value")
+  }
+
   it should "require its mandatory options" in {
     val ex = intercept[Exception] {
       spark.readStream
