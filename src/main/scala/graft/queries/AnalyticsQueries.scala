@@ -161,6 +161,33 @@ object AnalyticsQueries {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Set op: customers that have at least one order (INTERSECT). */
+  /** Multiset (ALL) variants: exceptAll keeps multiplicity — a custkey
+    * with n orders survives n−1 times against the single customer row.
+    * Both plan as aggregate+join with count bookkeeping, one shuffle. */
+  def setExceptAll(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders").select(col("o_custkey").as("custkey"))
+      .exceptAll(table(spark, dir, "customer").select(col("c_custkey").as("custkey")))
+      .groupBy("custkey").agg(count(lit(1)).as("n_surplus"))
+      .orderBy("custkey")
+
+  val setExceptAllSql: String =
+    """SELECT custkey, count(*)::BIGINT AS n_surplus FROM (
+      |  SELECT o_custkey AS custkey FROM orders
+      |  EXCEPT ALL
+      |  SELECT c_custkey FROM customer
+      |) t GROUP BY custkey ORDER BY custkey""".stripMargin
+
+  def setIntersectAll(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders").select(col("o_custkey").as("custkey"))
+      .intersectAll(table(spark, dir, "customer").select(col("c_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  val setIntersectAllSql: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |INTERSECT ALL
+      |SELECT c_custkey FROM customer
+      |ORDER BY custkey""".stripMargin
+
   def setIntersect(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "customer").select("c_custkey")
       .intersect(table(spark, dir, "orders").select(col("o_custkey").as("c_custkey")))
@@ -377,6 +404,8 @@ object AnalyticsQueries {
     "window_frames" -> windowFrames,
     "agg_cube" -> cubeOrders,
     "agg_pivot" -> pivotEvents,
+    "set_except_all" -> setExceptAll,
+    "set_intersect_all" -> setIntersectAll,
     "agg_q1_pricing" -> q1Pricing,
     "join_q3_top_orders" -> q3TopOrders,
     "join_q5_regional_revenue" -> q5RegionalRevenue,
@@ -395,6 +424,8 @@ object AnalyticsQueries {
     "window_frames" -> windowFramesSql,
     "agg_cube" -> cubeOrdersSql,
     "agg_pivot" -> pivotEventsSql,
+    "set_except_all" -> setExceptAllSql,
+    "set_intersect_all" -> setIntersectAllSql,
     "agg_q1_pricing" -> q1PricingSql,
     "join_q3_top_orders" -> q3TopOrdersSql,
     "join_q5_regional_revenue" -> q5RegionalRevenueSql,
