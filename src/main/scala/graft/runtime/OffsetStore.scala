@@ -2,7 +2,7 @@ package graft.runtime
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Durable connector offsets under the stream's checkpoint directory
@@ -29,10 +29,13 @@ final class OffsetStore(spark: SparkSession, checkpointDir: String) {
     val out = f.create(tmp, true)
     out.write(value.getBytes(StandardCharsets.UTF_8))
     out.close()
-    val dest = new Path(dir, key)
-    f.delete(dest, false)
-    if (!f.rename(tmp, dest))
-      throw new java.io.IOException(s"offset commit failed for $key")
+    // single-step overwriting rename: the previous offset survives every
+    // crash point (the delete-then-rename alternative has a window where
+    // no offset exists at all, weakening the torn-value contract below)
+    val conf = spark.sessionState.newHadoopConf()
+    val fc = FileContext.getFileContext(f.makeQualified(dir).toUri, conf)
+    fc.rename(f.makeQualified(tmp), f.makeQualified(new Path(dir, key)),
+      Options.Rename.OVERWRITE)
   }
 
   def read(key: String): Option[String] = {

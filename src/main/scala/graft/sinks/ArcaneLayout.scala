@@ -94,10 +94,22 @@ object ArcaneLayout {
           }
         })
       }
-      val written = futures.map(_.get())
-      filesystem.delete(new Path(tmpDir), true)
-      written
-    } finally pool.shutdown()
+      // unwrap ExecutionException so Supervision.isTransient still sees
+      // the underlying IOException, not the pool's wrapper
+      futures.map(f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        })
+    } finally {
+      pool.shutdown()
+      // staging must never outlive the batch: on a failed rename the
+      // half-moved parts in data/ are deduped by consumers (the token is
+      // suppressed), but an orphaned .staging dir would accumulate
+      try filesystem.delete(new Path(tmpDir), true)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
   }
 
   /** Publish the schema as an empty Parquet file under `schema/`, with

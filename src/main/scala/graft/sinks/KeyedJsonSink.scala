@@ -37,6 +37,7 @@ object KeyedJsonSink {
     val fs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
     fs.globStatus(new Path(s"$rootPath/__path=*")).foreach { d =>
       val raw = unescapePathName(d.getPath.getName.stripPrefix("__path="))
+      requireSafeRelativePath(raw)
       val dest = new Path(root, raw)
       if (!fs.exists(dest)) {
         fs.mkdirs(dest.getParent)
@@ -48,6 +49,18 @@ object KeyedJsonSink {
         fs.delete(d.getPath, true)
       }
     }
+  }
+
+  /** Path values come from the DATA, so validate before using them as
+    * directories: an absolute path or a `.`/`..` segment would resolve
+    * outside the sink root — a data-driven path traversal on write. */
+  private[graft] def requireSafeRelativePath(raw: String): Unit = {
+    val absolute = raw.startsWith("/") || raw.startsWith("\\") ||
+      raw.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*") // URI scheme / drive letter
+    val dotted = raw.split("[/\\\\]").exists(s => s == "." || s == "..")
+    if (absolute || dotted || raw.isEmpty)
+      throw new IllegalArgumentException(
+        s"unsafe sink path from data (absolute or dotted segment): '$raw'")
   }
 
   /** Invert Hive partition-value escaping (`%xx` sequences) so the raw

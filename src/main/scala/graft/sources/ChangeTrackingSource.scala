@@ -196,21 +196,42 @@ final class ChangeTrackingPoller(
     store: graft.runtime.OffsetStore,
     offsetKey: String = "ct-version") {
 
+  import org.apache.spark.sql.Observation
   import org.apache.spark.sql.functions.{col, max}
 
   /** Run one poll cycle; returns the committed version (None when no
-    * changes arrived and no version was known). */
+    * changes arrived and no version was known).
+    *
+    * The committed version is OBSERVED on the rows the delivery action
+    * actually processed (`Dataset.observe` piggybacks on deliver's own
+    * job), never re-queried: a second `max()` action over the JDBC frame
+    * could re-run the CHANGETABLE query after new commits and return a
+    * version newer than the delivered rows — committing past undelivered
+    * changes and silently skipping them on the next poll. If `deliver`
+    * runs no Spark action, nothing was delivered, so nothing is
+    * committed (at-least-once redelivery on the next poll).
+    */
   def pollOnce(deliver: DataFrame => Unit): Option[Long] = {
     val last = store.readLong(offsetKey)
-    val df = source.pullChanges(last).cache()
-    try {
-      deliver(df)
-      val maxVersion = df
-        .agg(max(col(Constants.ChangeTrackingVersionColumn)))
-        .collect().headOption
-        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-      maxVersion.foreach(v => store.writeLong(offsetKey, v))
-      maxVersion.orElse(last)
-    } finally { df.unpersist(); () }
+    val obs = Observation()
+    val df = source.pullChanges(last)
+      .observe(obs, max(col(Constants.ChangeTrackingVersionColumn)).as("maxVersion"))
+    deliver(df)
+    // the metrics listener is async: give it a bounded moment after the
+    // delivery action completed (a deliver that ran no action never
+    // completes the future and commits nothing)
+    val row = try {
+      Some(scala.concurrent.Await.result(
+        obs.future, scala.concurrent.duration.Duration(2, "s")))
+    } catch { case _: java.util.concurrent.TimeoutException => None }
+    val maxVersion = row
+      .filterNot(_.isNullAt(0))
+      .map(r => r.get(0) match {
+        case v: java.lang.Long => v.longValue()
+        case v: java.lang.Integer => v.longValue().toLong
+        case v => v.toString.toLong
+      })
+    maxVersion.foreach(v => store.writeLong(offsetKey, v))
+    maxVersion.orElse(last)
   }
 }

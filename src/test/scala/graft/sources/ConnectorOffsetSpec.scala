@@ -35,7 +35,7 @@ class ConnectorOffsetSpec extends AnyFlatSpec with Matchers with SparkFixture {
     val ex = new RecordingExecutor(Seq(100L, 101L))
     val poller = new ChangeTrackingPoller(ctSource(ex), store)
 
-    poller.pollOnce(_ => ()) shouldBe Some(101L)
+    poller.pollOnce(_.count(): Unit) shouldBe Some(101L)
     // first poll: lookback seek + delta from the seeked version
     ex.sqls.head should include("dm_tran_commit_table")
     ex.sqls(1) should include("CHANGETABLE(CHANGES [dbo].[t], 7)")
@@ -43,7 +43,7 @@ class ConnectorOffsetSpec extends AnyFlatSpec with Matchers with SparkFixture {
 
     // restart: a NEW poller over the same store resumes at 101, no seek
     val ex2 = new RecordingExecutor(Seq(102L))
-    new ChangeTrackingPoller(ctSource(ex2), store).pollOnce(_ => ()) shouldBe Some(102L)
+    new ChangeTrackingPoller(ctSource(ex2), store).pollOnce(_.count(): Unit) shouldBe Some(102L)
     ex2.sqls.size shouldBe 1
     ex2.sqls.head should include("CHANGETABLE(CHANGES [dbo].[t], 101)")
   }
@@ -52,6 +52,17 @@ class ConnectorOffsetSpec extends AnyFlatSpec with Matchers with SparkFixture {
     val store = new OffsetStore(spark, tempDir("ct-empty"))
     store.writeLong("ct-version", 50L)
     val ex = new RecordingExecutor(Seq.empty)
+    new ChangeTrackingPoller(ctSource(ex), store).pollOnce(_.count(): Unit) shouldBe Some(50L)
+    store.readLong("ct-version") shouldBe Some(50L)
+  }
+
+  it should "not commit when deliver runs no Spark action" in {
+    // ADVICE r2: the committed version must derive from DELIVERED rows
+    // (one observed action), never from a second agg over the JDBC frame
+    // that could see a newer server version than what was delivered
+    val store = new OffsetStore(spark, tempDir("ct-noaction"))
+    store.writeLong("ct-version", 50L)
+    val ex = new RecordingExecutor(Seq(60L))
     new ChangeTrackingPoller(ctSource(ex), store).pollOnce(_ => ()) shouldBe Some(50L)
     store.readLong("ct-version") shouldBe Some(50L)
   }

@@ -28,6 +28,22 @@ object FakePagedApi {
   val calls = new ConcurrentLinkedQueue[String]()
 }
 
+/** A 2-page API whose content is bumpable between sweeps (static state
+  * observed across executor instantiations in local mode). */
+class FakeMutableApi extends RestSource.HttpFetch {
+  override def fetch(uri: String, headers: Map[String, String],
+      body: Option[String]): Option[String] = {
+    FakeMutableApi.calls.add(uri)
+    val page = uri.split("page=")(1).toLong
+    val v = FakeMutableApi.version.get()
+    Some(s"""{"meta": {"totalPages": 2}, "items": [{"page": $page, "v": $v}]}""")
+  }
+}
+object FakeMutableApi {
+  val calls = new ConcurrentLinkedQueue[String]()
+  val version = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 /** End-to-end DSv2 REST stream: `readStream.format(...)` → memory
   * sink, offsets in the checkpoint WAL, page ranges fetched by
   * executor tasks (SURVEY §7.1 module 5). */
@@ -94,6 +110,50 @@ class RestApiSourceV2Spec extends AnyFlatSpec with Matchers with SparkFixture {
     val rows = ArcaneLayoutReader.readRaw(spark, target)
     rows.count() shouldBe 10 // one full paginated sweep
     rows.columns.toSeq shouldBe Seq("value")
+  }
+
+  it should "not plan a new sweep while the API is unchanged, then advance on change" in {
+    import spark.implicits._
+    FakeMutableApi.calls.clear()
+    FakeMutableApi.version.set(0L)
+    val stream = spark.readStream
+      .format(classOf[RestApiTableProvider].getName)
+      .option("uriTemplate", "http://api/items?page=@page")
+      .option("totalPagesKeyChain", "meta.totalPages")
+      .option("recordKeyChain", "items")
+      .option("fetcherClass", classOf[FakeMutableApi].getName)
+      .option("maxSweeps", "5")
+      .load()
+    val schema = StructType(Seq(
+      StructField("page", LongType), StructField("v", LongType)))
+    val q = stream
+      .select(from_json(col("value"), schema).as("r")).select("r.*")
+      .writeStream.format("memory").queryName("rest_v2_idle")
+      .option("checkpointLocation", tempDir("restv2-idle-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // one sweep ran; the idle guard (unchanged page count + probe
+      // body) blocks re-sweeps, so non-probe pages were fetched ONCE
+      spark.table("rest_v2_idle").count() shouldBe 2
+      import scala.jdk.CollectionConverters._
+      def page2Fetches = FakeMutableApi.calls.asScala.count(_.contains("page=2"))
+      page2Fetches shouldBe 1
+
+      FakeMutableApi.version.incrementAndGet() // API content changes
+      // an in-flight idle trigger can signal no-new-data just after the
+      // bump, returning processAllAvailable early — poll until the new
+      // sweep lands
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("rest_v2_idle").count() < 4 &&
+          System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(50)
+      }
+      val out = spark.table("rest_v2_idle").as[(Long, Long)].collect()
+      out.length shouldBe 4 // second sweep delivered
+      out.map(_._2).toSet shouldBe Set(0L, 1L)
+      page2Fetches shouldBe 2
+    } finally q.stop()
   }
 
   it should "require its mandatory options" in {
