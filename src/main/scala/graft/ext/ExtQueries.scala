@@ -315,30 +315,45 @@ object ExtQueries {
        |ORDER BY query_id, rnk""".stripMargin
 
   // ------------------------------------------------------------------
-  // sim_ann_lsh: sign-bucket ANN — candidates only within the query's
-  // bucket, joined on the bucket key (the 100 TB plan shape)
+  // sim_ann_lsh: multi-table sign-bucket ANN — candidates from an
+  // OR-construction over `LshTables` independent bucket tables, joined
+  // on the table-qualified bucket key (the 100 TB plan shape: per-table
+  // occupancy bounded by bits, recall stacked across tables)
   // ------------------------------------------------------------------
 
-  private val BucketSql =
-    "list_aggregate(list_transform(generate_series(0, 7), i -> CASE WHEN embedding[i+1] > embedding[i+33] THEN (1 << i) ELSE 0 END), 'sum')::BIGINT"
+  private val AnnBits = 8
+  private val LshTables = 3
+
+  /** DuckDB expression for one sign-bucket table's key (mirrors
+    * [[Similarity.signBucketTable]]: key = t<<bits | code). */
+  private def bucketSqlTable(t: Int): String =
+    s"(${t.toLong << AnnBits} + list_aggregate(list_transform(generate_series(0, ${AnnBits - 1}), " +
+      s"i -> CASE WHEN embedding[i + ${t * AnnBits + 1}] > embedding[i + ${t * AnnBits + 33}] " +
+      s"THEN (1 << i) ELSE 0 END), 'sum'))::BIGINT"
+
+  private val BucketKeysSql =
+    (0 until LshTables).map(bucketSqlTable).mkString("[", ", ", "]")
 
   def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select("vec_id", "embedding")
-    Similarity.annTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k = 3, bits = 8)
-      .select("query_id", "neighbor_id", "bucket", "score_e4", "rnk")
+    Similarity.annTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding",
+        k = 3, bits = AnnBits, tables = LshTables)
       .orderBy("query_id", "rnk")
   }
 
   private val simAnnLshSql =
-    s"""WITH e AS (SELECT vec_id, embedding, $NormSql AS nrm, $BucketSql AS bucket FROM embeddings),
-       |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.bucket AS bucket,
+    s"""WITH e AS (SELECT vec_id, embedding, $NormSql AS nrm FROM embeddings),
+       |b AS (SELECT vec_id, unnest($BucketKeysSql) AS bk FROM embeddings),
+       |cand AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, count(*)::BIGINT AS n_tables
+       |  FROM b q JOIN b n ON q.bk = n.bk AND n.vec_id != q.vec_id
+       |  WHERE q.vec_id < 20 GROUP BY 1, 2),
+       |p AS (SELECT c.query_id, c.neighbor_id, c.n_tables,
        |    cast(round($DotSql / (q.nrm * n.nrm) * 10000) AS BIGINT) AS score_e4
-       |  FROM e q JOIN e n ON q.bucket = n.bucket AND n.vec_id != q.vec_id
-       |  WHERE q.vec_id < 20),
-       |r AS (SELECT query_id, neighbor_id, bucket, score_e4,
+       |  FROM cand c JOIN e q ON q.vec_id = c.query_id JOIN e n ON n.vec_id = c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, n_tables, score_e4,
        |    row_number() OVER (PARTITION BY query_id ORDER BY score_e4 DESC, neighbor_id) AS rnk
        |  FROM p)
-       |SELECT query_id, neighbor_id, bucket, score_e4, rnk FROM r WHERE rnk <= 3
+       |SELECT query_id, neighbor_id, n_tables, score_e4, rnk FROM r WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
 
   // ------------------------------------------------------------------
@@ -576,14 +591,18 @@ object ExtQueries {
   def dedupEmbedCosine(spark: SparkSession, dir: String): DataFrame =
     Similarity.embedNearDupPairs(
         emb(spark, dir).select("vec_id", "embedding"),
-        "vec_id", "embedding", minScoreE4 = 3000L)
+        "vec_id", "embedding", minScoreE4 = 3000L, bits = AnnBits, tables = LshTables)
       .orderBy("id_a", "id_b")
 
   private val dedupEmbedCosineSql =
-    s"""WITH e AS (SELECT vec_id, embedding, $NormSql AS nrm, $BucketSql AS bucket FROM embeddings)
-       |SELECT q.vec_id AS id_a, n.vec_id AS id_b, q.bucket AS bucket,
+    s"""WITH e AS (SELECT vec_id, embedding, $NormSql AS nrm FROM embeddings),
+       |b AS (SELECT vec_id, unnest($BucketKeysSql) AS bk FROM embeddings),
+       |cand AS (SELECT a.vec_id AS id_a, bb.vec_id AS id_b, count(*)::BIGINT AS n_tables
+       |  FROM b a JOIN b bb ON a.bk = bb.bk AND a.vec_id < bb.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT c.id_a, c.id_b, c.n_tables,
        |  cast(round($DotSql / (q.nrm * n.nrm) * 10000) AS BIGINT) AS score_e4
-       |FROM e q JOIN e n ON q.bucket = n.bucket AND q.vec_id < n.vec_id
+       |FROM cand c JOIN e q ON q.vec_id = c.id_a JOIN e n ON n.vec_id = c.id_b
        |WHERE cast(round($DotSql / (q.nrm * n.nrm) * 10000) AS BIGINT) >= 3000
        |ORDER BY id_a, id_b""".stripMargin
 

@@ -186,6 +186,61 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     out shouldBe Set((0L, 1L), (1L, 0L)) // 2 is alone in its bucket
   }
 
+  it should "derive bits from corpus size for constant expected occupancy" in {
+    Similarity.bitsFor(100L, 1024L) shouldBe 2 // floor
+    Similarity.bitsFor(1L << 20, 1024L) shouldBe 10 // 2^10 buckets of ~1024
+    Similarity.bitsFor(1L << 26, 1024L) shouldBe 16 // ceiling clamp
+    // monotone: more data never means fewer buckets
+    val seq = Seq(1L << 12, 1L << 16, 1L << 20, 1L << 24)
+      .map(Similarity.bitsFor(_, 1024L))
+    seq shouldBe seq.sorted
+  }
+
+  it should "surface a pair through ANY table (OR-construction recall)" in {
+    import spark.implicits._
+    // a and b DISAGREE on table 0's coordinate pairs (1..8 vs 33..40)
+    // but AGREE on table 2's (17..24 vs 49..56): a single-table bucket
+    // scheme misses the pair; the OR-construction finds it via table 2
+    def vec(t0Up: Boolean): Seq[Float] = (0 until 64).map { i =>
+      if (i < 8) (if (t0Up) 1f else 0f) // table-0 left coords
+      else if (i >= 32 && i < 40) (if (t0Up) 0f else 1f) // table-0 right
+      else if (i >= 16 && i < 24) 1f // table-2 left: shared pattern
+      else if (i >= 48 && i < 56) 0f // table-2 right
+      else 0.5f
+    }
+    val e = embDf((0L, vec(t0Up = true)), (1L, vec(t0Up = false)))
+    val multi = Similarity.annTopK(e, e, "vec_id", "embedding", k = 5, bits = 8, tables = 3)
+      .select("query_id", "neighbor_id", "n_tables").as[(Long, Long, Long)].collect().toSet
+    multi.map(p => (p._1, p._2)) should contain((0L, 1L))
+    multi.foreach(_._3 should be < 3L) // found via SOME tables, not all
+    val single = Similarity.annTopK(e, e, "vec_id", "embedding", k = 5, bits = 8, tables = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    single should not contain ((0L, 1L)) // the table-1 cliff the OR fixes
+  }
+
+  it should "bound per-table bucket occupancy on a skewed corpus with size-derived bits" in {
+    import spark.implicits._
+    // one dominant cluster (the skew magnet): coordinate-PAIR-unbiased
+    // center + isotropic noise, so the hyperplane bits are fair coins —
+    // occupancy concentrates at n/2^bits instead of one mega-bucket
+    val rnd = new scala.util.Random(42)
+    val center = Array.fill(64)(rnd.nextFloat())
+    (0 until 32).foreach(i => center(i + 32) = center(i))
+    val n = 2000
+    val rows = (0 until n).map { id =>
+      (id.toLong, (0 until 64).map(i => center(i) + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val bits = Similarity.bitsFor(n.toLong, 32L) // 63 buckets → 6 bits
+    bits shouldBe 6
+    val maxOcc = e
+      .select(explode(Similarity.signBucketKeys("embedding", bits, 3)).as("bk"))
+      .groupBy("bk").count()
+      .agg(max("count")).head().getLong(0)
+    val expected = n.toLong / (1L << bits) // ~31
+    maxOcc should be <= expected * 8 // no skew magnet at any table
+  }
+
   behavior of "Multimodal"
 
   it should "ingest binary files with content-addressed identity" in {
