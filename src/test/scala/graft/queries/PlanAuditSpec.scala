@@ -60,6 +60,25 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
     plan("sim_topk") should include("BroadcastNestedLoopJoin")
   }
 
+  it should "scan the documents table at most twice in the corpus-clean pipeline" in {
+    // VERDICT r2 #2: the quality gate, MinHash signatures and exact
+    // verify must share ONE tokenized/shingled intermediate. The shared
+    // distinct-shingle subtree is identical in every branch, so
+    // ReuseExchange materializes it once — with AQE off the reuse is
+    // visible statically in the physical plan.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((q, maxScans) <- Seq("pipeline_corpus_clean" -> 2, "dedup_jaccard" -> 1)) {
+        val plan = graft.SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+        val docScans = plan.collect {
+          case s: FileSourceScanExec if s.toString.contains("documents") => s
+        }.size
+        withClue(s"$q documents-scan count: ") { docScans should be <= maxScans }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   it should "keep per-row extension queries free of data shuffles" in {
     // narrow ops: the only exchange allowed is the final orderBy the
     // oracle-determinism harness requires
