@@ -172,14 +172,66 @@ object Similarity {
       .select(col(idCol), col("embedding"), col("nrm"), col("cid").as("cell"))
   }
 
+  /** Multi-probe IVF cell assignment: each row gets its `nProbe`
+    * nearest centroids (probe_rn 1..nProbe, ties to lowest cid). The
+    * query-side generalization of [[assignCells]] — probing more cells
+    * trades a proportional candidate-count increase for recall, the IVF
+    * analogue of [[annTopK]]'s multi-table OR-construction. */
+  def assignCellsN(df: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String, nProbe: Int): DataFrame = {
+    val c = centroids.select(col(idCol).as("cid"), col(embCol).as("cemb"))
+    val assigned = withNorm(df, idCol, embCol)
+      .crossJoin(broadcast(c))
+      .withColumn("dist", sqDist("embedding", "cemb"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dist").asc, col("cid").asc)
+    assigned
+      .withColumn("probe_rn", row_number().over(w))
+      .filter(col("probe_rn") <= nProbe)
+      .select(col(idCol), col("embedding"), col("nrm"), col("cid").as("cell"))
+  }
+
+  /** Deterministic seeded k-means centroids as pure DataFrame ops
+    * (no collect, no RNG): seeds are the `k` lowest-id vectors,
+    * then `iters` Lloyd iterations of broadcast-assign → per-(cell,
+    * coordinate) mean. Coordinates are summed as e6 fixed-point BIGINTs
+    * — integer addition is associative, so the resulting centroids are
+    * bit-identical regardless of partition order (and reproducible by
+    * any engine, which is how the DuckDB oracle re-derives them).
+    * Each iteration is one narrow broadcast pass over the corpus plus a
+    * (cell, pos) shuffle of quantized coordinates; at scale, train on a
+    * sampled slice (`df.sample`) and assign the full corpus — the
+    * assignment pass, not training, is the 100 TB cost. Cells that lose
+    * all members drop out (k shrinks), ties to the lowest cell id. */
+  def trainCentroids(df: DataFrame, idCol: String, embCol: String,
+      k: Int, iters: Int = 2): DataFrame = {
+    var cents = df.filter(col(idCol) < k)
+      .select(col(idCol).as(idCol), col(embCol).as(embCol))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(df, cents, idCol, embCol)
+      val sums = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as("s"),
+          count(lit(1)).as("c"))
+      cents = sums
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") / 1e6 / col("c")).as("v")))).as("pv"))
+        .select(col("cell").as(idCol), expr("transform(pv, x -> x.v)").as(embCol))
+    }
+    cents
+  }
+
   /** IVF approximate top-k: vectors are bucketed into inverted-file
-    * cells by nearest centroid; a query searches only its own cell
-    * (nProbe = 1), joined on the cell key. The second of the two ANN
-    * structures (vs [[annTopK]]'s LSH sign buckets): cells follow the
-    * data distribution, buckets are data-independent. */
+    * cells by nearest centroid; a query searches its `nProbe` nearest
+    * cells, joined on the cell key (each corpus vector lives in exactly
+    * one cell, so a (query, neighbor) pair surfaces at most once). The
+    * second of the two ANN structures (vs [[annTopK]]'s LSH sign
+    * buckets): cells follow the data distribution, buckets are
+    * data-independent. Pass [[trainCentroids]] output for real cells. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      idCol: String, embCol: String, k: Int): DataFrame = {
-    val q = assignCells(queries, centroids, idCol, embCol)
+      idCol: String, embCol: String, k: Int, nProbe: Int = 1): DataFrame = {
+    val q = assignCellsN(queries, centroids, idCol, embCol, nProbe)
       .withColumnRenamed("cell", "qcell")
     val n = assignCells(corpus, centroids, idCol, embCol)
       .withColumnRenamed("cell", "ncell")
