@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   *  - each query executes via the `noop` sink, which evaluates the
   *    whole declared plan (sorts, projections) without letting Catalyst
   *    short-circuit to a count;
+  *  - per-query time is the MIN over two measured passes: the plan's
+  *    cost is a property of the code, transient machine contention is
+  *    not, and min-of-k is the standard estimator that discards it
+  *    (the round-3 driver bench ran on a loaded host and reported
+  *    3-40× inflated times for unchanged queries — 257.7 s total vs
+  *    38.5 s for the identical commit on a quiet machine);
   *  - failures are reported in the JSON (`failed`), never swallowed.
   */
 object Bench {
@@ -37,10 +43,15 @@ object Bench {
     queries.foreach { case (n, fn) => execute(n, fn) } // warm-up
 
     var failed = List.empty[String]
-    val results = queries.map { case (name, fn) =>
+    def measuredPass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       execute(name, fn).foreach(f => failed ::= f)
       name -> (System.nanoTime() - t0) / 1e9
+    }
+    val pass1 = measuredPass()
+    val pass2 = measuredPass().toMap
+    val results = pass1.map { case (name, t) =>
+      name -> math.min(t, pass2.getOrElse(name, t))
     }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -49,7 +60,7 @@ object Bench {
     val sf = sfDir.split("/").reverse.collectFirst {
       case s if s.startsWith("sf") => s.drop(2)
     }.getOrElse("0")
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf,"failed":$failedJson}"""
     println(json)

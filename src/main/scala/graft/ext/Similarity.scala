@@ -47,11 +47,17 @@ object Similarity {
     * bucket occupancy stays ~`targetOccupancy` regardless of corpus
     * size (VERDICT r2 #1: a fixed 8-bit bucket means candidate volume
     * ~n²/256 forever — the bits must grow with n). ceil(log2(n/target)),
-    * clamped to [2, 16]. */
-  def bitsFor(corpusSize: Long, targetOccupancy: Long = 1024L): Int = {
+    * clamped to [2, half/tables] — the upper clamp is the
+    * [[signBucketTable]] coordinate-pair budget ((t+1)·bits ≤ half for
+    * every table), so the derived bits always plan with the `tables`
+    * the caller will pass to [[annTopK]]/[[embedNearDupPairs]]
+    * (ADVICE r3: a 16-bit clamp with tables=3 threw at plan time). */
+  def bitsFor(corpusSize: Long, targetOccupancy: Long = 1024L,
+      tables: Int = 3, half: Int = 32): Int = {
+    val maxBits = math.max(2, half / math.max(1, tables))
     val buckets = math.max(1L, corpusSize / math.max(1L, targetOccupancy))
     val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1))
-    math.min(16, math.max(2, ceilLog2))
+    math.min(maxBits, math.max(2, ceilLog2))
   }
 
   /** One sign-bucket table: table `t` draws its `bits` hyperplanes from

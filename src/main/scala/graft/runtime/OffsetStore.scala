@@ -31,11 +31,24 @@ final class OffsetStore(spark: SparkSession, checkpointDir: String) {
     out.close()
     // single-step overwriting rename: the previous offset survives every
     // crash point (the delete-then-rename alternative has a window where
-    // no offset exists at all, weakening the torn-value contract below)
-    val conf = spark.sessionState.newHadoopConf()
-    val fc = FileContext.getFileContext(f.makeQualified(dir).toUri, conf)
-    fc.rename(f.makeQualified(tmp), f.makeQualified(new Path(dir, key)),
-      Options.Rename.OVERWRITE)
+    // no offset exists at all, weakening the torn-value contract below).
+    // FileContext needs an AbstractFileSystem binding for the scheme
+    // (present for file/hdfs/viewfs; s3a only with
+    // fs.AbstractFileSystem.s3a.impl configured) — schemes without one
+    // fall back to delete+rename, trading the no-offset crash window
+    // for working at all on that filesystem (ADVICE r3).
+    val dest = new Path(dir, key)
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val fc = FileContext.getFileContext(f.makeQualified(dir).toUri, conf)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(dest),
+        Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        f.delete(dest, false)
+        if (!f.rename(tmp, dest))
+          throw new java.io.IOException(s"offset rename failed: $tmp -> $dest")
+    }
   }
 
   def read(key: String): Option[String] = {

@@ -23,6 +23,18 @@ object KeyedJsonSink {
       pathColumn: String = "path",
       timestampColumn: String = "timestamp",
       bodyColumn: String = "body"): Unit = {
+    // validate the path values BEFORE anything is staged (ADVICE r3:
+    // throwing mid-rename left a poisoned __path= dir under the root
+    // that every later batch re-globbed). One O(distinct paths)
+    // aggregation — the same cardinality as the rename loop below.
+    val bad = df.select(col(pathColumn).as("p")).distinct()
+      .filter(!isSafeRelativePathCol(col("p")))
+      .limit(5).collect().map(_.getString(0))
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unsafe sink path(s) from data (absolute or dotted segment), " +
+          s"nothing written: ${bad.mkString("'", "', '", "'")}")
+
     df.select(
         col(pathColumn).as("__path"),
         col(timestampColumn).as("timestamp"),
@@ -37,7 +49,14 @@ object KeyedJsonSink {
     val fs = root.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
     fs.globStatus(new Path(s"$rootPath/__path=*")).foreach { d =>
       val raw = unescapePathName(d.getPath.getName.stripPrefix("__path="))
-      requireSafeRelativePath(raw)
+      // defense in depth: the pre-write gate makes this unreachable for
+      // this batch's rows, but a dir left by an OLDER (pre-gate) run
+      // must not wedge the sink — quarantine it and keep going
+      if (!isSafeRelativePath(raw)) {
+        val qdir = new Path(root, "_rejected")
+        fs.mkdirs(qdir)
+        fs.rename(d.getPath, new Path(qdir, d.getPath.getName))
+      } else {
       val dest = new Path(root, raw)
       if (!fs.exists(dest)) {
         fs.mkdirs(dest.getParent)
@@ -48,19 +67,33 @@ object KeyedJsonSink {
         }
         fs.delete(d.getPath, true)
       }
+      }
     }
   }
 
   /** Path values come from the DATA, so validate before using them as
     * directories: an absolute path or a `.`/`..` segment would resolve
     * outside the sink root — a data-driven path traversal on write. */
-  private[graft] def requireSafeRelativePath(raw: String): Unit = {
+  private[graft] def isSafeRelativePath(raw: String): Boolean = {
     val absolute = raw.startsWith("/") || raw.startsWith("\\") ||
       raw.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*") // URI scheme / drive letter
     val dotted = raw.split("[/\\\\]").exists(s => s == "." || s == "..")
-    if (absolute || dotted || raw.isEmpty)
+    !(absolute || dotted || raw.isEmpty)
+  }
+
+  private[graft] def requireSafeRelativePath(raw: String): Unit =
+    if (!isSafeRelativePath(raw))
       throw new IllegalArgumentException(
         s"unsafe sink path from data (absolute or dotted segment): '$raw'")
+
+  /** Column form of [[isSafeRelativePath]] — evaluated distributed in
+    * the pre-write gate. Semantics must match the Scala predicate. */
+  private[graft] def isSafeRelativePathCol(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val absolute = c.startsWith("/") || c.startsWith("\\") ||
+      c.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+    val dotted = exists(split(c, "[/\\\\]"), s => s === "." || s === "..")
+    !(absolute || dotted || c === "" || c.isNull)
   }
 
   /** Invert Hive partition-value escaping (`%xx` sequences) so the raw

@@ -194,7 +194,12 @@ final class ChangeTrackingSource(
 final class ChangeTrackingPoller(
     source: ChangeTrackingSource,
     store: graft.runtime.OffsetStore,
-    offsetKey: String = "ct-version") {
+    offsetKey: String = "ct-version",
+    // bounded because a deliver that runs NO action never completes the
+    // observation future — every idle poll pays this in full. Raise it
+    // on drivers with a lagging listener bus (commit-skips are logged).
+    observeTimeout: scala.concurrent.duration.FiniteDuration =
+      scala.concurrent.duration.Duration(5, "s")) {
 
   import org.apache.spark.sql.Observation
   import org.apache.spark.sql.functions.{col, max}
@@ -219,11 +224,21 @@ final class ChangeTrackingPoller(
     deliver(df)
     // the metrics listener is async: give it a bounded moment after the
     // delivery action completed (a deliver that ran no action never
-    // completes the future and commits nothing)
+    // completes the future and commits nothing). A timeout is LOGGED,
+    // not silent (ADVICE r3): sustained listener-bus lag otherwise
+    // looked like an idle source while every poll redelivered the same
+    // changes. `observeTimeout` is constructor-configurable for loaded
+    // drivers; at-least-once holds either way.
     val row = try {
-      Some(scala.concurrent.Await.result(
-        obs.future, scala.concurrent.duration.Duration(2, "s")))
-    } catch { case _: java.util.concurrent.TimeoutException => None }
+      Some(scala.concurrent.Await.result(obs.future, observeTimeout))
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        System.err.println(
+          s"[graft][warn] CT observation for '$offsetKey' did not arrive " +
+            s"within $observeTimeout — commit skipped, changes will be " +
+            "redelivered next poll (listener bus lagging?)")
+        None
+    }
     val maxVersion = row
       .filterNot(_.isNullAt(0))
       .map(r => r.get(0) match {

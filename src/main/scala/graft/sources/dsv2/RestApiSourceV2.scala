@@ -41,7 +41,10 @@ import graft.sources.RestSource
   * `totalPagesKeyChain` (dot-separated), `fetcherClass`,
   * `pagesPerPartition` (default 8), `maxSweeps` (stop advancing offsets
   * after N sweeps — backfill/test bound; default unbounded),
-  * `startPage` (default 1).
+  * `startPage` (default 1), `forceSweepEvery` (run a full sweep after N
+  * consecutive idle-skipped triggers even if the probe signature is
+  * unchanged — bounds the staleness window of the idle guard; default
+  * 10, ≤ 0 disables the idle guard entirely so every trigger sweeps).
   */
 class RestApiTableProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -98,6 +101,8 @@ final class RestMicroBatchStream(props: util.Map[String, String])
   private val maxSweeps =
     Option(props.get("maxSweeps")).map(_.toLong).getOrElse(Long.MaxValue)
   private val startPage = Option(props.get("startPage")).map(_.toLong).getOrElse(1L)
+  private val forceSweepEvery =
+    Option(props.get("forceSweepEvery")).map(_.toInt).getOrElse(10)
 
   private def require(key: String): String =
     Option(props.get(key)).getOrElse(
@@ -112,24 +117,41 @@ final class RestMicroBatchStream(props: util.Map[String, String])
   // commit for WAL recovery.
   @volatile private var advanced = 0L
   // signature of the API when the last sweep was planned: (totalPages,
-  // first-page body hash) — an unchanged signature means an idle API,
-  // so the next trigger plans NO sweep instead of re-fetching everything
-  @volatile private var lastSweepSignature: Option[(Long, Int)] = None
-  // sweep → (page count, probe body hash): Spark may plan the same batch
+  // md5(first page) + md5(LAST page)) — an unchanged signature means an
+  // idle API, so the next trigger plans NO sweep instead of re-fetching
+  // everything. The last page is part of the signature because
+  // oldest-first APIs append new items to the final page while page 1
+  // and the page count stay byte-identical (ADVICE r3); the 128-bit
+  // digest replaces the collision-prone 32-bit String.hashCode.
+  @volatile private var lastSweepSignature: Option[(Long, String)] = None
+  // consecutive triggers the idle guard suppressed; at forceSweepEvery
+  // a full sweep runs regardless, bounding how long a signature-blind
+  // change (digest collision, mid-range page edit) can be missed
+  @volatile private var idleSkips = 0
+  // sweep → (page count, probe digest): Spark may plan the same batch
   // several times (planning, execution, recovery); the sizing probe runs
   // once per sweep. Entries ≤ the committed sweep are evicted in commit().
   private val probeCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, (Long, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[Long, (Long, String)]()
 
-  private def probe(sweep: Long): (Long, Int) =
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def probe(sweep: Long): (Long, String) =
     probeCache.computeIfAbsent(sweep, _ => {
-      val body = RestApiTableV2.fetcher(fetcherClass)
+      val fetch = RestApiTableV2.fetcher(fetcherClass)
+      def page(p: Long): String = fetch
         .fetch(RestSource.resolveTemplate(uriTemplate,
-          Map("page" -> startPage.toString)), Map.empty, None)
+          Map("page" -> p.toString)), Map.empty, None)
         .getOrElse(throw new graft.sources.TransientFetchException(uriTemplate, 1))
-      val totalPages = RestSource.keyChain(RestSource.parseJson(body), totalPagesKeyChain)
+      val firstBody = page(startPage)
+      val totalPages = RestSource.keyChain(RestSource.parseJson(firstBody), totalPagesKeyChain)
         .map(_.asLong(1L)).getOrElse(1L)
-      (totalPages, body.hashCode)
+      val lastDigest =
+        if (totalPages > 1) md5Hex(page(startPage + totalPages - 1)) else ""
+      (totalPages, md5Hex(firstBody) + lastDigest)
     })
 
   override def initialOffset(): Offset = RestSweepOffset(0L)
@@ -143,10 +165,14 @@ final class RestMicroBatchStream(props: util.Map[String, String])
     if (advanced >= maxSweeps) return RestSweepOffset(advanced)
     val next = advanced + 1
     val sig = probe(next)
-    if (advanced >= 1 && lastSweepSignature.contains(sig)) {
+    val guardEnabled = forceSweepEvery > 0
+    val mustSweep = !guardEnabled || idleSkips + 1 >= forceSweepEvery
+    if (guardEnabled && !mustSweep && advanced >= 1 && lastSweepSignature.contains(sig)) {
       probeCache.remove(next) // stale by next trigger: re-probe then
+      idleSkips += 1
       RestSweepOffset(advanced)
     } else {
+      idleSkips = 0
       lastSweepSignature = Some(sig)
       advanced = next
       RestSweepOffset(next)

@@ -189,7 +189,18 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
   it should "derive bits from corpus size for constant expected occupancy" in {
     Similarity.bitsFor(100L, 1024L) shouldBe 2 // floor
     Similarity.bitsFor(1L << 20, 1024L) shouldBe 10 // 2^10 buckets of ~1024
-    Similarity.bitsFor(1L << 26, 1024L) shouldBe 16 // ceiling clamp
+    // ceiling clamp is the signBucketTable coordinate budget for the
+    // tables the caller will use — (t+1)·bits ≤ half (ADVICE r3: the
+    // old 16-bit clamp threw at plan time with the default 3 tables)
+    Similarity.bitsFor(1L << 26, 1024L) shouldBe 10 // 32 / 3 tables
+    Similarity.bitsFor(1L << 26, 1024L, tables = 2) shouldBe 16
+    Similarity.bitsFor(1L << 40, 1024L, tables = 1) shouldBe 30
+    // the derived bits always plan: every table fits the budget
+    for (t <- 1 to 4; n <- Seq(1L << 10, 1L << 20, 1L << 30)) {
+      val bits = Similarity.bitsFor(n, 1024L, tables = t)
+      noException should be thrownBy
+        Similarity.signBucketKeys("embedding", bits, t)
+    }
     // monotone: more data never means fewer buckets
     val seq = Seq(1L << 12, 1L << 16, 1L << 20, 1L << 24)
       .map(Similarity.bitsFor(_, 1024L))

@@ -36,11 +36,26 @@ class FakeMutableApi extends RestSource.HttpFetch {
     FakeMutableApi.calls.add(uri)
     val page = uri.split("page=")(1).toLong
     val v = FakeMutableApi.version.get()
-    Some(s"""{"meta": {"totalPages": 2}, "items": [{"page": $page, "v": $v}]}""")
+    Some(s"""{"meta": {"totalPages": 3}, "items": [{"page": $page, "v": $v}]}""")
   }
 }
 object FakeMutableApi {
   val calls = new ConcurrentLinkedQueue[String]()
+  val version = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
+/** An oldest-first 3-page API: pages 1-2 are frozen history, new items
+  * land only on the LAST page (the ADVICE r3 scenario a first-page-only
+  * idle signature never sees). */
+class FakeAppendApi extends RestSource.HttpFetch {
+  override def fetch(uri: String, headers: Map[String, String],
+      body: Option[String]): Option[String] = {
+    val page = uri.split("page=")(1).toLong
+    val v = if (page == 3) FakeAppendApi.version.get() else 0L
+    Some(s"""{"meta": {"totalPages": 3}, "items": [{"page": $page, "v": $v}]}""")
+  }
+}
+object FakeAppendApi {
   val version = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
@@ -79,9 +94,10 @@ class RestApiSourceV2Spec extends AnyFlatSpec with Matchers with SparkFixture {
 
       import scala.jdk.CollectionConverters._
       val fetchedPages = FakePagedApi.calls.asScala.toSeq.map(_.split("page=")(1).toLong)
-      // one sizing probe (page 1, cached per sweep) + each page exactly
-      // once across the 3 partition tasks
-      fetchedPages.sorted shouldBe Seq(1L, 1L, 2L, 3L, 4L, 5L)
+      // one sizing probe (pages 1 AND 5 — the idle-guard signature
+      // covers both ends of the sweep, cached per sweep) + each page
+      // exactly once across the 3 partition tasks
+      fetchedPages.sorted shouldBe Seq(1L, 1L, 2L, 3L, 4L, 5L, 5L)
       // the query made real micro-batch progress with our offset JSON
       q.lastProgress.sources.head.endOffset should include("\"sweep\":1")
     } finally q.stop()
@@ -123,6 +139,7 @@ class RestApiSourceV2Spec extends AnyFlatSpec with Matchers with SparkFixture {
       .option("recordKeyChain", "items")
       .option("fetcherClass", classOf[FakeMutableApi].getName)
       .option("maxSweeps", "5")
+      .option("forceSweepEvery", "100000") // keep forced re-sweeps out of THIS test
       .load()
     val schema = StructType(Seq(
       StructField("page", LongType), StructField("v", LongType)))
@@ -133,9 +150,10 @@ class RestApiSourceV2Spec extends AnyFlatSpec with Matchers with SparkFixture {
       .start()
     try {
       q.processAllAvailable()
-      // one sweep ran; the idle guard (unchanged page count + probe
-      // body) blocks re-sweeps, so non-probe pages were fetched ONCE
-      spark.table("rest_v2_idle").count() shouldBe 2
+      // one sweep ran; the idle guard (unchanged page count + first/last
+      // probe bodies) blocks re-sweeps. Page 2 is MID-RANGE — never
+      // probed — so its fetch count is pure sweep activity: exactly one
+      spark.table("rest_v2_idle").count() shouldBe 3
       import scala.jdk.CollectionConverters._
       def page2Fetches = FakeMutableApi.calls.asScala.count(_.contains("page=2"))
       page2Fetches shouldBe 1
@@ -145,14 +163,76 @@ class RestApiSourceV2Spec extends AnyFlatSpec with Matchers with SparkFixture {
       // bump, returning processAllAvailable early — poll until the new
       // sweep lands
       val deadline = System.currentTimeMillis() + 30000
-      while (spark.table("rest_v2_idle").count() < 4 &&
+      while (spark.table("rest_v2_idle").count() < 6 &&
           System.currentTimeMillis() < deadline) {
         q.processAllAvailable(); Thread.sleep(50)
       }
       val out = spark.table("rest_v2_idle").as[(Long, Long)].collect()
-      out.length shouldBe 4 // second sweep delivered
+      out.length shouldBe 6 // second sweep delivered
       out.map(_._2).toSet shouldBe Set(0L, 1L)
       page2Fetches shouldBe 2
+    } finally q.stop()
+  }
+
+  it should "advance when changes land only on the LAST page" in {
+    import spark.implicits._
+    FakeAppendApi.version.set(0L)
+    val stream = spark.readStream
+      .format(classOf[RestApiTableProvider].getName)
+      .option("uriTemplate", "http://api/items?page=@page")
+      .option("totalPagesKeyChain", "meta.totalPages")
+      .option("recordKeyChain", "items")
+      .option("fetcherClass", classOf[FakeAppendApi].getName)
+      .option("maxSweeps", "5")
+      .option("forceSweepEvery", "100000") // the SIGNATURE must catch it, not the fallback
+      .load()
+    val schema = StructType(Seq(
+      StructField("page", LongType), StructField("v", LongType)))
+    val q = stream
+      .select(from_json(col("value"), schema).as("r")).select("r.*")
+      .writeStream.format("memory").queryName("rest_v2_append")
+      .option("checkpointLocation", tempDir("restv2-append-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      spark.table("rest_v2_append").count() shouldBe 3
+      // page 1 and the page count stay byte-identical; only page 3 moves
+      FakeAppendApi.version.incrementAndGet()
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("rest_v2_append").count() < 6 &&
+          System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(50)
+      }
+      val out = spark.table("rest_v2_append").as[(Long, Long)].collect()
+      out.length shouldBe 6 // the last-page change triggered a sweep
+      out.filter(_._1 == 3L).map(_._2).toSet shouldBe Set(0L, 1L)
+    } finally q.stop()
+  }
+
+  it should "force a full re-sweep after N idle-skipped triggers" in {
+    FakePagedApi.calls.clear()
+    val stream = spark.readStream
+      .format(classOf[RestApiTableProvider].getName)
+      .option("uriTemplate", "http://api/items?page=@page")
+      .option("totalPagesKeyChain", "meta.totalPages")
+      .option("recordKeyChain", "items")
+      .option("fetcherClass", classOf[FakePagedApi].getName)
+      .option("maxSweeps", "2")
+      .option("forceSweepEvery", "1") // every trigger sweeps, idle or not
+      .load()
+    val q = stream
+      .writeStream.format("memory").queryName("rest_v2_forced")
+      .option("checkpointLocation", tempDir("restv2-forced-ckpt"))
+      .start()
+    try {
+      // the API never changes, yet the forced re-sweep must override the
+      // idle guard and deliver a second identical sweep (staleness bound)
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.table("rest_v2_forced").count() < 20 &&
+          System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(50)
+      }
+      spark.table("rest_v2_forced").count() shouldBe 20 // 2 sweeps × 10 records
     } finally q.stop()
   }
 
