@@ -81,6 +81,47 @@ object ChangeTrackingQueries {
        | ${mergeKeyTsql(pkColumns, "tq")} AS ${Constants.MergeKeyColumn}
        |FROM [$schemaName].[$tableName] tq""".stripMargin
 
+  /** Bounded, striped delta query for a DSv2 micro-batch: changes with
+    * version in (`fromVersion`, `toVersion`], stripe `stripe` of
+    * `numStripes` by PK checksum. Differences from [[selectDelta]], both
+    * required by Spark's WAL replay contract:
+    *  - the UPPER version is bounded too, so re-planning the same batch
+    *    after recovery returns the same rows even if the server moved on;
+    *  - the frame version column is the literal `toVersion` (the batch's
+    *    end offset), not `CHANGE_TRACKING_CURRENT_VERSION()` at read
+    *    time, for the same reason.
+    * The stripe predicate lets N executors pull disjoint slices of one
+    * delta concurrently — the CHANGETABLE scan is repeated per stripe,
+    * but change tables are version-pruned and small by construction,
+    * while the base-table row fetch (the real cost of a wide delta) is
+    * what parallelizes. */
+  def selectDeltaBounded(
+      schemaName: String,
+      tableName: String,
+      pkColumns: Seq[String],
+      nonPkColumns: Seq[String],
+      fromVersion: Long,
+      toVersion: Long,
+      partitionExpression: Option[String] = None,
+      stripe: Int = 0,
+      numStripes: Int = 1): String = {
+    val stripePred =
+      if (numStripes > 1) {
+        val pks = pkColumns.map(c => s"ct.[$c]").mkString(", ")
+        s" AND ABS(CHECKSUM($pks)) % $numStripes = $stripe"
+      } else ""
+    s"""SELECT ${deltaColumns(pkColumns, nonPkColumns)},
+       | cast($toVersion as bigint) AS ${Constants.ChangeTrackingVersionColumn},
+       | ${mergeKeyTsql(pkColumns, "ct")} AS ${Constants.MergeKeyColumn}
+       |FROM [$schemaName].[$tableName] tq
+       |RIGHT JOIN (SELECT ct.* FROM CHANGETABLE(CHANGES [$schemaName].[$tableName], $fromVersion) ct
+       |  WHERE ct.SYS_CHANGE_VERSION <= $toVersion$stripePred) ct
+       |ON ${matchClause(pkColumns, partitionExpression)}""".stripMargin
+  }
+
+  /** Server's current CT version — the stream's high-water mark probe. */
+  def currentVersion: String = "SELECT CHANGE_TRACKING_CURRENT_VERSION()"
+
   /** Version re-seed after restart: earliest commit inside the lookback
     * window (reference: SqlServerChangeTrackingSource.cs:271-287). */
   def seekVersionByLookback(lookBackSeconds: Long): String =

@@ -44,6 +44,27 @@ class CtSqlShapeSpec extends AnyFlatSpec with Matchers {
     sql should not include "CHANGETABLE" // snapshot reads the base table
   }
 
+  it should "generate a bounded, striped delta for DSv2 batch replay" in {
+    val sql = ChangeTrackingQueries.selectDeltaBounded("dbo", "orders",
+      Seq("id"), Seq("total"), fromVersion = 42L, toVersion = 99L,
+      partitionExpression = None, stripe = 2, numStripes = 4)
+    sql should include("CHANGETABLE(CHANGES [dbo].[orders], 42) ct")
+    // the upper bound makes the batch deterministic under WAL replay
+    sql should include("WHERE ct.SYS_CHANGE_VERSION <= 99")
+    // the frame version is the batch's END OFFSET, not read-time state
+    sql should include("cast(99 as bigint) AS ChangeTrackingVersion")
+    sql should not include "CHANGE_TRACKING_CURRENT_VERSION()"
+    // executor stripes partition the delta by PK checksum
+    sql should include("ABS(CHECKSUM(ct.[id])) % 4 = 2")
+  }
+
+  it should "omit the stripe predicate for a single-stripe bounded delta" in {
+    val sql = ChangeTrackingQueries.selectDeltaBounded("dbo", "orders",
+      Seq("id"), Seq("total"), fromVersion = 0L, toVersion = 7L)
+    sql should not include "CHECKSUM"
+    sql should include("WHERE ct.SYS_CHANGE_VERSION <= 7")
+  }
+
   it should "seek versions from the commit table" in {
     ChangeTrackingQueries.seekVersionAfter(7L) shouldBe
       "SELECT MIN(commit_ts) FROM sys.dm_tran_commit_table WHERE commit_ts > 7"
