@@ -8,7 +8,7 @@ import graft.sources.RestSource._
 /** Port of the reference's PageResolverTests.cs:13-79 sequences plus
   * auth-provider coverage (FixedHeader / DynamicBearer — the
   * reference's AuthenticatedMessageProvider pair). */
-class PageResolverSpec extends AnyFlatSpec with Matchers {
+class PageResolverSpec extends AnyFlatSpec with Matchers with graft.SparkFixture {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private def json(s: String) = Some(mapper.readTree(s))
@@ -106,5 +106,119 @@ class PageResolverSpec extends AnyFlatSpec with Matchers {
     }
     val auth = new DynamicBearerAuth(fetcher, "http://auth", None)
     a[RuntimeException] should be thrownBy auth.headers()
+  }
+
+  it should "send the token request form-encoded when configured (reference .cs:110-119)" in {
+    val seen = new java.util.concurrent.atomic.AtomicReference[(Map[String, String], Option[String])]()
+    val fetcher = new HttpFetch {
+      override def fetch(uri: String, h: Map[String, String], b: Option[String]) = {
+        seen.set((h, b))
+        Some("""{"token": "T1", "expiresIn": 600}""")
+      }
+    }
+    val auth = new DynamicBearerAuth(fetcher, "http://auth",
+      tokenRequestBody = Some("""{"client_id": "c 1", "grant_type": "client_credentials"}"""),
+      tokenRequestContentType = "application/x-www-form-urlencoded")
+    auth.headers() shouldBe Map("Authorization" -> "Bearer T1")
+    val (hdrs, body) = seen.get()
+    hdrs shouldBe Map("Content-Type" -> "application/x-www-form-urlencoded")
+    body shouldBe Some("client_id=c+1&grant_type=client_credentials")
+  }
+
+  it should "reject an unsupported token content type, like the reference" in {
+    val fetcher = new HttpFetch {
+      override def fetch(uri: String, h: Map[String, String], b: Option[String]) =
+        Some("""{"token": "T"}""")
+    }
+    val auth = new DynamicBearerAuth(fetcher, "http://auth",
+      tokenRequestBody = Some("""{"a":"b"}"""), tokenRequestContentType = "text/plain")
+    an[IllegalArgumentException] should be thrownBy auth.headers()
+  }
+
+  it should "use the fixed TTL without consulting the response (reference .cs:79-99)" in {
+    var calls = 0
+    val fetcher = new HttpFetch {
+      override def fetch(uri: String, h: Map[String, String], b: Option[String]) = {
+        calls += 1
+        Some(s"""{"token": "T$calls", "expiresIn": 999999}""")
+      }
+    }
+    var now = 0L
+    val auth = new DynamicBearerAuth(fetcher, "http://auth", None,
+      fixedTtlSeconds = Some(120L), clock = () => now)
+    auth.headers() shouldBe Map("Authorization" -> "Bearer T1")
+    now = 59 * 1000L // within fixed TTL − 60s renewal margin
+    auth.headers() shouldBe Map("Authorization" -> "Bearer T1")
+    now = 61 * 1000L // past it — expiresIn:999999 must NOT have extended the cache
+    auth.headers() shouldBe Map("Authorization" -> "Bearer T2")
+  }
+
+  behavior of "template resolution (RestApiTemplate.cs:33-106)"
+
+  it should "short-circuit to an absolute URI returned by a resolver (.cs:72-79)" in {
+    RestSource.resolveTemplate("http://api/items?page=@page",
+      Map("page" -> "http://api/items?cursor=abc&page=2")) shouldBe
+      "http://api/items?cursor=abc&page=2"
+    // only fields the template references can override it
+    RestSource.resolveTemplate("http://api/items?page=@page",
+      Map("page" -> "7", "unrelated" -> "http://elsewhere/")) shouldBe
+      "http://api/items?page=7"
+    // date-shaped values are NOT absolute URIs
+    RestSource.resolveTemplate("http://api?from=@dateFrom",
+      Map("dateFrom" -> "2026-01-01T00:00:00Z")) shouldBe
+      "http://api?from=2026-01-01T00:00:00Z"
+  }
+
+  behavior of "reference templated-field vocabulary (SimpleUriProvider.cs:47-108)"
+
+  it should "bind declared field names by FIELD TYPE with the reference's date selection" in {
+    import java.time.{Duration, Instant}
+    val fields = Seq(
+      RestSource.TemplatedField("startDate", RestSource.TemplatedFieldType.FilterDateBetweenFrom),
+      RestSource.TemplatedField("endDate", RestSource.TemplatedFieldType.FilterDateBetweenTo),
+      RestSource.TemplatedField("pageNum", RestSource.TemplatedFieldType.ResponsePage))
+    val now = Instant.parse("2026-08-12T10:00:00Z")
+
+    // backfill: from = backFillStartDate
+    RestSource.templatedFieldValues(fields, isBackfilling = true,
+      backfillStart = Instant.parse("2020-01-01T00:00:00Z"),
+      lookBack = Duration.ofHours(6), changeCapture = Duration.ofMinutes(15),
+      isFirstPoll = true, now = now, page = Some("3")) shouldBe Map(
+      "startDate" -> "2020-01-01T00:00:00Z",
+      "endDate" -> "2026-08-12T10:00:00Z",
+      "pageNum" -> "3")
+
+    // first stream poll: from = now − lookBack; later polls: now − changeCapture
+    RestSource.templatedFieldValues(fields, isBackfilling = false,
+      backfillStart = Instant.EPOCH, lookBack = Duration.ofHours(6),
+      changeCapture = Duration.ofMinutes(15), isFirstPoll = true,
+      now = now)("startDate") shouldBe "2026-08-12T04:00:00Z"
+    RestSource.templatedFieldValues(fields, isBackfilling = false,
+      backfillStart = Instant.EPOCH, lookBack = Duration.ofHours(6),
+      changeCapture = Duration.ofMinutes(15), isFirstPoll = false,
+      now = now)("startDate") shouldBe "2026-08-12T09:45:00Z"
+
+    an[IllegalArgumentException] should be thrownBy
+      RestSource.TemplatedField("x", "NOT_A_TYPE")
+  }
+
+  it should "drive a sweep through a custom RESPONSE_PAGE field name" in {
+    val fetched = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val fetcher = new HttpFetch {
+      override def fetch(uri: String, h: Map[String, String], b: Option[String]) = {
+        fetched.add(uri)
+        val p = uri.split("pageNum=")(1).toLong
+        Some(s"""{"meta": {"totalPages": 2}, "items": [{"p": $p}]}""")
+      }
+    }
+    val src = new graft.sources.RestSource(spark, fetcher,
+      RestSource.FixedHeaderAuth(Map.empty),
+      "http://api/items?pageNum=@pageNum",
+      Some(RestSource.PageCountingResolver(Seq("meta", "totalPages"))),
+      recordKeyChain = Seq("items"), pageFieldName = "pageNum")
+    src.sweep(Map.empty).count() shouldBe 2
+    import scala.jdk.CollectionConverters._
+    fetched.asScala.toSeq shouldBe Seq(
+      "http://api/items?pageNum=1", "http://api/items?pageNum=2")
   }
 }

@@ -128,8 +128,9 @@ class StreamingOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Map[String, String], Long)]()
-    val listener = new RowCountListener("s1", "cdm", isBackfilling = false,
-      (m, tags, n) => { emitted.add((m, tags, n)); () })
+    val listener = new RowCountListener("s1", "CdmChangeFeed", isBackfilling = false,
+      (m, tags, n) => { emitted.add((m, tags, n)); () },
+      sourceLocation = "container/path", sourceEntity = "orders")
     spark.streams.addListener(listener)
     val in = MemoryStream[Int]
     val q = in.toDF().writeStream.format("memory").queryName("listener_out")
@@ -147,10 +148,14 @@ class StreamingOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
       val (metric, tags, n) = rowEvents.head
       metric shouldBe "rows.incoming"
       n shouldBe 3L
+      // the reference's exact tag vocabulary (SourceTags.cs:28-38),
+      // kind in CamelCaseToSnakeCase — dashboards match unmodified
       tags shouldBe Map(
-        "arcane.stream_id" -> "s1",
-        "arcane.stream_kind" -> "cdm",
-        "arcane.mode" -> "stream")
+        "arcane.sneaksanddata.com/kind" -> "cdm_change_feed",
+        "arcane.sneaksanddata.com/mode" -> "stream",
+        "arcane.sneaksanddata.com/stream_source_location" -> "container/path",
+        "arcane.sneaksanddata.com/stream_source_entity" -> "orders",
+        "arcane.sneaksanddata.com/stream_id" -> "s1")
     } finally {
       q.stop()
       spark.streams.removeListener(listener)
