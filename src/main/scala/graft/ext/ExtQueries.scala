@@ -511,8 +511,11 @@ object ExtQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
-  // sim_ivf: inverted-file ANN — cells from nearest-centroid
-  // assignment (k=8 deterministic seed centroids), nProbe=1
+  // sim_ivf: inverted-file ANN — cells from TRAINED centroids (one
+  // seeded Lloyd iteration over the k=8 lowest-id seeds, e6 fixed-point
+  // coordinate means so training is bit-reproducible), multi-probe
+  // queries (nProbe=2). The oracle re-derives the identical training in
+  // DuckDB, so the cells themselves are verified, not just the search.
   // ------------------------------------------------------------------
 
   private val SqDistSql =
@@ -520,25 +523,40 @@ object ExtQueries {
 
   def simIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1)
     Similarity.ivfTopK(
-        e.filter(col("vec_id") < 10), e, e.filter(col("vec_id") < 8),
-        "vec_id", "embedding", k = 3)
+        e.filter(col("vec_id") < 10), e, cents,
+        "vec_id", "embedding", k = 3, nProbe = 2)
       .select("query_id", "neighbor_id", "cell", "score_e4", "rnk")
       .orderBy("query_id", "rnk")
   }
 
-  private val simIvfSql =
-    s"""WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
-       |e AS (SELECT vec_id, embedding, $NormSql AS nrm FROM embeddings),
-       |asg AS (
-       |  SELECT vec_id, embedding, nrm, cid AS cell FROM (
+  /** One nearest-centroid assignment CTE body (ties to lowest cid);
+    * rnFilter picks rn = 1 (corpus: one cell each) or rn <= nProbe
+    * (queries: multi-probe). */
+  private def ivfAssignSql(source: String, centroids: String, rnFilter: String): String =
+    s"""SELECT vec_id, embedding, nrm, cid AS cell FROM (
        |    SELECT e.vec_id, e.embedding, e.nrm, c.cid,
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $SqDistSql ASC, c.cid ASC) AS rn
-       |    FROM e CROSS JOIN c) t WHERE rn = 1),
+       |    FROM $source e CROSS JOIN $centroids c) t WHERE $rnFilter""".stripMargin
+
+  private val simIvfSql =
+    s"""WITH c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cemb
+       |  FROM embeddings WHERE vec_id < 8),
+       |e AS (SELECT vec_id, embedding, $NormSql AS nrm FROM embeddings),
+       |a0 AS (${ivfAssignSql("e", "c0", "rn = 1")}),
+       |cs AS (SELECT cell, pos,
+       |    sum(CAST(round(embedding[pos + 1]::DOUBLE * 1000000.0) AS BIGINT)) AS s,
+       |    count(*) AS c
+       |  FROM a0 CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS pos) p
+       |  GROUP BY cell, pos),
+       |c1 AS (SELECT cell AS cid, list(s::DOUBLE / 1000000.0 / c ORDER BY pos) AS cemb
+       |  FROM cs GROUP BY cell),
+       |asg AS (${ivfAssignSql("e", "c1", "rn = 1")}),
+       |qsg AS (${ivfAssignSql("(SELECT * FROM e WHERE vec_id < 10)", "c1", "rn <= 2")}),
        |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.cell AS cell,
        |    cast(round($DotSql / (q.nrm * n.nrm) * 10000) AS BIGINT) AS score_e4
-       |  FROM asg q JOIN asg n ON q.cell = n.cell AND n.vec_id != q.vec_id
-       |  WHERE q.vec_id < 10),
+       |  FROM qsg q JOIN asg n ON q.cell = n.cell AND n.vec_id != q.vec_id),
        |r AS (SELECT query_id, neighbor_id, cell, score_e4,
        |    row_number() OVER (PARTITION BY query_id ORDER BY score_e4 DESC, neighbor_id) AS rnk
        |  FROM p)

@@ -175,6 +175,30 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     out shouldBe Set(0L, 4L) // cell A only — 1 and 3 are in the other cell
   }
 
+  it should "train deterministic centroids that move toward cluster means" in {
+    import spark.implicits._
+    val pad = Seq.fill(62)(0f)
+    val e = embDf(
+      (0L, Seq(10f, 0f) ++ pad),  // seed A
+      (1L, Seq(0f, 10f) ++ pad),  // seed B
+      (2L, Seq(8f, 0f) ++ pad),   // A-cluster
+      (3L, Seq(0f, 8f) ++ pad),   // B-cluster
+      (4L, Seq(6f, 0f) ++ pad))   // A-cluster
+    def train() = Similarity.trainCentroids(e, "vec_id", "embedding", k = 2, iters = 1)
+      .select(col("vec_id"), expr("embedding[0]").as("x"), expr("embedding[1]").as("y"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val c = train()
+    // cell 0's mean over {10, 8, 6} = 8.0; cell 1's over {10, 8} = 9.0
+    c shouldBe Array((0L, 8.0, 0.0), (1L, 0.0, 9.0))
+    train() shouldBe c // integer-sum training is bit-reproducible
+    // multi-probe: a query near the boundary surfaces BOTH cells' members
+    val out = Similarity.ivfTopK(e.filter(col("vec_id") === 2L), e,
+        Similarity.trainCentroids(e, "vec_id", "embedding", k = 2, iters = 1),
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    out shouldBe Set(0L, 1L, 3L, 4L) // nProbe=1 would have hidden 1 and 3
+  }
+
   it should "only compare within sign buckets for ANN" in {
     import spark.implicits._
     // v[i] vs v[i+32]: doc 0/1 share bucket (all bits 1), doc 2 differs
