@@ -137,10 +137,4 @@ object ColumnOps {
       operationColumn: String = Constants.ChangeOperationColumn): DataFrame =
     df.filter(col(operationColumn) =!= "D")
 
-  /** Empty-line filter applied to raw change-feed text: keep lines with
-    * at least one non-whitespace character (reference:
-    * CdmChangeFeedSource.cs:325; `trim` would miss tabs — Spark's trim
-    * strips spaces only). */
-  def nonEmptyLines(df: DataFrame, column: String): DataFrame =
-    df.filter(col(column).rlike("\\S"))
 }

@@ -105,14 +105,4 @@ class ColumnOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
       (1L, Some("v@5")), (2L, Some("v@5")), (3L, None), (4L, None))
   }
 
-  behavior of "nonEmptyLines"
-
-  // the text-mode ingestion guard (reference CdmChangeFeedSource.cs:325);
-  // the CSV read path doesn't need it — Spark's reader skips blank lines
-  it should "drop blank and whitespace-only lines" in {
-    import spark.implicits._
-    val df = Seq("a,1", "", "   ", "\t", "b,2").toDF("line")
-    ColumnOps.nonEmptyLines(df, "line").as[String].collect().toSeq shouldBe
-      Seq("a,1", "b,2")
-  }
 }

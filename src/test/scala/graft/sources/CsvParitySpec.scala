@@ -66,4 +66,21 @@ class CsvParitySpec extends AnyFlatSpec with Matchers with SparkFixture {
   it should "fail loudly on arity mismatch in FAILFAST mode" in {
     an[Exception] should be thrownBy readLine("a,b,c,d", 3)
   }
+
+  it should "skip empty lines in the feed, per reference CdmChangeFeedSource.cs:325" in {
+    // the reference drops IsNullOrEmpty lines from the raw blob text
+    // before parsing; Spark's CSV reader skips truly empty lines
+    // natively, even under FAILFAST — this locks that platform behavior
+    // as the parity guarantee (the standalone filter helper was removed)
+    val dir = tempDir("csv-empty-lines")
+    Files.writeString(Paths.get(dir, "feed.csv"), "a,1\n\nb,2\n\n\nc,3\n")
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType)))
+    val rows = spark.read
+      .options(Map("multiLine" -> "true", "quote" -> "\"", "escape" -> "\"",
+        "header" -> "false", "mode" -> "FAILFAST"))
+      .schema(schema).csv(dir).collect()
+    rows.map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq shouldBe
+      Seq(("a", "1"), ("b", "2"), ("c", "3"))
+  }
 }
