@@ -131,6 +131,14 @@ object ChangeTrackingQueries {
   def seekVersionAfter(version: Long): String =
     s"SELECT MIN(commit_ts) FROM sys.dm_tran_commit_table WHERE commit_ts > $version"
 
+  /** INFORMATION_SCHEMA column-name probe, ordinal order — the schema
+    * surface the reference reads at stage start (SqlServerUtils
+    * GetColumns; SqlServerChangeTrackingSource.cs:467-471). */
+  def selectColumnNames(schemaName: String, tableName: String): String =
+    s"""SELECT COLUMN_NAME FROM INFORMATION_SCHEMA.COLUMNS
+       |WHERE TABLE_SCHEMA = '$schemaName' AND TABLE_NAME = '$tableName'
+       |ORDER BY ORDINAL_POSITION""".stripMargin
+
   /** INFORMATION_SCHEMA primary-key probe (reference:
     * SqlSnippets/GetColumns.sql via SqlServerUtils.cs:20-36). */
   def selectPkColumns(schemaName: String, tableName: String): String =

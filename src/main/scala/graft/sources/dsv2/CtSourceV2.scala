@@ -50,6 +50,10 @@ import graft.sources.ChangeTrackingQueries
   *  - Backfill composes: run [[graft.sources.ChangeTrackingSource.fullLoad]]
   *    as a batch job, then start this stream from the snapshot version
   *    (`startVersion` option).
+  *  - `validateSchemaEvery` = N > 0 probes INFORMATION_SCHEMA every Nth
+  *    trigger and fails the stream with `SchemaMismatchException` when
+  *    the live column set drifts from `schemaDdl` (operator contract:
+  *    restart in backfill) — default off.
   *
   * Delivery is exactly-once per version window under Spark's WAL
   * (at-least-once per ROW if a sink replays an uncommitted batch — the
@@ -244,6 +248,7 @@ final class CtMicroBatchStream(props: util.Map[String, String])
   private val numStripes = opt(props, "numStripes").map(_.toInt).getOrElse(4)
   private val lookBackSeconds = opt(props, "lookBackSeconds").map(_.toLong).getOrElse(86400L)
   private val startVersion = opt(props, "startVersion").map(_.toLong)
+  private val validateSchemaEvery = opt(props, "validateSchemaEvery").map(_.toInt).getOrElse(0)
   private val optionsMap: Map[String, String] = {
     val b = Map.newBuilder[String, String]
     props.forEach((k, v) => b += k -> v)
@@ -267,9 +272,37 @@ final class CtMicroBatchStream(props: util.Map[String, String])
   // latestOffset never regresses below it
   @volatile private var committed = -1L
 
+  // trigger counter for the periodic schema probe (first trigger checks)
+  @volatile private var triggersSinceCheck = -1
+
+  /** Compare the server's live column set to the DECLARED schemaDdl —
+    * a drifted table would otherwise keep streaming with silently-null
+    * columns. Probed via INFORMATION_SCHEMA on the driver; a mismatch
+    * fails the stream with [[graft.model.SchemaMismatchException]],
+    * which the operator exit-code contract maps to a backfill restart
+    * (the CDM source's DriftTicker behavior, extended to CT — the
+    * reference only probes columns at stage start). */
+  private def checkSchema(): Unit = {
+    val server = driverGateway
+      .rows(ChangeTrackingQueries.selectColumnNames(schemaName, tableName))
+      .map(_.head.toString.toLowerCase).toSet
+    val declared = (pkColumns ++ nonPkColumns).map(_.toLowerCase).toSet
+    if (server.nonEmpty && server != declared)
+      throw new graft.model.SchemaMismatchException(
+        s"[$schemaName].[$tableName] drifted: server columns " +
+          s"${server.toSeq.sorted.mkString(",")} vs declared " +
+          s"${declared.toSeq.sorted.mkString(",")}")
+  }
+
   /** One scalar round-trip per trigger; the offset advances ONLY when
-    * the server's version moved, so an idle table plans no batch. */
+    * the server's version moved, so an idle table plans no batch. With
+    * `validateSchemaEvery` = N > 0, every Nth trigger (and the first)
+    * also probes INFORMATION_SCHEMA for column drift. */
   override def latestOffset(): Offset = {
+    if (validateSchemaEvery > 0) {
+      triggersSinceCheck += 1
+      if (triggersSinceCheck % validateSchemaEvery == 0) checkSchema()
+    }
     val cur = driverGateway.scalar(ChangeTrackingQueries.currentVersion).getOrElse(0L)
     CtVersionOffset(math.max(cur, committed))
   }

@@ -24,6 +24,8 @@ class FakeCtServer extends CtGateway {
 
   override def rows(sql: String): Iterator[Seq[Any]] = {
     queries.add(sql)
+    if (sql.contains("INFORMATION_SCHEMA.COLUMNS"))
+      return serverColumns.get().iterator.map(c => Seq[Any](c))
     val m = DeltaShape.findFirstMatchIn(sql).getOrElse(
       throw new IllegalArgumentException(s"unexpected delta SQL: $sql"))
     val from = m.group(1).toLong
@@ -49,6 +51,8 @@ object FakeCtServer {
   val lookbackSeek = new java.util.concurrent.atomic.AtomicReference[java.lang.Long](null)
   val changeLog = new ConcurrentLinkedQueue[Change]()
   val queries = new ConcurrentLinkedQueue[String]()
+  val serverColumns =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Seq("id", "total"))
 
   val DeltaShape =
     """CHANGETABLE\(CHANGES \[dbo\]\.\[orders\], (\d+)\) ct\s*\n\s*WHERE ct\.SYS_CHANGE_VERSION <= (\d+)""".r
@@ -56,6 +60,7 @@ object FakeCtServer {
 
   def reset(): Unit = {
     version.set(0L); lookbackSeek.set(null); changeLog.clear(); queries.clear()
+    serverColumns.set(Seq("id", "total"))
   }
   def commit(id: Long, total: Double, op: String = "U"): Long = {
     val v = version.incrementAndGet()
@@ -186,6 +191,30 @@ class CtSourceV2Spec extends AnyFlatSpec with Matchers with SparkFixture {
       import spark.implicits._
       spark.table("ct_v2_seek").select("SYS_CHANGE_VERSION")
         .as[Long].collect().sorted shouldBe Array(3L)
+    } finally q.stop()
+  }
+
+  it should "fail the stream with SchemaMismatchException when the table drifts" in {
+    FakeCtServer.reset()
+    FakeCtServer.commit(1L, 10.0)
+    val q = ctStream("startVersion" -> "0", "validateSchemaEvery" -> "1")
+      .writeStream.format("memory").queryName("ct_v2_drift")
+      .option("checkpointLocation", tempDir("ctv2-drift-ckpt"))
+      .start()
+    try {
+      q.processAllAvailable()
+      spark.table("ct_v2_drift").count() shouldBe 1 // matching schema streams fine
+
+      // the table gains a column while the stream is live
+      FakeCtServer.serverColumns.set(Seq("id", "total", "discount"))
+      FakeCtServer.commit(2L, 20.0)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(30000)
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(e => e +: chain(e.getCause))
+      chain(ex).exists(_.isInstanceOf[graft.model.SchemaMismatchException]) shouldBe true
     } finally q.stop()
   }
 
