@@ -176,6 +176,81 @@ object ExtQueries {
        |FROM sh ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // text_repetition: Gopher-style repetition quality rule — per doc,
+  // how much of the shingle stream is duplicated (a high duplicate
+  // ratio marks boilerplate/spam pages that depress model quality).
+  // One shuffle on (doc_id, shingle) with map-side combine, then a
+  // per-doc rollup — the minhash signature shape, so it scales the
+  // same way.
+  // ------------------------------------------------------------------
+
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val ex = docs(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleN)
+      .select(col("doc_id"), explode(TextOps.shingles(col("toks"), ShingleN)).as("s"))
+    ex.groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).cast("long").as("n_shingles"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        max(col("c")).cast("long").as("top_count"))
+      // integer arithmetic end-to-end so both engines hash identically
+      .withColumn("dup_ratio_e4",
+        expr("((n_shingles - n_distinct) * 10000) div n_shingles").cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val textRepetitionSql =
+    s"""WITH $TokCte, $ShCte,
+       |exd AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |cnt AS (SELECT doc_id, s, count(*) AS c FROM exd GROUP BY doc_id, s)
+       |SELECT doc_id,
+       |  sum(c)::BIGINT AS n_shingles,
+       |  count(*)::BIGINT AS n_distinct,
+       |  max(c)::BIGINT AS top_count,
+       |  (((sum(c) - count(*)) * 10000) // sum(c))::BIGINT AS dup_ratio_e4
+       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // pipeline_decontaminate: benchmark decontamination — flag corpus
+  // documents sharing ≥ T distinct n-grams with a (small) benchmark
+  // set, the standard pre-training hygiene step. The benchmark shingle
+  // set is BROADCAST, so the corpus never shuffles for the join; the
+  // only corpus-side shuffle is its own distinct-shingle explode.
+  // Benchmark here = docs 0..19 of the corpus itself (deterministic,
+  // oracle-checkable); production passes any shingle set.
+  // ------------------------------------------------------------------
+
+  private val BenchmarkDocs = 20
+  private val DecontamHits = 5
+
+  def pipelineDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val bench = Dedup.shingleRows(
+        d.filter(col("doc_id") < BenchmarkDocs), "doc_id", "text", ShingleN)
+      .select("s").distinct()
+    val corpus = Dedup.shingleRows(
+      d.filter(col("doc_id") >= BenchmarkDocs), "doc_id", "text", ShingleN)
+    corpus.join(broadcast(bench), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+      .filter(col("n_hits") >= DecontamHits)
+      .orderBy("doc_id")
+  }
+
+  private val pipelineDecontaminateSql =
+    s"""WITH $TokCte, $ShCte,
+       |bench AS (SELECT DISTINCT s FROM
+       |  (SELECT unnest(sh) AS s FROM sh WHERE doc_id < $BenchmarkDocs) t),
+       |ex AS (SELECT DISTINCT doc_id, s FROM
+       |  (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= $BenchmarkDocs) t)
+       |SELECT doc_id, count(*)::BIGINT AS n_hits
+       |FROM ex JOIN bench USING (s)
+       |GROUP BY doc_id HAVING count(*) >= $DecontamHits
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // dedup_exact: content-hash groupBy keep-first over a corpus with
   // real duplicates (documents ∪ id-shifted documents)
   // ------------------------------------------------------------------
@@ -699,6 +774,8 @@ object ExtQueries {
     "text_lang_id" -> (textLangId(_, _)),
     "text_chunk" -> (textChunk(_, _)),
     "text_fingerprint" -> (textFingerprint(_, _)),
+    "text_repetition" -> (textRepetition(_, _)),
+    "pipeline_decontaminate" -> (pipelineDecontaminate(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_jaccard" -> (dedupJaccard(_, _)),
@@ -721,6 +798,8 @@ object ExtQueries {
     "text_lang_id" -> textLangIdSql,
     "text_chunk" -> textChunkSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_repetition" -> textRepetitionSql,
+    "pipeline_decontaminate" -> pipelineDecontaminateSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_jaccard" -> dedupJaccardSql,

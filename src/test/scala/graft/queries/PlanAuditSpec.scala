@@ -44,8 +44,17 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
     p should not include "o_totalprice"
   }
 
+  it should "broadcast the benchmark shingle set in decontamination" in {
+    // the corpus side must NEVER shuffle for the join: benchmark
+    // n-grams are metadata-sized, the corpus is the 100 TB side
+    val p = plan("pipeline_decontaminate")
+    p should include("BroadcastHashJoin")
+    p.toLowerCase should not include "sortmergejoin"
+  }
+
   it should "never plan a cartesian or nested-loop for the LSH dedup pipeline" in {
-    Seq("dedup_minhash", "dedup_jaccard", "sim_ann_lsh", "dedup_embed_cosine").foreach { q =>
+    Seq("dedup_minhash", "dedup_jaccard", "sim_ann_lsh", "dedup_embed_cosine",
+      "pipeline_decontaminate", "text_repetition").foreach { q =>
       val p = plan(q).toLowerCase
       withClue(q) {
         p should not include "cartesianproduct"
