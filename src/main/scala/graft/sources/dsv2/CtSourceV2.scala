@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -231,7 +231,7 @@ final case class CtStripePartition(
   extends InputPartition
 
 final class CtMicroBatchStream(props: util.Map[String, String])
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   import CtTableV2.{opt, req}
 
@@ -275,6 +275,16 @@ final class CtMicroBatchStream(props: util.Map[String, String])
   // trigger counter for the periodic schema probe (first trigger checks)
   @volatile private var triggersSinceCheck = -1
 
+  // Trigger.AvailableNow: the high-water version captured at query
+  // start; latestOffset is capped at it so the query drains exactly the
+  // changes that existed when it started, terminates, and ignores
+  // writes that land mid-drain (they belong to the next run). This is
+  // what lets the backfill→stream flip treat a CT stream uniformly.
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(driverGateway.scalar(ChangeTrackingQueries.currentVersion).getOrElse(0L))
+
   /** Compare the server's live column set to the DECLARED schemaDdl —
     * a drifted table would otherwise keep streaming with silently-null
     * columns. Probed via INFORMATION_SCHEMA on the driver; a mismatch
@@ -304,8 +314,14 @@ final class CtMicroBatchStream(props: util.Map[String, String])
       if (triggersSinceCheck % validateSchemaEvery == 0) checkSchema()
     }
     val cur = driverGateway.scalar(ChangeTrackingQueries.currentVersion).getOrElse(0L)
-    CtVersionOffset(math.max(cur, committed))
+    val capped = availableNowTarget.fold(cur)(math.min(cur, _))
+    CtVersionOffset(math.max(capped, committed))
   }
+
+  // admission-control form (the engine calls this one when the trait is
+  // present); CT versions are not row-countable without running the
+  // delta, so limits are advisory — each batch is one version window
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset = {
     val m = "\"version\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(json)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -90,7 +90,7 @@ final case class RestPageRangePartition(
     sweep: Long, firstPage: Long, lastPage: Long) extends InputPartition
 
 final class RestMicroBatchStream(props: util.Map[String, String])
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val uriTemplate = require("uriTemplate")
   private val fetcherClass = require("fetcherClass")
@@ -156,12 +156,24 @@ final class RestMicroBatchStream(props: util.Map[String, String])
 
   override def initialOffset(): Offset = RestSweepOffset(0L)
 
+  // Trigger.AvailableNow: drain exactly ONE full sweep beyond wherever
+  // the stream restored to, then terminate — the reference's backfill
+  // contract (one complete pagination pass). Capping latestOffset at
+  // the captured target is what makes the query terminate instead of
+  // re-sweeping forever under a continuously-changing API.
+  @volatile private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(math.min(advanced + 1, maxSweeps))
+
   /** Each trigger runs one more sweep, up to `maxSweeps` — unless the
     * sizing probe shows the API unchanged since the last planned sweep
     * (same page count AND same first-page body), in which case the
     * offset does not advance and Spark skips the batch entirely (VERDICT
     * r2 #9: an idle API must not burn a full re-sweep per trigger). */
   override def latestOffset(): Offset = {
+    availableNowTarget.foreach { target =>
+      if (advanced >= target) return RestSweepOffset(advanced)
+    }
     if (advanced >= maxSweeps) return RestSweepOffset(advanced)
     val next = advanced + 1
     val sig = probe(next)
@@ -178,6 +190,10 @@ final class RestMicroBatchStream(props: util.Map[String, String])
       RestSweepOffset(next)
     }
   }
+
+  // admission-control form (the engine calls this one when the trait is
+  // present); sweeps are all-or-nothing, so limits are advisory
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset = {
     val m = "\"sweep\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)

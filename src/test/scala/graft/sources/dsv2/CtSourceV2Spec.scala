@@ -194,6 +194,24 @@ class CtSourceV2Spec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally q.stop()
   }
 
+  it should "drain existing changes and terminate under Trigger.AvailableNow" in {
+    import spark.implicits._
+    FakeCtServer.reset()
+    FakeCtServer.commit(1L, 10.0)
+    FakeCtServer.commit(2L, 20.0)
+    FakeCtServer.commit(3L, 30.0)
+    val q = ctStream("startVersion" -> "0")
+      .writeStream.format("memory").queryName("ct_v2_an")
+      .option("checkpointLocation", tempDir("ctv2-an-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // the query must TERMINATE on its own (the AvailableNow contract) …
+    q.awaitTermination(60000) shouldBe true
+    // … having drained every version that existed at start
+    spark.table("ct_v2_an").select("SYS_CHANGE_VERSION")
+      .as[Long].collect().sorted shouldBe Array(1L, 2L, 3L)
+  }
+
   it should "fail the stream with SchemaMismatchException when the table drifts" in {
     FakeCtServer.reset()
     FakeCtServer.commit(1L, 10.0)
