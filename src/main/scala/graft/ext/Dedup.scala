@@ -16,12 +16,39 @@ import org.apache.spark.sql.functions._
   *  4. exact n-gram Jaccard: the precise verification stage, run ONLY
   *     on LSH candidate pairs.
   *
-  * MinHash permutations are `md5(i + "|" + shingle)` hex strings with
-  * lexicographic min — engine-portable (any SQL engine with md5
-  * reproduces the signature bit-for-bit, which is how the DuckDB
-  * oracle verifies us).
+  * MinHash permutations: ONE md5 per shingle, parsed to a 28-bit
+  * integer key, then k universal-hash mixes `(Aᵢ·x + Bᵢ) mod P`
+  * (P = 2³¹−1) with numeric min — engine-portable (any SQL engine with
+  * md5 + integer arithmetic reproduces the signature bit-for-bit, which
+  * is how the DuckDB oracle verifies us) AND hash-aggregatable: LongType
+  * buffers keep the signature aggregation in codegen'd HashAggregate,
+  * where the earlier min-over-hex-string form fell back to
+  * SortAggregate and sorted the whole exploded shingle stream — the
+  * scan-dominant stage at 100 TB. It also cuts the md5 work k-fold
+  * (one digest per shingle instead of one per permutation).
   */
 object Dedup {
+
+  /** Modulus of the universal-hash family: the Mersenne prime 2³¹−1.
+    * Products stay < 2⁵⁹, so the arithmetic never overflows a BIGINT in
+    * any engine (DuckDB raises on 64-bit overflow — wraparound is not
+    * portable). */
+  val MinhashP: Long = 2147483647L
+
+  /** Deterministic per-permutation multipliers/offsets (Knuth
+    * multiplicative constant; values mod P, never 0). */
+  def mixA(i: Int): Long = {
+    val a = (i.toLong * 2654435761L + 1L) % MinhashP
+    if (a == 0L) 1L else a
+  }
+  def mixB(i: Int): Long = (i.toLong * 40503L + 8191L) % MinhashP
+
+  /** 28-bit shingle key: first 7 hex digits of md5, as a BIGINT. */
+  def shingleKey(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  private def mixed(i: Int, x: Column): Column =
+    (x * mixA(i) + mixB(i)) % MinhashP
 
   /** k per-permutation MinHash values over a shingle array column.
     *
@@ -29,11 +56,11 @@ object Dedup {
     * is [[minhashProject]]'s explode→partial-min formulation: nested
     * higher-order functions are interpreted (no codegen) AND Catalyst's
     * ProjectCollapsing re-inlines the whole array build into every
-    * downstream reference, multiplying the md5 work ~12× — measured
+    * downstream reference, multiplying the hash work ~k× — measured
     * 300+ s vs ~3 s on the sf0.1 corpus. */
   def minhashSig(shinglesCol: Column, k: Int): Column =
     array((0 until k).map(i =>
-      array_min(transform(shinglesCol, s => md5(concat(lit(s"$i|"), s))))): _*)
+      array_min(transform(shinglesCol, s => mixed(i, shingleKey(s))))): _*)
 
   /** LSH band keys over a signature array: b bands of r rows each;
     * two docs share a band key iff all r signature slots in the band
@@ -50,13 +77,15 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_" + idCol), count(lit(1)).as("n_copies"))
 
   /** Doc → (id, sig, bands) projection via explode → k partial-min
-    * aggregates: each shingle row feeds k codegen'd `min(md5(i|s))`
-    * accumulators, so every md5 is computed exactly once and the
-    * shuffle moves only (id, k partial mins) after map-side combine —
-    * the signature traffic, not the corpus. The Aggregate is also an
-    * optimizer barrier, so the downstream band-key md5s reference the
-    * materialized h-columns instead of re-inlining the signature build
-    * (see [[minhashSig]]'s scaladoc for why the pure-HOF form loses).
+    * aggregates: each shingle row computes ONE md5 (the 28-bit key) and
+    * feeds k codegen'd `min((Aᵢ·x+Bᵢ) mod P)` accumulators — LongType
+    * buffers, so the whole stage is a hash aggregate (no sort of the
+    * exploded stream) and the shuffle moves only (id, k partial mins)
+    * after map-side combine — the signature traffic, not the corpus.
+    * The Aggregate is also an optimizer barrier, so the downstream
+    * band-key md5s reference the materialized h-columns instead of
+    * re-inlining the signature build (see [[minhashSig]]'s scaladoc for
+    * why the pure-HOF form loses).
     */
   def minhashProject(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3,
@@ -66,8 +95,8 @@ object Dedup {
       .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleN)
       .select(col(idCol), explode(TextOps.shingles(col("toks"), shingleN)).as("s"))
-    val hCols = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+      .select(col(idCol), shingleKey(col("s")).as("x"))
+    val hCols = (0 until k).map(i => min(mixed(i, col("x"))).as(s"h$i"))
     val sig = exploded.groupBy(col(idCol)).agg(hCols.head, hCols.tail: _*)
     val bandCols = (0 until bands).map { j =>
       md5(concat_ws("|",
@@ -155,10 +184,10 @@ object Dedup {
   def minhashFromShingles(exploded: DataFrame, idCol: String,
       k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3): DataFrame = {
     require(bands * rowsPerBand == k, "bands * rowsPerBand must equal k")
-    val hCols = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i")) :+
+    val withKey = exploded.select(col(idCol), shingleKey(col("s")).as("x"))
+    val hCols = (0 until k).map(i => min(mixed(i, col("x"))).as(s"h$i")) :+
       count(lit(1)).as("n_sh")
-    val sig = exploded.groupBy(col(idCol)).agg(hCols.head, hCols.tail: _*)
+    val sig = withKey.groupBy(col(idCol)).agg(hCols.head, hCols.tail: _*)
     val bandCols = (0 until bands).map { j =>
       md5(concat_ws("|",
         (0 until rowsPerBand).map(r => col(s"h${j * rowsPerBand + r}")): _*))

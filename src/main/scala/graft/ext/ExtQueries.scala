@@ -275,17 +275,38 @@ object ExtQueries {
   // dedup_minhash: LSH-banded candidate pairs (no cartesian)
   // ------------------------------------------------------------------
 
+  /** DuckDB mirror of [[Dedup.shingleKey]]'s hex-prefix parse: first 7
+    * hex digits of an md5 string `h` as a BIGINT (positional
+    * strpos-nibble sum — portable to any engine without a hex-parse
+    * builtin). Call sites compute `md5(s)` ONCE and pass the column. */
+  private def hexPrefixKeySql(h: String): String = {
+    val terms = (1 to 7).map { j =>
+      val w = math.pow(16, 7 - j).toLong
+      s"(strpos('0123456789abcdef', substr($h, $j, 1)) - 1) * $w"
+    }
+    terms.mkString("(", " + ", ")::BIGINT")
+  }
+
+  /** DuckDB mirror of one permutation mix (constants shared with
+    * [[Dedup.mixA]]/[[Dedup.mixB]] via the same Scala values). */
+  private def mixSql(i: Int, x: String): String =
+    s"(${Dedup.mixA(i)} * $x + ${Dedup.mixB(i)}) % ${Dedup.MinhashP}"
+
   /** DuckDB CTEs mirroring [[Dedup.minhashProject]]: sig + exploded
-    * band keys. */
+    * band keys. One md5 per shingle (the 28-bit key), k integer mixes. */
   private val SigCtes = {
     val sigList = (0 until MinhashK).map(i =>
-      s"list_aggregate(list_transform(sh, s -> md5('$i|' || s)), 'min')").mkString(",\n    ")
+      s"list_aggregate(list_transform(xs, x -> ${mixSql(i, "x")}), 'min')").mkString(",\n    ")
     val bandList = (0 until LshBands).map { j =>
-      val slots = (1 to LshRows).map(r => s"sig[${j * LshRows + r}]").mkString(" || '|' || ")
+      val slots = (1 to LshRows).map(r => s"sig[${j * LshRows + r}]::VARCHAR")
+        .mkString(" || '|' || ")
       s"md5($slots)"
     }.mkString(", ")
-    s"""sig AS (SELECT doc_id, [
-       |    $sigList] AS sig FROM sh),
+    s"""shx AS (SELECT doc_id,
+       |    list_transform(list_transform(sh, s -> md5(s)), h -> ${hexPrefixKeySql("h")}) AS xs
+       |  FROM sh),
+       |sig AS (SELECT doc_id, [
+       |    $sigList] AS sig FROM shx),
        |band AS (SELECT doc_id, [$bandList] AS bands FROM sig),
        |ex AS (SELECT doc_id, unnest(bands) AS bk FROM band),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -648,8 +669,9 @@ object ExtQueries {
       .select(col("source"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= ShingleN)
       .select(col("source"), explode(TextOps.shingles(col("toks"), ShingleN)).as("s"))
+      .select(col("source"), Dedup.shingleKey(col("s")).as("x"))
     val hCols = (0 until MinhashK).map(i =>
-      min(md5(concat(lit(s"$i|"), col("s")))).as(s"h$i"))
+      min((col("x") * Dedup.mixA(i) + Dedup.mixB(i)) % Dedup.MinhashP).as(s"h$i"))
     val sig = exploded.groupBy(col("source")).agg(hCols.head, hCols.tail: _*)
       .select(col("source"),
         array((0 until MinhashK).map(i => col(s"h$i")): _*).as("sig"))
@@ -663,10 +685,11 @@ object ExtQueries {
 
   private val sourceSimilaritySql = {
     val sigList = (0 until MinhashK).map(i =>
-      s"min(md5('$i|' || s)) AS h$i").mkString(",\n    ")
+      s"min(${mixSql(i, "x")}) AS h$i").mkString(",\n    ")
     s"""WITH $TokCte, $ShCte,
-       |ex AS (SELECT t.source, unnest(sh.sh) AS s
+       |exh AS (SELECT t.source, md5(unnest(sh.sh)) AS h
        |  FROM sh JOIN (SELECT doc_id, source FROM documents) t ON t.doc_id = sh.doc_id),
+       |ex AS (SELECT source, ${hexPrefixKeySql("h")} AS x FROM exh),
        |sig AS (SELECT source,
        |    $sigList
        |  FROM ex GROUP BY source),
