@@ -353,18 +353,23 @@ final class RestSource(
     rateLimiter: Option[graft.runtime.TokenBucket] = None,
     // template name the pagination pointer binds to — "page" by default,
     // or the declared RESPONSE_PAGE field's name (reference vocabulary)
-    pageFieldName: String = "page") {
+    pageFieldName: String = "page",
+    // templated request BODY, resolved against the same values as the
+    // URI and sent with every page request (the reference's
+    // SimpleUriProvider bodyTemplate + POST polling,
+    // SimpleUriProvider.cs:32-41,78-99); None = GET-style, no payload
+    bodyTemplate: Option[String] = None) {
 
   import RestSource._
 
   /** Fetch one page, rate-limited and retrying tolerated transient
     * failures (the reference wraps every pull in its Polly rate-limit
     * policy, RestApiSource.cs:444-447). */
-  private def fetchWithRetry(uri: String): String = {
+  private def fetchWithRetry(uri: String, body: Option[String]): String = {
     var attempt = 0
     while (attempt <= maxRetriesPerPage) {
       rateLimiter.foreach(_.acquire())
-      fetcher.fetch(uri, auth.headers(), None) match {
+      fetcher.fetch(uri, auth.headers(), body) match {
         case Some(body) => return body
         case None =>
           attempt += 1
@@ -396,7 +401,8 @@ final class RestSource(
         while (continue && pages < maxPages && inChunk < pagesPerChunk) {
           val values = templateValues ++ state.pointer.map(pageFieldName -> _).toMap
           val uri = resolveTemplate(uriTemplate, values)
-          val body = fetchWithRetry(uri)
+          val payload = bodyTemplate.map(resolveTemplate(_, values))
+          val body = fetchWithRetry(uri, payload)
           records ++= extractRecords(body, recordKeyChain)
           val lastResponse = Some(RestSource.mapper.readTree(body))
           pages += 1

@@ -231,6 +231,37 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     seq shouldBe seq.sorted
   }
 
+  it should "achieve measurable recall vs exact search on the real embedding table" in {
+    import spark.implicits._
+    // recall@3 of the multi-table LSH against exact brute force over
+    // the 500-vector test corpus — a real quality measurement, not a
+    // fixture: if the bucketing were broken (e.g. all vectors in one
+    // bucket, or none colliding) this either collapses to 0 or the
+    // candidate count explodes.
+    val e = graft.queries.QueryKit.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 30)
+    val k = 3
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSet(Similarity.cosineTopK(queries, e, "vec_id", "embedding", k))
+    val ann = topSet(Similarity.annTopK(queries, e, "vec_id", "embedding", k,
+      bits = Similarity.bitsFor(500, targetOccupancy = 64), tables = 3))
+    val recalls = exact.map { case (q, ex) =>
+      ann.get(q).fold(0.0)(a => a.intersect(ex).size.toDouble / ex.size)
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // deterministic corpus + deterministic hyperplanes → a fixed number;
+    // the floor guards the GEOMETRY (any bucketing regression tanks it)
+    meanRecall should be >= 0.30
+    // and the ANN must actually be approximate — candidate volume far
+    // below the 30×499 exact comparisons
+    val nCandidates = Similarity.annTopK(queries, e, "vec_id", "embedding", k = 500,
+      bits = Similarity.bitsFor(500, targetOccupancy = 64), tables = 3).count()
+    nCandidates.toDouble should be < 0.5 * 30 * 499
+  }
+
   it should "surface a pair through ANY table (OR-construction recall)" in {
     import spark.implicits._
     // a and b DISAGREE on table 0's coordinate pairs (1..8 vs 33..40)

@@ -202,6 +202,30 @@ class PageResolverSpec extends AnyFlatSpec with Matchers with graft.SparkFixture
       RestSource.TemplatedField("x", "NOT_A_TYPE")
   }
 
+  it should "resolve and send a templated request body per page (SimpleUriProvider.cs:32-41)" in {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Option[String])]()
+    val fetcher = new HttpFetch {
+      override def fetch(uri: String, h: Map[String, String], b: Option[String]) = {
+        seen.add((uri, b))
+        val p = uri.split("page=")(1).toLong
+        Some(s"""{"meta": {"totalPages": 2}, "items": [{"p": $p}]}""")
+      }
+    }
+    val src = new graft.sources.RestSource(spark, fetcher,
+      RestSource.FixedHeaderAuth(Map.empty),
+      "http://api/search?page=@page",
+      Some(RestSource.PageCountingResolver(Seq("meta", "totalPages"))),
+      recordKeyChain = Seq("items"),
+      bodyTemplate = Some("""{"from": "@dateFrom", "page": @page}"""))
+    src.sweep(Map("dateFrom" -> "2026-01-01T00:00:00Z")).count() shouldBe 2
+    import scala.jdk.CollectionConverters._
+    seen.asScala.toSeq shouldBe Seq(
+      ("http://api/search?page=1",
+        Some("""{"from": "2026-01-01T00:00:00Z", "page": 1}""")),
+      ("http://api/search?page=2",
+        Some("""{"from": "2026-01-01T00:00:00Z", "page": 2}""")))
+  }
+
   it should "drive a sweep through a custom RESPONSE_PAGE field name" in {
     val fetched = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val fetcher = new HttpFetch {
