@@ -44,6 +44,20 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
     p should not include "o_totalprice"
   }
 
+  it should "scan the corpus ONCE at runtime in the verify-bearing dedup pipeline" in {
+    // the shared distinct-shingle subtree only pays off if AQE's
+    // exchange reuse actually fires at RUNTIME — assert it on the
+    // adaptive FINAL plan (executedPlan after an action; its toString
+    // appends an '== Initial Plan ==' section, which is pre-reuse and
+    // must be excluded)
+    val df = graft.SparkEntry.queries("dedup_jaccard")(spark, dir)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    "FileScan parquet".r.findAllIn(finalPlan).size shouldBe 1
+    "ReusedExchange".r.findAllIn(finalPlan).size should be >= 3
+  }
+
   it should "broadcast the benchmark shingle set in decontamination" in {
     // the corpus side must NEVER shuffle for the join: benchmark
     // n-grams are metadata-sized, the corpus is the 100 TB side

@@ -16,9 +16,19 @@ object ExplainMain {
     if (time) {
       for (i <- 1 to 3) {
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
+        val run = graft.SparkEntry.queries(name)(spark, dir)
+        run.write.format("noop").mode("overwrite").save()
         println(f"[time] $name pass$i ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        if (i == 1) {
+          // collect() executes THIS QueryExecution (write.save() builds
+          // its own), so the adaptive final plan carries reuse markers
+          val probe = graft.SparkEntry.queries(name)(spark, dir)
+          probe.collect()
+          val finalPlan = probe.queryExecution.executedPlan.toString
+          val reused = "ReusedQueryStage|ReusedExchange".r.findAllIn(finalPlan).size
+          val scans = "Scan parquet".r.findAllIn(finalPlan).size
+          println(s"[reuse] final plan: $reused reuse markers, $scans scans")
+        }
       }
     }
     spark.stop()
