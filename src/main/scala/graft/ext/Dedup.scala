@@ -117,11 +117,27 @@ object Dedup {
     * candidate rows as `n_sh_a`/`n_sh_b`, so the verify stage needs no
     * count joins — and keeping the count referenced is what preserves
     * the shared distinct-shingle subtree (see [[minhashFromShingles]]). */
-  def minhashCandidates(projected: DataFrame, idCol: String, k: Int = 12): DataFrame = {
+  def minhashCandidates(projected: DataFrame, idCol: String, k: Int = 12,
+      maxBucket: Int = 0): DataFrame = {
     val hasN = projected.columns.contains("n_sh")
-    val ex = projected.select(
+    val exAll = projected.select(
       Seq(col(idCol), col("sig")) ++ (if (hasN) Seq(col("n_sh")) else Nil) :+
         explode(col("bands")).as("bk"): _*)
+    // skew guard (off when maxBucket <= 0): a band bucket with m members
+    // yields m·(m−1)/2 candidate pairs inside ONE join partition — a
+    // degenerate bucket (boilerplate corpora hashing thousands of docs
+    // to the same band) is an n² hot spot no cluster size fixes. Such
+    // buckets are also uninformative (the band agrees for a huge crowd),
+    // so standard LSH practice drops them, like stop-shingle removal.
+    // Cost: one extra count aggregate on the (small) band-key stream;
+    // the over-cap set is ≤ totalBandRows/maxBucket rows, so AQE picks
+    // a broadcast anti-join in any realistic geometry.
+    val ex =
+      if (maxBucket <= 0) exAll
+      else {
+        val sizes = exAll.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n"))
+        exAll.join(sizes.filter(col("bucket_n") > maxBucket), Seq("bk"), "left_anti")
+      }
     val a = ex.alias("a")
     val b = ex.alias("b")
     a.join(b, col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))

@@ -231,6 +231,27 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     seq shouldBe seq.sorted
   }
 
+  it should "drop degenerate band buckets under the skew cap without touching normal pairs" in {
+    import spark.implicits._
+    // 40 docs with IDENTICAL text → every band bucket holds all 40 →
+    // 780 pairs from one hot bucket; plus one genuine near-dup pair
+    // with distinctive text
+    val boiler = (0L until 40L).map(i =>
+      (i, "the same boilerplate footer text repeated on every single page here"))
+    val pair = Seq(
+      (100L, "completely different unique document about distributed query engines"),
+      (101L, "completely different unique document about distributed query engine"))
+    val proj = Dedup.minhashProject((boiler ++ pair).toDF("doc_id", "text"), "doc_id", "text")
+    // uncapped: the hot bucket explodes into 780 boilerplate pairs
+    Dedup.minhashCandidates(proj, "doc_id")
+      .count() should be >= 780L
+    // capped at 10: the degenerate bucket is dropped entirely, the
+    // genuine near-dup pair survives
+    val capped = Dedup.minhashCandidates(proj, "doc_id", maxBucket = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    capped shouldBe Set((100L, 101L))
+  }
+
   it should "achieve measurable recall vs exact search on the real embedding table" in {
     import spark.implicits._
     // recall@3 of the multi-table LSH against exact brute force over
