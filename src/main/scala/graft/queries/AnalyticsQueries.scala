@@ -260,6 +260,42 @@ object AnalyticsQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Per-user session windows (30-minute inactivity gap) over the
+    * events table — the third windowed-aggregation shape beside
+    * tumbling and frame windows. Spark's `session_window` keyword
+    * (merge-on-overlap, end = last event + gap) against a DuckDB
+    * gaps-and-islands oracle: a new session starts when the gap to the
+    * previous event is ≥ the timeout (Spark merges strictly-before-end
+    * only), sessions numbered by a running sum. */
+  def eventsSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("evt_ts", tsMicros("ts"))
+      .groupBy(session_window(col("evt_ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  val eventsSessionWindowSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(new_session) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM g)
+      |SELECT user_id,
+      |  min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Semi-join: orders from customers with positive balance. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
@@ -416,6 +452,7 @@ object AnalyticsQueries {
     "set_except" -> setExcept,
     "agg_rollup" -> rollupCustomers,
     "events_tumbling_window" -> eventsTumbling,
+    "events_session_window" -> eventsSessionWindow,
     "join_semi" -> semiJoin)
 
   val oracles: Map[String, String] = Map(
@@ -436,5 +473,6 @@ object AnalyticsQueries {
     "set_intersect" -> setIntersectSql,
     "agg_rollup" -> rollupCustomersSql,
     "events_tumbling_window" -> eventsTumblingSql,
+    "events_session_window" -> eventsSessionWindowSql,
     "join_semi" -> semiJoinSql)
 }

@@ -162,7 +162,7 @@ class RestApiSourceV2Spec extends AnyFlatSpec with Matchers with SparkFixture {
       // an in-flight idle trigger can signal no-new-data just after the
       // bump, returning processAllAvailable early — poll until the new
       // sweep lands
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 90000
       while (spark.table("rest_v2_idle").count() < 6 &&
           System.currentTimeMillis() < deadline) {
         q.processAllAvailable(); Thread.sleep(50)
@@ -198,7 +198,7 @@ class RestApiSourceV2Spec extends AnyFlatSpec with Matchers with SparkFixture {
       spark.table("rest_v2_append").count() shouldBe 3
       // page 1 and the page count stay byte-identical; only page 3 moves
       FakeAppendApi.version.incrementAndGet()
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 90000
       while (spark.table("rest_v2_append").count() < 6 &&
           System.currentTimeMillis() < deadline) {
         q.processAllAvailable(); Thread.sleep(50)
@@ -227,7 +227,7 @@ class RestApiSourceV2Spec extends AnyFlatSpec with Matchers with SparkFixture {
     try {
       // the API never changes, yet the forced re-sweep must override the
       // idle guard and deliver a second identical sweep (staleness bound)
-      val deadline = System.currentTimeMillis() + 30000
+      val deadline = System.currentTimeMillis() + 90000
       while (spark.table("rest_v2_forced").count() < 20 &&
           System.currentTimeMillis() < deadline) {
         q.processAllAvailable(); Thread.sleep(50)
