@@ -1,0 +1,120 @@
+package graft.runtime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.{ExitCodes, StreamContext, StreamSpec}
+import graft.sinks.{ArcaneParquetSink, SinkConfig}
+
+/** The hosting program — the reference's Program.cs + StreamRunnerService
+  * composition root: deserialize the stream identity and spec from the
+  * `STREAMCONTEXT__*` environment contract, dispatch on `STREAM_KIND`
+  * to a registered graph builder, run the backfill→stream lifecycle,
+  * and exit with the operator code contract ([[graft.model.ExitCodes]]).
+  *
+  * A container image built on this main is a drop-in replacement for a
+  * reference stream pod: same env contract, same exit codes, same
+  * COMPLETED-token discipline (via [[ArcaneParquetSink]]).
+  *
+  * Built-in kinds (spec fields in parentheses; all sink through the
+  * arcane blob layout at `sinkPath` with the checkpoint at
+  * `checkpointPath`):
+  *  - `rest` — DSv2 REST stream (`uriTemplate`, `fetcherClass`,
+  *    `recordKeyChain`, `totalPagesKeyChain`, `pagesPerPartition`,
+  *    `maxSweeps`, `forceSweepEvery`);
+  *  - `ct` — DSv2 Change Tracking stream (`gatewayClass`, `schemaName`,
+  *    `tableName`, `pkColumns`, `schemaDdl`, `numStripes`,
+  *    `lookBackSeconds`, `startVersion`, `validateSchemaEvery`, plus
+  *    pass-through `url` / `jdbc.*` for [[graft.sources.dsv2.JdbcCtGateway]]);
+  *  - `cdm` — CDM change-feed file stream (`rootPath`, `entityName`,
+  *    `maxFilesPerTrigger`).
+  * Additional kinds register through the `extraKinds` parameter of
+  * [[GraftMain.run]] — the reference's plugin seam.
+  */
+object GraftMain {
+
+  /** A graph builder that reads a (streaming) DataFrame per the spec
+    * and lands it in the arcane layout with token publication. */
+  private final class ArcaneSinkGraph(
+      mkStream: (StreamContext, StreamSpec, SparkSession) => DataFrame)
+      extends StreamGraphBuilder {
+    // one sink instance per lifecycle phase (it freezes the schema and
+    // holds the hash the completion token needs); runWithFlip invokes
+    // start() per phase and onCompleted() only after the FINAL phase
+    @volatile private var active: Option[(ArcaneParquetSink, DataFrame)] = None
+    override def build(ctx: StreamContext, spark: SparkSession): DataFrame =
+      mkStream(ctx, StreamSpec.fromContext(ctx), spark)
+    override def start(ctx: StreamContext, df: DataFrame, trigger: Trigger): StreamingQuery = {
+      val spec = StreamSpec.fromContext(ctx)
+      val ckpt = spec.string("checkpointPath").getOrElse(
+        throw new IllegalArgumentException("spec field 'checkpointPath' is required"))
+      val sink = new ArcaneParquetSink(SinkConfig(
+        spec.string("sinkPath").getOrElse(
+          throw new IllegalArgumentException("spec field 'sinkPath' is required"))))
+      active = Some((sink, df))
+      sink.start(df, ckpt, trigger)
+    }
+    override def onCompleted(ctx: StreamContext): Unit =
+      active.foreach { case (sink, df) => sink.complete(df) }
+  }
+
+  /** Copy selected spec fields into DSv2 reader options (only the ones
+    * present — reader defaults apply otherwise). */
+  private def specOptions(spec: StreamSpec, keys: Seq[String]): Map[String, String] =
+    keys.flatMap(k => spec.string(k).map(k -> _)).toMap
+
+  private val RestKeys = Seq("uriTemplate", "fetcherClass", "recordKeyChain",
+    "totalPagesKeyChain", "pagesPerPartition", "maxSweeps", "forceSweepEvery", "startPage")
+  private val CtKeys = Seq("gatewayClass", "schemaName", "tableName", "pkColumns",
+    "schemaDdl", "partitionExpression", "numStripes", "lookBackSeconds",
+    "startVersion", "validateSchemaEvery", "url")
+
+  /** Built-in kind registry. */
+  def builtinKinds: Map[String, StreamGraphBuilder] = Map(
+    "rest" -> new ArcaneSinkGraph((_, spec, spark) =>
+      specOptions(spec, RestKeys).foldLeft(
+        spark.readStream.format(classOf[graft.sources.dsv2.RestApiTableProvider].getName)
+      ) { case (r, (k, v)) => r.option(k, v) }.load()),
+    "ct" -> new ArcaneSinkGraph((_, spec, spark) => {
+      val jdbcPassthrough = spec.stringList("jdbcOptionKeys")
+        .flatMap(k => spec.string(k).map(k -> _)).toMap
+      (specOptions(spec, CtKeys) ++ jdbcPassthrough).foldLeft(
+        spark.readStream.format(classOf[graft.sources.dsv2.CtTableProvider].getName)
+      ) { case (r, (k, v)) => r.option(k, v) }.load()
+    }),
+    "cdm" -> new ArcaneSinkGraph((_, spec, spark) => {
+      val src = new graft.sources.CdmSource(spark,
+        spec.string("rootPath").getOrElse(
+          throw new IllegalArgumentException("spec field 'rootPath' is required")),
+        spec.string("entityName").getOrElse(
+          throw new IllegalArgumentException("spec field 'entityName' is required")))
+      src.stream(spec.long("maxFilesPerTrigger").map(_.toInt).getOrElse(1000))
+    }))
+
+  /** Testable core: context from `env`, dispatch, run, return the exit
+    * code (FATAL for unknown kinds — operator misconfiguration). */
+  def run(spark: SparkSession, env: Map[String, String],
+      extraKinds: Map[String, StreamGraphBuilder] = Map.empty,
+      statusReporter: String => Unit = s => System.err.println(s"[stream-status] $s")): Int = {
+    val ctx = StreamContext.fromEnvironment(env)
+    (builtinKinds ++ extraKinds).get(ctx.streamKind) match {
+      case None =>
+        statusReporter(s"fatal: unknown stream kind '${ctx.streamKind}'")
+        ExitCodes.Fatal
+      case Some(builder) =>
+        val spec = StreamSpec.fromContext(ctx)
+        val interval = spec.secondsDuration("changeCaptureIntervalSeconds")
+          .getOrElse(java.time.Duration.ofSeconds(15))
+        val runner = new StreamRunner(spark, interval, statusReporter)
+        runner.runWithFlip(ctx, builder,
+          stopAfterBackfill = spec.boolean("stopAfterBackfill").getOrElse(false))
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("graft-stream",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).getOrCreate()
+    val code = try run(spark, sys.env) finally spark.stop()
+    sys.exit(code)
+  }
+}
