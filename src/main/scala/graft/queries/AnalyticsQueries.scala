@@ -296,6 +296,64 @@ object AnalyticsQueries {
       |FROM s GROUP BY user_id, sess
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Full-outer reconciliation: per-customer order rollup keeping BOTH
+    * orderless customers (null order side) and any orphan orders (null
+    * customer side) — the audit-join shape. The shuffle join is
+    * unavoidable for full-outer (no broadcast strategy exists for it);
+    * both sides pre-aggregate to one row per key before joining, so the
+    * exchange carries rollups, not raw orders. */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("total_spend"))
+    table(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_spend"), lit(0.0)).as("total_spend"))
+      .orderBy("custkey")
+  }
+
+  val fullOuterJoinSql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(total_spend, 0.0) AS total_spend
+      |FROM customer FULL OUTER JOIN per_cust ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** Exact distribution aggregates: median and p90 of extended price
+    * per return flag — linear-interpolated exact percentiles (both
+    * engines define quantiles the same way), emitted as e2-scaled
+    * BIGINTs so the hash compare is representation-proof. Exact
+    * percentile is a sort-based aggregate; at scale swap in
+    * approx_percentile (t-digest) and drop the oracle to rows-only. */
+  def aggPercentiles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50_raw"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_raw"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"),
+        round(col("p50_raw") * 100).cast("long").as("p50_e2"),
+        round(col("p90_raw") * 100).cast("long").as("p90_e2"),
+        col("n_rows"))
+      .orderBy("l_returnflag")
+
+  val aggPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  CAST(round(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS p50_e2,
+      |  CAST(round(quantile_cont(l_extendedprice, 0.9) * 100) AS BIGINT) AS p90_e2,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Semi-join: orders from customers with positive balance. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
@@ -453,7 +511,9 @@ object AnalyticsQueries {
     "agg_rollup" -> rollupCustomers,
     "events_tumbling_window" -> eventsTumbling,
     "events_session_window" -> eventsSessionWindow,
-    "join_semi" -> semiJoin)
+    "join_semi" -> semiJoin,
+    "join_full_outer" -> fullOuterJoin,
+    "agg_percentiles" -> aggPercentiles)
 
   val oracles: Map[String, String] = Map(
     "join_asof" -> asofLatestOrderSql,
@@ -474,5 +534,7 @@ object AnalyticsQueries {
     "agg_rollup" -> rollupCustomersSql,
     "events_tumbling_window" -> eventsTumblingSql,
     "events_session_window" -> eventsSessionWindowSql,
-    "join_semi" -> semiJoinSql)
+    "join_semi" -> semiJoinSql,
+    "join_full_outer" -> fullOuterJoinSql,
+    "agg_percentiles" -> aggPercentilesSql)
 }
