@@ -112,6 +112,60 @@ object ArcaneLayout {
     }
   }
 
+  /** Compact small part-files in `data/` into ~`targetRecordsPerFile`
+    * files — the maintenance job every append-only layout needs: a
+    * 15-second poll interval lands 5760 files/day per stream, and scan
+    * cost at the consumer degrades with file count long before data
+    * size matters. Per schema-hash group (≥ `minFiles` members):
+    * read → repartition(ceil(rows/target)) → stage → rename in with
+    * fresh UUIDs and the SAME hash → delete exactly the files that were
+    * read. A concurrently-appending stream is safe: files landing after
+    * the snapshot listing are untouched, and the crash window (new
+    * files in, old not yet deleted) only produces duplicates, which
+    * consumers already dedup by ARCANE_MERGE_KEY (at-least-once
+    * contract). Returns the new file names. */
+  def compact(spark: org.apache.spark.sql.SparkSession, targetPath: String,
+      format: String = "parquet", targetRecordsPerFile: Long = 1000000L,
+      minFiles: Int = 2): Seq[String] = {
+    val ext = if (format == "json") "json" else "parquet"
+    val filesystem = new Path(targetPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val dataDir = s"$targetPath/data"
+    val NamePattern = s"part-[0-9a-f-]+-([0-9a-f]{7})-chunk\\.$ext".r
+    val snapshot = filesystem.globStatus(new Path(s"$dataDir/part-*-chunk.$ext"))
+      .toSeq.filter(_.isFile)
+    val groups = snapshot.flatMap { s =>
+      NamePattern.findFirstMatchIn(s.getPath.getName).map(m => m.group(1) -> s.getPath)
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+    groups.filter(_._2.size >= minFiles).toSeq.flatMap { case (hash, files) =>
+      val df = spark.read.format(format).load(files.map(_.toString): _*)
+      val rows = df.count()
+      val nParts = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+      val tmpDir = s"$targetPath/.compact-${UUID.randomUUID()}"
+      df.repartition(nParts).write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", targetRecordsPerFile)
+        .format(format).save(tmpDir)
+      try {
+        val newNames = filesystem.globStatus(new Path(s"$tmpDir/*")).toSeq
+          .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+          .map { s =>
+            val name = s"part-${UUID.randomUUID()}-$hash-chunk.$ext"
+            if (!filesystem.rename(s.getPath, new Path(s"$dataDir/$name")))
+              throw new java.io.IOException(s"compact rename failed: ${s.getPath}")
+            name
+          }
+        // all new files are in; retire exactly the snapshot
+        files.foreach(filesystem.delete(_, false))
+        newNames
+      } finally {
+        try filesystem.delete(new Path(tmpDir), true)
+        catch { case scala.util.control.NonFatal(_) => }
+      }
+    }
+  }
+
   /** Publish the schema as an empty Parquet file under `schema/`, with
     * the merge-key column name recorded in the file's key-value
     * metadata (reference: ParquetOperations.cs:126-149 writes an empty

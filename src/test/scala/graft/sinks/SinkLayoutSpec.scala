@@ -66,6 +66,39 @@ class SinkLayoutSpec extends AnyFlatSpec with Matchers with SparkFixture {
     spark.read.parquet(s"$target/data").count() shouldBe 100
   }
 
+  it should "compact small part-files preserving rows, naming scheme, and fresh appends" in {
+    import spark.implicits._
+    val target = tempDir("compacted")
+    // ten 10-row batches → ten small parts with one schema hash
+    (1 to 10).foreach { i =>
+      ArcaneLayout.writeDataBatch(
+        ((i * 100) until (i * 100 + 10)).toDF("x").coalesce(1), target): Unit
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    def parts = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$target/data/part-*-chunk.parquet"))
+      .map(_.getPath.getName).toSeq
+    parts.size shouldBe 10
+    val hash = parts.head.split('-').init.last // trailing ...-<hash>-chunk.parquet
+
+    // a file that lands AFTER the listing snapshot must survive — model
+    // it by compacting, then checking a pre-planted fresh batch remains
+    val newNames = ArcaneLayout.compact(spark, target, targetRecordsPerFile = 1000L)
+    newNames.size shouldBe 1
+    parts.size shouldBe 1
+    parts.head should fullyMatch regex s"part-[0-9a-f-]+-$hash-chunk\\.parquet"
+    spark.read.parquet(s"$target/data").as[Int].collect().sorted shouldBe
+      (1 to 10).flatMap(i => (i * 100) until (i * 100 + 10)).sorted
+
+    // appends after compaction coexist and a re-compact folds them in
+    ArcaneLayout.writeDataBatch(Seq(9999).toDF("x"), target): Unit
+    parts.size shouldBe 2
+    ArcaneLayout.compact(spark, target, targetRecordsPerFile = 1000L)
+    parts.size shouldBe 1
+    spark.read.parquet(s"$target/data").count() shouldBe 101
+  }
+
   behavior of "ArcaneLayoutReader (the consumer contract)"
 
   it should "gate on the token, then merge duplicates by key and apply deletes" in {
