@@ -354,6 +354,28 @@ object AnalyticsQueries {
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The APPROXIMATE tier of the distinct/percentile family — the plan
+    * that actually runs at 100 TB, where exact distinct counts shuffle
+    * every key and exact percentiles sort every partition:
+    * `approx_count_distinct` (HyperLogLog++, fixed-size sketch buffers,
+    * pure map-side mergeable) and `approx_percentile` (quantile sketch,
+    * bounded accuracy parameter). No DuckDB oracle can reproduce
+    * sketch internals, so this query takes the driver's rows-only
+    * check; the ACCURACY contract (relative error vs the exact
+    * aggregates) is asserted in ApproxAccuracySpec instead. */
+  def aggApprox(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_suppliers"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_raw"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("approx_parts"), col("approx_suppliers"),
+        round(col("p50_raw") * 100).cast("long").as("approx_p50_e2"),
+        col("n_rows"))
+      .orderBy("l_returnflag")
+
   /** Semi-join: orders from customers with positive balance. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
@@ -513,7 +535,8 @@ object AnalyticsQueries {
     "events_session_window" -> eventsSessionWindow,
     "join_semi" -> semiJoin,
     "join_full_outer" -> fullOuterJoin,
-    "agg_percentiles" -> aggPercentiles)
+    "agg_percentiles" -> aggPercentiles,
+    "agg_approx" -> aggApprox)
 
   val oracles: Map[String, String] = Map(
     "join_asof" -> asofLatestOrderSql,
