@@ -251,6 +251,42 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // pipeline_sample_mix: stratified mixture sampling — per-source
+  // sampling rates (the data-mixture knob of a training pipeline),
+  // implemented as HASH-based sampling (md5-prefix of the doc id mod
+  // 100) instead of rand(): the selection is a pure function of the
+  // row, so it is reproducible across partitionings, engines, and
+  // reruns — auditable mixtures, and a full oracle check instead of
+  // the rows-only fallback a seeded rand() would force. Narrow
+  // per-row filter: no shuffle at any scale.
+  // ------------------------------------------------------------------
+
+  /** Even-indexed sources keep 100%, odd-indexed are downweighted to
+    * 20% — a stand-in for "downweight the low-quality crawl". */
+  private val MixPctEven = 100
+  private val MixPctOdd = 20
+
+  def pipelineSampleMix(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Dedup.shingleKey(col("doc_id").cast("string")) % 100
+    val pct = when(
+      expr("cast(substring(source, 4) as int) % 2 = 0"), lit(MixPctEven))
+      .otherwise(lit(MixPctOdd))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("bucket", bucket)
+      .filter(col("bucket") < pct)
+      .orderBy("doc_id")
+  }
+
+  private val pipelineSampleMixSql = {
+    val key = hexPrefixKeySql("md5(doc_id::VARCHAR)")
+    s"""SELECT doc_id, source, ($key % 100) AS bucket FROM documents
+       |WHERE ($key % 100) <
+       |  CASE WHEN substr(source, 4)::INT % 2 = 0 THEN $MixPctEven ELSE $MixPctOdd END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // dedup_exact: content-hash groupBy keep-first over a corpus with
   // real duplicates (documents ∪ id-shifted documents)
   // ------------------------------------------------------------------
@@ -799,6 +835,7 @@ object ExtQueries {
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
     "pipeline_decontaminate" -> (pipelineDecontaminate(_, _)),
+    "pipeline_sample_mix" -> (pipelineSampleMix(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_jaccard" -> (dedupJaccard(_, _)),
@@ -823,6 +860,7 @@ object ExtQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
     "pipeline_decontaminate" -> pipelineDecontaminateSql,
+    "pipeline_sample_mix" -> pipelineSampleMixSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_jaccard" -> dedupJaccardSql,

@@ -14,8 +14,15 @@ class SparkEntrySpec extends AnyFlatSpec with Matchers with SparkFixture {
     SparkEntry.entry(spark).count() should be > 0L
   }
 
+  /** Queries deliberately WITHOUT a SQL oracle — sketch-based results
+    * no second engine can reproduce; the driver records a rows-only
+    * check and their accuracy contract lives in a dedicated spec
+    * (ApproxAccuracySpec). Every other query must have an oracle. */
+  private val rowsOnlyQueries = Set("agg_approx")
+
   it should "declare an oracle for every query (and no orphans)" in {
-    SparkEntry.oracleSql.keySet shouldBe SparkEntry.queries.keySet
+    SparkEntry.oracleSql.keySet shouldBe (SparkEntry.queries.keySet -- rowsOnlyQueries)
+    rowsOnlyQueries.subsetOf(SparkEntry.queries.keySet) shouldBe true
   }
 
   it should "end every oracle in a total ORDER BY" in {

@@ -7,6 +7,38 @@ import graft.SparkFixture
 import graft.model.{ExitCodes, StreamContext}
 import graft.sinks.ArcaneLayoutReader
 
+/** Suite-local paged API: GraftMainSpec must NOT share
+  * [[graft.sources.dsv2.FakePagedApi]] — suites run in parallel and
+  * that fake's static call log is asserted by RestApiSourceV2Spec. */
+class MainSpecPagedApi extends graft.sources.RestSource.HttpFetch {
+  override def fetch(uri: String, headers: Map[String, String],
+      body: Option[String]): Option[String] = {
+    val page = uri.split("page=")(1).toLong
+    Some(
+      s"""{"meta": {"totalPages": 5},
+         | "items": [{"page": $page, "a": ${page * 10}},
+         |           {"page": $page, "a": ${page * 10 + 1}}]}""".stripMargin)
+  }
+}
+
+/** Suite-local CT server (same isolation rationale: FakeCtServer's
+  * statics belong to CtSourceV2Spec): fixed two-change table at v2. */
+class MainSpecCtServer extends graft.sources.dsv2.CtGateway {
+  override def scalar(sql: String): Option[Long] =
+    if (sql.contains("CHANGE_TRACKING_CURRENT_VERSION")) Some(2L) else None
+  override def rows(sql: String): Iterator[Seq[Any]] = {
+    val m = """CHANGETABLE\(CHANGES \[dbo\]\.\[orders\], (\d+)\).*SYS_CHANGE_VERSION <= (\d+)""".r
+      .unanchored.findFirstMatchIn(sql.replace('\n', ' ')).get
+    val (from, to) = (m.group(1).toLong, m.group(2).toLong)
+    val (stripe, n) = """% (\d+) = (\d+)""".r.findFirstMatchIn(sql)
+      .map(s => (s.group(2).toLong, s.group(1).toLong)).getOrElse((0L, 1L))
+    Seq((1L, 10.0, 1L), (2L, 20.0, 2L))
+      .filter { case (id, _, v) => v > from && v <= to && id % n == stripe }
+      .iterator
+      .map { case (id, total, v) => Seq[Any](id, total, v, "U", to, s"mk$id") }
+  }
+}
+
 /** The composition root driven exactly the way the operator drives a
   * stream pod: STREAMCONTEXT__* environment → kind dispatch →
   * backfill lifecycle → arcane layout + exit code. */
@@ -21,12 +53,11 @@ class GraftMainSpec extends AnyFlatSpec with Matchers with SparkFixture {
     StreamContext.SpecVar -> spec)
 
   it should "run a REST backfill end-to-end from the env contract" in {
-    graft.sources.dsv2.FakePagedApi.calls.clear()
     val target = tempDir("graftmain-rest-sink")
     val spec =
       s"""{
          |  "uriTemplate": "http://api/items?page=@page",
-         |  "fetcherClass": "${classOf[graft.sources.dsv2.FakePagedApi].getName}",
+         |  "fetcherClass": "${classOf[MainSpecPagedApi].getName}",
          |  "totalPagesKeyChain": "meta.totalPages",
          |  "recordKeyChain": "items",
          |  "maxSweeps": "1",
@@ -41,14 +72,10 @@ class GraftMainSpec extends AnyFlatSpec with Matchers with SparkFixture {
   }
 
   it should "run a CT backfill end-to-end from the env contract" in {
-    import graft.sources.dsv2.FakeCtServer
-    FakeCtServer.reset()
-    FakeCtServer.commit(1L, 10.0)
-    FakeCtServer.commit(2L, 20.0)
     val target = tempDir("graftmain-ct-sink")
     val spec =
       s"""{
-         |  "gatewayClass": "${classOf[FakeCtServer].getName}",
+         |  "gatewayClass": "${classOf[MainSpecCtServer].getName}",
          |  "schemaName": "dbo", "tableName": "orders",
          |  "pkColumns": "id", "schemaDdl": "id BIGINT, total DOUBLE",
          |  "startVersion": "0",
