@@ -287,6 +287,55 @@ object ExtQueries {
   }
 
   // ------------------------------------------------------------------
+  // text_keywords: tf-idf-style distinctive terms per document — the
+  // keyword-extraction stage of a corpus index. Scores are the
+  // INTEGER rational tf·10⁶ div df (dividing by document frequency is
+  // the idf effect without log()): transcendental functions differ in
+  // the last ulp between engines, integer division never does, so the
+  // ranking is exactly reproducible. Shapes: per-(doc, term) tf from
+  // one exploded shuffle; corpus-wide df joined IN on the term key
+  // (term-keyed shuffle join — df is corpus-sized metadata, not
+  // broadcastable at 100 TB); top-3 per doc via ranking window.
+  // ------------------------------------------------------------------
+
+  private val KeywordsPerDoc = 3
+
+  def textKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = toksDf(spark, dir)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = exploded.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = exploded.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_e6").desc, col("term").asc)
+    tf.join(df_, "term")
+      .withColumn("score_e6", expr("(tf * 1000000) div df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= KeywordsPerDoc)
+      .select("doc_id", "rnk", "term", "tf", "df", "score_e6")
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val textKeywordsSql =
+    s"""WITH $TokCte,
+       |ex AS (SELECT doc_id, unnest(toks) AS term FROM tok WHERE len(toks) > 0),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM
+       |  (SELECT DISTINCT doc_id, term FROM ex) GROUP BY term),
+       |scored AS (SELECT t.doc_id, t.term, t.tf, df.df,
+       |    (t.tf * 1000000) // df.df AS score_e6
+       |  FROM tf t JOIN df USING (term)),
+       |r AS (SELECT doc_id, term, tf, df, score_e6,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, term ASC) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, rnk, term, tf::BIGINT AS tf, df::BIGINT AS df,
+       |  score_e6::BIGINT AS score_e6
+       |FROM r WHERE rnk <= $KeywordsPerDoc
+       |ORDER BY doc_id, rnk""".stripMargin
+
+  // ------------------------------------------------------------------
   // dedup_exact: content-hash groupBy keep-first over a corpus with
   // real duplicates (documents ∪ id-shifted documents)
   // ------------------------------------------------------------------
@@ -836,6 +885,7 @@ object ExtQueries {
     "text_repetition" -> (textRepetition(_, _)),
     "pipeline_decontaminate" -> (pipelineDecontaminate(_, _)),
     "pipeline_sample_mix" -> (pipelineSampleMix(_, _)),
+    "text_keywords" -> (textKeywords(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_jaccard" -> (dedupJaccard(_, _)),
@@ -861,6 +911,7 @@ object ExtQueries {
     "text_repetition" -> textRepetitionSql,
     "pipeline_decontaminate" -> pipelineDecontaminateSql,
     "pipeline_sample_mix" -> pipelineSampleMixSql,
+    "text_keywords" -> textKeywordsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_jaccard" -> dedupJaccardSql,

@@ -338,12 +338,13 @@ object AnalyticsQueries {
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50_raw"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90_raw"),
+        // ONE percentile buffer for both quantiles — two separate
+        // percentile() calls would hold the group's values twice
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("pcts"),
         count(lit(1)).as("n_rows"))
       .select(col("l_returnflag"),
-        round(col("p50_raw") * 100).cast("long").as("p50_e2"),
-        round(col("p90_raw") * 100).cast("long").as("p90_e2"),
+        round(element_at(col("pcts"), 1) * 100).cast("long").as("p50_e2"),
+        round(element_at(col("pcts"), 2) * 100).cast("long").as("p90_e2"),
         col("n_rows"))
       .orderBy("l_returnflag")
 
