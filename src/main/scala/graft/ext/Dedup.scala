@@ -163,10 +163,15 @@ object Dedup {
       .filter(size(col("toks")) > 0)
       .select(col(idCol), explode(col("toks")).as("t"))
       .select(col(idCol), md5(col("t")).as("h"))
+      // one hex parse per NIBBLE under the aggregate (8/row), not one
+      // per bit inside each sum (32/row) — the Project below the
+      // Aggregate is preserved in the physical plan, so each conv runs
+      // once and the 32 bit-votes read the materialized nibble columns
+      .select(Seq(col(idCol)) ++ (0 until 8).map(n =>
+        conv(col("h").substr(lit(n + 1), lit(1)), 16, 10).cast("int").as(s"nib$n")): _*)
     val bitCols = (0 until 32).map { j =>
-      val nibble = conv(col("h").substr(lit(j / 4 + 1), lit(1)), 16, 10).cast("int")
       val mask = 1 << (3 - (j % 4))
-      sum(when(nibble.bitwiseAND(lit(mask)) =!= 0, 1).otherwise(-1)).as(s"b$j")
+      sum(when(col(s"nib${j / 4}").bitwiseAND(lit(mask)) =!= 0, 1).otherwise(-1)).as(s"b$j")
     }
     val votes = ex.groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
     votes.select(col(idCol),
