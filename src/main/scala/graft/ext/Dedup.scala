@@ -179,6 +179,26 @@ object Dedup {
         .reduce(_ + _).as("simhash32"))
   }
 
+  /** SimHash near-dup candidate pairs: bucket on the high `prefixBits`
+    * of the 32-bit sketch (near-identical docs agree on the high bits
+    * with overwhelming probability), self-join WITHIN buckets only,
+    * keep pairs with Hamming distance ≤ `maxHamming` via
+    * `bit_count(xor)`. The sketch-space sibling of [[lshBandKeys]]:
+    * candidate volume scales with bucket occupancy, never n² — and the
+    * prefix join key is a plain long, so the join hashes natively. */
+  def simhashPairs(sketches: DataFrame, idCol: String,
+      maxHamming: Int = 3, prefixBits: Int = 16): DataFrame = {
+    val keyed = sketches.select(col(idCol), col("simhash32"),
+      shiftright(col("simhash32"), 32 - prefixBits).as("bucket"))
+    keyed.alias("a").join(keyed.alias("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(
+        col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        bit_count(col("a.simhash32").bitwiseXOR(col("b.simhash32")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Distinct exploded shingle rows (id, s) for a corpus — the shared
     * intermediate of a verify-bearing dedup pipeline: the exact-Jaccard
     * stage needs this shuffle anyway, and because the subtree is

@@ -467,6 +467,49 @@ object ExtQueries {
        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // dedup_simhash_pairs: SimHash near-dup pairs — prefix-bucketed
+  // self-join (plain-long join key), Hamming ≤ 3 via bit_count(xor).
+  // The corpus is documents ∪ id-shifted documents so exact duplicates
+  // guarantee hits; near-dups surface per sketch distance.
+  // ------------------------------------------------------------------
+
+  private val SimhashMaxHamming = 3
+  private val SimhashPrefixBits = 16
+
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val corpus = d.unionAll(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    Dedup.simhashPairs(
+        Dedup.simhashProject(corpus, "doc_id", "text"),
+        "doc_id", SimhashMaxHamming, SimhashPrefixBits)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupSimhashPairsSql = {
+    // the sketch CTE mirrors dedupSimhashSql over the doubled corpus
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 10000, text FROM documents),
+       |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM corpus),
+       |tokexp AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), (j // 4) + 1, 1)) - 1)
+       |               & (1 << (3 - (j % 4)))) != 0 THEN 1 ELSE -1 END) AS v
+       |  FROM tokexp CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) bits
+       |  GROUP BY doc_id, j),
+       |sk AS (SELECT doc_id,
+       |    sum(CASE WHEN v >= 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS simhash32
+       |  FROM votes GROUP BY doc_id),
+       |k AS (SELECT doc_id, simhash32, simhash32 >> ${32 - SimhashPrefixBits} AS bucket FROM sk)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash32, b.simhash32))::BIGINT AS hamming
+       |FROM k a JOIN k b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash32, b.simhash32)) <= $SimhashMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // sim_topk: exact cosine top-10 for query vectors (brute force,
   // query side broadcast)
   // ------------------------------------------------------------------
@@ -890,6 +933,7 @@ object ExtQueries {
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_jaccard" -> (dedupJaccard(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     "sim_ann_lsh" -> (simAnnLsh(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
@@ -916,6 +960,7 @@ object ExtQueries {
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "sim_topk" -> simTopKSql,
     "sim_ann_lsh" -> simAnnLshSql,
     "sim_ivf" -> simIvfSql,

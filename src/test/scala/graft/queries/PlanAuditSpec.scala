@@ -68,7 +68,8 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
 
   it should "never plan a cartesian or nested-loop for the LSH dedup pipeline" in {
     Seq("dedup_minhash", "dedup_jaccard", "sim_ann_lsh", "dedup_embed_cosine",
-      "pipeline_decontaminate", "text_repetition", "text_keywords").foreach { q =>
+      "pipeline_decontaminate", "text_repetition", "text_keywords",
+      "dedup_simhash_pairs").foreach { q =>
       val p = plan(q).toLowerCase
       withClue(q) {
         p should not include "cartesianproduct"
