@@ -55,6 +55,37 @@ class StreamingOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally q.stop()
   }
 
+  it should "aggregate session windows with a watermark (merge, then close on inactivity)" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user"), col("w.start").as("session_start"), col("n_events"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation", tempDir("sess-ckpt"))
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // two events 20 min apart MERGE into one session (< 30-min gap)
+      in.addData((ts(0), "u1"), (ts(20), "u1"))
+      q.processAllAvailable()
+      spark.table("sess_out").count() shouldBe 0 // session still open
+      // 31+ min of inactivity then a new event: the old session closes
+      // once the watermark passes its end (20 + 30 = 10:50)
+      in.addData((Timestamp.valueOf("2024-01-01 11:30:00"), "u1"))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 13:00:00"), "u2")) // advance watermark
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .as[(String, Timestamp, Long)].collect().sortBy(_._2.getTime)
+      out.head shouldBe (("u1", ts(0), 2L)) // merged 2-event session
+      out.map(_._1) should contain("u1")
+    } finally q.stop()
+  }
+
   it should "drain the driver's events table through the windowed aggregate" in {
     import graft.queries.QueryKit
     val dir = "/root/testdata/sf0.001"
