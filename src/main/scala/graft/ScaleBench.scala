@@ -1,0 +1,204 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence harness: measures what actually MOVES when each query
+  * runs — bytes scanned, shuffle bytes written/read — across data tiers,
+  * so the 100 TB extrapolation is a measured slope instead of a claim.
+  *
+  * Two modes:
+  *
+  * `ScaleBench gen <srcSfDir> <dstDir> <factor>` — builds a corpus tier
+  * `factor`× the source: documents get fresh doc_ids and a per-copy
+  * `translate` of the letter inventory (token structure and lengths are
+  * preserved, shingle/token hashes differ, so copies are NOT near-dups
+  * of each other and the pair-space semantics stay realistic);
+  * embeddings get fresh vec_ids and a deterministic per-dimension
+  * perturbation (direction changes, so copies don't collapse into one
+  * cosine bucket). All other tables are byte-copied.
+  *
+  * `ScaleBench run <outJson> <label>=<dir>[:corpus] ...` — runs each
+  * declared query once per tier through the noop sink with a
+  * task-metrics tally and records {input, shuffleRead, shuffleWrite,
+  * sec}. The `:corpus` suffix restricts a tier to the document/embedding
+  * pipeline (the blown-up tier has no blown-up TPC-H tables). Each tier
+  * also records the MinHash LSH band-bucket occupancy histogram
+  * (buckets, max, p99) — the quantity that decides candidate-join skew.
+  *
+  * Shuffle-bytes-per-input-byte is the number that must stay flat (or
+  * fall, for aggregates with map-side combine) as the tier grows: a
+  * superlinear slope means a pair-space or array-weight geometry that a
+  * bigger cluster cannot absorb.
+  */
+object ScaleBench {
+
+  /** Accumulates task metrics across all stages between reset() and
+    * settled(). Listener events are delivered async — settled() polls
+    * until the counters stop moving. */
+  private final class ByteTally extends SparkListener {
+    val input = new AtomicLong
+    val shufW = new AtomicLong
+    val shufR = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        input.addAndGet(m.inputMetrics.bytesRead)
+        shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shufR.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+    def reset(): Unit = { input.set(0); shufW.set(0); shufR.set(0) }
+    def settled(): (Long, Long, Long) = {
+      var last = (input.get, shufW.get, shufR.get)
+      var stableMs = 0
+      while (stableMs < 300) {
+        Thread.sleep(100)
+        val now = (input.get, shufW.get, shufR.get)
+        if (now == last) stableMs += 100 else { stableMs = 0; last = now }
+      }
+      last
+    }
+  }
+
+  /** The document/embedding pipeline — the queries whose scale geometry
+    * the blown-up tier exists to test. */
+  private val CorpusQueries: Set[String] = Set(
+    "dedup_exact", "dedup_minhash", "dedup_jaccard", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_embed_cosine", "pipeline_corpus_clean",
+    "pipeline_decontaminate", "pipeline_sample_mix", "sim_topk",
+    "sim_ann_lsh", "sim_ivf", "source_similarity", "source_sketch",
+    "text_fingerprint", "text_keywords", "text_repetition")
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("gen") => gen(args(1), args(2), args(3).toInt)
+    case Some("run") => run(args(1), args.drop(2))
+    case _ =>
+      System.err.println("usage: ScaleBench gen <srcSfDir> <dstDir> <factor> | run <outJson> <label>=<dir>[:corpus] ...")
+      sys.exit(2)
+  }
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = graft.runtime.GraftSession.local("graft-scale", cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def gen(src: String, dst: String, factor: Int): Unit = {
+    val spark = session()
+    Files.createDirectories(Paths.get(dst))
+
+    // rotate the letter inventory per copy: tokens keep their shape and
+    // length (quality stats comparable) but hash differently per copy.
+    val alpha = "etaoinshrd"
+    def rot(i: Int) = alpha.drop(i % alpha.length) + alpha.take(i % alpha.length)
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val idStride = docs.agg(max("doc_id")).head.getLong(0) + 1
+    (0 until factor).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * idStride)).as("doc_id"),
+        (if (i == 0) col("text")
+         else translate(col("text"), alpha + alpha.toUpperCase, rot(i) + rot(i).toUpperCase)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val vecStride = emb.agg(max("vec_id")).head.getLong(0) + 1
+    (0 until factor).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i.toLong * vecStride)).as("vec_id"),
+        // per-vector AND per-dimension offset: a copy-constant offset
+        // would correlate every vector in the copy with the offset
+        // direction and flood the tier with artificial near-dup pairs
+        (if (i == 0) col("embedding")
+         else transform(col("embedding"),
+           (x, j) => x + (pmod(j * (i + 3) + col("vec_id") * 7, lit(11)) - lit(5)).cast("float") * lit(0.03f))).as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events"))
+      Files.copy(Paths.get(s"$src/$t.parquet"), Paths.get(s"$dst/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+
+    System.err.println(s"[scale] wrote ${factor}x tier at $dst")
+    spark.stop()
+  }
+
+  private def run(outJson: String, tierArgs: Array[String]): Unit = {
+    val spark = session()
+    val tally = new ByteTally
+    spark.sparkContext.addSparkListener(tally)
+
+    val tiers = tierArgs.map { a =>
+      val Array(label, spec) = a.split("=", 2)
+      val corpusOnly = spec.endsWith(":corpus")
+      (label, spec.stripSuffix(":corpus"), corpusOnly)
+    }
+
+    val sb = new StringBuilder("{")
+    tiers.zipWithIndex.foreach { case ((label, dir, corpusOnly), ti) =>
+      val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => !corpusOnly || CorpusQueries(n) }
+      if (ti > 0) sb.append(',')
+      sb.append(s""""$label":{"dir":"$dir","queries":{""")
+      queries.zipWithIndex.foreach { case ((name, fn), qi) =>
+        tally.reset()
+        val t0 = System.nanoTime()
+        val entry =
+          try {
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            val (in, sw, sr) = tally.settled()
+            System.err.println(f"[scale] $label/$name in=$in sw=$sw sr=$sr ${sec}%.2fs")
+            s""""$name":{"input":$in,"shuffleWrite":$sw,"shuffleRead":$sr,"sec":${f"$sec%.3f"}}"""
+          } catch { case e: Throwable =>
+            System.err.println(s"[scale] $label/$name FAILED ${e.getClass.getSimpleName}: ${e.getMessage}")
+            s""""$name":{"error":"${e.getClass.getSimpleName}"}"""
+          }
+        if (qi > 0) sb.append(',')
+        sb.append(entry)
+      }
+      // LSH band-bucket occupancy on this tier's documents — the join-skew
+      // driver for the candidate self-join.
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val occ = graft.ext.Dedup.minhashProject(docs, "doc_id", "text")
+        .select(explode(col("bands")).as("bk"))
+        .groupBy("bk").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("buckets"), max("n").as("max_n"),
+          expr("percentile(n, 0.99)").as("p99_n"), avg("n").as("avg_n"))
+        .head
+      sb.append(s"""},"lsh_buckets":{"buckets":${occ.getLong(0)},"max":${occ.getLong(1)},"p99":${f"${occ.getDouble(2)}%.1f"},"avg":${f"${occ.getDouble(3)}%.2f"}}""")
+      // production-geometry embedding near-dup: bits derived from the
+      // corpus size (the dedup_embed_cosine ORACLE query pins bits so
+      // DuckDB can mirror the buckets — this is the path a deployment
+      // uses, and the slope that must stay linear)
+      val embDf = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nVec = embDf.count()
+      val bits = graft.ext.Similarity.bitsFor(nVec, targetOccupancy = 64L)
+      tally.reset()
+      val t0e = System.nanoTime()
+      graft.ext.Similarity.embedNearDupPairs(embDf, "vec_id", "embedding",
+          minScoreE4 = 9000L, bits = bits)
+        .write.format("noop").mode("overwrite").save()
+      val secE = (System.nanoTime() - t0e) / 1e9
+      val (_, swE, _) = tally.settled()
+      sb.append(s""","embed_neardup_scaled":{"n":$nVec,"bits":$bits,"shuffleWrite":$swE,"sec":${f"$secE%.3f"}}}""")
+    }
+    sb.append('}')
+    java.nio.file.Files.writeString(Paths.get(outJson), sb.toString)
+    println(sb.toString)
+    spark.stop()
+  }
+}

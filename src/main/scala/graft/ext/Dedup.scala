@@ -292,4 +292,54 @@ object Dedup {
       threshold: Double = 0.8): DataFrame =
     jaccardVerifyExploded(candidates,
       shingleSets.select(col("doc_id"), explode(col("shd")).as("s")), threshold)
+
+  /** Connected components over an undirected pair list — the step after
+    * near-dup verification that turns pairs into dedup CLUSTERS (pick
+    * one canonical doc per component = `min` id).
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round,
+    * a node takes the min of its own label and its neighbors' labels
+    * (one equi-join on the edge list + one aggregate), then labels are
+    * shortcut one level (`comp := comp(comp)`, a self-join), which
+    * squares the propagation distance — convergence in O(log diameter)
+    * rounds instead of O(diameter). The driver loop only evaluates a
+    * scalar changed-row count per round; every data operation is a
+    * distributed join/aggregate over the edge list, which is output of
+    * LSH candidate verification — metadata-sized relative to the corpus
+    * (pairs, not documents). Intermediates are localCheckpoint'ed so
+    * lineage doesn't grow with rounds (on a cluster, `checkpoint` to a
+    * reliable store for fault tolerance instead).
+    *
+    * Returns (id, comp): every node that appears in `pairs`, labeled
+    * with the smallest id reachable from it. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = labels.isEmpty
+    while (!done && iter < maxIter) {
+      val nbr = edges.join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .select(col("src").as("id"), col("comp"))
+      val stepped = labels.unionAll(nbr)
+        .groupBy("id").agg(min("comp").as("comp"))
+      val parents = stepped.select(col("id").as("p_id"), col("comp").as("p_comp"))
+      val shortcut = stepped
+        .join(parents, stepped("comp") === parents("p_id"), "left")
+        .select(stepped("id"), coalesce(col("p_comp"), stepped("comp")).as("comp"))
+        .localCheckpoint(true)
+      val changed = shortcut
+        .join(labels.select(col("id"), col("comp").as("old_comp")), "id")
+        .filter(col("comp") =!= col("old_comp")).count()
+      labels = shortcut
+      done = changed == 0L
+      iter += 1
+    }
+    labels
+  }
 }

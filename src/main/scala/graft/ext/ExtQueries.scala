@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.queries.QueryKit.table
@@ -919,6 +920,120 @@ object ExtQueries {
       .mkString("SELECT file FROM (VALUES ", ", ", ") t(file) ORDER BY file")
 
   // ------------------------------------------------------------------
+  // dedup_cluster: near-dup PAIRS → dedup CLUSTERS via connected
+  // components (min-label propagation + pointer jumping, O(log d)
+  // rounds — Dedup.connectedComponents). The oracle computes true
+  // components with a recursive CTE, so the check is
+  // algorithm-independent: both engines must land on min-reachable-id.
+  // ------------------------------------------------------------------
+
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val exd = Dedup.shingleRows(docs(spark, dir).select("doc_id", "text"),
+      "doc_id", "text", ShingleN)
+    val proj = Dedup.minhashFromShingles(exd, "doc_id", MinhashK, LshBands, LshRows)
+    val candidates = Dedup.minhashCandidates(proj, "doc_id", MinhashK).drop("n_sig_match")
+    val dupPairs = Dedup.jaccardVerifyExploded(candidates, exd, threshold = 0.8)
+      .filter(col("is_dup") === 1L)
+      .select("doc_a", "doc_b")
+    Dedup.connectedComponents(dupPairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  private val dedupClusterSql =
+    s"""WITH RECURSIVE $TokCte, $ShCte,
+       |$SigCtes,
+       |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+       |dup AS (SELECT p.doc_a, p.doc_b
+       |  FROM pairs p
+       |  JOIN shd a ON a.doc_id = p.doc_a
+       |  JOIN shd b ON b.doc_id = p.doc_b
+       |  WHERE 10 * len(list_intersect(a.shd, b.shd)) >= 8 * len(list_distinct(a.shd || b.shd))),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM dup
+       |  UNION ALL SELECT doc_b, doc_a FROM dup),
+       |nodes AS (SELECT DISTINCT s AS n FROM edges),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
+       |comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+       |SELECT doc_id, cluster_id,
+       |  count(*) OVER (PARTITION BY cluster_id)::BIGINT AS n_members
+       |FROM comp ORDER BY cluster_id, doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // text_heavy_hitters: corpus-wide top-20 shingles (total occurrences
+  // + document frequency). TakeOrderedAndProject after one partial
+  // aggregate — each executor contributes its local top candidates, so
+  // the driver never sees the full shingle vocabulary.
+  // ------------------------------------------------------------------
+
+  private val HeavyHittersK = 20
+
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= ShingleN)
+      .select(col("doc_id"), explode(TextOps.shingles(col("toks"), ShingleN)).as("s"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("s").asc)
+      .limit(HeavyHittersK)
+
+  private val textHeavyHittersSql =
+    s"""WITH $TokCte, $ShCte,
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh)
+       |SELECT s, count(*)::BIGINT AS n_occurrences,
+       |  count(DISTINCT doc_id)::BIGINT AS n_docs
+       |FROM ex GROUP BY s
+       |ORDER BY n_occurrences DESC, s LIMIT $HeavyHittersK""".stripMargin
+
+  // ------------------------------------------------------------------
+  // text_pii_scrub: PII redaction — emails and digit runs replaced by
+  // placeholder tags, redaction counts emitted per document. The corpus
+  // is digit-free word salad, so both engines inject the same
+  // deterministic synthetic PII (an email + a phone built from doc_id)
+  // before scrubbing: the scrub provably finds and removes it.
+  // Phone counting happens AFTER the email scrub so digits inside an
+  // address aren't double-counted. Narrow per-row work; at scale this
+  // is a map-only stage fused into whole-stage codegen.
+  // ------------------------------------------------------------------
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "[0-9][0-9-]{2,}[0-9]"
+
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or call 555-01"), col("doc_id"), lit(" today")).as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        regexp_replace(col("t"), EmailRe, "<EMAIL>").as("t1"))
+      .select(col("doc_id"), col("n_emails"),
+        size(regexp_extract_all(col("t1"), lit(PhoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(col("t1"), PhoneRe, "<NUM>")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+
+  private val textPiiScrubSql =
+    s"""WITH inj AS (SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com or call 555-01' || doc_id || ' today' AS t
+       |  FROM documents),
+       |em AS (SELECT doc_id,
+       |    len(regexp_extract_all(t, '$EmailRe'))::BIGINT AS n_emails,
+       |    regexp_replace(t, '$EmailRe', '<EMAIL>', 'g') AS t1
+       |  FROM inj)
+       |SELECT doc_id, n_emails,
+       |  len(regexp_extract_all(t1, '$PhoneRe'))::BIGINT AS n_phones,
+       |  md5(regexp_replace(t1, '$PhoneRe', '<NUM>', 'g')) AS scrubbed_md5
+       |FROM em ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "text_stats" -> (textStats(_, _)),
@@ -934,6 +1049,9 @@ object ExtQueries {
     "dedup_jaccard" -> (dedupJaccard(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
+    "dedup_cluster" -> (dedupCluster(_, _)),
+    "text_heavy_hitters" -> (textHeavyHitters(_, _)),
+    "text_pii_scrub" -> (textPiiScrub(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     "sim_ann_lsh" -> (simAnnLsh(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
@@ -961,6 +1079,9 @@ object ExtQueries {
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
+    "dedup_cluster" -> dedupClusterSql,
+    "text_heavy_hitters" -> textHeavyHittersSql,
+    "text_pii_scrub" -> textPiiScrubSql,
     "sim_topk" -> simTopKSql,
     "sim_ann_lsh" -> simAnnLshSql,
     "sim_ivf" -> simIvfSql,

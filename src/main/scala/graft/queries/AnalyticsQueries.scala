@@ -495,6 +495,48 @@ object AnalyticsQueries {
        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** Left anti join: customers with no URGENT order — the anti shape as
+    * a JOIN (set_except covers the EXCEPT form): keeps the full outer-side
+    * row, and the filter on the anti side is pushed below the join. At
+    * scale both sides shuffle on the key (or the filtered anti side
+    * broadcasts when small — AQE decides from the post-filter size). */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .join(
+        table(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_nationkey")
+      .orderBy("c_custkey")
+
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name, c_nationkey FROM customer
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** GROUPING SETS ((status), (priority)): two one-dimension rollups in
+    * ONE scan + one Expand — the custom-subset shape that neither ROLLUP
+    * nor CUBE expresses. Same temp-view SQL route as [[rollupCustomers]]
+    * (the Expand node trips DetectAmbiguousSelfJoin on the Dataset API). */
+  def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("g_orders")
+    try spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         |FROM g_orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    finally spark.catalog.dropTempView("g_orders"): Unit
+  }
+
+  val groupingSetsOrdersSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n_orders,
+       |  ${decSumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   /** Pivot: per-user event counts spread across event-type columns
     * (explicit value list ⇒ stable output schema, the scale-sane form —
     * an unlisted pivot would need a distinct-scan planning pass). */
@@ -535,8 +577,10 @@ object AnalyticsQueries {
     "events_tumbling_window" -> eventsTumbling,
     "events_session_window" -> eventsSessionWindow,
     "join_semi" -> semiJoin,
+    "join_anti" -> antiJoin,
     "join_full_outer" -> fullOuterJoin,
     "agg_percentiles" -> aggPercentiles,
+    "agg_grouping_sets" -> groupingSetsOrders,
     "agg_approx" -> aggApprox)
 
   val oracles: Map[String, String] = Map(
@@ -559,6 +603,8 @@ object AnalyticsQueries {
     "events_tumbling_window" -> eventsTumblingSql,
     "events_session_window" -> eventsSessionWindowSql,
     "join_semi" -> semiJoinSql,
+    "join_anti" -> antiJoinSql,
     "join_full_outer" -> fullOuterJoinSql,
-    "agg_percentiles" -> aggPercentilesSql)
+    "agg_percentiles" -> aggPercentilesSql,
+    "agg_grouping_sets" -> groupingSetsOrdersSql)
 }

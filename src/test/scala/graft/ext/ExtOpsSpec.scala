@@ -353,4 +353,36 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     // deterministic pseudo-decode
     feats(0).width should (be >= 16 and be < 80)
   }
+
+  behavior of "Dedup.connectedComponents"
+
+  private def components(pairs: (Long, Long)*): Map[Long, Long] = {
+    import spark.implicits._
+    Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+  }
+
+  it should "label every node with the component's min id" in {
+    // two components: {1,2,3} (a triangle-free chain) and {10,11}
+    components((2L, 1L), (2L, 3L), (10L, 11L)) shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+  }
+
+  it should "converge on a long chain (pointer jumping, not diameter rounds)" in {
+    // a 64-node chain has diameter 63; maxIter=20 only suffices when the
+    // shortcut step actually squares the propagation distance
+    val chain = (1L until 64L).map(i => (i, i + 1))
+    val got = components(chain: _*)
+    got.size shouldBe 64
+    got.values.toSet shouldBe Set(1L)
+  }
+
+  it should "return an empty frame for no edges" in {
+    components() shouldBe Map.empty
+  }
+
+  it should "keep exact-duplicate pairs and transitive overlaps together" in {
+    // 1-2, 2-3 transitively joins 3 to 1 even if (1,3) was never a pair
+    components((1L, 2L), (2L, 3L)) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+  }
 }
