@@ -31,6 +31,22 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"),
         sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("sum_value"))
 
+  /** Watermarked stream-stream inner join: a right-side row matches
+    * when its key equals and its event time falls in
+    * [leftTs, leftTs + within] — the click-to-impression attribution
+    * shape. The time bound is part of the join condition, so Spark can
+    * evict state on BOTH sides once the watermark passes the bound:
+    * state size is O(arrival rate × (lateness + within)) per side, not
+    * unbounded. Column names must differ across sides. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      lateness: String, within: String): DataFrame =
+    left.withWatermark(leftTs, lateness)
+      .join(right.withWatermark(rightTs, lateness),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"interval $within"))
+
   /** Streaming exact dedup: emit only the FIRST occurrence of each key
     * across micro-batches, with explicit per-key state via
     * flatMapGroupsWithState — the custom-state extension tier. For

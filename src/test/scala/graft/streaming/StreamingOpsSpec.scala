@@ -153,6 +153,34 @@ class StreamingOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally q.stop()
   }
 
+  behavior of "intervalJoin stream-stream"
+
+  it should "join rows within the interval and not beyond it" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, String)]
+    val clicks = MemoryStream[(Timestamp, String)]
+    val joined = StreamingOps.intervalJoin(
+      imps.toDF().toDF("imp_ts", "imp_id"),
+      clicks.toDF().toDF("click_ts", "click_id"),
+      "imp_id", "click_id", "imp_ts", "click_ts",
+      lateness = "10 minutes", within = "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .option("checkpointLocation", tempDir("ssjoin-ckpt"))
+      .start()
+    try {
+      imps.addData((ts(0), "a"), (ts(0), "b"))
+      clicks.addData((ts(3), "a")) // within 5 min of a's impression
+      q.processAllAvailable()
+      clicks.addData((ts(30), "b")) // 30 min later: outside the interval
+      q.processAllAvailable()
+      val out = spark.table("ssjoin_out")
+        .select("imp_id", "click_ts").as[(String, Timestamp)].collect()
+      out.toSeq shouldBe Seq(("a", ts(3)))
+    } finally q.stop()
+  }
+
   behavior of "RowCountListener"
 
   it should "emit rows.incoming with the stream tags" in {
