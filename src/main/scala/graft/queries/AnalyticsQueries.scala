@@ -537,6 +537,30 @@ object AnalyticsQueries {
        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  /** Correlated scalar subquery: orders from customers with ≥ 20 orders.
+    * Catalyst decorrelates the subquery (RewriteCorrelatedScalarSubquery)
+    * into an aggregate + join — one scan of orders feeds both sides and
+    * the aggregate side reduces to one row per customer before the join,
+    * so the shape scales like a self-join on a pre-aggregated dimension,
+    * not like per-row subquery execution. Count predicate: integer-exact
+    * in both engines (a double-avg predicate could flip borderline rows
+    * in the last ulp). */
+  def correlatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "orders").createOrReplaceTempView("g_orders_corr")
+    try spark.sql(
+      """SELECT o_orderkey, o_custkey FROM g_orders_corr o
+        |WHERE (SELECT COUNT(*) FROM g_orders_corr o2
+        |       WHERE o2.o_custkey = o.o_custkey) >= 20
+        |ORDER BY o_orderkey""".stripMargin)
+    finally spark.catalog.dropTempView("g_orders_corr"): Unit
+  }
+
+  val correlatedSubquerySql: String =
+    """SELECT o_orderkey, o_custkey FROM orders o
+      |WHERE (SELECT COUNT(*) FROM orders o2
+      |       WHERE o2.o_custkey = o.o_custkey) >= 20
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Pivot: per-user event counts spread across event-type columns
     * (explicit value list ⇒ stable output schema, the scale-sane form —
     * an unlisted pivot would need a distinct-scan planning pass). */
@@ -581,6 +605,7 @@ object AnalyticsQueries {
     "join_full_outer" -> fullOuterJoin,
     "agg_percentiles" -> aggPercentiles,
     "agg_grouping_sets" -> groupingSetsOrders,
+    "join_correlated_subquery" -> correlatedSubquery,
     "agg_approx" -> aggApprox)
 
   val oracles: Map[String, String] = Map(
@@ -606,5 +631,6 @@ object AnalyticsQueries {
     "join_anti" -> antiJoinSql,
     "join_full_outer" -> fullOuterJoinSql,
     "agg_percentiles" -> aggPercentilesSql,
-    "agg_grouping_sets" -> groupingSetsOrdersSql)
+    "agg_grouping_sets" -> groupingSetsOrdersSql,
+    "join_correlated_subquery" -> correlatedSubquerySql)
 }
