@@ -107,12 +107,38 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
     // narrow ops: the only exchange allowed is the final orderBy the
     // oracle-determinism harness requires
     Seq("text_stats", "text_lang_id", "text_bpe_tokens", "multimodal_ingest",
-      "text_rolling_hash").foreach { q =>
+      "text_rolling_hash", "text_pii_scrub").foreach { q =>
       val p = plan(q)
       withClue(q) {
         "Exchange".r.findAllIn(p).size should be <= 2 // range-partition sort only (AQE may reuse one)
         p should not include "HashAggregate" // no accidental aggregation
       }
     }
+  }
+
+  it should "plan the anti join as a join with the anti-side filter pushed down" in {
+    val p = plan("join_anti")
+    p should include("LeftAnti")
+    // the priority filter runs below the join, on the orders scan
+    p should include regex "PushedFilters: \\[[^\\]]*EqualTo\\(o_orderpriority,1-URGENT\\)"
+  }
+
+  it should "plan grouping sets as ONE scan + one Expand" in {
+    val p = plan("agg_grouping_sets")
+    "Expand".r.findAllIn(p).size shouldBe 1
+    "FileScan parquet".r.findAllIn(p).size shouldBe 1
+  }
+
+  it should "decorrelate the scalar subquery into an aggregate + join (no per-row subplan)" in {
+    val p = plan("join_correlated_subquery")
+    // a non-decorrelated plan would carry a ScalarSubquery node executed
+    // per outer row; the rewrite leaves a join against a pre-aggregated
+    // (one row per customer) side
+    p should not include "ScalarSubquery"
+    p should include("HashAggregate")
+  }
+
+  it should "plan corpus heavy hitters as partial top-k, not a global sort" in {
+    plan("text_heavy_hitters") should include("TakeOrderedAndProject")
   }
 }
