@@ -50,8 +50,29 @@ object Bench {
     }
     val pass1 = measuredPass()
     val pass2 = measuredPass().toMap
-    val results = pass1.map { case (name, t) =>
+    val minOf2 = pass1.map { case (name, t) =>
       name -> math.min(t, pass2.getOrElse(name, t))
+    }
+    // Adaptive re-measure: when the two passes disagree by > 1.5× on a
+    // non-trivial query, the MIN itself is suspect — the round-4 driver
+    // host was contended across BOTH passes (agg_grouping_sets measured
+    // 19.9 s there vs 0.6 s on a quiet box). One more pass for just the
+    // disputed queries costs seconds and recovers the plan's real cost.
+    val disputed = pass1.collect {
+      case (name, t1) if {
+        val t2 = pass2.getOrElse(name, t1)
+        val (lo, hi) = (math.min(t1, t2), math.max(t1, t2))
+        lo > 0.5 && hi > lo * 1.5
+      } => name
+    }.toSet
+    val byName = queries.toMap
+    val results = minOf2.map { case (name, t) =>
+      if (!disputed.contains(name)) name -> t
+      else {
+        val t0 = System.nanoTime()
+        execute(name, byName(name)).foreach(f => failed ::= f)
+        name -> math.min(t, (System.nanoTime() - t0) / 1e9)
+      }
     }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -284,6 +284,34 @@ object Dedup {
       .drop("n_a", "n_b", "n_sh_a", "n_sh_b")
   }
 
+  /** Asymmetric CONTAINMENT verification over candidate pairs:
+    * C(A→B) = |A∩B| / |A|. Detects sub-document duplication — a short
+    * document wholly embedded in a longer one — which symmetric Jaccard
+    * structurally misses (for |A| ≪ |B|, |A∩B|/|A∪B| stays below any
+    * dup threshold even when A ⊆ B verbatim). Same array-free exploded
+    * intersection-count shape as [[jaccardVerifyExploded]] (shingle
+    * arrays never ride the candidate shuffle); containments are emitted
+    * as exact integer rationals (·10⁴ then integer division), so any
+    * engine reproduces them bit-for-bit — no float division. Candidates
+    * must carry `n_sh_a`/`n_sh_b` ([[minhashCandidates]] over
+    * [[minhashFromShingles]] output provides them); `exploded` is the
+    * distinct (doc_id, s) rows from [[shingleRows]]. */
+  def containmentVerify(candidates: DataFrame, exploded: DataFrame,
+      minContainE4: Long = 0L): DataFrame = {
+    val keyCols = Seq("doc_a", "doc_b", "n_sh_a", "n_sh_b")
+    val common = candidates.select(keyCols.map(col): _*)
+      .join(exploded.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(exploded.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n_common"))
+    candidates
+      .join(common, keyCols, "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("cont_a_e4", expr("(n_common * 10000) div n_sh_a"))
+      .withColumn("cont_b_e4", expr("(n_common * 10000) div n_sh_b"))
+      .filter(greatest(col("cont_a_e4"), col("cont_b_e4")) >= minContainE4)
+      .drop("n_sh_a", "n_sh_b")
+  }
+
   /** Array-interface wrapper over [[jaccardVerifyExploded]]:
     * `shingleSets` is (doc_id, shd) with `shd` a DISTINCT shingle
     * array. The arrays are exploded before the join so they never ride
@@ -300,15 +328,22 @@ object Dedup {
     * Algorithm: min-label propagation with pointer jumping. Each round,
     * a node takes the min of its own label and its neighbors' labels
     * (one equi-join on the edge list + one aggregate), then labels are
-    * shortcut one level (`comp := comp(comp)`, a self-join), which
-    * squares the propagation distance — convergence in O(log diameter)
-    * rounds instead of O(diameter). The driver loop only evaluates a
-    * scalar changed-row count per round; every data operation is a
-    * distributed join/aggregate over the edge list, which is output of
-    * LSH candidate verification — metadata-sized relative to the corpus
-    * (pairs, not documents). Intermediates are localCheckpoint'ed so
-    * lineage doesn't grow with rounds (on a cluster, `checkpoint` to a
-    * reliable store for fault tolerance instead).
+    * shortcut two levels (`comp := comp(comp)` twice, self-joins), which
+    * squares the propagation distance per jump — convergence in
+    * O(log diameter) rounds instead of O(diameter). Every data operation
+    * is a distributed join/aggregate over the edge list, which is output
+    * of LSH candidate verification — metadata-sized relative to the
+    * corpus (pairs, not documents). Intermediates are localCheckpoint'ed
+    * so lineage doesn't grow with rounds (on a cluster, `checkpoint` to
+    * a reliable store for fault tolerance instead).
+    *
+    * Convergence is detected from a single scalar aggregate per round:
+    * min-label propagation only ever DECREASES labels, so the label sum
+    * is strictly monotone until the fixed point — an unchanged
+    * (sum, count) signature means no label moved. That is one light
+    * aggregate job per round where a changed-row count would cost a
+    * full self-join (the sum is carried as DECIMAL(38,0): exact, and
+    * immune to overflow at any node-id/corpus scale).
     *
     * Returns (id, comp): every node that appears in `pairs`, labeled
     * with the smallest id reachable from it. */
@@ -320,24 +355,30 @@ object Dedup {
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
+    def jump(df: DataFrame): DataFrame = {
+      val parents = df.select(col("id").as("p_id"), col("comp").as("p_comp"))
+      df.join(parents, df("comp") === parents("p_id"), "left")
+        .select(df("id"), coalesce(parents("p_comp"), df("comp")).as("comp"))
+    }
+    def signature(df: DataFrame): (java.math.BigDecimal, Long) = {
+      val row = df.agg(
+        sum(col("comp").cast("decimal(38,0)")).as("s"),
+        count(lit(1)).as("c")).head()
+      (row.getDecimal(0), row.getLong(1))
+    }
     var iter = 0
-    var done = labels.isEmpty
+    var done = false
+    var prevSig = Option.empty[(java.math.BigDecimal, Long)]
     while (!done && iter < maxIter) {
       val nbr = edges.join(labels.select(col("id").as("dst"), col("comp")), "dst")
         .select(col("src").as("id"), col("comp"))
       val stepped = labels.unionAll(nbr)
         .groupBy("id").agg(min("comp").as("comp"))
-      val parents = stepped.select(col("id").as("p_id"), col("comp").as("p_comp"))
-      val shortcut = stepped
-        .join(parents, stepped("comp") === parents("p_id"), "left")
-        .select(stepped("id"), coalesce(col("p_comp"), stepped("comp")).as("comp"))
-        .localCheckpoint(true)
-      val changed = shortcut
-        .join(labels.select(col("id"), col("comp").as("old_comp")), "id")
-        .filter(col("comp") =!= col("old_comp")).count()
+      val shortcut = jump(jump(stepped)).localCheckpoint(true)
+      val sig = signature(shortcut)
       labels = shortcut
-      done = changed == 0L
+      done = sig._2 == 0L || prevSig.contains(sig)
+      prevSig = Some(sig)
       iter += 1
     }
     labels

@@ -447,6 +447,144 @@ object ExtQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------------
+  // dedup_containment: asymmetric containment C(A→B) = |A∩B|/|A| over
+  // LSH candidates — catches sub-document duplication (short doc
+  // embedded verbatim in a long one) that symmetric Jaccard misses
+  // ------------------------------------------------------------------
+
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val exd = Dedup.shingleRows(docs(spark, dir).select("doc_id", "text"),
+      "doc_id", "text", ShingleN)
+    val proj = Dedup.minhashFromShingles(exd, "doc_id", MinhashK, LshBands, LshRows)
+    val candidates = Dedup.minhashCandidates(proj, "doc_id", MinhashK).drop("n_sig_match")
+    Dedup.containmentVerify(candidates, exd)
+      .select("doc_a", "doc_b", "n_common", "cont_a_e4", "cont_b_e4")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupContainmentSql =
+    s"""WITH $TokCte, $ShCte,
+       |$SigCtes,
+       |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh)
+       |SELECT p.doc_a, p.doc_b,
+       |  len(list_intersect(a.shd, b.shd))::BIGINT AS n_common,
+       |  ((len(list_intersect(a.shd, b.shd))::BIGINT * 10000) // len(a.shd)::BIGINT)::BIGINT AS cont_a_e4,
+       |  ((len(list_intersect(a.shd, b.shd))::BIGINT * 10000) // len(b.shd)::BIGINT)::BIGINT AS cont_b_e4
+       |FROM pairs p
+       |JOIN shd a ON a.doc_id = p.doc_a
+       |JOIN shd b ON b.doc_id = p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // dedup_segments: segment-level boilerplate dedup — the corpus is cut
+  // into fixed-width token segments, segments shared by ≥ 2 distinct
+  // docs are flagged as boilerplate, and each doc gets a cleaned-text
+  // hash with the boilerplate removed (line/paragraph-level dedup à la
+  // CCNet/RefinedWeb, at fixed token granularity since the synthetic
+  // corpus has no newline structure)
+  // ------------------------------------------------------------------
+
+  private val SegW = 16
+  private val BoilerMinDocs = 2
+
+  def dedupSegments(spark: SparkSession, dir: String): DataFrame = {
+    // one (doc, segment) shuffle keyed on the segment hash for the
+    // document-frequency count, a second for the join back — the exact
+    // dedup shape at sub-document granularity; clean text is
+    // reassembled order-safely (array_sort on (idx, seg), never a
+    // bare collect_list order assumption)
+    val segs = toksDf(spark, dir)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(toks) - 1) div $SegW),
+             |  i -> array_join(slice(toks, i * $SegW + 1, $SegW), ' '))""".stripMargin))
+          .as(Seq("seg_idx", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val freq = segs.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("n_docs"))
+    segs.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("n_docs") >= BoilerMinDocs, 1L).otherwise(0L)).as("n_boiler_segments"),
+        md5(concat_ws(" ", expr(
+          s"""transform(array_sort(collect_list(
+             |  CASE WHEN n_docs < $BoilerMinDocs
+             |       THEN named_struct('i', seg_idx, 's', seg) END)), x -> x.s)""".stripMargin)))
+          .as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupSegmentsSql =
+    s"""WITH $TokCte,
+       |segs AS (SELECT doc_id, (s - 1) // $SegW AS seg_idx,
+       |    array_to_string(toks[s:least(s + ${SegW - 1}, n)], ' ') AS seg
+       |  FROM (SELECT doc_id, toks, len(toks) AS n,
+       |          unnest(generate_series(1, len(toks), $SegW)) AS s
+       |        FROM tok WHERE len(toks) > 0)),
+       |sh2 AS (SELECT doc_id, seg_idx, seg, md5(seg) AS h FROM segs),
+       |freq AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM sh2 GROUP BY h)
+       |SELECT s.doc_id, count(*)::BIGINT AS n_segments,
+       |  sum(CASE WHEN f.n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END)::BIGINT AS n_boiler_segments,
+       |  md5(coalesce(string_agg(CASE WHEN f.n_docs < $BoilerMinDocs THEN s.seg END,
+       |    ' ' ORDER BY s.seg_idx), '')) AS clean_hash
+       |FROM sh2 s JOIN freq f USING (h)
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // pipeline_pack_sequences: concat-and-split training-sequence packing
+  // — chunks are laid end-to-end per source (deterministic (doc,
+  // chunk) order) and split into fixed-token-budget sequences via a
+  // running-sum window; per-source partitioning keeps the sort
+  // distributed (refine the partition key — e.g. (source, day) — when
+  // one source dominates at real scale)
+  // ------------------------------------------------------------------
+
+  private val PackLen = 128
+
+  def pipelinePackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = docs(spark, dir)
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")))
+      .withColumn("start", explode(sequence(lit(1), col("n"), lit(ChunkS))))
+      .select(col("source"), col("doc_id"),
+        expr(s"cast((start - 1) div $ChunkS as bigint)").as("chunk_idx"),
+        least(lit(ChunkW), col("n") - col("start") + 1).cast("long").as("chunk_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id", "chunk_idx")
+    chunks
+      .withColumn("cum", sum(col("chunk_tokens")).over(w))
+      .withColumn("seq_id", expr(s"(cum - chunk_tokens) div $PackLen"))
+      .groupBy("source", "seq_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_e4", expr(s"(seq_tokens * 10000) div $PackLen"))
+      .orderBy("source", "seq_id")
+  }
+
+  private val pipelinePackSequencesSql =
+    s"""WITH tok2 AS (SELECT doc_id, source,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |c AS (SELECT source, doc_id, ((s - 1) // $ChunkS)::BIGINT AS chunk_idx,
+       |    least($ChunkW, n - s + 1)::BIGINT AS chunk_tokens
+       |  FROM (SELECT doc_id, source, toks, len(toks) AS n,
+       |          unnest(generate_series(1, len(toks), $ChunkS)) AS s
+       |        FROM tok2 WHERE len(toks) > 0)),
+       |cum AS (SELECT *, sum(chunk_tokens)
+       |    OVER (PARTITION BY source ORDER BY doc_id, chunk_idx) AS cum FROM c),
+       |b AS (SELECT source, (cum - chunk_tokens) // $PackLen AS seq_id,
+       |    chunk_tokens, doc_id FROM cum)
+       |SELECT source, seq_id::BIGINT AS seq_id, count(*)::BIGINT AS n_chunks,
+       |  sum(chunk_tokens)::BIGINT AS seq_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  ((sum(chunk_tokens) * 10000) // $PackLen)::BIGINT AS fill_e4
+       |FROM b GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // dedup_simhash: 32-bit SimHash sketch per document
   // ------------------------------------------------------------------
 
@@ -1047,6 +1185,9 @@ object ExtQueries {
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_jaccard" -> (dedupJaccard(_, _)),
+    "dedup_containment" -> (dedupContainment(_, _)),
+    "dedup_segments" -> (dedupSegments(_, _)),
+    "pipeline_pack_sequences" -> (pipelinePackSequences(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
     "dedup_cluster" -> (dedupCluster(_, _)),
@@ -1077,6 +1218,9 @@ object ExtQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_containment" -> dedupContainmentSql,
+    "dedup_segments" -> dedupSegmentsSql,
+    "pipeline_pack_sequences" -> pipelinePackSequencesSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_cluster" -> dedupClusterSql,

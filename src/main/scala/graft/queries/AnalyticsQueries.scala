@@ -581,6 +581,111 @@ object AnalyticsQueries {
       |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Navigation + distribution window functions over each customer's
+    * order timeline: lag/lead (previous/next order price, day gap) on
+    * the date ordering, ntile + percent_rank on the spend ordering —
+    * the window-function surface beyond frames/row_number that
+    * [[windowFrames]]/[[windowTopPerCustomer]] cover. Both orderings
+    * are made unique with o_orderkey so tie order can't differ between
+    * engines; percent_rank = (rank−1)/(n−1) is a small-integer ratio,
+    * IEEE-exact in both engines, emitted ·10⁶. One shuffle on
+    * o_custkey serves both window specs (same partition key). */
+  def windowLagLead(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("od"), col("o_orderkey"))
+    val bySpend = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("od"), col("o_totalprice"))
+      .withColumn("prev_price_e2",
+        round(lag(col("o_totalprice"), 1).over(byDate) * 100).cast("long"))
+      .withColumn("next_price_e2",
+        round(lead(col("o_totalprice"), 1).over(byDate) * 100).cast("long"))
+      .withColumn("days_since_prev",
+        datediff(col("od"), lag(col("od"), 1).over(byDate)).cast("long"))
+      .withColumn("spend_quartile", ntile(4).over(bySpend).cast("long"))
+      .withColumn("spend_pct_rank_e6",
+        round(percent_rank().over(bySpend) * 1e6).cast("long"))
+      .select("o_custkey", "o_orderkey", "prev_price_e2", "next_price_e2",
+        "days_since_prev", "spend_quartile", "spend_pct_rank_e6")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val windowLagLeadSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(round(lag(o_totalprice) OVER bydate * 100) AS BIGINT) AS prev_price_e2,
+      |  CAST(round(lead(o_totalprice) OVER bydate * 100) AS BIGINT) AS next_price_e2,
+      |  date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER bydate,
+      |    CAST(o_orderdate AS DATE))::BIGINT AS days_since_prev,
+      |  ntile(4) OVER byspend AS spend_quartile,
+      |  CAST(round(percent_rank() OVER byspend * 1000000) AS BIGINT) AS spend_pct_rank_e6
+      |FROM orders
+      |WINDOW bydate AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+      |  byspend AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Hopping (sliding) windows: 30-minute windows every 15 minutes, so
+    * each event lands in exactly size/slide = 2 windows — the overlap
+    * shape between tumbling ([[eventsTumbling]]) and session
+    * ([[eventsSessionWindow]]) windows, and the same `window()` keyword
+    * the streaming path uses (StreamingOps). The oracle mirrors Spark's
+    * epoch-aligned window generation: floor to the slide, plus the
+    * preceding hop. */
+  def eventsHoppingWindow(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("evt_ts", tsMicros("ts"))
+      .groupBy(window(col("evt_ts"), "30 minutes", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  val eventsHoppingWindowSql: String =
+    """WITH h AS (SELECT event_type, value,
+      |    CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP) AS h0 FROM events),
+      |w AS (SELECT event_type, value,
+      |    unnest([h0, h0 - INTERVAL 15 MINUTE]) AS window_start FROM h)
+      |SELECT window_start, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** Correlated LATERAL subquery: each customer joined to its top-2
+    * orders by price — the per-row table-generating join shape (SQL
+    * `LATERAL`). Catalyst decorrelates the ORDER BY … LIMIT subquery
+    * (DecorrelateInnerQuery) into a partitioned window rank over one
+    * scan of orders — per-GROUP top-k, never per-row re-execution.
+    * Inner join: customers with no orders drop out. */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "customer").createOrReplaceTempView("g_cust_lat")
+    table(spark, dir, "orders").createOrReplaceTempView("g_ord_lat")
+    try spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey,
+        |  CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_e2
+        |FROM g_cust_lat c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM g_ord_lat
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, price_e2 DESC, t.o_orderkey""".stripMargin)
+    finally {
+      spark.catalog.dropTempView("g_cust_lat")
+      spark.catalog.dropTempView("g_ord_lat"): Unit
+    }
+  }
+
+  val lateralTopOrdersSql: String =
+    """SELECT c.c_custkey, t.o_orderkey,
+      |  CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_e2
+      |FROM customer c
+      |JOIN LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true
+      |ORDER BY c.c_custkey, price_e2 DESC, t.o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "join_asof" -> asofLatestOrder,
     "join_range" -> rangeJoinEvents,
@@ -606,6 +711,9 @@ object AnalyticsQueries {
     "agg_percentiles" -> aggPercentiles,
     "agg_grouping_sets" -> groupingSetsOrders,
     "join_correlated_subquery" -> correlatedSubquery,
+    "window_lag_lead" -> windowLagLead,
+    "events_hopping_window" -> eventsHoppingWindow,
+    "join_lateral" -> lateralTopOrders,
     "agg_approx" -> aggApprox)
 
   val oracles: Map[String, String] = Map(
@@ -632,5 +740,8 @@ object AnalyticsQueries {
     "join_full_outer" -> fullOuterJoinSql,
     "agg_percentiles" -> aggPercentilesSql,
     "agg_grouping_sets" -> groupingSetsOrdersSql,
-    "join_correlated_subquery" -> correlatedSubquerySql)
+    "join_correlated_subquery" -> correlatedSubquerySql,
+    "window_lag_lead" -> windowLagLeadSql,
+    "events_hopping_window" -> eventsHoppingWindowSql,
+    "join_lateral" -> lateralTopOrdersSql)
 }
