@@ -927,6 +927,74 @@ object ExtQueries {
        |ORDER BY query_id, rnk""".stripMargin
 
   // ------------------------------------------------------------------
+  // sim_pq: product-quantization ANN — per-subspace trained codebooks
+  // (seeded k-means, bit-reproducible), corpus encoded as m small
+  // codes, asymmetric-distance search via broadcast lookup tables. The
+  // memory-compression half of billion-scale IVF-PQ (sim_ivf is the
+  // pruning half). The oracle re-derives codebooks, codes, and
+  // distance tables, so the whole structure is verified.
+  // ------------------------------------------------------------------
+
+  private val PqM = 8      // subspaces (canonical PQ on 64 dims)
+  private val PqSubDim = 8 // dims per subspace (8 × 8 = 64)
+  private val PqK = 16     // codebook size per subspace
+  private val PqIters = 2  // Lloyd iterations per codebook
+
+  def simPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    Similarity.pqTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        dim = 64, m = PqM, codebookK = PqK, k = 3, iters = PqIters)
+      .select("query_id", "neighbor_id", "adist_e6", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  private val simPqSql = {
+    val sqd =
+      s"list_aggregate(list_transform(generate_series(1, $PqSubDim), " +
+        s"i -> (e.semb[i] - c.cemb[i]) * (e.semb[i] - c.cemb[i])), 'sum')"
+    def assign(src: String, cents: String) =
+      s"""SELECT vec_id, semb, cid AS cell FROM (
+         |    SELECT e.vec_id, e.semb, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $sqd ASC, c.cid ASC) AS rn
+         |    FROM $src e CROSS JOIN $cents c) t WHERE rn = 1""".stripMargin
+    val subCtes = (0 until PqM).map { s =>
+      val off = s * PqSubDim
+      // one Lloyd iteration: assign to cb{i}, then per-(cell, pos)
+      // e6-fixed-point means → cb{i+1} (mirrors trainCentroids)
+      val lloyd = (0 until PqIters).map { i =>
+        s"""a$i$s AS (${assign(s"es$s", s"cb$i$s")}),
+           |cs$i$s AS (SELECT cell, pos,
+           |    sum(CAST(round(semb[pos + 1] * 1000000.0) AS BIGINT)) AS su, count(*) AS c
+           |  FROM a$i$s CROSS JOIN (SELECT unnest(generate_series(0, ${PqSubDim - 1})) AS pos) p
+           |  GROUP BY cell, pos),
+           |cb${i + 1}$s AS (SELECT cell AS cid, list(su::DOUBLE / 1000000.0 / c ORDER BY pos) AS cemb
+           |  FROM cs$i$s GROUP BY cell)""".stripMargin
+      }.mkString(",\n")
+      s"""es$s AS (SELECT vec_id,
+         |    list_transform(embedding[${off + 1}:${off + PqSubDim}], x -> x::DOUBLE) AS semb
+         |  FROM embeddings),
+         |cb0$s AS (SELECT vec_id AS cid, semb AS cemb FROM es$s WHERE vec_id < $PqK),
+         |$lloyd,
+         |code$s AS (${assign(s"es$s", s"cb$PqIters$s")}),
+         |dtab$s AS (SELECT e.vec_id AS query_id, c.cid,
+         |    CAST(round($sqd * 1000000) AS BIGINT) AS d_e6
+         |  FROM es$s e CROSS JOIN cb$PqIters$s c WHERE e.vec_id < 10),
+         |leg$s AS (SELECT d.query_id, co.vec_id AS neighbor_id, d.d_e6
+         |  FROM code$s co JOIN dtab$s d ON co.cell = d.cid)""".stripMargin
+    }.mkString(",\n")
+    val legs = (0 until PqM).map(s => s"SELECT * FROM leg$s").mkString(" UNION ALL ")
+    s"""WITH $subCtes,
+       |u AS ($legs),
+       |ap AS (SELECT query_id, neighbor_id, sum(d_e6)::BIGINT AS adist_e6
+       |  FROM u WHERE query_id != neighbor_id GROUP BY query_id, neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, adist_e6,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist_e6 ASC, neighbor_id ASC)::BIGINT AS rnk
+       |  FROM ap)
+       |SELECT query_id, neighbor_id, adist_e6, rnk FROM r WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // source_similarity: corpus-level MinHash — one union signature per
   // source, pairwise signature agreement (which sources share content)
   // ------------------------------------------------------------------
@@ -1196,6 +1264,7 @@ object ExtQueries {
     "sim_topk" -> (simTopK(_, _)),
     "sim_ann_lsh" -> (simAnnLsh(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
+    "sim_pq" -> (simPq(_, _)),
     "source_similarity" -> (sourceSimilarity(_, _)),
     "pipeline_corpus_clean" -> (pipelineCorpusClean(_, _)),
     "embed_quantize" -> (embedQuantize(_, _)),
@@ -1229,6 +1298,7 @@ object ExtQueries {
     "sim_topk" -> simTopKSql,
     "sim_ann_lsh" -> simAnnLshSql,
     "sim_ivf" -> simIvfSql,
+    "sim_pq" -> simPqSql,
     "source_similarity" -> sourceSimilaritySql,
     "pipeline_corpus_clean" -> pipelineCorpusCleanSql,
     "embed_quantize" -> embedQuantizeSql,

@@ -250,6 +250,57 @@ object Similarity {
     rank(joined, idCol, k)
   }
 
+  /** Product-quantization (PQ) approximate top-k by L2: the embedding
+    * is split into `m` contiguous subvectors; each subspace gets its
+    * own [[trainCentroids]] codebook (seeded k-means, bit-reproducible
+    * e6 fixed-point means) and every corpus vector is encoded as `m`
+    * small codes — 64 dims × 4 bytes → `m` bytes per vector, the
+    * memory-compression half of the IVF-PQ design used for
+    * billion-scale ANN (vs [[ivfTopK]]'s candidate-pruning half; at
+    * real scale compose them: IVF prunes cells, PQ scores survivors).
+    *
+    * Search is asymmetric-distance computation (ADC): a query computes
+    * an exact distance table to each subspace codebook (|codebook| · m
+    * entries — broadcast), then a corpus vector's approximate distance
+    * is the SUM of table lookups on its codes — never a full
+    * d-dimensional calculation per (query, vector) pair. Per-subspace
+    * distances are quantized to e6 BIGINTs before summing, so the
+    * total is an integer sum — associative, partition-order-proof, and
+    * bit-reproducible by the oracle.
+    *
+    * Plan shape: per subspace — narrow encode pass over the corpus
+    * (broadcast codebook) + broadcast distance-table join on the code;
+    * the m per-subspace legs union and hash-aggregate on (query,
+    * neighbor). No shuffle ever carries an embedding. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, dim: Int, m: Int, codebookK: Int, k: Int,
+      iters: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    val perSub = (0 until m).map { s =>
+      def sub(df: DataFrame): DataFrame = df.select(col(idCol),
+        expr(s"slice($embCol, ${s * subDim + 1}, $subDim)").as(embCol))
+      val cb = trainCentroids(sub(corpus), idCol, embCol, codebookK, iters)
+      val codes = assignCells(sub(corpus), cb, idCol, embCol)
+        .select(col(idCol).as("neighbor_id"), col("cell"))
+      val dtab = sub(queries)
+        .select(col(idCol).as("query_id"), col(embCol).as("qemb"))
+        .crossJoin(broadcast(cb.select(col(idCol).as("cid"), col(embCol).as("cemb"))))
+        .select(col("query_id"), col("cid"),
+          round(sqDist("qemb", "cemb") * 1e6).cast("long").as("d_e6"))
+      codes.join(broadcast(dtab), col("cell") === col("cid"))
+        .select(col("query_id"), col("neighbor_id"), col("d_e6"))
+    }
+    val approx = perSub.reduce(_ unionAll _)
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("d_e6")).as("adist_e6"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_e6").asc, col("neighbor_id").asc)
+    approx.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Embedding-cosine near-dup pairs: candidates from the multi-table
     * sign-bucket self-join (hash join on the table-qualified bucket key
     * — never all-pairs), kept when cosine ≥ threshold. The
