@@ -488,11 +488,14 @@ object ExtQueries {
   private val BoilerMinDocs = 2
 
   def dedupSegments(spark: SparkSession, dir: String): DataFrame = {
-    // one (doc, segment) shuffle keyed on the segment hash for the
-    // document-frequency count, a second for the join back — the exact
-    // dedup shape at sub-document granularity; clean text is
-    // reassembled order-safely (array_sort on (idx, seg), never a
-    // bare collect_list order assumption)
+    // ONE corpus scan (plan-audited): per-segment document frequency is
+    // a collect_set window over the segment-hash partition — the same
+    // single shuffle on h that an aggregate-then-join-back needs for
+    // its first half, without the second scan (the aggregate's partial
+    // rows and the join's raw rows are different subtrees, so exchange
+    // reuse can never merge that shape); a second shuffle on doc_id
+    // re-assembles. Clean text is rebuilt order-safely (array_sort on
+    // (idx, seg), never a bare collect_list order assumption).
     val segs = toksDf(spark, dir)
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
@@ -501,8 +504,9 @@ object ExtQueries {
              |  i -> array_join(slice(toks, i * $SegW + 1, $SegW), ' '))""".stripMargin))
           .as(Seq("seg_idx", "seg")))
       .withColumn("h", md5(col("seg")))
-    val freq = segs.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("n_docs"))
-    segs.join(freq, "h")
+    segs
+      .withColumn("n_docs",
+        size(collect_set(col("doc_id")).over(Window.partitionBy("h"))).cast("long"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segments"),

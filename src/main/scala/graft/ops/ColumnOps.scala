@@ -102,6 +102,31 @@ object ColumnOps {
       .drop("__rn")
   }
 
+  /** Slowly-changing-dimension type-2 view over a CDC change stream:
+    * every version of a key becomes a row with a validity interval —
+    * `valid_from` = its own version timestamp, `valid_to` = the NEXT
+    * version's timestamp (null while current), `is_current` = 1 on the
+    * open interval. The standard downstream materialization of the
+    * at-least-once CDC layout when consumers need history, where
+    * [[latestByKey]] is the materialization when they need only the
+    * present. One shuffle on the key; `lead` and the interval columns
+    * are computed inside a single window over (version, tieBreakers) —
+    * made total by the tie-breakers, so interval bounds are
+    * deterministic under duplicate version values. */
+  def scd2(
+      df: DataFrame,
+      keyColumn: String,
+      versionColumn: org.apache.spark.sql.Column,
+      tieBreakers: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyColumn))
+      .orderBy(versionColumn.asc +: tieBreakers.map(col(_).asc): _*)
+    df.withColumn("valid_from", versionColumn)
+      .withColumn("valid_to", lead(versionColumn, 1).over(w))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1L).otherwise(0L))
+  }
+
   /** Event-time as-of join: for each left row, the single right row
     * with the greatest `rightTime` ≤ `leftTime` for the same key (the
     * enrich-events-with-latest-dimension-state pattern a CDC consumer

@@ -686,6 +686,56 @@ object AnalyticsQueries {
       |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true
       |ORDER BY c.c_custkey, price_e2 DESC, t.o_orderkey""".stripMargin
 
+  /** Ordered conversion funnel view → click → purchase per user: first
+    * view, first click STRICTLY AFTER that view, first purchase
+    * strictly after that click — order-dependent min-timestamps, the
+    * product-analytics shape plain per-type mins can't express. Each
+    * stage is a filtered scan aggregated to one row per user before
+    * joining (user-keyed dimension-sized joins; the carried stage
+    * timestamps ride as group keys, functionally dependent on the
+    * user). Left joins keep users who fall out mid-funnel. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), tsMicros("ts").as("ets"))
+    val fv = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ets")).as("view_ts"))
+    val fc = e.filter(col("event_type") === "click")
+      .join(fv, "user_id").filter(col("ets") > col("view_ts"))
+      .groupBy("user_id", "view_ts").agg(min(col("ets")).as("click_ts"))
+    val fp = e.filter(col("event_type") === "purchase")
+      .join(fc, Seq("user_id")).filter(col("ets") > col("click_ts"))
+      .groupBy("user_id", "view_ts", "click_ts").agg(min(col("ets")).as("purchase_ts"))
+    fv.join(fc, Seq("user_id", "view_ts"), "left")
+      .join(fp, Seq("user_id", "view_ts", "click_ts"), "left")
+      .withColumn("stage",
+        (lit(1L) + when(col("click_ts").isNotNull, 1L).otherwise(0L)
+          + when(col("purchase_ts").isNotNull, 1L).otherwise(0L)))
+      .select("user_id", "view_ts", "click_ts", "purchase_ts", "stage")
+      .orderBy("user_id")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |    make_timestamp(epoch_ns(ts) // 1000) AS ets FROM events),
+      |fv AS (SELECT user_id, min(ets) AS view_ts FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |fc AS (SELECT e.user_id, fv.view_ts, min(e.ets) AS click_ts
+      |  FROM e JOIN fv ON e.user_id = fv.user_id
+      |  WHERE e.event_type = 'click' AND e.ets > fv.view_ts
+      |  GROUP BY e.user_id, fv.view_ts),
+      |fp AS (SELECT e.user_id, fc.view_ts, fc.click_ts, min(e.ets) AS purchase_ts
+      |  FROM e JOIN fc ON e.user_id = fc.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ets > fc.click_ts
+      |  GROUP BY e.user_id, fc.view_ts, fc.click_ts)
+      |SELECT fv.user_id, fv.view_ts, fc.click_ts, fp.purchase_ts,
+      |  (1 + CASE WHEN fc.click_ts IS NULL THEN 0 ELSE 1 END
+      |     + CASE WHEN fp.purchase_ts IS NULL THEN 0 ELSE 1 END)::BIGINT AS stage
+      |FROM fv
+      |LEFT JOIN fc ON fv.user_id = fc.user_id AND fv.view_ts = fc.view_ts
+      |LEFT JOIN fp ON fc.user_id = fp.user_id AND fc.view_ts = fp.view_ts
+      |  AND fc.click_ts = fp.click_ts
+      |ORDER BY fv.user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "join_asof" -> asofLatestOrder,
     "join_range" -> rangeJoinEvents,
@@ -713,6 +763,7 @@ object AnalyticsQueries {
     "join_correlated_subquery" -> correlatedSubquery,
     "window_lag_lead" -> windowLagLead,
     "events_hopping_window" -> eventsHoppingWindow,
+    "events_funnel" -> eventsFunnel,
     "join_lateral" -> lateralTopOrders,
     "agg_approx" -> aggApprox)
 
@@ -743,5 +794,6 @@ object AnalyticsQueries {
     "join_correlated_subquery" -> correlatedSubquerySql,
     "window_lag_lead" -> windowLagLeadSql,
     "events_hopping_window" -> eventsHoppingWindowSql,
+    "events_funnel" -> eventsFunnelSql,
     "join_lateral" -> lateralTopOrdersSql)
 }

@@ -97,6 +97,29 @@ object ParityQueries {
       |  CASE WHEN event_type = 'click' THEN 'D' ELSE event_type END AS SYS_CHANGE_OPERATION
       |FROM events WHERE event_type <> 'click' ORDER BY event_id""".stripMargin
 
+  /** SCD type-2 history view over the events-as-CDC stream: each
+    * user's events become versioned rows with [valid_from, valid_to)
+    * intervals and an is_current flag ([[ColumnOps.scd2]]) — the
+    * history-preserving sibling of [[latestByKey]]'s latest-only merge. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    ColumnOps.scd2(table(spark, dir, "events"),
+        keyColumn = "user_id", versionColumn = tsMicros("ts"),
+        tieBreakers = Seq("event_id"))
+      .select("user_id", "event_id", "event_type",
+        "valid_from", "valid_to", "is_current")
+      .orderBy("event_id")
+
+  val scd2HistorySql: String =
+    """SELECT user_id, event_id, event_type,
+      |  make_timestamp(epoch_ns(ts) // 1000) AS valid_from,
+      |  lead(make_timestamp(epoch_ns(ts) // 1000)) OVER
+      |    (PARTITION BY user_id ORDER BY make_timestamp(epoch_ns(ts) // 1000), event_id)
+      |    AS valid_to,
+      |  (CASE WHEN lead(ts) OVER
+      |    (PARTITION BY user_id ORDER BY make_timestamp(epoch_ns(ts) // 1000), event_id)
+      |    IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_current
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Full-table snapshot source projection (reference S1: SELECT * poll). */
   def snapshot(spark: SparkSession, dir: String): DataFrame =
     ColumnOps.withFullLoadChangeColumns(
@@ -115,6 +138,7 @@ object ParityQueries {
     "parity_cdm_normalize" -> cdmNormalize,
     "parity_latest_by_key" -> latestByKey,
     "parity_apply_deletes" -> applyDeletes,
+    "parity_scd2" -> scd2History,
     "parity_snapshot" -> snapshot)
 
   val oracles: Map[String, String] = Map(
@@ -123,5 +147,6 @@ object ParityQueries {
     "parity_cdm_normalize" -> cdmNormalizeSql,
     "parity_latest_by_key" -> latestByKeySql,
     "parity_apply_deletes" -> applyDeletesSql,
+    "parity_scd2" -> scd2HistorySql,
     "parity_snapshot" -> snapshotSql)
 }

@@ -141,4 +141,53 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
   it should "plan corpus heavy hitters as partial top-k, not a global sort" in {
     plan("text_heavy_hitters") should include("TakeOrderedAndProject")
   }
+
+  it should "decorrelate the LATERAL subquery into a windowed top-k (no per-row subplan)" in {
+    val p = plan("join_lateral")
+    // per-row re-execution would appear as a LateralJoin/ScalarSubquery;
+    // the decorrelated form is one orders scan + partitioned window rank
+    p should not include "ScalarSubquery"
+    p should include("Window")
+    p should not include "CartesianProduct"
+  }
+
+  it should "serve both window specs of lag/lead from ONE customer shuffle" in {
+    val p = plan("window_lag_lead")
+    // same partition key (o_custkey) for the date- and spend-ordered
+    // specs: one hash exchange + per-spec sorts, plus only the final
+    // oracle-determinism range sort
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
+  it should "aggregate each funnel stage to per-user rows before joining" in {
+    val p = plan("events_funnel")
+    p should not include "CartesianProduct"
+    // three stage aggregates (view/click/purchase) all below the joins
+    "HashAggregate".r.findAllIn(p).size should be >= 3
+  }
+
+  it should "keep segment dedup and sequence packing cartesian-free with one corpus scan each" in {
+    Seq("dedup_segments", "pipeline_pack_sequences").foreach { q =>
+      val p = plan(q)
+      withClue(q) {
+        p should not include "CartesianProduct"
+        "FileScan parquet".r.findAllIn(p).size shouldBe 1
+      }
+    }
+  }
+
+  it should "broadcast PQ codebooks and distance tables — corpus embeddings never shuffle" in {
+    val p = plan("sim_pq")
+    p should not include "CartesianProduct"
+    // codebook assignment + ADC lookups ride broadcasts (the tiny
+    // crossJoin against ≤16 codebook rows is a BroadcastNestedLoopJoin
+    // by construction — sanctioned, it is metadata-sized)
+    p should include("BroadcastNestedLoopJoin")
+    p should include("BroadcastHashJoin")
+    // the only hash exchanges are the final (query, neighbor) ADC
+    // aggregate + rank window and the per-(cell,pos) training sums —
+    // never an embedding-carrying corpus shuffle: every exchange's
+    // output columns are ids/cells/distances, not vectors
+    "Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).size shouldBe 0
+  }
 }
