@@ -72,7 +72,10 @@ object ScaleBench {
     "dedup_simhash_pairs", "dedup_embed_cosine", "pipeline_corpus_clean",
     "pipeline_decontaminate", "pipeline_sample_mix", "sim_topk",
     "sim_ann_lsh", "sim_ivf", "source_similarity", "source_sketch",
-    "text_fingerprint", "text_keywords", "text_repetition")
+    "text_fingerprint", "text_keywords", "text_repetition",
+    // round 5
+    "dedup_containment", "dedup_segments", "dedup_cluster",
+    "pipeline_pack_sequences", "sim_pq", "text_heavy_hitters")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)

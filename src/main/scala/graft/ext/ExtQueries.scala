@@ -447,6 +447,55 @@ object ExtQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------------
+  // pipeline_quality_report: per-source corpus health — doc counts,
+  // quality-gate pass rate, token totals, language spread. The
+  // dashboard aggregate a pipeline operator watches per ingestion
+  // round; one scan, one shuffle on the (tiny) source key. Rates are
+  // exact integer rationals (·10⁴, integer division).
+  // ------------------------------------------------------------------
+
+  def pipelineQualityReport(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), col("lang"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"), col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_unique"),
+        expr("cast(array_max(transform(toks, t -> length(t))) as bigint)").as("max_len"))
+      .withColumn("quality_ok",
+        when(col("n_tokens").between(10, 5000)
+            && col("n_unique") * 4 >= col("n_tokens")
+            && col("max_len") <= 30, 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("quality_ok")).as("n_quality_ok"),
+        sum(col("n_tokens")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("quality_rate_e4", expr("(n_quality_ok * 10000) div n_docs"))
+      .withColumn("mean_tokens_e2", expr("(total_tokens * 100) div n_docs"))
+      .orderBy("source")
+
+  private val pipelineQualityReportSql =
+    s"""WITH t AS (SELECT source, lang,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |d AS (SELECT source, lang, len(toks)::BIGINT AS n_tokens,
+       |    len(list_distinct(toks))::BIGINT AS n_unique,
+       |    list_aggregate(list_transform(toks, x -> length(x)), 'max')::BIGINT AS max_len
+       |  FROM t),
+       |q AS (SELECT source, lang, n_tokens,
+       |    CASE WHEN n_tokens BETWEEN 10 AND 5000 AND n_unique * 4 >= n_tokens
+       |              AND max_len <= 30 THEN 1 ELSE 0 END AS quality_ok
+       |  FROM d)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(quality_ok)::BIGINT AS n_quality_ok,
+       |  sum(n_tokens)::BIGINT AS total_tokens,
+       |  count(DISTINCT lang)::BIGINT AS n_langs,
+       |  ((sum(quality_ok) * 10000) // count(*))::BIGINT AS quality_rate_e4,
+       |  ((sum(n_tokens) * 100) // count(*))::BIGINT AS mean_tokens_e2
+       |FROM q GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
   // dedup_containment: asymmetric containment C(A→B) = |A∩B|/|A| over
   // LSH candidates — catches sub-document duplication (short doc
   // embedded verbatim in a long one) that symmetric Jaccard misses
@@ -1260,6 +1309,7 @@ object ExtQueries {
     "dedup_containment" -> (dedupContainment(_, _)),
     "dedup_segments" -> (dedupSegments(_, _)),
     "pipeline_pack_sequences" -> (pipelinePackSequences(_, _)),
+    "pipeline_quality_report" -> (pipelineQualityReport(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
     "dedup_cluster" -> (dedupCluster(_, _)),
@@ -1294,6 +1344,7 @@ object ExtQueries {
     "dedup_containment" -> dedupContainmentSql,
     "dedup_segments" -> dedupSegmentsSql,
     "pipeline_pack_sequences" -> pipelinePackSequencesSql,
+    "pipeline_quality_report" -> pipelineQualityReportSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_cluster" -> dedupClusterSql,

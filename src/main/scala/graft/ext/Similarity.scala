@@ -277,21 +277,60 @@ object Similarity {
       iters: Int = 1): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
-    val perSub = (0 until m).map { s =>
-      def sub(df: DataFrame): DataFrame = df.select(col(idCol),
-        expr(s"slice($embCol, ${s * subDim + 1}, $subDim)").as(embCol))
-      val cb = trainCentroids(sub(corpus), idCol, embCol, codebookK, iters)
-      val codes = assignCells(sub(corpus), cb, idCol, embCol)
-        .select(col(idCol).as("neighbor_id"), col("cell"))
-      val dtab = sub(queries)
-        .select(col(idCol).as("query_id"), col(embCol).as("qemb"))
-        .crossJoin(broadcast(cb.select(col(idCol).as("cid"), col(embCol).as("cemb"))))
-        .select(col("query_id"), col("cid"),
-          round(sqDist("qemb", "cemb") * 1e6).cast("long").as("d_e6"))
-      codes.join(broadcast(dtab), col("cell") === col("cid"))
-        .select(col("query_id"), col("neighbor_id"), col("d_e6"))
+    // ALL subspaces ride one exploded (id, s, semb) frame: training,
+    // encoding, and the distance tables are single multi-key jobs keyed
+    // by (s, …) instead of m independent pipelines — the stage count is
+    // constant in m (m separate legs cost m× every shuffle/broadcast
+    // at plan level even when each is tiny)
+    def subRows(df: DataFrame): DataFrame = df.select(col(idCol),
+      posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice($embCol, s * $subDim + 1, $subDim))"))
+        .as(Seq("s", "semb")))
+    val corpusSub = subRows(corpus)
+    val subSqDist = expr(
+      """aggregate(zip_with(semb, cemb, (x, y) ->
+        |  (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
+        |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin)
+    def assign(df: DataFrame, cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col(idCol), col("s"))
+        .orderBy(col("dist").asc, col("cid").asc)
+      df.join(broadcast(cents), "s")
+        .withColumn("dist", subSqDist)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col(idCol), col("s"), col("semb"), col("cid").as("cell"))
     }
-    val approx = perSub.reduce(_ unionAll _)
+    // seeded per-subspace codebooks + Lloyd iterations, all subspaces at
+    // once: e6 fixed-point (s, cell, pos) sums — bit-reproducible
+    var cents = corpusSub.filter(col(idCol) < codebookK)
+      .select(col("s"), col(idCol).as("cid"), col("semb").as("cemb"))
+    for (_ <- 1 to iters) {
+      cents = assign(corpusSub, cents)
+        .select(col("s"), col("cell"), posexplode(col("semb")).as(Seq("pos", "v")))
+        .groupBy("s", "cell", "pos")
+        .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as("su"),
+          count(lit(1)).as("c"))
+        .groupBy("s", "cell")
+        .agg(array_sort(collect_list(struct(col("pos"),
+          (col("su").cast("double") / 1e6 / col("c")).as("v")))).as("pv"))
+        .select(col("s"), col("cell").as("cid"), expr("transform(pv, x -> x.v)").as("cemb"))
+        // codebooks are metadata (m × codebookK rows): materialize per
+        // iteration so the encode pass and the ADC tables reference a
+        // tiny table, not the whole training lineage re-executed per
+        // consumer (exactly what persisting a trained codebook means in
+        // production)
+        .localCheckpoint(true)
+    }
+    val codes = assign(corpusSub, cents)
+      .select(col(idCol).as("neighbor_id"), col("s"), col("cell"))
+    val dtab = subRows(queries)
+      .select(col(idCol).as("query_id"), col("s"), col("semb"))
+      .join(broadcast(cents), "s")
+      .select(col("query_id"), col("s").as("qs"), col("cid"),
+        round(subSqDist * 1e6).cast("long").as("d_e6"))
+    val approx = codes
+      .join(broadcast(dtab),
+        col("s") === col("qs") && col("cell") === col("cid"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("d_e6")).as("adist_e6"))
       .filter(col("query_id") =!= col("neighbor_id"))

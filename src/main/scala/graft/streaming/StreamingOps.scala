@@ -47,6 +47,20 @@ object StreamingOps {
           col(rightTs) >= col(leftTs) &&
           col(rightTs) <= col(leftTs) + expr(s"interval $within"))
 
+  /** Stream-static enrichment join: every micro-batch joins the stream
+    * against a static dimension, explicitly broadcast so the stream
+    * side never shuffles — the enrich-events-with-reference-data
+    * pattern a CDC consumer runs on every batch. The static side is
+    * planned per micro-batch, so a dimension backed by files picks up
+    * new data on the next batch without restarting the stream (no
+    * stream-stream state involved: this is the right tier whenever the
+    * dimension fits a broadcast, and `intervalJoin` when it doesn't or
+    * when the dimension is itself a stream). */
+  def enrich(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String,
+      joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), joinType)
+
   /** Streaming exact dedup: emit only the FIRST occurrence of each key
     * across micro-batches, with explicit per-key state via
     * flatMapGroupsWithState — the custom-state extension tier. For

@@ -179,15 +179,14 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
   it should "broadcast PQ codebooks and distance tables — corpus embeddings never shuffle" in {
     val p = plan("sim_pq")
     p should not include "CartesianProduct"
-    // codebook assignment + ADC lookups ride broadcasts (the tiny
-    // crossJoin against ≤16 codebook rows is a BroadcastNestedLoopJoin
-    // by construction — sanctioned, it is metadata-sized)
-    p should include("BroadcastNestedLoopJoin")
+    p should not include "BroadcastNestedLoopJoin"
+    // codebook assignment + ADC lookups ride subspace-keyed broadcast
+    // hash joins against the (m × codebookK)-row codebook table
     p should include("BroadcastHashJoin")
     // the only hash exchanges are the final (query, neighbor) ADC
-    // aggregate + rank window and the per-(cell,pos) training sums —
-    // never an embedding-carrying corpus shuffle: every exchange's
-    // output columns are ids/cells/distances, not vectors
+    // aggregate + rank window and the per-(s,cell,pos) training sums —
+    // never an embedding-carrying corpus shuffle: no exchange's
+    // output columns contain the full embedding vector
     "Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).size shouldBe 0
   }
 }

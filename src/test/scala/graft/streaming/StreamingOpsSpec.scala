@@ -181,6 +181,35 @@ class StreamingOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally q.stop()
   }
 
+  behavior of "enrich stream-static join"
+
+  it should "enrich each micro-batch from the broadcast dimension without shuffling the stream" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    val dim = Seq(("u1", "gold"), ("u2", "basic")).toDF("dim_user", "tier")
+    val enriched = StreamingOps.enrich(
+      in.toDF().toDF("user", "amount"), dim, "user", "dim_user")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .option("checkpointLocation", tempDir("enrich-ckpt"))
+      .start()
+    try {
+      in.addData(("u1", 5), ("u3", 7))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .select("user", "amount", "tier").as[(String, Int, Option[String])]
+        .collect().sortBy(_._1)
+      out.toSeq shouldBe Seq(("u1", 5, Some("gold")), ("u3", 7, None)) // left join keeps misses
+      // the micro-batch plan must broadcast the dimension, never
+      // shuffle the stream side
+      val planOut = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(planOut))(q.explain())
+      planOut.toString should include("BroadcastHashJoin")
+      planOut.toString should not include "SortMergeJoin"
+    } finally q.stop()
+  }
+
   behavior of "RowCountListener"
 
   it should "emit rows.incoming with the stream tags" in {
