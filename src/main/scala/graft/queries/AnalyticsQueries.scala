@@ -736,6 +736,60 @@ object AnalyticsQueries {
       |  AND fc.click_ts = fp.click_ts
       |ORDER BY fv.user_id""".stripMargin
 
+  /** Scalar-function surface sweep (§2.7): one projection exercising
+    * the string / date / math / conditional built-ins a reference user
+    * leans on daily — every cell engine-portable (integer casts for
+    * floor/ceil/round on positive values, regexes that always match,
+    * `%` on positive integers). Narrow map-only stage; the whole row
+    * set hash-compares, so each function's semantics are pinned. */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderstatus")).as("st_up"),
+        lower(col("o_orderpriority")).as("pri_lo"),
+        substring(col("o_orderpriority"), 1, 3).as("pri3"),
+        length(col("o_orderpriority")).cast("long").as("pri_len"),
+        regexp_replace(col("o_orderpriority"), "-", "_").as("pri_us"),
+        lpad(col("o_orderkey").cast("string"), 12, "0").as("key_pad"),
+        concat_ws(":", col("o_orderstatus"), col("o_orderpriority")).as("st_pri"),
+        regexp_extract(col("o_orderpriority"), "^([0-9]+)", 1).as("pri_num"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_add(to_date(col("o_orderdate")), 7).as("d_plus7"),
+        floor(col("o_totalprice")).cast("long").as("price_fl"),
+        ceil(col("o_totalprice")).cast("long").as("price_ce"),
+        round(col("o_totalprice")).cast("long").as("price_rd"),
+        greatest(col("o_totalprice"), lit(1000.0)).as("price_hi"),
+        least(col("o_custkey"), lit(100L)).as("cust_lo"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("st_nf"),
+        (col("o_orderkey") % 7).as("key_mod"))
+      .orderBy("o_orderkey")
+
+  val scalarFuncsSql: String =
+    """SELECT o_orderkey,
+      |  upper(o_orderstatus) AS st_up,
+      |  lower(o_orderpriority) AS pri_lo,
+      |  substr(o_orderpriority, 1, 3) AS pri3,
+      |  length(o_orderpriority)::BIGINT AS pri_len,
+      |  replace(o_orderpriority, '-', '_') AS pri_us,
+      |  lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_pad,
+      |  concat_ws(':', o_orderstatus, o_orderpriority) AS st_pri,
+      |  regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS pri_num,
+      |  year(o_orderdate)::BIGINT AS y,
+      |  month(o_orderdate)::BIGINT AS m,
+      |  day(o_orderdate)::BIGINT AS d,
+      |  CAST(o_orderdate AS DATE) + 7 AS d_plus7,
+      |  floor(o_totalprice)::BIGINT AS price_fl,
+      |  ceil(o_totalprice)::BIGINT AS price_ce,
+      |  round(o_totalprice)::BIGINT AS price_rd,
+      |  greatest(o_totalprice, 1000.0) AS price_hi,
+      |  least(o_custkey, 100) AS cust_lo,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS st_nf,
+      |  o_orderkey % 7 AS key_mod
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "join_asof" -> asofLatestOrder,
     "join_range" -> rangeJoinEvents,
@@ -765,6 +819,7 @@ object AnalyticsQueries {
     "events_hopping_window" -> eventsHoppingWindow,
     "events_funnel" -> eventsFunnel,
     "join_lateral" -> lateralTopOrders,
+    "scalar_funcs" -> scalarFuncs,
     "agg_approx" -> aggApprox)
 
   val oracles: Map[String, String] = Map(
@@ -795,5 +850,6 @@ object AnalyticsQueries {
     "window_lag_lead" -> windowLagLeadSql,
     "events_hopping_window" -> eventsHoppingWindowSql,
     "events_funnel" -> eventsFunnelSql,
-    "join_lateral" -> lateralTopOrdersSql)
+    "join_lateral" -> lateralTopOrdersSql,
+    "scalar_funcs" -> scalarFuncsSql)
 }
