@@ -496,6 +496,42 @@ object ExtQueries {
        |FROM q GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------------
+  // pipeline_shard_shuffle: reproducible corpus shuffle + sharding —
+  // every doc gets a seeded hash, the hash assigns a shard and orders
+  // rows within it. The write path of training-data prep: a shuffle
+  // that is a pure function of (seed, doc_id), so any engine, any
+  // partitioning, any rerun lands every doc at the same (shard,
+  // position). At scale this is repartition(shard) +
+  // sortWithinPartitions(hash) — the window here is exactly that
+  // per-shard sort, keyed so no global order is ever materialized.
+  // ------------------------------------------------------------------
+
+  private val ShuffleSeed = "graft-r5"
+  private val NShards = 8
+
+  def pipelineShardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val hk = md5(concat_ws(":", lit(ShuffleSeed), col("doc_id")))
+    val shard = (conv(substring(col("hk"), 1, 7), 16, 10).cast("long") % NShards).as("shard")
+    val w = Window.partitionBy(col("shard")).orderBy(col("hk"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), hk.as("hk"))
+      .select(col("doc_id"), col("hk"), shard)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos", "hk")
+      .orderBy("shard", "pos")
+  }
+
+  private val pipelineShardShuffleSql =
+    s"""WITH h AS (SELECT doc_id,
+       |    md5('$ShuffleSeed' || ':' || doc_id::VARCHAR) AS hk
+       |  FROM documents),
+       |s AS (SELECT doc_id, hk, ${hexPrefixKeySql("hk")} % $NShards AS shard FROM h)
+       |SELECT doc_id, shard::BIGINT AS shard,
+       |  (row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id))::BIGINT AS pos,
+       |  hk
+       |FROM s ORDER BY shard, pos""".stripMargin
+
+  // ------------------------------------------------------------------
   // dedup_containment: asymmetric containment C(A→B) = |A∩B|/|A| over
   // LSH candidates — catches sub-document duplication (short doc
   // embedded verbatim in a long one) that symmetric Jaccard misses
@@ -1310,6 +1346,7 @@ object ExtQueries {
     "dedup_segments" -> (dedupSegments(_, _)),
     "pipeline_pack_sequences" -> (pipelinePackSequences(_, _)),
     "pipeline_quality_report" -> (pipelineQualityReport(_, _)),
+    "pipeline_shard_shuffle" -> (pipelineShardShuffle(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
     "dedup_cluster" -> (dedupCluster(_, _)),
@@ -1345,6 +1382,7 @@ object ExtQueries {
     "dedup_segments" -> dedupSegmentsSql,
     "pipeline_pack_sequences" -> pipelinePackSequencesSql,
     "pipeline_quality_report" -> pipelineQualityReportSql,
+    "pipeline_shard_shuffle" -> pipelineShardShuffleSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_cluster" -> dedupClusterSql,
