@@ -736,6 +736,38 @@ object AnalyticsQueries {
       |  AND fc.click_ts = fp.click_ts
       |ORDER BY fv.user_id""".stripMargin
 
+  /** Weekly cohort retention: users grouped by first-activity week,
+    * then distinct active users counted per (cohort, weeks-since) cell
+    * — the product-analytics matrix behind every retention chart. The
+    * cohort dimension is derived from the same scan (per-user min
+    * week, user-keyed — dimension-sized) and joined back; offsets are
+    * exact integer day-diffs ÷ 7. Week truncation is ISO-Monday on
+    * both engines. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val activity = table(spark, dir, "events")
+      .select(col("user_id"),
+        to_date(date_trunc("week", tsMicros("ts"))).as("week"))
+      .distinct()
+    val cohort = activity.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    activity.join(cohort, "user_id")
+      .withColumn("weeks_since", (datediff(col("week"), col("cohort_week")) / 7)
+        .cast("long"))
+      .groupBy("cohort_week", "weeks_since")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH activity AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+      |cohort AS (SELECT user_id, min(week) AS cohort_week
+      |  FROM activity GROUP BY user_id)
+      |SELECT c.cohort_week, (date_diff('day', c.cohort_week, a.week) // 7)::BIGINT AS weeks_since,
+      |  count(DISTINCT a.user_id) AS n_active
+      |FROM activity a JOIN cohort c ON a.user_id = c.user_id
+      |GROUP BY c.cohort_week, weeks_since
+      |ORDER BY cohort_week, weeks_since""".stripMargin
+
   /** Scalar-function surface sweep (§2.7): one projection exercising
     * the string / date / math / conditional built-ins a reference user
     * leans on daily — every cell engine-portable (integer casts for
@@ -820,6 +852,7 @@ object AnalyticsQueries {
     "events_funnel" -> eventsFunnel,
     "join_lateral" -> lateralTopOrders,
     "scalar_funcs" -> scalarFuncs,
+    "events_retention" -> eventsRetention,
     "agg_approx" -> aggApprox)
 
   val oracles: Map[String, String] = Map(
@@ -851,5 +884,6 @@ object AnalyticsQueries {
     "events_hopping_window" -> eventsHoppingWindowSql,
     "events_funnel" -> eventsFunnelSql,
     "join_lateral" -> lateralTopOrdersSql,
-    "scalar_funcs" -> scalarFuncsSql)
+    "scalar_funcs" -> scalarFuncsSql,
+    "events_retention" -> eventsRetentionSql)
 }
