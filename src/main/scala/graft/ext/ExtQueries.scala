@@ -963,6 +963,51 @@ object ExtQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // multimodal_frames: deterministic frame sampling over media
+  // payloads — the video-pipeline plumbing (frame count from payload
+  // size, strided sample capped at MaxFrames, per-frame content hash)
+  // with the documents table standing in for the media bytes (the
+  // sandbox has no codecs — Multimodal.FakeCodec is the decode seam).
+  // Offsets/stride/hash are pure functions of the payload, so both
+  // engines derive identical samples. Explode-generator shape: narrow,
+  // no shuffle beyond the oracle sort.
+  // ------------------------------------------------------------------
+
+  private val FrameChars = 64
+  private val MaxFrames = 4
+
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_frames", expr(s"cast(length(text) div $FrameChars as bigint)"))
+      .filter(col("n_frames") > 0)
+      .withColumn("stride", greatest(lit(1L), expr(s"n_frames div $MaxFrames")))
+      .withColumn("k", least(lit(MaxFrames.toLong), col("n_frames")))
+      .select(col("doc_id"), col("text"), col("stride"),
+        explode(expr("transform(sequence(0, k - 1), i -> i * stride)")).as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        (col("frame_idx") * FrameChars).as("frame_offset"),
+        sha2(expr(s"cast(substring(text, frame_idx * $FrameChars + 1, $FrameChars) as binary)"), 256)
+          .as("frame_sha"))
+      .orderBy("doc_id", "frame_idx")
+
+  private val multimodalFramesSql =
+    s"""WITH p AS (SELECT doc_id, text,
+       |    (length(text) // $FrameChars)::BIGINT AS n_frames FROM documents),
+       |f AS (SELECT doc_id, text,
+       |    greatest(1, n_frames // $MaxFrames) AS stride,
+       |    least($MaxFrames, n_frames) AS k
+       |  FROM p WHERE n_frames > 0),
+       |x AS (SELECT doc_id, text, stride,
+       |    unnest(generate_series(0, k - 1)) AS i FROM f)
+       |SELECT doc_id, (i * stride)::BIGINT AS frame_idx,
+       |  (i * stride * $FrameChars)::BIGINT AS frame_offset,
+       |  sha256(substring(text, (i * stride * $FrameChars + 1)::INT, $FrameChars)) AS frame_sha
+       |FROM x ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ------------------------------------------------------------------
   // sim_ivf: inverted-file ANN — cells from TRAINED centroids (one
   // seeded Lloyd iteration over the k=8 lowest-id seeds, e6 fixed-point
   // coordinate means so training is bit-reproducible), multi-probe
@@ -1364,7 +1409,8 @@ object ExtQueries {
     "text_bpe_tokens" -> (textBpeTokens(_, _)),
     "text_rolling_hash" -> (textRollingHash(_, _)),
     "source_blob_listing" -> (sourceBlobListing(_, _)),
-    "multimodal_ingest" -> (multimodalIngest(_, _)))
+    "multimodal_ingest" -> (multimodalIngest(_, _)),
+    "multimodal_frames" -> (multimodalFrames(_, _)))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
@@ -1400,5 +1446,6 @@ object ExtQueries {
     "text_bpe_tokens" -> textBpeTokensSql,
     "text_rolling_hash" -> textRollingHashSql,
     "source_blob_listing" -> sourceBlobListingSql,
-    "multimodal_ingest" -> multimodalIngestSql)
+    "multimodal_ingest" -> multimodalIngestSql,
+    "multimodal_frames" -> multimodalFramesSql)
 }
