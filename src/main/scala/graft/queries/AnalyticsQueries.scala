@@ -736,6 +736,40 @@ object AnalyticsQueries {
       |  AND fc.click_ts = fp.click_ts
       |ORDER BY fv.user_id""".stripMargin
 
+  /** Hourly-volume anomaly detection per event type: an hour is
+    * anomalous when its count deviates from the type's mean by more
+    * than 2σ — evaluated ENTIRELY in integers. With S = Σx, Q = Σx²
+    * over n hourly counts, (x−μ)² > 4σ² ⟺ (n·x−S)² > 4·(n·Q−S²), so
+    * the z-test needs no division, no sqrt, no floats — bit-identical
+    * on any engine (a Welford stddev is summation-order-dependent and
+    * can flip borderline hours between engines). Stats ride a
+    * whole-partition window over the (tiny) per-type hourly counts. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val counts = table(spark, dir, "events")
+      .groupBy(date_trunc("hour", tsMicros("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("event_type")
+    counts
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("q", sum(col("x") * col("x")).over(w))
+      .filter((col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s"))
+        > lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+      .select("event_type", "hour", "x", "n", "s")
+      .orderBy("event_type", "hour")
+  }
+
+  val eventsAnomalySql: String =
+    """WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+      |    COUNT(*) AS x FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, hour, x,
+      |    count(*) OVER w AS n, sum(x) OVER w AS s, sum(x * x) OVER w AS q
+      |  FROM c WINDOW w AS (PARTITION BY event_type))
+      |SELECT event_type, hour, x, n::BIGINT AS n, s::BIGINT AS s
+      |FROM st
+      |WHERE (n * x - s) * (n * x - s) > 4 * (n * q - s * s)
+      |ORDER BY event_type, hour""".stripMargin
+
   /** Weekly cohort retention: users grouped by first-activity week,
     * then distinct active users counted per (cohort, weeks-since) cell
     * — the product-analytics matrix behind every retention chart. The
@@ -853,6 +887,7 @@ object AnalyticsQueries {
     "join_lateral" -> lateralTopOrders,
     "scalar_funcs" -> scalarFuncs,
     "events_retention" -> eventsRetention,
+    "events_anomaly" -> eventsAnomaly,
     "agg_approx" -> aggApprox)
 
   val oracles: Map[String, String] = Map(
@@ -885,5 +920,6 @@ object AnalyticsQueries {
     "events_funnel" -> eventsFunnelSql,
     "join_lateral" -> lateralTopOrdersSql,
     "scalar_funcs" -> scalarFuncsSql,
-    "events_retention" -> eventsRetentionSql)
+    "events_retention" -> eventsRetentionSql,
+    "events_anomaly" -> eventsAnomalySql)
 }
