@@ -496,6 +496,42 @@ object ExtQueries {
        |FROM q GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------------
+  // pipeline_manifest: dataset fingerprint for data versioning — per
+  // source, a content manifest (docs, chars) plus an order-safe
+  // aggregate hash: md5 over the doc content hashes concatenated in
+  // doc_id order. Two corpus builds agree on the manifest iff they
+  // agree on every document — the lineage/version id a training run
+  // records. The per-source hash chain is assembled with array_sort
+  // over (id, hash) structs, never a bare collect_list order. The
+  // chain buffers one source's hashes in one task — at 100 TB, tree
+  // it: hash fixed-width doc_id buckets first, then hash the ordered
+  // bucket hashes (same determinism, bounded buffers).
+  // ------------------------------------------------------------------
+
+  def pipelineManifest(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        md5(concat_ws("", expr(
+          "transform(array_sort(collect_list(named_struct('i', doc_id, 'h', h))), x -> x.h)")))
+          .as("content_version"))
+      .orderBy("source")
+
+  private val pipelineManifestSql =
+    """WITH h AS (SELECT source, doc_id, n_chars, md5(text) AS h FROM documents)
+      |SELECT source, count(*)::BIGINT AS n_docs,
+      |  sum(n_chars)::BIGINT AS total_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |  md5(string_agg(h, '' ORDER BY doc_id)) AS content_version
+      |FROM h GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
   // pipeline_shard_shuffle: reproducible corpus shuffle + sharding —
   // every doc gets a seeded hash, the hash assigns a shard and orders
   // rows within it. The write path of training-data prep: a shuffle
@@ -1392,6 +1428,7 @@ object ExtQueries {
     "pipeline_pack_sequences" -> (pipelinePackSequences(_, _)),
     "pipeline_quality_report" -> (pipelineQualityReport(_, _)),
     "pipeline_shard_shuffle" -> (pipelineShardShuffle(_, _)),
+    "pipeline_manifest" -> (pipelineManifest(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
     "dedup_cluster" -> (dedupCluster(_, _)),
@@ -1429,6 +1466,7 @@ object ExtQueries {
     "pipeline_pack_sequences" -> pipelinePackSequencesSql,
     "pipeline_quality_report" -> pipelineQualityReportSql,
     "pipeline_shard_shuffle" -> pipelineShardShuffleSql,
+    "pipeline_manifest" -> pipelineManifestSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_cluster" -> dedupClusterSql,
