@@ -773,33 +773,33 @@ object AnalyticsQueries {
   /** Weekly cohort retention: users grouped by first-activity week,
     * then distinct active users counted per (cohort, weeks-since) cell
     * — the product-analytics matrix behind every retention chart. The
-    * cohort dimension is derived from the same scan (per-user min
-    * week, user-keyed — dimension-sized) and joined back; offsets are
-    * exact integer day-diffs ÷ 7. Week truncation is ISO-Monday on
-    * both engines. */
-  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
-    val activity = table(spark, dir, "events")
+    * cohort week is a window min over the same distinct-activity frame
+    * (no self-join: a groupBy-then-join-back would let Catalyst drop
+    * the shared distinct under the duplicate-agnostic min and scan the
+    * table twice — plan-audited at ONE scan); offsets are exact
+    * integer day-diffs ÷ 7. Week truncation is ISO-Monday on both
+    * engines. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
       .select(col("user_id"),
         to_date(date_trunc("week", tsMicros("ts"))).as("week"))
       .distinct()
-    val cohort = activity.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
-    activity.join(cohort, "user_id")
+      .withColumn("cohort_week",
+        min(col("week")).over(Window.partitionBy("user_id")))
       .withColumn("weeks_since", (datediff(col("week"), col("cohort_week")) / 7)
         .cast("long"))
       .groupBy("cohort_week", "weeks_since")
       .agg(countDistinct(col("user_id")).as("n_active"))
       .orderBy("cohort_week", "weeks_since")
-  }
 
   val eventsRetentionSql: String =
     """WITH activity AS (SELECT DISTINCT user_id,
       |    CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
-      |cohort AS (SELECT user_id, min(week) AS cohort_week
-      |  FROM activity GROUP BY user_id)
-      |SELECT c.cohort_week, (date_diff('day', c.cohort_week, a.week) // 7)::BIGINT AS weeks_since,
-      |  count(DISTINCT a.user_id) AS n_active
-      |FROM activity a JOIN cohort c ON a.user_id = c.user_id
-      |GROUP BY c.cohort_week, weeks_since
+      |w AS (SELECT user_id, week,
+      |    min(week) OVER (PARTITION BY user_id) AS cohort_week FROM activity)
+      |SELECT cohort_week, (date_diff('day', cohort_week, week) // 7)::BIGINT AS weeks_since,
+      |  count(DISTINCT user_id) AS n_active
+      |FROM w GROUP BY cohort_week, weeks_since
       |ORDER BY cohort_week, weeks_since""".stripMargin
 
   /** Scalar-function surface sweep (§2.7): one projection exercising

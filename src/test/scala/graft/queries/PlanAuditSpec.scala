@@ -176,6 +176,23 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
     }
   }
 
+  it should "derive retention cohorts from ONE events scan (window min, no self-join)" in {
+    val p = plan("events_retention")
+    "FileScan parquet".r.findAllIn(p).size shouldBe 1
+    p should not include "Join"
+  }
+
+  it should "keep the round-5 single-scan operators at one corpus scan, cartesian-free" in {
+    Seq("events_anomaly", "pipeline_manifest", "pipeline_shard_shuffle",
+      "multimodal_frames", "pipeline_quality_report", "scalar_funcs").foreach { q =>
+      val p = plan(q)
+      withClue(q) {
+        p should not include "CartesianProduct"
+        "FileScan parquet".r.findAllIn(p).size shouldBe 1
+      }
+    }
+  }
+
   it should "broadcast PQ codebooks and distance tables — corpus embeddings never shuffle" in {
     val p = plan("sim_pq")
     p should not include "CartesianProduct"
