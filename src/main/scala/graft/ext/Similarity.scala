@@ -155,11 +155,12 @@ object Similarity {
       .select("query_id", "neighbor_id", "n_tables", "score_e4", "rnk")
   }
 
-  /** Squared-L2 distance between two array columns, strict left fold. */
-  def sqDist(a: String, b: String): Column = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> (cast(x as double) - cast(y as double))
-       |  * (cast(x as double) - cast(y as double))),
-       |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin)
+  /** Squared-L2 distance between two array columns — the native
+    * codegen'd [[graft.functions.VectorSqDist]] (one fused primitive
+    * loop on the IVF/PQ assignment hot path; the portable
+    * `aggregate`/`zip_with` fold it replaces is interpreted, with
+    * bit-identical results — same strict left-to-right double fold). */
+  def sqDist(a: String, b: String): Column = expr(s"graft_vector_sqdist($a, $b)")
 
   /** IVF cell assignment: nearest of the (broadcast) centroid set by
     * squared L2, ties to the lowest centroid id. The cross join is
@@ -282,15 +283,13 @@ object Similarity {
     // by (s, …) instead of m independent pipelines — the stage count is
     // constant in m (m separate legs cost m× every shuffle/broadcast
     // at plan level even when each is tiny)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     def subRows(df: DataFrame): DataFrame = df.select(col(idCol),
       posexplode(expr(
         s"transform(sequence(0, ${m - 1}), s -> slice($embCol, s * $subDim + 1, $subDim))"))
         .as(Seq("s", "semb")))
     val corpusSub = subRows(corpus)
-    val subSqDist = expr(
-      """aggregate(zip_with(semb, cemb, (x, y) ->
-        |  (cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))),
-        |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin)
+    val subSqDist = expr("graft_vector_sqdist(semb, cemb)")
     def assign(df: DataFrame, cents: DataFrame): DataFrame = {
       val w = Window.partitionBy(col(idCol), col("s"))
         .orderBy(col("dist").asc, col("cid").asc)

@@ -51,6 +51,34 @@ class RollingHashSpec extends AnyFlatSpec with Matchers with SparkFixture {
     run(7).head._2 shouldBe Seq("v003", "v006", "v009") // g0's smallest
   }
 
+  behavior of "VectorSqDist expression"
+
+  it should "match the interpreted squared-distance fold bit-for-bit, mixed float/double" in {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 50).map(_ =>
+      ((1 to 16).map(_ => rnd.nextFloat()),
+        (1 to 16).map(_ => rnd.nextDouble()))) // float vs DOUBLE side — the k-means mix
+    val df = rows.toDF("a", "b")
+    val native = df.select(expr("graft_vector_sqdist(a, b)")).as[Double].collect()
+    val hof = df.select(expr(
+      """aggregate(zip_with(a, b, (x, y) -> (cast(x as double) - cast(y as double))
+        |  * (cast(x as double) - cast(y as double))),
+        |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin)).as[Double].collect()
+    native.map(java.lang.Double.doubleToLongBits).toSeq shouldBe
+      hof.map(java.lang.Double.doubleToLongBits).toSeq
+    // and the all-float side too
+    val ff = rows.map { case (a, b) => (a, b.map(_.toFloat)) }.toDF("a", "b")
+    val nf = ff.select(expr("graft_vector_sqdist(a, b)")).as[Double].collect()
+    val hf = ff.select(expr(
+      """aggregate(zip_with(a, b, (x, y) -> (cast(x as double) - cast(y as double))
+        |  * (cast(x as double) - cast(y as double))),
+        |  cast(0 as double), (acc, v) -> acc + v)""".stripMargin)).as[Double].collect()
+    nf.map(java.lang.Double.doubleToLongBits).toSeq shouldBe
+      hf.map(java.lang.Double.doubleToLongBits).toSeq
+  }
+
   behavior of "VectorDot expression"
 
   it should "match the interpreted zip_with/aggregate fold bit-for-bit" in {
