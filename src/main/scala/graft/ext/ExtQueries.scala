@@ -496,6 +496,71 @@ object ExtQueries {
        |FROM q GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------------
+  // dedup_incremental: dedup an INCOMING batch against the EXISTING
+  // corpus — the ingestion-time shape: every new doc is checked for
+  // exact (content hash) and near (LSH candidates + exact-Jaccard
+  // verify) duplication against what's already stored, and
+  // incoming×incoming pairs are never generated. Emulated here by
+  // doc_id parity (odd = incoming, even = existing); in production the
+  // existing side is the corpus table and the incoming side a
+  // micro-batch, so the band join is incoming-sized, not corpus².
+  // ------------------------------------------------------------------
+
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val exd = Dedup.shingleRows(d, "doc_id", "text", ShingleN)
+    val proj = Dedup.minhashFromShingles(exd, "doc_id", MinhashK, LshBands, LshRows)
+    // cross-side candidates only: one even, one odd
+    val candidates = Dedup.minhashCandidates(proj, "doc_id", MinhashK)
+      .drop("n_sig_match")
+      .filter(col("doc_a") % 2 =!= col("doc_b") % 2)
+    val verified = Dedup.jaccardVerifyExploded(candidates, exd, threshold = 0.8)
+      .withColumn("in_id",
+        when(col("doc_a") % 2 === 1, col("doc_a")).otherwise(col("doc_b")))
+    val near = verified.groupBy("in_id")
+      .agg(count(lit(1)).as("n_candidates"), max(col("is_dup")).as("near_dup"))
+    val hashes = d.select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = hashes.filter(col("doc_id") % 2 === 1).alias("i")
+      .join(hashes.filter(col("doc_id") % 2 === 0).alias("e"),
+        col("i.h") === col("e.h"), "left_semi")
+      .select(col("doc_id").as("in_id"), lit(1L).as("exact_dup"))
+    d.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+      .join(near.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left")
+      .join(exact.withColumnRenamed("in_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(0L)).as("exact_dup"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("near_dup"), lit(0L)).as("near_dup"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupIncrementalSql =
+    s"""WITH $TokCte, $ShCte,
+       |$SigCtes,
+       |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+       |x AS (SELECT doc_a, doc_b FROM pairs WHERE doc_a % 2 <> doc_b % 2),
+       |ver AS (SELECT
+       |    CASE WHEN x.doc_a % 2 = 1 THEN x.doc_a ELSE x.doc_b END AS in_id,
+       |    (CASE WHEN 10 * len(list_intersect(a.shd, b.shd))
+       |               >= 8 * len(list_distinct(a.shd || b.shd))
+       |          THEN 1 ELSE 0 END)::BIGINT AS is_dup
+       |  FROM x JOIN shd a ON a.doc_id = x.doc_a JOIN shd b ON b.doc_id = x.doc_b),
+       |near AS (SELECT in_id, count(*)::BIGINT AS n_candidates,
+       |    max(is_dup)::BIGINT AS near_dup FROM ver GROUP BY in_id),
+       |hs AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |exk AS (SELECT DISTINCT i.doc_id AS in_id FROM hs i
+       |  WHERE i.doc_id % 2 = 1
+       |    AND EXISTS (SELECT 1 FROM hs e WHERE e.doc_id % 2 = 0 AND e.h = i.h))
+       |SELECT d.doc_id,
+       |  (CASE WHEN exk.in_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS exact_dup,
+       |  coalesce(near.n_candidates, 0)::BIGINT AS n_candidates,
+       |  coalesce(near.near_dup, 0)::BIGINT AS near_dup
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+       |LEFT JOIN near ON near.in_id = d.doc_id
+       |LEFT JOIN exk ON exk.in_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // pipeline_manifest: dataset fingerprint for data versioning — per
   // source, a content manifest (docs, chars) plus an order-safe
   // aggregate hash: md5 over the doc content hashes concatenated in
@@ -1429,6 +1494,7 @@ object ExtQueries {
     "pipeline_quality_report" -> (pipelineQualityReport(_, _)),
     "pipeline_shard_shuffle" -> (pipelineShardShuffle(_, _)),
     "pipeline_manifest" -> (pipelineManifest(_, _)),
+    "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
     "dedup_cluster" -> (dedupCluster(_, _)),
@@ -1467,6 +1533,7 @@ object ExtQueries {
     "pipeline_quality_report" -> pipelineQualityReportSql,
     "pipeline_shard_shuffle" -> pipelineShardShuffleSql,
     "pipeline_manifest" -> pipelineManifestSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_cluster" -> dedupClusterSql,
