@@ -77,7 +77,8 @@ object ScaleBench {
     "dedup_containment", "dedup_segments", "dedup_cluster",
     "pipeline_pack_sequences", "sim_pq", "text_heavy_hitters",
     "pipeline_quality_report", "pipeline_shard_shuffle",
-    "pipeline_manifest", "multimodal_frames")
+    "pipeline_manifest", "multimodal_frames", "dedup_incremental",
+    "text_cooccurrence")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)

@@ -496,6 +496,47 @@ object ExtQueries {
        |FROM q GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------------
+  // text_cooccurrence: windowed token co-occurrence — every unordered
+  // token pair within a W-token forward window, counted corpus-wide
+  // (occurrences + doc frequency), global top-k. The statistic behind
+  // co-occurrence-matrix embedding training (GloVe-style) and
+  // collocation mining. Pairs are generated by one nested-sequence
+  // expression (no token array rides the shuffle — only exploded pair
+  // structs), aggregated with map-side combine, topped with
+  // TakeOrderedAndProject.
+  // ------------------------------------------------------------------
+
+  private val CoW = 5   // forward co-occurrence window (tokens)
+  private val CoTopK = 25
+
+  def textCooccurrence(spark: SparkSession, dir: String): DataFrame =
+    toksDf(spark, dir)
+      .filter(size(col("toks")) > 1)
+      .select(col("doc_id"), explode(expr(
+        s"""flatten(transform(sequence(1, size(toks) - 1), i ->
+           |  transform(sequence(i + 1, least(i + ${CoW - 1}, size(toks))), j ->
+           |    struct(least(element_at(toks, i), element_at(toks, j)) AS w1,
+           |           greatest(element_at(toks, i), element_at(toks, j)) AS w2))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_cooc"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_cooc").desc, col("w1"), col("w2"))
+      .limit(CoTopK)
+
+  private val textCooccurrenceSql =
+    s"""WITH $TokCte,
+       |pr AS (SELECT doc_id,
+       |    unnest(flatten(list_transform(generate_series(1, len(toks) - 1), i ->
+       |      list_transform(generate_series(i + 1, least(i + ${CoW - 1}, len(toks))), j ->
+       |        [least(toks[i], toks[j]), greatest(toks[i], toks[j])])))) AS p
+       |  FROM tok WHERE len(toks) > 1)
+       |SELECT p[1] AS w1, p[2] AS w2, count(*)::BIGINT AS n_cooc,
+       |  count(DISTINCT doc_id)::BIGINT AS n_docs
+       |FROM pr GROUP BY w1, w2
+       |ORDER BY n_cooc DESC, w1, w2 LIMIT $CoTopK""".stripMargin
+
+  // ------------------------------------------------------------------
   // dedup_incremental: dedup an INCOMING batch against the EXISTING
   // corpus — the ingestion-time shape: every new doc is checked for
   // exact (content hash) and near (LSH candidates + exact-Jaccard
@@ -1495,6 +1536,7 @@ object ExtQueries {
     "pipeline_shard_shuffle" -> (pipelineShardShuffle(_, _)),
     "pipeline_manifest" -> (pipelineManifest(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
+    "text_cooccurrence" -> (textCooccurrence(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
     "dedup_cluster" -> (dedupCluster(_, _)),
@@ -1534,6 +1576,7 @@ object ExtQueries {
     "pipeline_shard_shuffle" -> pipelineShardShuffleSql,
     "pipeline_manifest" -> pipelineManifestSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "text_cooccurrence" -> textCooccurrenceSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_cluster" -> dedupClusterSql,

@@ -142,6 +142,12 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
     plan("text_heavy_hitters") should include("TakeOrderedAndProject")
   }
 
+  it should "plan co-occurrence top-k as partial top-k over the pair aggregate" in {
+    val p = plan("text_cooccurrence")
+    p should include("TakeOrderedAndProject")
+    p should not include "CartesianProduct"
+  }
+
   it should "decorrelate the LATERAL subquery into a windowed top-k (no per-row subplan)" in {
     val p = plan("join_lateral")
     // per-row re-execution would appear as a LateralJoin/ScalarSubquery;
@@ -191,6 +197,12 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
         "FileScan parquet".r.findAllIn(p).size shouldBe 1
       }
     }
+  }
+
+  it should "keep incremental dedup cartesian-free with the cross-side filter below the verify" in {
+    val p = plan("dedup_incremental")
+    p should not include "CartesianProduct"
+    p should include("LeftSemi") // exact-dup check never materializes match rows
   }
 
   it should "broadcast PQ codebooks and distance tables — corpus embeddings never shuffle" in {
