@@ -78,7 +78,9 @@ object ScaleBench {
     "pipeline_pack_sequences", "sim_pq", "text_heavy_hitters",
     "pipeline_quality_report", "pipeline_shard_shuffle",
     "pipeline_manifest", "multimodal_frames", "dedup_incremental",
-    "text_cooccurrence")
+    "text_cooccurrence",
+    // round 6
+    "sim_ivfpq")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)

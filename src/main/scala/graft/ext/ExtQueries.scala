@@ -1179,8 +1179,12 @@ object ExtQueries {
        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $SqDistSql ASC, c.cid ASC) AS rn
        |    FROM $source e CROSS JOIN $centroids c) t WHERE $rnFilter""".stripMargin
 
-  private val simIvfSql =
-    s"""WITH c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cemb
+  /** The coarse-quantizer CTE block — seed c0, one Lloyd iteration →
+    * c1, corpus assignment (asg, one cell each) and nProbe=2 query
+    * assignment (qsg). Shared verbatim by sim_ivf and sim_ivfpq so the
+    * two oracles verify the SAME trained structure. */
+  private val IvfCtes =
+    s"""c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cemb
        |  FROM embeddings WHERE vec_id < 8),
        |e AS (SELECT vec_id, embedding, $NormSql AS nrm FROM embeddings),
        |a0 AS (${ivfAssignSql("e", "c0", "rn = 1")}),
@@ -1192,7 +1196,10 @@ object ExtQueries {
        |c1 AS (SELECT cell AS cid, list(s::DOUBLE / 1000000.0 / c ORDER BY pos) AS cemb
        |  FROM cs GROUP BY cell),
        |asg AS (${ivfAssignSql("e", "c1", "rn = 1")}),
-       |qsg AS (${ivfAssignSql("(SELECT * FROM e WHERE vec_id < 10)", "c1", "rn <= 2")}),
+       |qsg AS (${ivfAssignSql("(SELECT * FROM e WHERE vec_id < 10)", "c1", "rn <= 2")})""".stripMargin
+
+  private val simIvfSql =
+    s"""WITH $IvfCtes,
        |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.cell AS cell,
        |    cast(round($DotSql / (q.nrm * n.nrm) * 10000) AS BIGINT) AS score_e4
        |  FROM qsg q JOIN asg n ON q.cell = n.cell AND n.vec_id != q.vec_id),
@@ -1224,7 +1231,10 @@ object ExtQueries {
       .orderBy("query_id", "rnk")
   }
 
-  private val simPqSql = {
+  /** Per-subspace codebook-training + encode + ADC-table CTE block
+    * (es/cb/code/dtab/leg per subspace) and the per-subspace-distance
+    * union — shared verbatim by sim_pq and sim_ivfpq. */
+  private val (pqCtes, pqLegsUnion) = {
     val sqd =
       s"list_aggregate(list_transform(generate_series(1, $PqSubDim), " +
         s"i -> (e.semb[i] - c.cemb[i]) * (e.semb[i] - c.cemb[i])), 'sum')"
@@ -1259,8 +1269,12 @@ object ExtQueries {
          |  FROM code$s co JOIN dtab$s d ON co.cell = d.cid)""".stripMargin
     }.mkString(",\n")
     val legs = (0 until PqM).map(s => s"SELECT * FROM leg$s").mkString(" UNION ALL ")
-    s"""WITH $subCtes,
-       |u AS ($legs),
+    (subCtes, legs)
+  }
+
+  private val simPqSql =
+    s"""WITH $pqCtes,
+       |u AS ($pqLegsUnion),
        |ap AS (SELECT query_id, neighbor_id, sum(d_e6)::BIGINT AS adist_e6
        |  FROM u WHERE query_id != neighbor_id GROUP BY query_id, neighbor_id),
        |r AS (SELECT query_id, neighbor_id, adist_e6,
@@ -1268,7 +1282,41 @@ object ExtQueries {
        |  FROM ap)
        |SELECT query_id, neighbor_id, adist_e6, rnk FROM r WHERE rnk <= 3
        |ORDER BY query_id, rnk""".stripMargin
+
+  // ------------------------------------------------------------------
+  // sim_ivfpq: composed IVF+PQ ANN — the billion-scale shape the two
+  // halves exist for: the trained coarse quantizer (sim_ivf's cells)
+  // prunes each query to its nProbe=2 nearest cells, and PQ codebooks
+  // (sim_pq's codes) ADC-score ONLY the survivors — never the whole
+  // corpus. The oracle composes the SAME IvfCtes + pqCtes blocks, so
+  // cells, codebooks, codes, and tables are all verified, plus the
+  // candidate restriction itself.
+  // ------------------------------------------------------------------
+
+  def simIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1)
+    Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, cents,
+        "vec_id", "embedding", dim = 64, m = PqM, codebookK = PqK,
+        k = 3, nProbe = 2, iters = PqIters)
+      .select("query_id", "neighbor_id", "cell", "adist_e6", "rnk")
+      .orderBy("query_id", "rnk")
   }
+
+  private val simIvfPqSql =
+    s"""WITH $IvfCtes,
+       |$pqCtes,
+       |cand AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.cell AS cell
+       |  FROM qsg q JOIN asg n ON q.cell = n.cell AND n.vec_id != q.vec_id),
+       |u AS ($pqLegsUnion),
+       |ap AS (SELECT c.query_id, c.neighbor_id, c.cell, sum(u.d_e6)::BIGINT AS adist_e6
+       |  FROM cand c JOIN u ON u.query_id = c.query_id AND u.neighbor_id = c.neighbor_id
+       |  GROUP BY 1, 2, 3),
+       |r AS (SELECT query_id, neighbor_id, cell, adist_e6,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist_e6 ASC, neighbor_id ASC)::BIGINT AS rnk
+       |  FROM ap)
+       |SELECT query_id, neighbor_id, cell, adist_e6, rnk FROM r WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
 
   // ------------------------------------------------------------------
   // source_similarity: corpus-level MinHash — one union signature per
@@ -1546,6 +1594,7 @@ object ExtQueries {
     "sim_ann_lsh" -> (simAnnLsh(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
     "sim_pq" -> (simPq(_, _)),
+    "sim_ivfpq" -> (simIvfPq(_, _)),
     "source_similarity" -> (sourceSimilarity(_, _)),
     "pipeline_corpus_clean" -> (pipelineCorpusClean(_, _)),
     "embed_quantize" -> (embedQuantize(_, _)),
@@ -1586,6 +1635,7 @@ object ExtQueries {
     "sim_ann_lsh" -> simAnnLshSql,
     "sim_ivf" -> simIvfSql,
     "sim_pq" -> simPqSql,
+    "sim_ivfpq" -> simIvfPqSql,
     "source_similarity" -> sourceSimilaritySql,
     "pipeline_corpus_clean" -> pipelineCorpusCleanSql,
     "embed_quantize" -> embedQuantizeSql,

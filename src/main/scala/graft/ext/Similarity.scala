@@ -276,6 +276,24 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       embCol: String, dim: Int, m: Int, codebookK: Int, k: Int,
       iters: Int = 1): DataFrame = {
+    val (codes, dtab) = pqStructures(queries, corpus, idCol, embCol, dim, m, codebookK, iters)
+    val approx = codes
+      .join(broadcast(dtab),
+        col("s") === col("qs") && col("cell") === col("cid"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("d_e6")).as("adist_e6"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    rankByDist(approx, k)
+  }
+
+  /** The PQ index pair: corpus codes (neighbor_id, s, cell) — m small
+    * codes per vector — and per-query ADC distance tables (query_id, qs,
+    * cid, d_e6) — |codebook|·m entries per query, broadcast-sized.
+    * Shared by [[pqTopK]] (full-corpus ADC scan) and [[ivfPqTopK]]
+    * (cell-pruned scoring). */
+  private def pqStructures(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, dim: Int, m: Int, codebookK: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val subDim = dim / m
     // ALL subspaces ride one exploded (id, s, semb) frame: training,
@@ -327,16 +345,59 @@ object Similarity {
       .join(broadcast(cents), "s")
       .select(col("query_id"), col("s").as("qs"), col("cid"),
         round(subSqDist * 1e6).cast("long").as("d_e6"))
-    val approx = codes
-      .join(broadcast(dtab),
-        col("s") === col("qs") && col("cell") === col("cid"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("d_e6")).as("adist_e6"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    (codes, dtab)
+  }
+
+  private def rankByDist(approx: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist_e6").asc, col("neighbor_id").asc)
     approx.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** Composed IVF+PQ approximate top-k — the billion-scale ANN shape
+    * ([[ivfTopK]]'s candidate pruning × [[pqTopK]]'s memory
+    * compression): the corpus is bucketed once into inverted-file cells
+    * by nearest coarse centroid AND encoded once as m PQ codes; a query
+    * probes its `nProbe` nearest cells and ADC-scores ONLY the
+    * survivors — never the full corpus of codes (the gap [[pqTopK]]
+    * leaves: its ADC scan touches every vector's codes per query
+    * batch).
+    *
+    * Plan shape: coarse assignment is a narrow broadcast pass on each
+    * side; the candidate set (query_id, neighbor_id, cell) — bounded by
+    * |queries| · nProbe · avg cell size — is explicitly broadcast
+    * against the corpus codes, so no corpus-sized shuffle exists
+    * anywhere: codes scan → broadcast semi-restriction → broadcast ADC
+    * table lookup → hash aggregate over candidate pairs only. The
+    * aggregate's shuffle carries candidate pairs (the pruning win
+    * ScaleBench measures vs [[pqTopK]]). At real scale, store the codes
+    * PARTITIONED BY cell and the scan itself prunes to the probed
+    * cells — this operator's join keys are laid out for exactly that.
+    *
+    * Codebooks quantize raw vectors (not per-cell residuals) so the
+    * structure matches [[pqTopK]] and the DuckDB oracle re-derives
+    * cells, codebooks, and tables with the same arithmetic. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String, dim: Int, m: Int, codebookK: Int,
+      k: Int, nProbe: Int = 2, iters: Int = 1): DataFrame = {
+    val q = assignCellsN(queries, centroids, idCol, embCol, nProbe)
+      .select(col(idCol).as("query_id"), col("cell").as("qcell"))
+    val n = assignCells(corpus, centroids, idCol, embCol)
+      .select(col(idCol).as("neighbor_id"), col("cell").as("ncell"))
+    val cand = q.join(n,
+        col("qcell") === col("ncell") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("ncell").as("cell_ivf"))
+    val (codes, dtab) = pqStructures(queries, corpus, idCol, embCol, dim, m, codebookK, iters)
+    val dt = dtab.withColumnRenamed("query_id", "dq")
+    val approx = codes
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(dt),
+        col("query_id") === col("dq") &&
+          col("s") === col("qs") && col("cell") === col("cid"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(first(col("cell_ivf")).as("cell"), sum(col("d_e6")).as("adist_e6"))
+    rankByDist(approx, k)
   }
 
   /** Embedding-cosine near-dup pairs: candidates from the multi-table
