@@ -603,39 +603,61 @@ object ExtQueries {
 
   // ------------------------------------------------------------------
   // pipeline_manifest: dataset fingerprint for data versioning — per
-  // source, a content manifest (docs, chars) plus an order-safe
-  // aggregate hash: md5 over the doc content hashes concatenated in
-  // doc_id order. Two corpus builds agree on the manifest iff they
-  // agree on every document — the lineage/version id a training run
-  // records. The per-source hash chain is assembled with array_sort
-  // over (id, hash) structs, never a bare collect_list order. The
-  // chain buffers one source's hashes in one task — at 100 TB, tree
-  // it: hash fixed-width doc_id buckets first, then hash the ordered
-  // bucket hashes (same determinism, bounded buffers).
+  // source, a content manifest (docs, chars) plus an order-safe TREE
+  // hash: doc content hashes are md5'd per fixed-width doc_id bucket
+  // (level 1 — each aggregation buffer holds at most ManifestBucketW
+  // hashes), then the ordered bucket hashes are md5'd per source
+  // (level 2 — buffers are 1/ManifestBucketW the corpus). Two corpus
+  // builds agree on the manifest iff they agree on every document —
+  // the lineage/version id a training run records. Both levels
+  // assemble with array_sort over (key, hash) structs, never a bare
+  // collect_list order (VERDICT r5 #3: the old single-level chain
+  // buffered a whole SOURCE's hashes in one task — one 10 TB source,
+  // one OOM; widen ManifestBucketW or add a third level if a source's
+  // BUCKET COUNT ever outgrows a buffer).
   // ------------------------------------------------------------------
+
+  private val ManifestBucketW = 64
 
   def pipelineManifest(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("source"), col("doc_id"), col("n_chars"),
-        md5(col("text")).as("h"))
-      .groupBy("source")
+        md5(col("text")).as("h"),
+        expr(s"doc_id div $ManifestBucketW").as("b"))
+      .groupBy("source", "b")
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("total_chars"),
-        min(col("doc_id")).as("min_doc"),
-        max(col("doc_id")).as("max_doc"),
+        count(lit(1)).as("bn"),
+        sum(col("n_chars")).as("bchars"),
+        min(col("doc_id")).as("bmin"),
+        max(col("doc_id")).as("bmax"),
         md5(concat_ws("", expr(
           "transform(array_sort(collect_list(named_struct('i', doc_id, 'h', h))), x -> x.h)")))
+          .as("bh"))
+      .groupBy("source")
+      .agg(
+        sum(col("bn")).as("n_docs"),
+        sum(col("bchars")).as("total_chars"),
+        min(col("bmin")).as("min_doc"),
+        max(col("bmax")).as("max_doc"),
+        md5(concat_ws("", expr(
+          "transform(array_sort(collect_list(named_struct('i', b, 'h', bh))), x -> x.h)")))
           .as("content_version"))
       .orderBy("source")
 
   private val pipelineManifestSql =
-    """WITH h AS (SELECT source, doc_id, n_chars, md5(text) AS h FROM documents)
-      |SELECT source, count(*)::BIGINT AS n_docs,
-      |  sum(n_chars)::BIGINT AS total_chars,
-      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
-      |  md5(string_agg(h, '' ORDER BY doc_id)) AS content_version
-      |FROM h GROUP BY source ORDER BY source""".stripMargin
+    s"""WITH h AS (SELECT source, doc_id, n_chars, md5(text) AS h,
+       |    doc_id // $ManifestBucketW AS b
+       |  FROM documents),
+       |bh AS (SELECT source, b, count(*)::BIGINT AS bn,
+       |    sum(n_chars)::BIGINT AS bchars,
+       |    min(doc_id) AS bmin, max(doc_id) AS bmax,
+       |    md5(string_agg(h, '' ORDER BY doc_id)) AS bh
+       |  FROM h GROUP BY source, b)
+       |SELECT source, sum(bn)::BIGINT AS n_docs,
+       |  sum(bchars)::BIGINT AS total_chars,
+       |  min(bmin) AS min_doc, max(bmax) AS max_doc,
+       |  md5(string_agg(bh, '' ORDER BY b)) AS content_version
+       |FROM bh GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------------
   // pipeline_shard_shuffle: reproducible corpus shuffle + sharding —
@@ -715,14 +737,18 @@ object ExtQueries {
   private val BoilerMinDocs = 2
 
   def dedupSegments(spark: SparkSession, dir: String): DataFrame = {
-    // ONE corpus scan (plan-audited): per-segment document frequency is
-    // a collect_set window over the segment-hash partition — the same
-    // single shuffle on h that an aggregate-then-join-back needs for
-    // its first half, without the second scan (the aggregate's partial
-    // rows and the join's raw rows are different subtrees, so exchange
-    // reuse can never merge that shape); a second shuffle on doc_id
-    // re-assembles. Clean text is rebuilt order-safely (array_sort on
-    // (idx, seg), never a bare collect_list order assumption).
+    // Per-segment document frequency is a BOUNDED count(distinct)
+    // aggregate on the segment hash — partial aggregation absorbs the
+    // hot key map-side, so a boilerplate segment shared by millions of
+    // docs ("all rights reserved…") costs one counter per task, never
+    // one task buffering every sharer (VERDICT r5 #2: the previous
+    // collect_set window held the full sharer set in ONE window
+    // partition — the unbounded-state shape maxBucket already bans for
+    // LSH). The flagged set (segments in ≥ minDocs docs) is tiny — the
+    // boilerplate VOCABULARY, not the corpus — so it broadcasts, and
+    // the membership pass over the segment rows is narrow. Clean text
+    // is rebuilt order-safely (array_sort on (idx, seg), never a bare
+    // collect_list order assumption).
     val segs = toksDf(spark, dir)
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
@@ -731,17 +757,20 @@ object ExtQueries {
              |  i -> array_join(slice(toks, i * $SegW + 1, $SegW), ' '))""".stripMargin))
           .as(Seq("seg_idx", "seg")))
       .withColumn("h", md5(col("seg")))
-    segs
-      .withColumn("n_docs",
-        size(collect_set(col("doc_id")).over(Window.partitionBy("h"))).cast("long"))
+    val boiler = segs
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= BoilerMinDocs)
+      .select(col("h"), lit(1L).as("is_boiler"))
+    segs.join(broadcast(boiler), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segments"),
-        sum(when(col("n_docs") >= BoilerMinDocs, 1L).otherwise(0L)).as("n_boiler_segments"),
+        sum(when(col("is_boiler").isNotNull, 1L).otherwise(0L)).as("n_boiler_segments"),
         md5(concat_ws(" ", expr(
-          s"""transform(array_sort(collect_list(
-             |  CASE WHEN n_docs < $BoilerMinDocs
-             |       THEN named_struct('i', seg_idx, 's', seg) END)), x -> x.s)""".stripMargin)))
+          """transform(array_sort(collect_list(
+            |  CASE WHEN is_boiler IS NULL
+            |       THEN named_struct('i', seg_idx, 's', seg) END)), x -> x.s)""".stripMargin)))
           .as("clean_hash"))
       .orderBy("doc_id")
   }

@@ -37,6 +37,37 @@ class ScaleOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     plan should include("__salt")
   }
 
+  behavior of "dedup_segments hot-segment geometry"
+
+  it should "absorb a boilerplate segment shared by every doc without per-key state" in {
+    import spark.implicits._
+    // 20,000 docs all opening with the SAME 16-token boilerplate
+    // segment, each followed by a unique 16-token tail. The old
+    // collect_set-over-h window buffered all 20k sharer ids in ONE
+    // window partition (the straggler/OOM shape at real boilerplate
+    // scale); the bounded plan counts distinct sharers with partial
+    // aggregation and broadcasts the single over-threshold hash.
+    val boiler = (1 to 16).map(i => s"common$i").mkString(" ")
+    val rows = (0 until 20000).map { id =>
+      (id.toLong, boiler + " " + (1 to 16).map(i => s"u${id}x$i").mkString(" "))
+    }
+    val dir = tempDir("hotseg")
+    rows.toDF("doc_id", "text").repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("dedup_segments")(spark, dir)
+    val plan = out.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include("BroadcastHashJoin")
+    val got = out.select("doc_id", "n_segments", "n_boiler_segments")
+      .as[(Long, Long, Long)].collect()
+    got.length shouldBe 20000
+    // every doc: 2 segments, exactly the boilerplate one flagged
+    got.foreach { case (_, nSeg, nBoiler) =>
+      nSeg shouldBe 2L
+      nBoiler shouldBe 1L
+    }
+  }
+
   behavior of "bucketed co-located join"
 
   it should "join two bucketed tables without a shuffle" in {
