@@ -508,9 +508,26 @@ object ExtQueries {
 
   private val CoW = 5   // forward co-occurrence window (tokens)
   private val CoTopK = 25
+  // document-frequency ceiling (percent of docs): tokens above it are
+  // dropped BEFORE pair generation. At 100 TB the (w1,w2) key space is
+  // Zipfian — top stopword pairs ("the","of") dominate the reduce keys
+  // AND the pair volume; dropping the df head first (as GloVe-style
+  // co-occurrence pipelines do) removes both (VERDICT r5 #6). The
+  // over-ceiling set is the stopword VOCABULARY — tiny by Zipf — so it
+  // broadcasts as one array.
+  private val CoDfCeilPct = 79
 
-  def textCooccurrence(spark: SparkSession, dir: String): DataFrame =
-    toksDf(spark, dir)
+  def textCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val t = toksDf(spark, dir)
+    val dfc = t.select(col("doc_id"), explode(array_distinct(col("toks"))).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("df"))
+    val tot = docs(spark, dir).agg(count(lit(1)).as("n"))
+    val hot = dfc.crossJoin(tot)
+      .filter(col("df") * 100 > col("n") * CoDfCeilPct)
+      .agg(sort_array(collect_list(col("tk"))).as("hl"))
+    t.crossJoin(broadcast(hot))
+      .select(col("doc_id"),
+        expr("filter(toks, x -> NOT array_contains(hl, x))").as("toks"))
       .filter(size(col("toks")) > 1)
       .select(col("doc_id"), explode(expr(
         s"""flatten(transform(sequence(1, size(toks) - 1), i ->
@@ -523,14 +540,23 @@ object ExtQueries {
         countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n_cooc").desc, col("w1"), col("w2"))
       .limit(CoTopK)
+  }
 
   private val textCooccurrenceSql =
     s"""WITH $TokCte,
+       |exd AS (SELECT DISTINCT doc_id, unnest(toks) AS tk FROM tok),
+       |dfc AS (SELECT tk, count(*) AS df FROM exd GROUP BY tk),
+       |tot AS (SELECT count(*) AS n FROM documents),
+       |hot AS (SELECT coalesce(list(tk ORDER BY tk), []) AS hl
+       |  FROM dfc, tot WHERE df * 100 > n * $CoDfCeilPct),
+       |tok2 AS (SELECT doc_id,
+       |    list_filter(tok.toks, x -> NOT list_contains(hot.hl, x)) AS toks
+       |  FROM tok, hot),
        |pr AS (SELECT doc_id,
        |    unnest(flatten(list_transform(generate_series(1, len(toks) - 1), i ->
        |      list_transform(generate_series(i + 1, least(i + ${CoW - 1}, len(toks))), j ->
        |        [least(toks[i], toks[j]), greatest(toks[i], toks[j])])))) AS p
-       |  FROM tok WHERE len(toks) > 1)
+       |  FROM tok2 WHERE len(toks) > 1)
        |SELECT p[1] AS w1, p[2] AS w2, count(*)::BIGINT AS n_cooc,
        |  count(DISTINCT doc_id)::BIGINT AS n_docs
        |FROM pr GROUP BY w1, w2

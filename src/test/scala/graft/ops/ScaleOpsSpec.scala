@@ -68,6 +68,37 @@ class ScaleOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     }
   }
 
+  behavior of "text_cooccurrence Zipf guard"
+
+  it should "drop the df-head stopword from the pair space before aggregation" in {
+    import spark.implicits._
+    // a planted Zipf head: "the" in EVERY doc (interleaved, so it pairs
+    // with every unique token in window range) over 5,000 docs of
+    // otherwise-unique tokens. Unguarded, every ("the", u*) pair is a
+    // reduce key and "the"-rows dominate the shuffle; the df ceiling
+    // (79% of docs) removes the stopword before pair generation, so no
+    // surviving pair mentions it and the pair volume collapses to the
+    // unique-token tails.
+    val rows = (0 until 5000).map { id =>
+      val uniq = (1 to 8).map(i => s"u${id}x$i")
+      (id.toLong, uniq.flatMap(u => Seq("the", u)).mkString(" "))
+    }
+    val dir = tempDir("zipfco")
+    rows.toDF("doc_id", "text").repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("text_cooccurrence")(spark, dir)
+      .select("w1", "w2").as[(String, String)].collect()
+    out should not be empty
+    out.foreach { case (w1, w2) =>
+      w1 should not be "the"
+      w2 should not be "the"
+    }
+    // the hot set is broadcast, never joined by shuffle
+    val plan = graft.SparkEntry.queries("text_cooccurrence")(spark, dir)
+      .queryExecution.executedPlan.toString
+    plan should include("Broadcast")
+  }
+
   behavior of "bucketed co-located join"
 
   it should "join two bucketed tables without a shuffle" in {
