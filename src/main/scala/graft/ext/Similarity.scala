@@ -157,9 +157,12 @@ object Similarity {
 
   /** Squared-L2 distance between two array columns — the native
     * codegen'd [[graft.functions.VectorSqDist]] (one fused primitive
-    * loop on the IVF/PQ assignment hot path; the portable
-    * `aggregate`/`zip_with` fold it replaces is interpreted, with
-    * bit-identical results — same strict left-to-right double fold). */
+    * loop on the IVF/PQ assignment hot path; for the equal-length dense
+    * vectors every caller here passes, the portable
+    * `aggregate`/`zip_with` fold it replaces is interpreted with
+    * bit-identical results — same strict left-to-right double fold.
+    * Mismatched-length or null-element inputs take VectorSqDist's
+    * defensive prefix-fold semantics, see its scaladoc). */
   def sqDist(a: String, b: String): Column = expr(s"graft_vector_sqdist($a, $b)")
 
   /** IVF cell assignment: nearest of the (broadcast) centroid set by

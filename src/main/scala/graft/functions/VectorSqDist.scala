@@ -12,15 +12,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * are the strict left-to-right double fold
   * `Σ_{i} (double(a[i]) − double(b[i]))²` in index order — exactly the
   * fold the portable `aggregate`/`zip_with` formulation and the DuckDB
-  * oracle compute, so swapping this in changes the plan (interpreted
+  * oracle compute. For EQUAL-LENGTH DENSE vectors (every IVF/PQ path
+  * in this engine) swapping this in changes the plan (interpreted
   * higher-order functions → one fused codegen loop), never the bits of
   * the result.
   *
   * Either side may be `array<float>` (raw embeddings) or
   * `array<double>` (trained centroid means) — k-means assignment mixes
-  * them. Mismatched lengths fold over the shorter prefix; a null
-  * element contributes 0 (dense vectors — both defensive, not
-  * semantic, choices; [[VectorDot]] makes the same ones).
+  * them. Outside the dense contract the edge semantics intentionally
+  * DIFFER from the HOF fold (ADVICE r5): mismatched lengths fold over
+  * the shorter prefix and a null element contributes 0 — defensive
+  * choices that return a number where the HOF fold propagates NULL.
+  * Degenerate inputs surface as distances, not silent row drops
+  * ([[VectorDot]] makes the same ones).
   */
 case class VectorSqDist(left: Expression, right: Expression) extends BinaryExpression {
 

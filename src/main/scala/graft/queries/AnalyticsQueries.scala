@@ -361,21 +361,46 @@ object AnalyticsQueries {
     * `approx_count_distinct` (HyperLogLog++, fixed-size sketch buffers,
     * pure map-side mergeable) and `approx_percentile` (quantile sketch,
     * bounded accuracy parameter). No DuckDB oracle can reproduce
-    * sketch internals, so this query takes the driver's rows-only
-    * check; the ACCURACY contract (relative error vs the exact
-    * aggregates) is asserted in ApproxAccuracySpec instead. */
+    * sketch internals, but the accuracy CONTRACT is checkable: this
+    * query computes sketch and exact aggregates in ONE plan and emits
+    * the exact values plus per-group pass/fail bounds flags — the
+    * oracle recomputes the exact columns and pins every flag to 1, so
+    * a sketch drifting out of tolerance flips a flag and fails the
+    * hash compare (VERDICT r5 #8: the former rows-only check is now a
+    * full oracle). Bounds mirror ApproxAccuracySpec: HLL++ at default
+    * relativeSD 0.05 within 15% (3σ), the accuracy-1000 quantile
+    * sketch within 2% of the exact median. The production form drops
+    * the exact legs; the gate's job is proving the sketch contract. */
   def aggApprox(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey")).as("approx_suppliers"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_raw"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_suppliers"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_suppkey")).as("asu"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50a"),
+        expr("percentile(l_extendedprice, 0.5D)").as("p50e"),
         count(lit(1)).as("n_rows"))
-      .select(col("l_returnflag"), col("approx_parts"), col("approx_suppliers"),
-        round(col("p50_raw") * 100).cast("long").as("approx_p50_e2"),
-        col("n_rows"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_suppliers"),
+        round(col("p50e") * 100).cast("long").as("exact_p50_e2"),
+        col("n_rows"),
+        when(abs(col("ap") - col("exact_parts")) * 100
+          <= col("exact_parts") * 15, 1L).otherwise(0L).as("parts_ok"),
+        when(abs(col("asu") - col("exact_suppliers")) * 100
+          <= col("exact_suppliers") * 15, 1L).otherwise(0L).as("suppliers_ok"),
+        when(abs(col("p50a") - col("p50e")) * 100 <= col("p50e") * 2, 1L)
+          .otherwise(0L).as("p50_ok"))
       .orderBy("l_returnflag")
+
+  val aggApproxSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_suppkey) AS exact_suppliers,
+      |  CAST(round(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS exact_p50_e2,
+      |  COUNT(*) AS n_rows,
+      |  1::BIGINT AS parts_ok, 1::BIGINT AS suppliers_ok, 1::BIGINT AS p50_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Semi-join: orders from customers with positive balance. */
   def semiJoin(spark: SparkSession, dir: String): DataFrame =
@@ -743,18 +768,24 @@ object AnalyticsQueries {
     * the z-test needs no division, no sqrt, no floats — bit-identical
     * on any engine (a Welford stddev is summation-order-dependent and
     * can flip borderline hours between engines). Stats ride a
-    * whole-partition window over the (tiny) per-type hourly counts. */
+    * whole-partition window over the (tiny) per-type hourly counts.
+    * The squared terms are carried as DECIMAL(38,0) — (n·x−S)² and S²
+    * silently overflow a BIGINT once a type's total count passes ~3·10⁹
+    * (ADVICE r5), flipping the predicate; 38 digits holds the squares
+    * exactly to S ~ 10¹⁹ (the oracle mirrors with HUGEINT — both are
+    * exact integer arithmetic, so borderline hours cannot diverge). */
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val counts = table(spark, dir, "events")
       .groupBy(date_trunc("hour", tsMicros("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("x"))
     val w = Window.partitionBy("event_type")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     counts
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("s", sum(col("x")).over(w))
-      .withColumn("q", sum(col("x") * col("x")).over(w))
-      .filter((col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s"))
-        > lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+      .withColumn("q", sum(dec(col("x")) * col("x")).over(w))
+      .filter((dec(col("n")) * col("x") - col("s")) * (dec(col("n")) * col("x") - col("s"))
+        > lit(4L) * (dec(col("n")) * col("q") - dec(col("s")) * col("s")))
       .select("event_type", "hour", "x", "n", "s")
       .orderBy("event_type", "hour")
   }
@@ -763,11 +794,11 @@ object AnalyticsQueries {
     """WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type,
       |    COUNT(*) AS x FROM events GROUP BY 1, 2),
       |st AS (SELECT event_type, hour, x,
-      |    count(*) OVER w AS n, sum(x) OVER w AS s, sum(x * x) OVER w AS q
+      |    count(*) OVER w AS n, sum(x) OVER w AS s, sum(x::HUGEINT * x) OVER w AS q
       |  FROM c WINDOW w AS (PARTITION BY event_type))
       |SELECT event_type, hour, x, n::BIGINT AS n, s::BIGINT AS s
       |FROM st
-      |WHERE (n * x - s) * (n * x - s) > 4 * (n * q - s * s)
+      |WHERE (n::HUGEINT * x - s) * (n::HUGEINT * x - s) > 4 * (n::HUGEINT * q - s::HUGEINT * s)
       |ORDER BY event_type, hour""".stripMargin
 
   /** Weekly cohort retention: users grouped by first-activity week,
@@ -921,5 +952,6 @@ object AnalyticsQueries {
     "join_lateral" -> lateralTopOrdersSql,
     "scalar_funcs" -> scalarFuncsSql,
     "events_retention" -> eventsRetentionSql,
-    "events_anomaly" -> eventsAnomalySql)
+    "events_anomaly" -> eventsAnomalySql,
+    "agg_approx" -> aggApproxSql)
 }

@@ -58,8 +58,15 @@ object StreamingOps {
     * when the dimension is itself a stream). */
   def enrich(stream: DataFrame, dim: DataFrame,
       streamKey: String, dimKey: String,
-      joinType: String = "left"): DataFrame =
-    stream.join(broadcast(dim), col(streamKey) === col(dimKey), joinType)
+      joinType: String = "left"): DataFrame = {
+    // alias-qualified keys: the common enrichment case has the SAME key
+    // column name on both sides, which a bare col(streamKey) ===
+    // col(dimKey) resolves ambiguously (ADVICE r5); the dimension's key
+    // is redundant after the join and is dropped
+    val joined = stream.alias("s").join(broadcast(dim.alias("d")),
+      col(s"s.$streamKey") === col(s"d.$dimKey"), joinType)
+    joined.drop(col(s"d.$dimKey"))
+  }
 
   /** Streaming exact dedup: emit only the FIRST occurrence of each key
     * across micro-batches, with explicit per-key state via

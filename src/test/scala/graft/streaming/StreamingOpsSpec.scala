@@ -210,6 +210,31 @@ class StreamingOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally q.stop()
   }
 
+  it should "resolve a shared key column name and emit it once" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the common enrichment shape: stream and dimension both call the
+    // key "user" (ADVICE r5: the bare-col join threw
+    // AMBIGUOUS_REFERENCE here, and on success duplicated the column)
+    val in = MemoryStream[(String, Int)]
+    val dim = Seq(("u1", "gold")).toDF("user", "tier")
+    val enriched = StreamingOps.enrich(
+      in.toDF().toDF("user", "amount"), dim, "user", "user")
+    enriched.columns.count(_ == "user") shouldBe 1
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_same_key_out")
+      .option("checkpointLocation", tempDir("enrich-same-ckpt"))
+      .start()
+    try {
+      in.addData(("u1", 5), ("u9", 1))
+      q.processAllAvailable()
+      val out = spark.table("enrich_same_key_out")
+        .select("user", "amount", "tier").as[(String, Int, Option[String])]
+        .collect().sortBy(_._1)
+      out.toSeq shouldBe Seq(("u1", 5, Some("gold")), ("u9", 1, None))
+    } finally q.stop()
+  }
+
   behavior of "RowCountListener"
 
   it should "emit rows.incoming with the stream tags" in {
