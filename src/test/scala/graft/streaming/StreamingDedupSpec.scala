@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+
+/** End-to-end MemoryStream coverage for the streaming incremental
+  * dedup flow (VERDICT r5 #5): a planted duplicate arriving in batch 2
+  * must be flagged against the batch-1 corpus, within-batch pairs must
+  * NOT be generated (batch-vs-corpus semantics), and the state store
+  * must hold signatures — bounded per bucket by the skew cap — never
+  * documents. */
+class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkFixture {
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog again and again %s"
+  private val unrelated =
+    "completely different text about spark catalyst optimizer internals today"
+
+  behavior of "StreamingDedup.nearDupStream"
+
+  it should "flag batch-2 near-dups against the batch-1 corpus only" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val hits = StreamingDedup.nearDupStream(
+      StreamingDedup.bandRows(in.toDF().toDF("doc_id", "text"), "doc_id", "text"),
+      minSigMatch = 6)
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("near_hits")
+      .option("checkpointLocation", tempDir("neardup-ckpt"))
+      .start()
+    try {
+      // batch 1: the corpus — one distinctive doc + one unrelated
+      in.addData((2L, base.format("today")), (4L, unrelated))
+      q.processAllAvailable()
+      spark.table("near_hits").count() shouldBe 0 // nothing stored yet
+
+      // batch 2: TWO near-dups of corpus doc 2 (also near-dups of each
+      // other) + one novel doc
+      in.addData((11L, base.format("tonight")),
+        (12L, base.format("tomorrow")),
+        (13L, "entirely novel content discussing walnut cultivation and irrigation schedules"))
+      q.processAllAvailable()
+      val out = spark.table("near_hits").as[NearDupHit].collect()
+      val pairs = out.map(h => (h.docId, h.matchedDocId)).distinct.sorted
+      // cross-batch hits present…
+      pairs should contain((11L, 2L))
+      pairs should contain((12L, 2L))
+      // …within-batch pair suppressed (batch-vs-corpus, like the batch
+      // operator's cross-side-only candidate rule), novel doc clean
+      pairs.map(_._1) should not contain 13L
+      pairs should not contain ((12L, 11L))
+      out.foreach(_.nSigMatch should be >= 6)
+
+      // batch 3: the batch-2 docs are corpus now — a later arrival
+      // matches against them too
+      in.addData((21L, base.format("tonight")))
+      q.processAllAvailable()
+      val p3 = spark.table("near_hits").as[NearDupHit].collect()
+        .map(h => (h.docId, h.matchedDocId)).distinct
+      p3 should contain((21L, 11L))
+    } finally q.stop()
+  }
+
+  it should "cap per-bucket state at maxBucket signatures" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "the same boilerplate footer text repeated on every single page here"
+    val in = MemoryStream[(Long, String)]
+    val hits = StreamingDedup.nearDupStream(
+      StreamingDedup.bandRows(in.toDF().toDF("doc_id", "text"), "doc_id", "text"),
+      maxBucket = 5, minSigMatch = 6)
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("capped_hits")
+      .option("checkpointLocation", tempDir("capdup-ckpt"))
+      .start()
+    try {
+      // a 20-doc hot bucket in one batch: stored membership is capped
+      in.addData((0L until 20L).map(i => (i, boiler)): _*)
+      q.processAllAvailable()
+      // identical docs share all 4 band keys → exactly 4 state rows,
+      // NOT 20×4: the state scales with distinct buckets, each holding
+      // ≤ maxBucket signatures
+      q.lastProgress.stateOperators.head.numRowsTotal shouldBe 4L
+      in.addData((100L, boiler))
+      q.processAllAvailable()
+      val matched = spark.table("capped_hits").as[NearDupHit].collect()
+        .filter(_.docId == 100L).map(_.matchedDocId).distinct
+      matched.length shouldBe 5 // the capped bucket, nothing more
+      q.lastProgress.stateOperators.head.numRowsTotal shouldBe 4L
+    } finally q.stop()
+  }
+
+  behavior of "StreamingDedup.exactDupStream"
+
+  it should "flag later arrivals of a stored content hash (normalization included)" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val hits = StreamingDedup.exactDupStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("exact_hits")
+      .option("checkpointLocation", tempDir("exactdup-ckpt"))
+      .start()
+    try {
+      // batch 1: two copies in ONE batch → lowest id owns the hash
+      in.addData((2L, "Hello World"), (6L, "hello,   world!"), (3L, unrelated))
+      q.processAllAvailable()
+      // batch 2: a third copy arrives later
+      in.addData((12L, "HELLO world"))
+      q.processAllAvailable()
+      val out = spark.table("exact_hits").as[ExactDupHit].collect()
+        .map(h => (h.docId, h.firstDocId)).sorted
+      out.toSeq shouldBe Seq((6L, 2L), (12L, 2L))
+    } finally q.stop()
+  }
+}
