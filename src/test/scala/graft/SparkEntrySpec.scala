@@ -14,15 +14,11 @@ class SparkEntrySpec extends AnyFlatSpec with Matchers with SparkFixture {
     SparkEntry.entry(spark).count() should be > 0L
   }
 
-  /** Queries deliberately WITHOUT a SQL oracle — sketch-based results
-    * no second engine can reproduce; the driver records a rows-only
-    * check and their accuracy contract lives in a dedicated spec
-    * (ApproxAccuracySpec). Every other query must have an oracle. */
-  private val rowsOnlyQueries = Set("agg_approx")
-
   it should "declare an oracle for every query (and no orphans)" in {
-    SparkEntry.oracleSql.keySet shouldBe (SparkEntry.queries.keySet -- rowsOnlyQueries)
-    rowsOnlyQueries.subsetOf(SparkEntry.queries.keySet) shouldBe true
+    // since round 6 EVERY query is oracled — agg_approx (the last
+    // rows-only entry) became self-checking: it emits exact aggregates
+    // plus sketch-bounds flags the oracle pins to 1
+    SparkEntry.oracleSql.keySet shouldBe SparkEntry.queries.keySet
   }
 
   it should "end every oracle in a total ORDER BY" in {
