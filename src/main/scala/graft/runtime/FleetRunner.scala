@@ -145,7 +145,17 @@ object GraftFleetMain {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-fleet",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).getOrCreate()
-    val code = try run(spark, sys.env) finally spark.stop()
+    // in a cluster each stream annotates its OWN Job on schema mismatch
+    // (per-stream ids → per-stream Jobs), like the single-stream main
+    val svc: Option[StreamStatusService] =
+      if (K8sStreamStatusService.inCluster()) Some(new K8sStreamStatusService())
+      else None
+    val reporter: (String, String) => Unit = (id, s) => {
+      System.err.println(s"[stream-status][$id] $s")
+      if (s.startsWith(graft.runtime.StreamAnnotations.SchemaMismatchStateAnnotationValue + ":"))
+        svc.foreach(_.reportSchemaMismatch(id))
+    }
+    val code = try run(spark, sys.env, statusReporter = reporter) finally spark.stop()
     sys.exit(code)
   }
 }

@@ -114,7 +114,15 @@ object GraftMain {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-stream",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).getOrCreate()
-    val code = try run(spark, sys.env) finally spark.stop()
+    // in a cluster, schema-mismatch statuses ALSO annotate our own Job
+    // (arcane/state=schema-mismatch) so the Stream Operator relaunches
+    // the stream in backfill mode — StreamStatusService.cs parity
+    val ctx = StreamContext.fromEnvironment(sys.env)
+    val reporter: String => Unit =
+      if (K8sStreamStatusService.inCluster())
+        K8sStreamStatusService.statusReporter(new K8sStreamStatusService(), ctx.streamId)
+      else s => System.err.println(s"[stream-status] $s")
+    val code = try run(spark, sys.env, statusReporter = reporter) finally spark.stop()
     sys.exit(code)
   }
 }
