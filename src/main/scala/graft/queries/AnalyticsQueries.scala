@@ -371,17 +371,29 @@ object AnalyticsQueries {
     * relativeSD 0.05 within 15% (3σ), the accuracy-1000 quantile
     * sketch within 2% of the exact median. The production form drops
     * the exact legs; the gate's job is proving the sketch contract. */
-  def aggApprox(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem")
+  def aggApprox(spark: SparkSession, dir: String): DataFrame = {
+    // the exact distinct legs live in their OWN aggregates, joined back
+    // on the (3-row) group key: two countDistincts + a percentile in
+    // one agg would plan a 3× Expand of the whole fact table (measured
+    // 5.1 s vs 2.4 s at sf0.1), and at 100 TB the Expand triples the
+    // shuffle where the join of independent aggregates adds only
+    // broadcast-sized group rows
+    val li = table(spark, dir, "lineitem")
+    val sketches = li
       .groupBy(col("l_returnflag"))
       .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_suppkey")).as("exact_suppliers"),
         approx_count_distinct(col("l_partkey")).as("ap"),
         approx_count_distinct(col("l_suppkey")).as("asu"),
         expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50a"),
         expr("percentile(l_extendedprice, 0.5D)").as("p50e"),
         count(lit(1)).as("n_rows"))
+    val parts = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val supps = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("exact_suppliers"))
+    sketches
+      .join(parts, "l_returnflag")
+      .join(supps, "l_returnflag")
       .select(col("l_returnflag"), col("exact_parts"), col("exact_suppliers"),
         round(col("p50e") * 100).cast("long").as("exact_p50_e2"),
         col("n_rows"),
@@ -392,6 +404,7 @@ object AnalyticsQueries {
         when(abs(col("p50a") - col("p50e")) * 100 <= col("p50e") * 2, 1L)
           .otherwise(0L).as("p50_ok"))
       .orderBy("l_returnflag")
+  }
 
   val aggApproxSql: String =
     """SELECT l_returnflag,
