@@ -226,4 +226,15 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
     // output columns contain the full embedding vector
     "Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).size shouldBe 0
   }
+
+  it should "restrict IVF+PQ scoring by a broadcast candidate set — no corpus-sized shuffle" in {
+    val p = plan("sim_ivfpq")
+    p should not include "CartesianProduct"
+    // cell pruning joins the (broadcast) candidate pairs against the
+    // codes, and the ADC tables are broadcast too — the corpus codes
+    // flow scan → broadcast joins → partial aggregate without ever
+    // shuffling before the candidate restriction has filtered them
+    p should include("BroadcastHashJoin")
+    "Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).size shouldBe 0
+  }
 }
