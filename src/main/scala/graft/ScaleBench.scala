@@ -80,7 +80,7 @@ object ScaleBench {
     "pipeline_manifest", "multimodal_frames", "dedup_incremental",
     "text_cooccurrence",
     // round 6
-    "sim_ivfpq")
+    "sim_ivfpq", "pipeline_split_leakage")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)
@@ -202,7 +202,41 @@ object ScaleBench {
         .write.format("noop").mode("overwrite").save()
       val secE = (System.nanoTime() - t0e) / 1e9
       val (_, swE, _) = tally.settled()
-      sb.append(s""","embed_neardup_scaled":{"n":$nVec,"bits":$bits,"shuffleWrite":$swE,"sec":${f"$secE%.3f"}}}""")
+      sb.append(s""","embed_neardup_scaled":{"n":$nVec,"bits":$bits,"shuffleWrite":$swE,"sec":${f"$secE%.3f"}}""")
+      // IVF+PQ pruning evidence: score the SAME pre-built (checkpointed)
+      // PQ structures full-scan vs cell-pruned, so the tally isolates
+      // the search stage (training shuffles are identical in both
+      // operators and would otherwise swamp the comparison).
+      val e2 = embDf.select("vec_id", "embedding")
+      val qset = e2.filter(col("vec_id") < 10)
+      val cents = graft.ext.Similarity
+        .trainCentroids(e2, "vec_id", "embedding", k = 8, iters = 1)
+        .localCheckpoint(true)
+      val (codesRaw, dtabRaw) = graft.ext.Similarity.pqStructures(
+        qset, e2, "vec_id", "embedding", dim = 64, m = 8, codebookK = 16, iters = 2)
+      val codes = codesRaw.localCheckpoint(true)
+      val dtab = dtabRaw.localCheckpoint(true)
+      val cand = graft.ext.Similarity.assignCellsN(qset, cents, "vec_id", "embedding", 2)
+        .select(col("vec_id").as("query_id"), col("cell").as("qcell"))
+        .join(graft.ext.Similarity.assignCells(e2, cents, "vec_id", "embedding")
+          .select(col("vec_id").as("neighbor_id"), col("cell").as("ncell")),
+          col("qcell") === col("ncell") && col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("ncell").as("cell_ivf"))
+        .localCheckpoint(true)
+      val nCand = cand.count()
+      def scoreSw(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+        tally.reset()
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        (tally.settled()._2, sec)
+      }
+      val (swFull, secFull) = scoreSw(graft.ext.Similarity.adcScoreAll(codes, dtab))
+      val (swPruned, secPruned) = scoreSw(graft.ext.Similarity.adcScoreCandidates(codes, dtab, cand))
+      System.err.println(f"[scale] $label/ivfpq_scoring full=$swFull pruned=$swPruned cand=$nCand")
+      sb.append(s""","ivfpq_scoring":{"n":$nVec,"candidates":$nCand,""" +
+        s""""fullScanShuffleWrite":$swFull,"fullScanSec":${f"$secFull%.3f"},""" +
+        s""""prunedShuffleWrite":$swPruned,"prunedSec":${f"$secPruned%.3f"}}}""")
     }
     sb.append('}')
     java.nio.file.Files.writeString(Paths.get(outJson), sb.toString)

@@ -628,6 +628,72 @@ object ExtQueries {
        |ORDER BY d.doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // pipeline_split_leakage: train/eval contamination check — docs are
+  // assigned train (90%) / eval (10%) by a seeded hash split (pure
+  // function of (seed, doc_id) — reproducible on any engine, like
+  // pipeline_shard_shuffle), then every eval doc is checked for
+  // near-duplicate leakage FROM the train split: LSH candidates
+  // restricted to CROSS-SPLIT pairs, exact-Jaccard verified. The
+  // cross-side discipline of dedup_incremental applied to the split
+  // axis (eval×eval and train×train pairs are never generated), and
+  // the leak class benchmark decontamination misses: contamination
+  // between a corpus' OWN splits. Same bounded geometry: band-bucket
+  // candidate join + verify on candidates only.
+  // ------------------------------------------------------------------
+
+  private val SplitSeed = "graft-split-r6"
+  private val EvalBucket = 9 // bucket 9 of 0..9 → 10% eval
+
+  def pipelineSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val sp = d.select(col("doc_id"),
+      when((conv(substring(md5(concat_ws(":", lit(SplitSeed), col("doc_id"))), 1, 7), 16, 10)
+        .cast("long") % 10) >= EvalBucket, 1L).otherwise(0L).as("is_eval"))
+    val exd = Dedup.shingleRows(d, "doc_id", "text", ShingleN)
+    val proj = Dedup.minhashFromShingles(exd, "doc_id", MinhashK, LshBands, LshRows)
+    val cross = Dedup.minhashCandidates(proj, "doc_id", MinhashK).drop("n_sig_match")
+      .join(sp.select(col("doc_id").as("doc_a"), col("is_eval").as("ea")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("is_eval").as("eb")), "doc_b")
+      .filter(col("ea") =!= col("eb"))
+    val verified = Dedup.jaccardVerifyExploded(cross, exd, threshold = 0.8)
+      .withColumn("eval_id",
+        when(col("ea") === 1L, col("doc_a")).otherwise(col("doc_b")))
+    val per = verified.groupBy("eval_id")
+      .agg(count(lit(1)).as("n_train_candidates"), max(col("is_dup")).as("leaked"))
+    sp.filter(col("is_eval") === 1L).select(col("doc_id"))
+      .join(per.withColumnRenamed("eval_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_train_candidates"), lit(0L)).as("n_train_candidates"),
+        coalesce(col("leaked"), lit(0L)).as("leaked"))
+      .orderBy("doc_id")
+  }
+
+  private val pipelineSplitLeakageSql =
+    s"""WITH $TokCte, $ShCte,
+       |$SigCtes,
+       |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+       |hsp AS (SELECT doc_id, md5('$SplitSeed' || ':' || doc_id::VARCHAR) AS hk FROM documents),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN ${hexPrefixKeySql("hk")} % 10 >= $EvalBucket THEN 1 ELSE 0 END AS is_eval
+       |  FROM hsp),
+       |x AS (SELECT p.doc_a, p.doc_b, a.is_eval AS ea, b.is_eval AS eb
+       |  FROM pairs p JOIN sp a ON a.doc_id = p.doc_a JOIN sp b ON b.doc_id = p.doc_b
+       |  WHERE a.is_eval <> b.is_eval),
+       |ver AS (SELECT CASE WHEN x.ea = 1 THEN x.doc_a ELSE x.doc_b END AS eval_id,
+       |    (CASE WHEN 10 * len(list_intersect(a.shd, b.shd))
+       |               >= 8 * len(list_distinct(a.shd || b.shd))
+       |          THEN 1 ELSE 0 END)::BIGINT AS is_dup
+       |  FROM x JOIN shd a ON a.doc_id = x.doc_a JOIN shd b ON b.doc_id = x.doc_b),
+       |per AS (SELECT eval_id, count(*)::BIGINT AS n_train_candidates,
+       |    max(is_dup)::BIGINT AS leaked FROM ver GROUP BY eval_id)
+       |SELECT d.doc_id,
+       |  coalesce(per.n_train_candidates, 0)::BIGINT AS n_train_candidates,
+       |  coalesce(per.leaked, 0)::BIGINT AS leaked
+       |FROM (SELECT doc_id FROM sp WHERE is_eval = 1) d
+       |LEFT JOIN per ON per.eval_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // pipeline_manifest: dataset fingerprint for data versioning — per
   // source, a content manifest (docs, chars) plus an order-safe TREE
   // hash: doc content hashes are md5'd per fixed-width doc_id bucket
@@ -1638,6 +1704,7 @@ object ExtQueries {
     "pipeline_quality_report" -> (pipelineQualityReport(_, _)),
     "pipeline_shard_shuffle" -> (pipelineShardShuffle(_, _)),
     "pipeline_manifest" -> (pipelineManifest(_, _)),
+    "pipeline_split_leakage" -> (pipelineSplitLeakage(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "text_cooccurrence" -> (textCooccurrence(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
@@ -1679,6 +1746,7 @@ object ExtQueries {
     "pipeline_quality_report" -> pipelineQualityReportSql,
     "pipeline_shard_shuffle" -> pipelineShardShuffleSql,
     "pipeline_manifest" -> pipelineManifestSql,
+    "pipeline_split_leakage" -> pipelineSplitLeakageSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "text_cooccurrence" -> textCooccurrenceSql,
     "dedup_simhash" -> dedupSimhashSql,

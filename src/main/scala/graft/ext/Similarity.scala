@@ -280,13 +280,35 @@ object Similarity {
       embCol: String, dim: Int, m: Int, codebookK: Int, k: Int,
       iters: Int = 1): DataFrame = {
     val (codes, dtab) = pqStructures(queries, corpus, idCol, embCol, dim, m, codebookK, iters)
-    val approx = codes
+    rankByDist(adcScoreAll(codes, dtab), k)
+  }
+
+  /** Full-corpus ADC scoring (pqTopK's search stage): every vector's
+    * codes meet the broadcast distance tables; the aggregate's shuffle
+    * carries |queries|·|corpus| pairs. Exposed as a seam so ScaleBench
+    * can measure this stage against [[adcScoreCandidates]] on
+    * identical pre-built structures. */
+  private[graft] def adcScoreAll(codes: DataFrame, dtab: DataFrame): DataFrame =
+    codes
       .join(broadcast(dtab),
         col("s") === col("qs") && col("cell") === col("cid"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("d_e6")).as("adist_e6"))
       .filter(col("query_id") =!= col("neighbor_id"))
-    rankByDist(approx, k)
+
+  /** Cell-pruned ADC scoring (ivfPqTopK's search stage): the broadcast
+    * candidate set filters the codes BEFORE any table lookup, so the
+    * aggregate's shuffle carries only candidate pairs. */
+  private[graft] def adcScoreCandidates(codes: DataFrame, dtab: DataFrame,
+      cand: DataFrame): DataFrame = {
+    val dt = dtab.withColumnRenamed("query_id", "dq")
+    codes
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(dt),
+        col("query_id") === col("dq") &&
+          col("s") === col("qs") && col("cell") === col("cid"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(first(col("cell_ivf")).as("cell"), sum(col("d_e6")).as("adist_e6"))
   }
 
   /** The PQ index pair: corpus codes (neighbor_id, s, cell) — m small
@@ -294,7 +316,7 @@ object Similarity {
     * cid, d_e6) — |codebook|·m entries per query, broadcast-sized.
     * Shared by [[pqTopK]] (full-corpus ADC scan) and [[ivfPqTopK]]
     * (cell-pruned scoring). */
-  private def pqStructures(queries: DataFrame, corpus: DataFrame, idCol: String,
+  private[graft] def pqStructures(queries: DataFrame, corpus: DataFrame, idCol: String,
       embCol: String, dim: Int, m: Int, codebookK: Int,
       iters: Int): (DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
@@ -392,15 +414,7 @@ object Similarity {
         col("qcell") === col("ncell") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("ncell").as("cell_ivf"))
     val (codes, dtab) = pqStructures(queries, corpus, idCol, embCol, dim, m, codebookK, iters)
-    val dt = dtab.withColumnRenamed("query_id", "dq")
-    val approx = codes
-      .join(broadcast(cand), "neighbor_id")
-      .join(broadcast(dt),
-        col("query_id") === col("dq") &&
-          col("s") === col("qs") && col("cell") === col("cid"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(first(col("cell_ivf")).as("cell"), sum(col("d_e6")).as("adist_e6"))
-    rankByDist(approx, k)
+    rankByDist(adcScoreCandidates(codes, dtab, cand), k)
   }
 
   /** Embedding-cosine near-dup pairs: candidates from the multi-table
