@@ -228,6 +228,12 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"),
           (col("s").cast("double") / 1e6 / col("c")).as("v")))).as("pv"))
         .select(col("cell").as(idCol), expr("transform(pv, x -> x.v)").as(embCol))
+        // centroids are metadata (k rows): materialize per iteration so
+        // every consumer (corpus assignment, multi-probe query
+        // assignment, the next Lloyd pass) references a tiny table
+        // instead of re-executing the whole training lineage — the same
+        // persisted-codebook discipline pqTopK applies
+        .localCheckpoint(true)
     }
     cents
   }
