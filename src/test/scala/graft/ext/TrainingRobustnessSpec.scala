@@ -1,0 +1,151 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+
+/** VERDICT r6 #2/#4/#5/#7: k-means seeding must be id-scheme-
+  * independent (bottom-k ids, not `id < k`), sampled training must stay
+  * within the recall floor, connectedComponents must surface its
+  * convergence outcome, and the IVF+PQ recall/cost curve must be
+  * spec-pinned at more than one operating point. */
+class TrainingRobustnessSpec extends AnyFlatSpec with Matchers with SparkFixture {
+
+  private def embDf(rows: (Long, Seq[Float])*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def corpus = graft.queries.QueryKit
+    .table(spark, "/root/testdata/sf0.001", "embeddings")
+    .select("vec_id", "embedding")
+
+  /** Exact cosine-free L2 top-k ground truth per query id. */
+  private def exactTopK(queries: DataFrame, e: DataFrame, k: Int): Map[Long, Set[Long]] = {
+    import spark.implicits._
+    queries.alias("q").join(e.alias("n"), col("q.vec_id") =!= col("n.vec_id"))
+      .withColumn("d", Similarity.sqDist("q.embedding", "n.embedding"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q.vec_id")).orderBy(col("d").asc, col("n.vec_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q.vec_id"), col("n.vec_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+  }
+
+  private def recall(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
+    val rs = exact.map { case (q, ex) =>
+      approx.get(q).fold(0.0)(a => a.intersect(ex).size.toDouble / ex.size)
+    }
+    rs.sum / rs.size
+  }
+
+  behavior of "centroid seeding"
+
+  it should "seed k centroids under offset and sparse id schemes" in {
+    import spark.implicits._
+    val pad = Seq.fill(62)(0f)
+    val dense = embDf(
+      (0L, Seq(10f, 0f) ++ pad), (1L, Seq(0f, 10f) ++ pad),
+      (2L, Seq(8f, 0f) ++ pad), (3L, Seq(0f, 8f) ++ pad), (4L, Seq(6f, 0f) ++ pad))
+    // offset + sparse ids: the old filter(id < k) seeded NOTHING here
+    val sparse = dense.select((col("vec_id") * 7 + 1000000).as("vec_id"), col("embedding"))
+    val cs = Similarity.trainCentroids(sparse, "vec_id", "embedding", k = 2, iters = 1)
+      .select(col("vec_id"), expr("embedding[0]").as("x"), expr("embedding[1]").as("y"))
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    // same vectors, same order → same trained MEANS as the dense-id
+    // corpus (cell labels carry the new ids)
+    cs.map(c => (c._2, c._3)) shouldBe Array((8.0, 0.0), (0.0, 9.0))
+    cs.map(_._1) shouldBe Array(1000000L, 1000007L)
+  }
+
+  it should "train PQ codebooks and rank under offset ids" in {
+    import spark.implicits._
+    val sparse = corpus.select((col("vec_id") * 3 + 500000).as("vec_id"), col("embedding"))
+    val queries = sparse.orderBy("vec_id").limit(5)
+    val out = Similarity.pqTopK(queries, sparse, "vec_id", "embedding",
+        dim = 64, m = 8, codebookK = 16, k = 3, iters = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    out.groupBy(_._1).values.foreach(_.length shouldBe 3)
+    out.map(_._1).toSet.size shouldBe 5
+  }
+
+  behavior of "sampled training"
+
+  it should "keep IVF recall within the floor when training on a half sample" in {
+    import spark.implicits._
+    val e = corpus
+    val queries = e.filter(col("vec_id") < 30)
+    val exact = exactTopK(queries, e, 3)
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding",
+      k = 8, iters = 1, sampleFraction = 0.5)
+    cents.count() should be >= 2L // sampling must not collapse the cells
+    val approx = Similarity.ivfTopK(queries, e, cents, "vec_id", "embedding",
+        k = 3, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    recall(approx, exact) should be >= 0.20
+  }
+
+  it should "keep PQ recall within the floor when training on a half sample" in {
+    import spark.implicits._
+    val e = corpus
+    val queries = e.filter(col("vec_id") < 30)
+    val exact = exactTopK(queries, e, 3)
+    val approx = Similarity.pqTopK(queries, e, "vec_id", "embedding",
+        dim = 64, m = 8, codebookK = 16, k = 3, iters = 2, sampleFraction = 0.5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    recall(approx, exact) should be >= 0.20
+  }
+
+  behavior of "connectedComponentsResult"
+
+  it should "report non-convergence when maxIter is hit on a long chain" in {
+    import spark.implicits._
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val starved = Dedup.connectedComponentsResult(chain, "doc_a", "doc_b", maxIter = 1)
+    starved.converged shouldBe false
+    starved.iterations shouldBe 1
+    val full = Dedup.connectedComponentsResult(chain, "doc_a", "doc_b", maxIter = 20)
+    full.converged shouldBe true
+    full.iterations should be < 20
+    full.labels.as[(Long, Long)].collect().foreach(_._2 shouldBe 0L)
+  }
+
+  behavior of "IVF+PQ recall/cost curve"
+
+  it should "be monotone in nProbe and match the full PQ scan when probing every cell" in {
+    import spark.implicits._
+    val e = corpus
+    val queries = e.filter(col("vec_id") < 30)
+    val exact = exactTopK(queries, e, 3)
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1)
+      .localCheckpoint(true)
+    val nCells = cents.count().toInt
+    def ivfpqAt(nProbe: Int): Map[Long, Set[Long]] =
+      Similarity.ivfPqTopK(queries, e, cents, "vec_id", "embedding",
+          dim = 64, m = 8, codebookK = 16, k = 3, nProbe = nProbe, iters = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val r1 = recall(ivfpqAt(1), exact)
+    val r2 = recall(ivfpqAt(2), exact)
+    // two pinned operating points: recall must not decrease with probes,
+    // and both must clear the documented floor at their cost tier
+    r1 should be <= r2
+    r1 should be >= 0.10
+    r2 should be >= 0.20
+    // probing EVERY cell must reproduce the full-corpus ADC scan exactly
+    // (same codes, same tables, same tie-break) — the candidate pruning
+    // is a restriction, never a re-scoring
+    val allProbe = ivfpqAt(nCells)
+    val fullScan = Similarity.pqTopK(queries, e, "vec_id", "embedding",
+        dim = 64, m = 8, codebookK = 16, k = 3, iters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    allProbe shouldBe fullScan
+  }
+}
