@@ -41,14 +41,20 @@ object ArcaneLayout {
 
   /** Write one batch of rows as `data/part-{uuid}-{hash}-chunk.{ext}`
     * files. `maxRecordsPerFile` plays the reference's `rowGroupsPerFile`
-    * role (bounds file size without collecting to the driver). Returns
-    * the written file names. */
+    * role (bounds file size without collecting to the driver).
+    * `partitionColumns` lays the data out hive-style (`col=value/`
+    * subdirectories — e.g. PQ codes `partitionBy("cell")` so an IVF
+    * probe's scan prunes to the probed cells at the FILE level); the
+    * reference's `_batch_date` layout is the same mechanism with the
+    * injected date column. Returns the written file names (relative to
+    * `data/`, including any partition subdirectories). */
   def writeDataBatch(
       df: DataFrame,
       targetPath: String,
       format: String = "parquet",
       batchDatePartition: Boolean = false,
-      maxRecordsPerFile: Long = 0L): Seq[String] = {
+      maxRecordsPerFile: Long = 0L,
+      partitionColumns: Seq[String] = Nil): Seq[String] = {
     val schemaHash = SchemaOps.shortFingerprint(df.schema)
     val dataDir = s"$targetPath/data"
     val tmpDir = s"$targetPath/.staging-${UUID.randomUUID()}"
@@ -57,26 +63,35 @@ object ArcaneLayout {
     val out = if (batchDatePartition)
       df.withColumn("_batch_date", date_format(current_date(), "yyyy-MM-dd"))
     else df
+    val partCols =
+      (if (batchDatePartition) Seq("_batch_date") else Nil) ++ partitionColumns
     val writer = out.write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
-    (if (batchDatePartition) writer.partitionBy("_batch_date") else writer)
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .format(format).save(tmpDir)
 
     // rename staged spark part-files to the arcane naming scheme,
-    // preserving any _batch_date= subdirectories. Renames run on a
-    // bounded thread pool: a metadata no-op per file on HDFS-likes, but
-    // a copy on object stores — parallelism bounds the commit latency
-    // at O(files / 16) round-trips instead of O(files)
+    // preserving any partition (col=value) subdirectories. Renames run
+    // on a bounded thread pool: a metadata no-op per file on
+    // HDFS-likes, but a copy on object stores — parallelism bounds the
+    // commit latency at O(files / 16) round-trips instead of O(files)
     val filesystem = fs(df, targetPath)
-    val staged = filesystem.globStatus(new Path(s"$tmpDir/*" ) ) ++
-      filesystem.globStatus(new Path(s"$tmpDir/_batch_date=*/*"))
-    val toMove = staged.toSeq
+    val tmpRoot = new Path(tmpDir)
+    val tmpUri = filesystem.makeQualified(tmpRoot).toUri
+    val staged = {
+      val it = filesystem.listFiles(tmpRoot, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    }
+    val toMove = staged
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .map { s =>
-        val sub = s.getPath.getParent.getName match {
-          case d if d.startsWith("_batch_date=") => d + "/"
-          case _ => ""
+        val rel = tmpUri.relativize(filesystem.makeQualified(s.getPath).toUri).getPath
+        val sub = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case i  => rel.substring(0, i + 1)
         }
         s.getPath -> s"${sub}part-${UUID.randomUUID()}-$schemaHash-chunk.$ext"
       }

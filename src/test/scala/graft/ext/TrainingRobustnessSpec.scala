@@ -116,6 +116,38 @@ class TrainingRobustnessSpec extends AnyFlatSpec with Matchers with SparkFixture
     full.labels.as[(Long, Long)].collect().foreach(_._2 shouldBe 0L)
   }
 
+  behavior of "cell-partitioned PQ code layout"
+
+  it should "prune the code scan to the probed cells at the partition level" in {
+    import spark.implicits._
+    val e = corpus
+    val queries = e.filter(col("vec_id") < 10)
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1)
+      .localCheckpoint(true)
+    val (codes, _) = Similarity.pqStructures(queries, e, "vec_id", "embedding",
+      dim = 64, m = 8, codebookK = 16, iters = 1)
+    val coarse = Similarity.assignCells(e, cents, "vec_id", "embedding")
+      .select(col("vec_id").as("neighbor_id"), col("cell"))
+    val path = tempDir("pqidx")
+    Similarity.writeCellPartitionedCodes(codes, coarse, path)
+    // hive layout on disk: one cell=<id>/ directory per coarse cell,
+    // arcane part-file naming inside
+    val dirs = new java.io.File(s"$path/data").list().toSeq
+    dirs.count(_.startsWith("cell=")) should be >= 2
+    val probed = coarse.select("cell").distinct().orderBy("cell").limit(2)
+      .as[Long].collect().toSeq
+    val pruned = Similarity.readCellPartitionedCodes(spark, path, probed)
+    // the isin filter lands in PartitionFilters — file-level pruning,
+    // not a post-scan row filter
+    val p = pruned.queryExecution.executedPlan.toString
+    p should include regex "PartitionFilters: \\[[^\\]]*cell"
+    val full = spark.read.parquet(s"$path/data")
+    pruned.count() shouldBe full.filter(col("cell").isin(probed: _*)).count()
+    pruned.count() should be < full.count()
+    // the read shape feeds adcScoreCandidates directly
+    pruned.columns.toSeq shouldBe Seq("neighbor_id", "s", "cell", "cell_ivf")
+  }
+
   behavior of "IVF+PQ recall/cost curve"
 
   it should "be monotone in nProbe and match the full PQ scan when probing every cell" in {
