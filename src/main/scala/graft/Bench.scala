@@ -78,15 +78,54 @@ object Bench {
       }
     }
 
+    // Streaming-path micro-bench (VERDICT r6 #8): a bounded 10k-doc
+    // slice streamed through the near-dup signature store (file source,
+    // multiple micro-batches), so streaming throughput regressions
+    // become visible round-over-round. rows/s and final state rows ride
+    // a top-level "streaming" key; the wall time joins the queries map
+    // as streaming_dedup.
+    val streaming: Option[(Long, Double, Long)] =
+      try {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bench")
+        val slice = s"$tmp/docs"
+        val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text").limit(10000)
+        docsDf.repartition(8).write.parquet(slice)
+        val n = spark.read.parquet(slice).count()
+        val src = spark.readStream.schema(docsDf.schema)
+          .option("maxFilesPerTrigger", "2").parquet(slice)
+        val hits = graft.streaming.StreamingDedup.nearDupStream(
+          graft.streaming.StreamingDedup.bandRows(src, "doc_id", "text"))
+        val t0 = System.nanoTime()
+        val q = hits.writeStream.format("noop")
+          .option("checkpointLocation", s"$tmp/ckpt").start()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val state = q.recentProgress.toSeq
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+        q.stop()
+        System.err.println(f"[bench] streaming_dedup $n docs ${sec}%.2fs state=$state")
+        Some((n, sec, state))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming_dedup failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        failed ::= "streaming_dedup"
+        None
+      }
+    val withStreaming = results ++ streaming.map { case (_, sec, _) => "streaming_dedup" -> sec }
+
     def render(fmt: Double => String): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      val qs = withStreaming.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val total = results.map(_._2).sum
+      val total = withStreaming.map(_._2).sum
       val sf = sfDir.split("/").reverse.collectFirst {
         case s if s.startsWith("sf") => s.drop(2)
       }.getOrElse("0")
       val failedJson = failed.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf,"failed":$failedJson}"""
+      val streamJson = streaming.map { case (n, sec, state) =>
+        s""","streaming":{"docs":$n,"rows_per_sec":${fmt(n / math.max(sec, 1e-9))},"state_rows":$state}"""
+      }.getOrElse("")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf,"failed":$failedJson$streamJson}"""
     }
     def fixed(digits: Int)(v: Double): String =
       String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))

@@ -843,9 +843,14 @@ object ExtQueries {
     // one task buffering every sharer (VERDICT r5 #2: the previous
     // collect_set window held the full sharer set in ONE window
     // partition — the unbounded-state shape maxBucket already bans for
-    // LSH). The flagged set (segments in ≥ minDocs docs) is tiny — the
-    // boilerplate VOCABULARY, not the corpus — so it broadcasts, and
-    // the membership pass over the segment rows is narrow. Clean text
+    // LSH). The flagged set (segments in ≥ minDocs docs) joins back
+    // WITHOUT a mandatory broadcast hint (ADVICE r6: with minDocs=2 on
+    // a duplication-heavy crawl the set scales with the corpus, not a
+    // small boilerplate vocabulary — a forced broadcast would bypass
+    // the planner's size protection and OOM the driver): AQE broadcasts
+    // it when it is actually small, and the fallback shuffle join on h
+    // is free of NEW corpus movement — the segment rows are already
+    // hash-partitioned by h for the frequency aggregate. Clean text
     // is rebuilt order-safely (array_sort on (idx, seg), never a bare
     // collect_list order assumption).
     val segs = toksDf(spark, dir)
@@ -861,7 +866,7 @@ object ExtQueries {
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= BoilerMinDocs)
       .select(col("h"), lit(1L).as("is_boiler"))
-    segs.join(broadcast(boiler), Seq("h"), "left")
+    segs.join(boiler, Seq("h"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segments"),

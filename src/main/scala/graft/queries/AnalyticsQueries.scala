@@ -786,7 +786,13 @@ object AnalyticsQueries {
     * silently overflow a BIGINT once a type's total count passes ~3·10⁹
     * (ADVICE r5), flipping the predicate; 38 digits holds the squares
     * exactly to S ~ 10¹⁹ (the oracle mirrors with HUGEINT — both are
-    * exact integer arithmetic, so borderline hours cannot diverge). */
+    * exact integer arithmetic, so borderline hours cannot diverge).
+    * Past that ~10¹⁹ boundary the ENGINES diverge in failure mode
+    * (ADVICE r6): non-ANSI Spark nulls the overflowed square — the row
+    * silently drops from the output — while DuckDB's HUGEINT raises;
+    * unreachable at realistic per-type hourly volumes, but flip
+    * spark.sql.ansi.enabled on if counts could ever approach it so
+    * both engines fail loudly. */
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val counts = table(spark, dir, "events")
       .groupBy(date_trunc("hour", tsMicros("ts")).as("hour"), col("event_type"))

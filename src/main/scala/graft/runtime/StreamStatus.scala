@@ -100,9 +100,14 @@ object K8sStreamStatusService {
 
   /** Default transport: java.net.http PATCH trusting the mounted
     * cluster CA (the in-cluster trust root; falls back to the JVM
-    * default trust store when the CA file is absent). */
+    * default trust store when the CA file is absent). Connect and
+    * request timeouts are bounded (ADVICE r6): the annotation runs at
+    * stream exit, and a hung API server must degrade to the existing
+    * reported-not-thrown path instead of stalling the exit-code
+    * contract indefinitely. */
   val httpTransport: Transport = (url, headers, body, caPath) => {
     val builder = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(5))
     if (Files.isReadable(caPath)) {
       val cf = java.security.cert.CertificateFactory.getInstance("X.509")
       val in = Files.newInputStream(caPath)
@@ -124,6 +129,7 @@ object K8sStreamStatusService {
     }
     val req = headers.foldLeft(
       java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(10))
         .method("PATCH",
           java.net.http.HttpRequest.BodyPublishers.ofString(body))
     ) { case (r, (k, v)) => r.header(k, v) }.build()

@@ -72,7 +72,17 @@ object StreamingDedup {
   }
 
   /** Near-dup hits of each micro-batch against the persisted band
-    * buckets; every incoming row then joins its bucket (capped). */
+    * buckets; every incoming row then joins its bucket (capped).
+    *
+    * Emission is AT-LEAST-ONCE PER MATCHING BAND (ADVICE r6): state is
+    * keyed by band key, so a pair that collides in several bands emits
+    * one [[NearDupHit]] per band — by design, since deduping across
+    * bands would need a second stateful operator (Spark restricts
+    * stateful chaining) or cross-key coordination. Consumers counting
+    * distinct duplicate PAIRS must `dropDuplicates("docId",
+    * "matchedDocId")` downstream (cheap: hits are metadata-sized); the
+    * batch path's [[graft.ext.Dedup.minhashCandidates]] performs the
+    * equivalent dedup itself. */
   def nearDupStream(rows: Dataset[BandRow], maxBucket: Int = 64,
       minSigMatch: Int = 8): Dataset[NearDupHit] = {
     val spark = rows.sparkSession

@@ -178,16 +178,23 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
     "FileScan parquet".r.findAllIn(p).size shouldBe 1
   }
 
-  it should "count segment doc-frequency with bounded aggregates and broadcast the boilerplate set" in {
+  it should "count segment doc-frequency with bounded aggregates; boiler-set join planner-chosen" in {
     // VERDICT r5 #2: per-segment frequency must never be per-key window
     // state (a million-doc boilerplate segment = one task's buffer).
-    // The bounded shape: count(distinct) on h (partial-agg'd), tiny
-    // over-threshold set broadcast back over the segment rows.
+    // The bounded shape: count(distinct) on h (partial-agg'd), the
+    // over-threshold set joined back WITHOUT a mandatory broadcast hint
+    // (ADVICE r6: on duplication-heavy corpora that set scales with the
+    // corpus — AQE must stay free to pick the join side/strategy).
     val p = plan("dedup_segments")
     p should not include "CartesianProduct"
     p should not include "Window" // the old collect_set-over-h shape
-    p should include("BroadcastHashJoin")
     withClue(p) { p should include("partial_count(distinct doc_id") }
+    // at THIS corpus size AQE converts the boiler join to broadcast at
+    // runtime — size-based, not mandated
+    val df = graft.SparkEntry.queries("dedup_segments")(spark, dir)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    fin should include("BroadcastHashJoin")
   }
 
   it should "derive retention cohorts from ONE events scan (window min, no self-join)" in {
