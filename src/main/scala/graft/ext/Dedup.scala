@@ -167,14 +167,29 @@ object Dedup {
     * Output: (doc_a = left id, doc_b = right id, n_sig_match
     * [, n_sh_a, n_sh_b]) with multi-band collisions deduped. Rows where
     * the same id appears on both sides are dropped (a doc is never its
-    * own duplicate). */
-  def crossCandidates(left: DataFrame, right: DataFrame, idCol: String): DataFrame = {
+    * own duplicate).
+    *
+    * `maxBucket > 0` drops band buckets whose RIGHT-side (corpus)
+    * occupancy exceeds the cap before the join — the cross-join sibling
+    * of [[minhashCandidates]]' skew guard (a boilerplate bucket with m
+    * corpus members costs |batch∩bucket|·m pairs in one partition), and
+    * the batch analogue of [[graft.streaming.StreamingDedup]]'s
+    * per-bucket state cap. */
+  def crossCandidates(left: DataFrame, right: DataFrame, idCol: String,
+      maxBucket: Int = 0): DataFrame = {
     val hasN = left.columns.contains("n_sh") && right.columns.contains("n_sh")
     def exploded(df: DataFrame) = df.select(
       Seq(col(idCol), col("sig")) ++ (if (hasN) Seq(col("n_sh")) else Nil) :+
         explode(col("bands")).as("bk"): _*)
+    val rightAll = exploded(right)
+    val rightEx =
+      if (maxBucket <= 0) rightAll
+      else {
+        val sizes = rightAll.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n"))
+        rightAll.join(sizes.filter(col("bucket_n") > maxBucket), Seq("bk"), "left_anti")
+      }
     val a = exploded(left).alias("a")
-    val b = exploded(right).alias("b")
+    val b = rightEx.alias("b")
     a.join(b, col("a.bk") === col("b.bk") && col(s"a.$idCol") =!= col(s"b.$idCol"))
       .select(
         Seq(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
@@ -200,15 +215,27 @@ object Dedup {
     * scans over the old self-join-then-filter form.
     *
     * Output: (doc_a = side-1 id, doc_b = side-0 id, n_sig_match
-    * [, n_sh_a, n_sh_b]), multi-band collisions deduped. */
+    * [, n_sh_a, n_sh_b]), multi-band collisions deduped.
+    *
+    * `maxBucket > 0` drops band buckets whose TOTAL occupancy exceeds
+    * the cap before the sides split — [[minhashCandidates]]' skew guard
+    * applied to the sided join (a degenerate bucket is an
+    * n_side1 × n_side0 hot spot no cluster size fixes, and such
+    * buckets are uninformative — standard LSH stop-bucket removal). */
   def sidedCandidates(projected: DataFrame, idCol: String,
-      sideCol: String): DataFrame = {
+      sideCol: String, maxBucket: Int = 0): DataFrame = {
     val hasN = projected.columns.contains("n_sh")
-    val ex = projected.select(
+    val exAll = projected.select(
       Seq(col(idCol), col("sig"), col(sideCol)) ++
         (if (hasN) Seq(col("n_sh")) else Nil) :+
         explode(col("bands")).as("bk"): _*)
-      .repartition(col("bk"))
+    val exCapped =
+      if (maxBucket <= 0) exAll
+      else {
+        val sizes = exAll.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n"))
+        exAll.join(sizes.filter(col("bucket_n") > maxBucket), Seq("bk"), "left_anti")
+      }
+    val ex = exCapped.repartition(col("bk"))
     val a = ex.filter(col(sideCol) === 1).alias("a")
     val b = ex.filter(col(sideCol) === 0).alias("b")
     a.join(b, col("a.bk") === col("b.bk"))

@@ -71,12 +71,12 @@ object SignatureStore {
     * Call [[append]] afterwards to admit the batch into the store. */
   def dedupBatch(batch: DataFrame, idCol: String, textCol: String, path: String,
       threshold: Double = 0.8, k: Int = 12, bands: Int = 4,
-      rowsPerBand: Int = 3, shingleN: Int = 3): DataFrame = {
+      rowsPerBand: Int = 3, shingleN: Int = 3, maxBucket: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     val in = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val exdIn = Dedup.shingleRows(in, "doc_id", "text", shingleN)
     val projIn = Dedup.minhashFromShingles(exdIn, "doc_id", k, bands, rowsPerBand)
-    val cand = Dedup.crossCandidates(projIn, signatures(spark, path), "doc_id")
+    val cand = Dedup.crossCandidates(projIn, signatures(spark, path), "doc_id", maxBucket)
       .drop("n_sig_match")
     // stored shingles restricted to candidate corpus docs before the
     // verify join — the store scan is candidate-sized, not corpus-sized

@@ -79,6 +79,29 @@ class SignatureStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
       Set((1L, 2L), (1L, 4L), (3L, 2L), (3L, 4L))
   }
 
+  it should "cap degenerate corpus-side band buckets in crossCandidates (skew guard)" in {
+    // 40 identical corpus docs hash to the same band buckets — without
+    // the cap, one incoming near-dup doc yields 40 pairs in ONE join
+    // partition; with maxBucket the hot bucket is dropped wholesale
+    val corpus = Dedup.minhashFromShingles(
+      Dedup.shingleRows(docsDf((1L to 40L).map(i => i -> base): _*), "doc_id", "text"),
+      "doc_id")
+    val incoming = Dedup.minhashFromShingles(
+      Dedup.shingleRows(docsDf(100L -> base), "doc_id", "text"), "doc_id")
+    Dedup.crossCandidates(incoming, corpus, "doc_id").count() shouldBe 40L
+    Dedup.crossCandidates(incoming, corpus, "doc_id", maxBucket = 8).count() shouldBe 0L
+  }
+
+  it should "cap degenerate band buckets in sidedCandidates (skew guard)" in {
+    val rows = (1L to 40L).map(i => i -> base) :+ (100L -> base)
+    val proj = Dedup.minhashFromShingles(
+      Dedup.shingleRows(docsDf(rows: _*), "doc_id", "text"), "doc_id")
+      .withColumn("side", org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("doc_id") === 100L, 1).otherwise(0))
+    Dedup.sidedCandidates(proj, "doc_id", "side").count() shouldBe 40L
+    Dedup.sidedCandidates(proj, "doc_id", "side", maxBucket = 8).count() shouldBe 0L
+  }
+
   it should "agree with the one-table sided emulation on the dedup_incremental contract" in {
     // parity emulation (odd = incoming, even = corpus) run through the
     // STORE path must reproduce the oracle-checked query's output shape
