@@ -80,7 +80,9 @@ object ScaleBench {
     "pipeline_manifest", "multimodal_frames", "dedup_incremental",
     "text_cooccurrence",
     // round 6
-    "sim_ivfpq", "pipeline_split_leakage")
+    "sim_ivfpq", "pipeline_split_leakage",
+    // round 7
+    "dedup_incremental_store")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)
@@ -245,8 +247,11 @@ object ScaleBench {
       val coarse = graft.ext.Similarity.assignCells(e2, cents, "vec_id", "embedding")
         .select(col("vec_id").as("neighbor_id"), col("cell"))
       graft.ext.Similarity.writeCellPartitionedCodes(codes, coarse, idxDir)
+      // ONE query's probe set (nProbe=2 of coarseK cells) — the
+      // per-query scan cost the layout exists to bound; the 10-query
+      // batch's union covers most cells and would mask the pruning
       val probed = graft.ext.Similarity
-        .assignCellsN(qset, cents, "vec_id", "embedding", 2)
+        .assignCellsN(qset.orderBy("vec_id").limit(1), cents, "vec_id", "embedding", 2)
         .select("cell").distinct().collect().map(_.getLong(0)).toSeq.sorted
       val allCells = spark.read.parquet(s"$idxDir/data")
         .select("cell").distinct().count()

@@ -605,6 +605,27 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------------
+  // dedup_incremental_store: the SAME batch-vs-corpus contract run
+  // through the PRODUCTION path — the even (existing) docs are signed
+  // once into a persisted SignatureStore, then the odd (incoming)
+  // batch is deduped AGAINST THE STORE: its text is never re-read, the
+  // corpus side of every join is store parquet (signatures, n-grams,
+  // hashes). Output contract and oracle are identical to
+  // dedup_incremental, so the store path itself is hash-verified
+  // against DuckDB, not just spec-verified. The store write happens at
+  // plan-construction time (an ingestion step, not a query step — the
+  // cost a deployment pays ONCE per admitted batch).
+  // ------------------------------------------------------------------
+
+  def dedupIncrementalStore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    SignatureStore.append(d.filter(col("doc_id") % 2 === 0), "doc_id", "text", store)
+    SignatureStore.dedupBatch(d.filter(col("doc_id") % 2 === 1), "doc_id", "text", store)
+      .orderBy("doc_id")
+  }
+
   private val dedupIncrementalSql =
     s"""WITH $TokCte, $ShCte,
        |$SigCtes,
@@ -1720,6 +1741,7 @@ object ExtQueries {
     "pipeline_manifest" -> (pipelineManifest(_, _)),
     "pipeline_split_leakage" -> (pipelineSplitLeakage(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
+    "dedup_incremental_store" -> (dedupIncrementalStore(_, _)),
     "text_cooccurrence" -> (textCooccurrence(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
@@ -1762,6 +1784,7 @@ object ExtQueries {
     "pipeline_manifest" -> pipelineManifestSql,
     "pipeline_split_leakage" -> pipelineSplitLeakageSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental_store" -> dedupIncrementalSql,
     "text_cooccurrence" -> textCooccurrenceSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,

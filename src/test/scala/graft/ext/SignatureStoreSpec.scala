@@ -79,6 +79,41 @@ class SignatureStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
       Set((1L, 2L), (1L, 4L), (3L, 2L), (3L, 4L))
   }
 
+  it should "drive an ingestion loop from foreachBatch: dedup each micro-batch, then admit it" in {
+    // the production wiring: a stream's foreachBatch checks every
+    // micro-batch against the store and appends it — batch N+1 sees
+    // batch N's signatures, text work stays O(micro-batch)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = tempDir("sigstore-stream")
+    val src = MemoryStream[(Long, String)]
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val hasStore = new java.io.File(s"$store/signatures").exists()
+        if (hasStore)
+          flagged ++= SignatureStore.dedupBatch(batch, "doc_id", "text", store)
+            .orderBy("doc_id")
+            .select("doc_id", "exact_dup", "near_dup")
+            .as[(Long, Long, Long)].collect()
+        else
+          flagged ++= batch.select(col("doc_id")).as[Long].collect()
+            .sorted.map(id => (id, 0L, 0L))
+        SignatureStore.append(batch, "doc_id", "text", store)
+      }
+      .option("checkpointLocation", tempDir("sigstore-ckpt"))
+      .start()
+    src.addData(1L -> base, 2L -> other)
+    q.processAllAvailable()
+    src.addData(10L -> base, 11L -> "entirely new material with plenty of distinct tokens to shingle and sign")
+    q.processAllAvailable()
+    q.stop()
+    flagged.toList shouldBe List(
+      (1L, 0L, 0L), (2L, 0L, 0L), // first batch: empty store
+      (10L, 1L, 1L), (11L, 0L, 0L)) // 10 duplicates stored doc 1
+  }
+
   it should "cap degenerate corpus-side band buckets in crossCandidates (skew guard)" in {
     // 40 identical corpus docs hash to the same band buckets — without
     // the cap, one incoming near-dup doc yields 40 pairs in ONE join
