@@ -28,9 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object SignatureStore {
 
-  /** Sign one batch and append it to the store. Returns the batch's
-    * projected signatures (so a caller deduping THEN appending does not
-    * recompute them). */
+  /** Sign one batch and append it to the store.
+    *
+    * Delivery is at-least-once (three plain parquet appends — a crash
+    * between them leaves a partial batch): drive appends from a
+    * CHECKPOINTED loop (e.g. foreachBatch, which replays the whole
+    * epoch) so a batch is either fully re-appended or fully absent.
+    * [[dedupBatch]] tolerates a full re-append — duplicate signature
+    * rows dedup at the pair level and duplicate shingle rows are
+    * distinct()-ed on the candidate-restricted verify slice. */
   def append(batch: DataFrame, idCol: String, textCol: String, path: String,
       k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3,
       shingleN: Int = 3): Unit = {
@@ -79,10 +85,17 @@ object SignatureStore {
     val cand = Dedup.crossCandidates(projIn, signatures(spark, path), "doc_id", maxBucket)
       .drop("n_sig_match")
     // stored shingles restricted to candidate corpus docs before the
-    // verify join — the store scan is candidate-sized, not corpus-sized
+    // verify join — the store scan is candidate-sized, not corpus-sized.
+    // The distinct() makes the verify immune to an at-least-once
+    // re-append of the same batch (duplicate (doc_id, s) rows would
+    // double n_common); it runs on the candidate-restricted slice, so
+    // the dedup shuffle is bounded by candidates, never the store.
+    // (Duplicate SIGNATURE rows are harmless: crossCandidates dedups
+    // pairs, and the hash tier is a semi-join.)
     val candCorpusIds = cand.select(col("doc_b").as("doc_id")).distinct()
     val exdStore = shingles(spark, path)
       .join(candCorpusIds, Seq("doc_id"), "left_semi")
+      .distinct()
     val verified = Dedup.jaccardVerifyExploded(cand, exdIn.unionAll(exdStore), threshold)
     val near = verified.groupBy(col("doc_a").as("doc_id"))
       .agg(count(lit(1)).as("n_candidates"), max(col("is_dup")).as("near_dup"))

@@ -79,6 +79,22 @@ class SignatureStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
       Set((1L, 2L), (1L, 4L), (3L, 2L), (3L, 4L))
   }
 
+  it should "tolerate an at-least-once re-append of the same batch" in {
+    // a replayed epoch appends the identical batch twice; the verify
+    // must not double n_common (which would inflate Jaccard) and the
+    // candidate/exact tiers must not double-count
+    val store = tempDir("sigstore-replay")
+    val batch1 = docsDf(1L -> base, 2L -> other)
+    SignatureStore.append(batch1, "doc_id", "text", store)
+    SignatureStore.append(batch1, "doc_id", "text", store) // replay
+    val out = SignatureStore.dedupBatch(
+        docsDf(10L -> base.replace("tonight", "tomorrow")), "doc_id", "text", store)
+      .collect().head
+    out.getLong(1) shouldBe 0L // not an exact dup
+    out.getLong(2) shouldBe 1L // ONE candidate pair, not two
+    out.getLong(3) shouldBe 1L // near-dup verified with correct Jaccard
+  }
+
   it should "drive an ingestion loop from foreachBatch: dedup each micro-batch, then admit it" in {
     // the production wiring: a stream's foreachBatch checks every
     // micro-batch against the store and appends it — batch N+1 sees
