@@ -34,9 +34,11 @@ object SignatureStore {
     * between them leaves a partial batch): drive appends from a
     * CHECKPOINTED loop (e.g. foreachBatch, which replays the whole
     * epoch) so a batch is either fully re-appended or fully absent.
-    * [[dedupBatch]] tolerates a full re-append — duplicate signature
-    * rows dedup at the pair level and duplicate shingle rows are
-    * distinct()-ed on the candidate-restricted verify slice. */
+    * [[dedupBatch]] tolerates both replay shapes: duplicate store rows
+    * (pair-level dedup + a distinct() on the candidate-restricted
+    * verify slice) and a store that ALREADY CONTAINS the current batch
+    * (crash after append — the store side anti-joins the batch ids, so
+    * the replayed check reproduces the first run's output). */
   def append(batch: DataFrame, idCol: String, textCol: String, path: String,
       k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3,
       shingleN: Int = 3): Unit = {
@@ -63,6 +65,12 @@ object SignatureStore {
     *
     *  - the batch is shingled and signed once (the only text ever
     *    touched this run);
+    *  - the store side EXCLUDES the batch's own ids (broadcast
+    *    anti-join on the O(batch) id set), so the run is idempotent
+    *    when the store already contains this batch — the
+    *    crash-after-append replay of the documented foreachBatch loop
+    *    must reproduce the first run's output, not flag every doc as a
+    *    duplicate of its own stored copy;
     *  - candidates come from [[Dedup.crossCandidates]] (batch bands ×
     *    stored bands — same-side pairs are never enumerated);
     *  - exact-Jaccard verify reads stored n-grams for CANDIDATE corpus
@@ -80,18 +88,20 @@ object SignatureStore {
       rowsPerBand: Int = 3, shingleN: Int = 3, maxBucket: Int = 0): DataFrame = {
     val spark = batch.sparkSession
     val in = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val inIds = in.select(col("doc_id"))
     val exdIn = Dedup.shingleRows(in, "doc_id", "text", shingleN)
     val projIn = Dedup.minhashFromShingles(exdIn, "doc_id", k, bands, rowsPerBand)
-    val cand = Dedup.crossCandidates(projIn, signatures(spark, path), "doc_id", maxBucket)
+    val corpusSigs = signatures(spark, path)
+      .join(broadcast(inIds), Seq("doc_id"), "left_anti")
+    val cand = Dedup.crossCandidates(projIn, corpusSigs, "doc_id", maxBucket)
       .drop("n_sig_match")
     // stored shingles restricted to candidate corpus docs before the
-    // verify join — the store scan is candidate-sized, not corpus-sized.
-    // The distinct() makes the verify immune to an at-least-once
-    // re-append of the same batch (duplicate (doc_id, s) rows would
-    // double n_common); it runs on the candidate-restricted slice, so
-    // the dedup shuffle is bounded by candidates, never the store.
-    // (Duplicate SIGNATURE rows are harmless: crossCandidates dedups
-    // pairs, and the hash tier is a semi-join.)
+    // verify join — the store scan is candidate-sized, not corpus-sized
+    // (doc_b can never be a batch id, so the batch's own stored rows
+    // are out by construction). The distinct() additionally makes the
+    // verify immune to duplicate store rows from an at-least-once
+    // re-append; it runs on the candidate-restricted slice, so the
+    // dedup shuffle is bounded by candidates, never the store.
     val candCorpusIds = cand.select(col("doc_b").as("doc_id")).distinct()
     val exdStore = shingles(spark, path)
       .join(candCorpusIds, Seq("doc_id"), "left_semi")
@@ -100,7 +110,9 @@ object SignatureStore {
     val near = verified.groupBy(col("doc_a").as("doc_id"))
       .agg(count(lit(1)).as("n_candidates"), max(col("is_dup")).as("near_dup"))
     val exact = in.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(hashes(spark, path), Seq("h"), "left_semi")
+      .join(hashes(spark, path).join(broadcast(inIds), Seq("doc_id"), "left_anti")
+          .select(col("h")),
+        Seq("h"), "left_semi")
       .select(col("doc_id"), lit(1L).as("exact_dup"))
     in.select(col("doc_id"))
       .join(near, Seq("doc_id"), "left")

@@ -470,14 +470,16 @@ object Similarity {
     * index: `cell` is a hive partition column, so the `isin` filter is
     * a PartitionFilter — the scan never opens the other cells' files
     * (input bytes ≈ nProbe/coarseK of the full index, measured by
-    * ScaleBench). Returns the [[adcScoreCandidates]] code shape
-    * (neighbor_id, s, cell = the PQ code, cell_ivf = the coarse cell). */
+    * ScaleBench). Returns exactly the [[pqStructures]] codes shape
+    * (neighbor_id, s, cell = the PQ code) so it drops into
+    * [[adcScoreCandidates]] unchanged — the coarse cell is
+    * deliberately NOT carried (the candidate frame owns `cell_ivf`;
+    * carrying a second copy would make the scoring join ambiguous). */
   def readCellPartitionedCodes(spark: org.apache.spark.sql.SparkSession,
       path: String, probeCells: Seq[Long]): DataFrame =
     spark.read.parquet(s"$path/data")
       .filter(col("cell").isin(probeCells: _*))
-      .select(col("neighbor_id"), col("s"), col("code").as("cell"),
-        col("cell").as("cell_ivf"))
+      .select(col("neighbor_id"), col("s"), col("code").as("cell"))
 
   /** Embedding-cosine near-dup pairs: candidates from the multi-table
     * sign-bucket self-join (hash join on the table-qualified bucket key

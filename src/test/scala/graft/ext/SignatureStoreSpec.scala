@@ -95,6 +95,30 @@ class SignatureStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
     out.getLong(3) shouldBe 1L // near-dup verified with correct Jaccard
   }
 
+  it should "reproduce the first run's output when the store already contains the batch" in {
+    // the crash-after-append replay of the foreachBatch loop: the
+    // epoch re-runs dedupBatch with its OWN batch already stored — the
+    // batch ids are anti-joined off the store side, so no doc is
+    // flagged as a duplicate of its own stored copy and n_common
+    // cannot double through duplicated shingle rows
+    val store = tempDir("sigstore-selfstore")
+    val batch1 = docsDf(1L -> base, 2L -> other)
+    SignatureStore.append(batch1, "doc_id", "text", store)
+    val firstRun = Array((1L, 0L, 0L, 0L), (2L, 0L, 0L, 0L))
+    SignatureStore.dedupBatch(batch1, "doc_id", "text", store)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))) shouldBe firstRun
+    // and with a REAL prior corpus plus the batch self-stored, the
+    // batch still matches the prior corpus exactly as on first run
+    val batch2 = docsDf(10L -> base)
+    SignatureStore.append(batch2, "doc_id", "text", store)
+    val replay = SignatureStore.dedupBatch(batch2, "doc_id", "text", store)
+      .collect().head
+    replay.getLong(1) shouldBe 1L // exact dup of stored doc 1 (not of itself)
+    replay.getLong(2) shouldBe 1L // one candidate: doc 1, never doc 10
+    replay.getLong(3) shouldBe 1L
+  }
+
   it should "drive an ingestion loop from foreachBatch: dedup each micro-batch, then admit it" in {
     // the production wiring: a stream's foreachBatch checks every
     // micro-batch against the store and appends it — batch N+1 sees

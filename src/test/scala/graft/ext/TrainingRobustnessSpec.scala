@@ -144,8 +144,26 @@ class TrainingRobustnessSpec extends AnyFlatSpec with Matchers with SparkFixture
     val full = spark.read.parquet(s"$path/data")
     pruned.count() shouldBe full.filter(col("cell").isin(probed: _*)).count()
     pruned.count() should be < full.count()
-    // the read shape feeds adcScoreCandidates directly
-    pruned.columns.toSeq shouldBe Seq("neighbor_id", "s", "cell", "cell_ivf")
+    // the read shape IS pqStructures' codes shape — prove the
+    // composition: ADC-scoring the read-back index against the same
+    // candidate set reproduces the native in-memory path exactly
+    pruned.columns.toSeq shouldBe Seq("neighbor_id", "s", "cell")
+    val allCells = coarse.select("cell").distinct().as[Long].collect().toSeq
+    val readAll = Similarity.readCellPartitionedCodes(spark, path, allCells)
+    val (_, dtab) = Similarity.pqStructures(queries, e, "vec_id", "embedding",
+      dim = 64, m = 8, codebookK = 16, iters = 1)
+    val cand = Similarity.assignCellsN(queries, cents, "vec_id", "embedding", 2)
+      .select(col("vec_id").as("query_id"), col("cell").as("qcell"))
+      .join(coarse.withColumnRenamed("cell", "ncell"),
+        col("qcell") === col("ncell") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("ncell").as("cell_ivf"))
+    def scores(codes: org.apache.spark.sql.DataFrame) =
+      Similarity.adcScoreCandidates(codes, dtab, cand)
+        .select("query_id", "neighbor_id", "adist_e6")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+    val (codes2, _) = Similarity.pqStructures(queries, e, "vec_id", "embedding",
+      dim = 64, m = 8, codebookK = 16, iters = 1)
+    scores(readAll) shouldBe scores(codes2)
   }
 
   behavior of "IVF+PQ recall/cost curve"
