@@ -47,6 +47,19 @@ object Dedup {
   def shingleKey(s: Column): Column =
     conv(substring(md5(s), 1, 7), 16, 10).cast("long")
 
+  /** 60-bit shingle key: first 15 hex digits of md5, as a BIGINT — the
+    * STORAGE key for persisted shingle tables ([[SignatureStore]]).
+    * The 28-bit [[shingleKey]] is deliberately collision-prone (it only
+    * feeds min-hash mixing, where collisions are part of the sketch);
+    * a stored key feeds EXACT intersection counts, so it must be
+    * collision-free in practice: at 60 bits the expected number of
+    * colliding vocabulary pairs stays ≪ 1 up to ~10⁸ distinct shingles
+    * and is a per-pair rounding error far beyond that. Fits a BIGINT
+    * (< 2⁶⁰) in every engine, so the DuckDB oracle can mirror the
+    * arithmetic byte-for-byte if it ever needs to. */
+  def wideShingleKey(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   private def mixed(i: Int, x: Column): Column =
     (x * mixA(i) + mixB(i)) % MinhashP
 
@@ -69,6 +82,28 @@ object Dedup {
     array((0 until bands).map(j =>
       md5(concat_ws("|",
         (1 to rowsPerBand).map(r => element_at(sigCol, j * rowsPerBand + r)): _*))): _*)
+
+  /** Skew guard shared by every candidate join (off when
+    * `maxBucket <= 0`): drop band buckets whose DISTINCT-doc occupancy
+    * exceeds the cap. A bucket with m members yields O(m²) (self-join)
+    * or |left∩bucket|·|right∩bucket| (cross-join) candidate pairs
+    * inside ONE join partition — a degenerate bucket (boilerplate
+    * corpora hashing thousands of docs to the same band) is an n² hot
+    * spot no cluster size fixes. Such buckets are also uninformative
+    * (the band agrees for a huge crowd), so standard LSH practice drops
+    * them, like stop-shingle removal. Occupancy is `countDistinct(id)`,
+    * not a raw row count (ADVICE r7): duplicate rows from an
+    * at-least-once store re-append must not inflate a bucket past the
+    * cap and evict docs whose true occupancy is under it. Cost: one
+    * extra aggregate on the (small) band-key stream; the over-cap set
+    * is ≤ totalBandRows/maxBucket rows, so AQE picks a broadcast
+    * anti-join in any realistic geometry. */
+  private def capBuckets(ex: DataFrame, idCol: String, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) ex
+    else {
+      val sizes = ex.groupBy(col("bk")).agg(countDistinct(col(idCol)).as("bucket_n"))
+      ex.join(sizes.filter(col("bucket_n") > maxBucket), Seq("bk"), "left_anti")
+    }
 
   /** Exact dedup: group rows by the sha-256 of their normalized text,
     * keep the smallest id per group. One shuffle, partial-aggregated. */
@@ -123,21 +158,7 @@ object Dedup {
     val exAll = projected.select(
       Seq(col(idCol), col("sig")) ++ (if (hasN) Seq(col("n_sh")) else Nil) :+
         explode(col("bands")).as("bk"): _*)
-    // skew guard (off when maxBucket <= 0): a band bucket with m members
-    // yields m·(m−1)/2 candidate pairs inside ONE join partition — a
-    // degenerate bucket (boilerplate corpora hashing thousands of docs
-    // to the same band) is an n² hot spot no cluster size fixes. Such
-    // buckets are also uninformative (the band agrees for a huge crowd),
-    // so standard LSH practice drops them, like stop-shingle removal.
-    // Cost: one extra count aggregate on the (small) band-key stream;
-    // the over-cap set is ≤ totalBandRows/maxBucket rows, so AQE picks
-    // a broadcast anti-join in any realistic geometry.
-    val ex =
-      if (maxBucket <= 0) exAll
-      else {
-        val sizes = exAll.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n"))
-        exAll.join(sizes.filter(col("bucket_n") > maxBucket), Seq("bk"), "left_anti")
-      }
+    val ex = capBuckets(exAll, idCol, maxBucket) // see [[capBuckets]]
     val a = ex.alias("a")
     val b = ex.alias("b")
     a.join(b, col("a.bk") === col("b.bk") && col(s"a.$idCol") < col(s"b.$idCol"))
@@ -169,27 +190,22 @@ object Dedup {
     * the same id appears on both sides are dropped (a doc is never its
     * own duplicate).
     *
-    * `maxBucket > 0` drops band buckets whose RIGHT-side (corpus)
-    * occupancy exceeds the cap before the join — the cross-join sibling
-    * of [[minhashCandidates]]' skew guard (a boilerplate bucket with m
-    * corpus members costs |batch∩bucket|·m pairs in one partition), and
-    * the batch analogue of [[graft.streaming.StreamingDedup]]'s
-    * per-bucket state cap. */
+    * `maxBucket > 0` caps the per-bucket DISTINCT-doc occupancy of BOTH
+    * sides before the join (VERDICT r7 #6 — the right-only form left an
+    * adversarial batch full of one boilerplate band free to produce
+    * |batch∩bucket|·m pairs in one partition): with both sides capped,
+    * a bucket contributes at most maxBucket² pairs. The cross-join
+    * sibling of [[capBuckets]] in [[minhashCandidates]], and the batch
+    * analogue of [[graft.streaming.StreamingDedup]]'s per-bucket state
+    * cap. */
   def crossCandidates(left: DataFrame, right: DataFrame, idCol: String,
       maxBucket: Int = 0): DataFrame = {
     val hasN = left.columns.contains("n_sh") && right.columns.contains("n_sh")
     def exploded(df: DataFrame) = df.select(
       Seq(col(idCol), col("sig")) ++ (if (hasN) Seq(col("n_sh")) else Nil) :+
         explode(col("bands")).as("bk"): _*)
-    val rightAll = exploded(right)
-    val rightEx =
-      if (maxBucket <= 0) rightAll
-      else {
-        val sizes = rightAll.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n"))
-        rightAll.join(sizes.filter(col("bucket_n") > maxBucket), Seq("bk"), "left_anti")
-      }
-    val a = exploded(left).alias("a")
-    val b = rightEx.alias("b")
+    val a = capBuckets(exploded(left), idCol, maxBucket).alias("a")
+    val b = capBuckets(exploded(right), idCol, maxBucket).alias("b")
     a.join(b, col("a.bk") === col("b.bk") && col(s"a.$idCol") =!= col(s"b.$idCol"))
       .select(
         Seq(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
@@ -204,21 +220,25 @@ object Dedup {
 
   /** [[crossCandidates]] for the single-table case where the two sides
     * are a PARTITION of one corpus (a 0/1 `sideCol`: incoming vs
-    * existing, eval vs train): the banded rows are hash-partitioned by
-    * band key ONCE (`repartition(bk)`), and both join inputs filter
-    * their side ABOVE that exchange — the subtrees below the filters
-    * are identical, so Spark's ReuseExchange materializes the scan →
-    * shingle → signature → band shuffle a single time, and the join
-    * consumes the existing bk-partitioning without re-shuffling either
-    * side. Same-side pairs are never enumerated (the join is
-    * side1 × side0 by construction), at the cost of ZERO extra corpus
-    * scans over the old self-join-then-filter form.
+    * existing, eval vs train). The join is side1 × side0 by
+    * construction, so same-side pairs are never ENUMERATED — that is
+    * the win over the old self-join-then-filter form, which generated
+    * incoming×incoming / train×train pairs only to discard them (~81%
+    * of the join output at a 90/10 split). The `repartition(bk)` below
+    * declares a shared bk-partitioning for both join inputs; note that
+    * when `sideCol` is a deterministic function of the row, Catalyst
+    * pushes each side filter below the repartition down to the scan
+    * (observed in PlanAuditSpec), so the physical plan carries per-side
+    * exchanges over side-pruned scans rather than one reused exchange —
+    * each side's shingle/signature work is side-pruned at the source,
+    * and the sided benefit is the join geometry, not exchange reuse
+    * (ADVICE r7 #1).
     *
     * Output: (doc_a = side-1 id, doc_b = side-0 id, n_sig_match
     * [, n_sh_a, n_sh_b]), multi-band collisions deduped.
     *
-    * `maxBucket > 0` drops band buckets whose TOTAL occupancy exceeds
-    * the cap before the sides split — [[minhashCandidates]]' skew guard
+    * `maxBucket > 0` drops band buckets whose TOTAL distinct-doc
+    * occupancy exceeds the cap before the sides split — [[capBuckets]]
     * applied to the sided join (a degenerate bucket is an
     * n_side1 × n_side0 hot spot no cluster size fixes, and such
     * buckets are uninformative — standard LSH stop-bucket removal). */
@@ -229,13 +249,7 @@ object Dedup {
       Seq(col(idCol), col("sig"), col(sideCol)) ++
         (if (hasN) Seq(col("n_sh")) else Nil) :+
         explode(col("bands")).as("bk"): _*)
-    val exCapped =
-      if (maxBucket <= 0) exAll
-      else {
-        val sizes = exAll.groupBy(col("bk")).agg(count(lit(1)).as("bucket_n"))
-        exAll.join(sizes.filter(col("bucket_n") > maxBucket), Seq("bk"), "left_anti")
-      }
-    val ex = exCapped.repartition(col("bk"))
+    val ex = capBuckets(exAll, idCol, maxBucket).repartition(col("bk"))
     val a = ex.filter(col(sideCol) === 1).alias("a")
     val b = ex.filter(col(sideCol) === 0).alias("b")
     a.join(b, col("a.bk") === col("b.bk"))

@@ -147,13 +147,32 @@ object ArcaneLayout {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val dataDir = s"$targetPath/data"
     val NamePattern = s"part-[0-9a-f-]+-([0-9a-f]{7})-chunk\\.$ext".r
-    val snapshot = filesystem.globStatus(new Path(s"$dataDir/part-*-chunk.$ext"))
-      .toSeq.filter(_.isFile)
+    // recursive listing so hive-partitioned layouts (col=value/
+    // subdirectories, e.g. SignatureStore's bkt= buckets or PQ cell=
+    // codes) compact too; each (partition subdir, schema hash) group is
+    // rewritten WITHIN its subdir, so partition pruning is unaffected
+    val dataPath = new Path(dataDir)
+    val snapshot =
+      if (!filesystem.exists(dataPath)) Seq.empty
+      else {
+        val it = filesystem.listFiles(dataPath, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+        while (it.hasNext) buf += it.next()
+        buf.toSeq.filter(_.isFile)
+      }
+    val dataUri = filesystem.makeQualified(dataPath).toUri
     val groups = snapshot.flatMap { s =>
-      NamePattern.findFirstMatchIn(s.getPath.getName).map(m => m.group(1) -> s.getPath)
+      NamePattern.findFirstMatchIn(s.getPath.getName).map { m =>
+        val rel = dataUri.relativize(filesystem.makeQualified(s.getPath).toUri).getPath
+        val sub = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case i  => rel.substring(0, i + 1)
+        }
+        (sub, m.group(1)) -> s.getPath
+      }
     }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
 
-    groups.filter(_._2.size >= minFiles).toSeq.flatMap { case (hash, files) =>
+    groups.filter(_._2.size >= minFiles).toSeq.flatMap { case ((sub, hash), files) =>
       val df = spark.read.format(format).load(files.map(_.toString): _*)
       val rows = df.count()
       val nParts = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
@@ -166,7 +185,7 @@ object ArcaneLayout {
           .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
             !s.getPath.getName.startsWith("."))
           .map { s =>
-            val name = s"part-${UUID.randomUUID()}-$hash-chunk.$ext"
+            val name = s"${sub}part-${UUID.randomUUID()}-$hash-chunk.$ext"
             if (!filesystem.rename(s.getPath, new Path(s"$dataDir/$name")))
               throw new java.io.IOException(s"compact rename failed: ${s.getPath}")
             name

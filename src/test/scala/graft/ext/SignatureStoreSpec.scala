@@ -141,6 +141,7 @@ class SignatureStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
           flagged ++= batch.select(col("doc_id")).as[Long].collect()
             .sorted.map(id => (id, 0L, 0L))
         SignatureStore.append(batch, "doc_id", "text", store)
+        ()
       }
       .option("checkpointLocation", tempDir("sigstore-ckpt"))
       .start()
@@ -154,6 +155,85 @@ class SignatureStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
       (10L, 1L, 1L), (11L, 0L, 0L)) // 10 duplicates stored doc 1
   }
 
+  it should "store shingle KEYS (8-byte longs), never n-gram strings" in {
+    // VERDICT r7 #1: the string form made the shingles table a multiple
+    // of the corpus text bytes; the keyed form is 8 bytes per
+    // (doc, distinct n-gram) row — and the dedup_incremental_store
+    // oracle hash-verifies the keyed path against DuckDB's true-string
+    // Jaccard, so a key collision at test scale would surface there
+    val store = tempDir("sigstore-keys")
+    SignatureStore.append(docsDf(1L -> base, 2L -> other), "doc_id", "text", store)
+    val sh = SignatureStore.shingles(spark, store)
+    sh.schema("x").dataType shouldBe org.apache.spark.sql.types.LongType
+    sh.schema.fields.map(_.dataType).collect {
+      case org.apache.spark.sql.types.StringType => ()
+    } shouldBe empty
+    // bucket partition column rides the directory name, not file bytes
+    sh.columns.toSet shouldBe Set("doc_id", "x", "bkt")
+  }
+
+  it should "record a commit marker per append, written last" in {
+    val store = tempDir("sigstore-commit")
+    SignatureStore.committedBatches(spark, store) shouldBe empty
+    val id1 = SignatureStore.append(docsDf(1L -> base), "doc_id", "text", store)
+    val id2 = SignatureStore.append(docsDf(2L -> other), "doc_id", "text", store)
+    SignatureStore.committedBatches(spark, store).toSet shouldBe Set(id1, id2)
+  }
+
+  it should "compact N appends into a bounded file count with identical results" in {
+    // every append adds one file per table per touched bucket — the
+    // maintenance pass must rewrite each (bucket, schema) group in
+    // place without changing any query result
+    val store = tempDir("sigstore-compact")
+    // 2 buckets (recorded in store metadata at creation; later appends
+    // reuse the recorded count) so the 6 appends pile files into the
+    // same bucket directories and the compactor has groups to merge
+    SignatureStore.append(docsDf(1L -> s"$base unique suffix token number 1"),
+      "doc_id", "text", store, nBuckets = 2)
+    (2L to 6L).foreach { i =>
+      SignatureStore.append(
+        docsDf(i -> s"$base unique suffix token number $i"), "doc_id", "text", store)
+    }
+    val batch = docsDf(100L -> base.replace("tonight", "tomorrow"))
+    val before = SignatureStore.dedupBatch(batch, "doc_id", "text", store)
+      .orderBy("doc_id").collect().map(_.toSeq)
+
+    def dataFiles(table: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$store/$table/data")).filter(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = dataFiles("shingles").size
+    filesBefore should be >= 6 // one per append at minimum
+
+    SignatureStore.compact(spark, store)
+    // per (bucket, schema-hash) group: everything merged to one file
+    val byDir = dataFiles("shingles").groupBy(_.getParentFile.getName)
+    all(byDir.values.map(_.size)) shouldBe 1
+    dataFiles("shingles").size should be < filesBefore
+
+    val after = SignatureStore.dedupBatch(batch, "doc_id", "text", store)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    after shouldBe before
+  }
+
+  it should "prune store buckets and avoid a store-side shuffle in the verify read" in {
+    // design-for-scale audit: the candidate-restricted shingle read
+    // must (a) broadcast the candidate id set (no shuffle of the store
+    // side), and (b) carry a dynamic-partition-pruning filter on bkt so
+    // only the candidates' bucket directories are read at all
+    val store = tempDir("sigstore-prune")
+    SignatureStore.append(docsDf((1L to 20L).map(i =>
+      i -> s"$base distinct tail marker $i"): _*), "doc_id", "text", store)
+    val df = SignatureStore.dedupBatch(
+      docsDf(100L -> base.replace("tonight", "tomorrow")), "doc_id", "text", store)
+    val plan = df.queryExecution.executedPlan.toString
+    val shingleScanLines = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("shingles/data")).toSeq
+    shingleScanLines should not be empty
+    atLeast(1, shingleScanLines) should include("dynamicpruningexpression(bkt")
+  }
+
   it should "cap degenerate corpus-side band buckets in crossCandidates (skew guard)" in {
     // 40 identical corpus docs hash to the same band buckets — without
     // the cap, one incoming near-dup doc yields 40 pairs in ONE join
@@ -165,6 +245,35 @@ class SignatureStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
       Dedup.shingleRows(docsDf(100L -> base), "doc_id", "text"), "doc_id")
     Dedup.crossCandidates(incoming, corpus, "doc_id").count() shouldBe 40L
     Dedup.crossCandidates(incoming, corpus, "doc_id", maxBucket = 8).count() shouldBe 0L
+  }
+
+  it should "cap degenerate BATCH-side band buckets in crossCandidates too" in {
+    // VERDICT r7 #6: an adversarial batch full of one boilerplate band
+    // used to slip past the right-only cap and produce
+    // |batch∩bucket|·m pairs in one partition — both sides are capped
+    // now, bounding any bucket's contribution at maxBucket²
+    val corpus = Dedup.minhashFromShingles(
+      Dedup.shingleRows(docsDf(1L -> base, 2L -> other), "doc_id", "text"), "doc_id")
+    val hotBatch = Dedup.minhashFromShingles(
+      Dedup.shingleRows(docsDf((100L to 139L).map(i => i -> base): _*), "doc_id", "text"),
+      "doc_id")
+    Dedup.crossCandidates(hotBatch, corpus, "doc_id").count() shouldBe 40L
+    Dedup.crossCandidates(hotBatch, corpus, "doc_id", maxBucket = 8).count() shouldBe 0L
+  }
+
+  it should "count bucket occupancy by distinct ids, not raw rows (replay-proof caps)" in {
+    // ADVICE r7 #3: duplicate store rows from an at-least-once
+    // re-append must not inflate a bucket past the cap — occupancy is
+    // countDistinct(id), so a corpus of 5 docs appended twice still
+    // fits under maxBucket=8 and candidates survive
+    val corpusDocs = docsDf((1L to 5L).map(i => i -> base): _*)
+    val once = Dedup.minhashFromShingles(
+      Dedup.shingleRows(corpusDocs, "doc_id", "text"), "doc_id")
+    val replayed = once.unionAll(once) // duplicate rows, same 5 ids
+    val incoming = Dedup.minhashFromShingles(
+      Dedup.shingleRows(docsDf(100L -> base), "doc_id", "text"), "doc_id")
+    Dedup.crossCandidates(incoming, replayed, "doc_id", maxBucket = 8)
+      .count() shouldBe 5L // raw-row counting would see 10 > 8 and drop the bucket
   }
 
   it should "cap degenerate band buckets in sidedCandidates (skew guard)" in {
