@@ -92,51 +92,107 @@ object Bench {
           .select("doc_id", "text").limit(10000)
         docsDf.repartition(8).write.parquet(slice)
         val n = spark.read.parquet(slice).count()
-        val src = spark.readStream.schema(docsDf.schema)
-          .option("maxFilesPerTrigger", "2").parquet(slice)
-        val hits = graft.streaming.StreamingDedup.nearDupStream(
-          graft.streaming.StreamingDedup.bandRows(src, "doc_id", "text"))
-        val t0 = System.nanoTime()
-        val q = hits.writeStream.format("noop")
-          .option("checkpointLocation", s"$tmp/ckpt").start()
-        q.processAllAvailable()
-        val sec = (System.nanoTime() - t0) / 1e9
-        val state = q.recentProgress.toSeq
-          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
-          .lastOption.map(_.numRowsTotal).getOrElse(-1L)
-        q.stop()
-        System.err.println(f"[bench] streaming_dedup $n docs ${sec}%.2fs state=$state")
-        Some((n, sec, state))
+        // Size the state partitioning to the STATE, not the batch conf
+        // (VERDICT r7 #4): the session's 32 shuffle partitions are
+        // right for corpus-sized batch shuffles, but they give this
+        // ~19K-row state store 32 per-trigger commit/checkpoint rounds
+        // of pure overhead — the dominant cost at this corpus size. A
+        // deployment sizes this to expected state volume UP FRONT (the
+        // state partition count is frozen at the first checkpoint).
+        // Two passes (fresh checkpoint each), min-of-2 — the same
+        // measurement contract as every batch row; the round-7 number
+        // was a single COLD pass paying the streaming plan's codegen.
+        val savedShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try {
+          val runs = (1 to 2).map { pass =>
+            val src = spark.readStream.schema(docsDf.schema)
+              .option("maxFilesPerTrigger", "2").parquet(slice)
+            val hits = graft.streaming.StreamingDedup.nearDupStream(
+              graft.streaming.StreamingDedup.bandRows(src, "doc_id", "text"))
+            val t0 = System.nanoTime()
+            val q = hits.writeStream.format("noop")
+              .option("checkpointLocation", s"$tmp/ckpt$pass").start()
+            q.processAllAvailable()
+            val sec = (System.nanoTime() - t0) / 1e9
+            val state = q.recentProgress.toSeq
+              .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+              .lastOption.map(_.numRowsTotal).getOrElse(-1L)
+            q.stop()
+            (sec, state)
+          }
+          val (sec, state) = runs.minBy(_._1)
+          System.err.println(f"[bench] streaming_dedup $n docs ${sec}%.2fs state=$state")
+          Some((n, sec, state))
+        } finally spark.conf.set("spark.sql.shuffle.partitions", savedShuffle)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] streaming_dedup failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
         failed ::= "streaming_dedup"
         None
       }
-    val withStreaming = results ++ streaming.map { case (_, sec, _) => "streaming_dedup" -> sec }
+    // Store-ingest micro-bench (VERDICT r7 #2: the old
+    // dedup_incremental_store row conflated corpus ingestion with the
+    // steady-state query; the query row now measures dedupBatch alone —
+    // the store is built once outside the timed path — and THIS row is
+    // the ingestion half: one SignatureStore.append of the even-half
+    // corpus to a fresh store, the cost a deployment pays once per
+    // admitted batch). min-of-2 like every other row.
+    val storeIngest: Option[Double] =
+      try {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text").filter(pmod(col("doc_id"), lit(2)) === 0)
+        val times = (1 to 2).map { _ =>
+          val tmp = java.nio.file.Files.createTempDirectory("graft-ingest-bench")
+          val t0 = System.nanoTime()
+          graft.ext.SignatureStore.append(corpus, "doc_id", "text", tmp.toString)
+          val sec = (System.nanoTime() - t0) / 1e9
+          graft.ext.SignatureStore.deleteStore(tmp)
+          sec
+        }
+        val sec = times.min
+        System.err.println(f"[bench] store_ingest ${sec}%.2fs")
+        Some(sec)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] store_ingest failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        failed ::= "store_ingest"
+        None
+      }
+    val withStreaming = results ++
+      streaming.map { case (_, sec, _) => "streaming_dedup" -> sec } ++
+      storeIngest.map("store_ingest" -> _)
 
-    def render(fmt: Double => String): String = {
+    def render(fmt: Double => String, minimal: Boolean): String = {
       val qs = withStreaming.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = withStreaming.map(_._2).sum
       val sf = sfDir.split("/").reverse.collectFirst {
         case s if s.startsWith("sf") => s.drop(2)
       }.getOrElse("0")
-      val failedJson = failed.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val failedJson =
+        if (minimal && failed.isEmpty) ""
+        else "," + "\"failed\":" +
+          failed.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
       val streamJson = streaming.map { case (n, sec, state) =>
         s""","streaming":{"docs":$n,"rows_per_sec":${fmt(n / math.max(sec, 1e-9))},"state_rows":$state}"""
-      }.getOrElse("")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf,"failed":$failedJson$streamJson}"""
+      }.filter(_ => !minimal).getOrElse("")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf$failedJson$streamJson}"""
     }
-    def fixed(digits: Int)(v: Double): String =
-      String.format(java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
-    // stdout gets a COMPACT line: the driver captures a bounded tail of
-    // stdout and a full-precision 78-query line outgrew it in round 5
-    // ("parsed": null — truncated mid-line). 2-decimal seconds keep the
-    // line well inside the window at any realistic query count; the
-    // full-precision record goes to BENCH_LOCAL.json.
-    println(render(fixed(2)))
+    // stdout gets a COMPACT line: the driver captures a ~2000-char tail
+    // of stdout, and the full-precision line outgrew it in round 5 AND
+    // (at 2 decimals, 81 rows) again in round 7 — both times "parsed":
+    // null. One decimal with trailing zeros stripped plus omitting the
+    // empty failed/streaming detail keeps the line under ~1,950 chars
+    // up to ~90 queries; the full-precision record (with the streaming
+    // throughput object) goes to BENCH_LOCAL.json.
+    def stripped(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+      val t = if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+      if (t.isEmpty) "0" else t
+    }
+    println(render(stripped, minimal = true))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      render(v => v.toString))
+      render(v => v.toString, minimal = false))
     spark.stop()
     if (failed.nonEmpty) sys.exit(3)
   }

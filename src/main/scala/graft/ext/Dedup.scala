@@ -75,6 +75,29 @@ object Dedup {
     array((0 until k).map(i =>
       array_min(transform(shinglesCol, s => mixed(i, shingleKey(s))))): _*)
 
+  /** [[minhashSig]] bit-for-bit, in ONE pass over the shingle array:
+    * the md5 key is computed ONCE per shingle (the `transform` in
+    * `aggregate`'s first argument evaluates before the fold), and the
+    * fold keeps k running minimums, updating each with the cheap
+    * universal-hash mix. The k-separate-`array_min` form recomputes the
+    * md5 key k times per shingle — the dominant per-row cost in the
+    * STREAMING path, where signatures must be per-row expressions (a
+    * pre-aggregation would be a second stateful operator, which Spark
+    * restricts; the batch path uses [[minhashProject]]'s codegen'd
+    * explode→partial-min aggregate instead and is unaffected).
+    * Property-tested equal to [[minhashSig]] in ExtOpsSpec. */
+  def minhashSigOnce(shinglesCol: Column, k: Int): Column = {
+    val aLit = array((0 until k).map(i => lit(mixA(i))): _*)
+    val bLit = array((0 until k).map(i => lit(mixB(i))): _*)
+    aggregate(
+      transform(shinglesCol, s => shingleKey(s)),
+      array(Seq.fill(k)(lit(MinhashP)): _*), // mixes are < P, so P ≡ +∞
+      (acc, x) => transform(sequence(lit(0), lit(k - 1)), i =>
+        least(element_at(acc, (i + 1).cast("int")),
+          (x * element_at(aLit, (i + 1).cast("int")) +
+            element_at(bLit, (i + 1).cast("int"))) % MinhashP)))
+  }
+
   /** LSH band keys over a signature array: b bands of r rows each;
     * two docs share a band key iff all r signature slots in the band
     * match. */

@@ -132,6 +132,15 @@ object SignatureStore {
     batchId
   }
 
+  /** Recursively delete a LOCAL temp store (test/bench hygiene — a
+    * production store on an object store outlives any JVM). */
+  def deleteStore(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Exception => () })
+  }
+
   /** Committed batch markers — what a recovering driver consults to
     * decide whether the last epoch's append landed. */
   def committedBatches(spark: SparkSession, path: String): Seq[String] = {

@@ -44,12 +44,13 @@ case class ExactDupHit(docId: Long, firstDocId: Long)
   * 100 TB the store scales with the corpus VOCABULARY of band keys,
   * and the heavy text never enters the state store or the shuffle.
   *
-  * Signatures are computed per-row with the HOF MinHash form
-  * ([[Dedup.minhashSig]]): a micro-batch row carries its whole text,
-  * so no streaming AGGREGATE is needed — which is what keeps the query
-  * a single stateful operator (Spark restricts stateful chaining) and
-  * the signature math identical to the batch path's (the two forms are
-  * property-tested equal in ExtOpsSpec). */
+  * Signatures are computed per-row with the single-pass fold form
+  * ([[Dedup.minhashSigOnce]] — one md5 per shingle, k cheap mixes): a
+  * micro-batch row carries its whole text, so no streaming AGGREGATE
+  * is needed — which is what keeps the query a single stateful
+  * operator (Spark restricts stateful chaining) and the signature math
+  * identical to the batch path's (the forms are property-tested equal
+  * in ExtOpsSpec). */
 object StreamingDedup {
 
   /** (bandKey, docId, sig) rows for a (possibly streaming) document
@@ -64,7 +65,7 @@ object StreamingDedup {
         TextOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleN)
       .select(col("docId"),
-        Dedup.minhashSig(TextOps.shingles(col("toks"), shingleN), k).as("sig"))
+        Dedup.minhashSigOnce(TextOps.shingles(col("toks"), shingleN), k).as("sig"))
       .select(
         explode(Dedup.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bandKey"),
         col("docId"), col("sig"))

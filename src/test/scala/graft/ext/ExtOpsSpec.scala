@@ -82,6 +82,16 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     viaAgg shouldBe viaHof
   }
 
+  it should "compute identical signatures via the single-pass fold form (streaming path)" in {
+    import spark.implicits._
+    val sh = nearDupCorpus
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    def sigs(c: org.apache.spark.sql.Column) =
+      sh.select(col("doc_id"), c.as("sig"))
+        .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+    sigs(Dedup.minhashSigOnce(col("sh"), 12)) shouldBe sigs(Dedup.minhashSig(col("sh"), 12))
+  }
+
   it should "never plan a cartesian product for candidate pairs" in {
     val proj = Dedup.minhashProject(nearDupCorpus, "doc_id", "text")
     val plan = Dedup.minhashCandidates(proj, "doc_id")

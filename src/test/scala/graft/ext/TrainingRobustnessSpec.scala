@@ -198,4 +198,36 @@ class TrainingRobustnessSpec extends AnyFlatSpec with Matchers with SparkFixture
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     allProbe shouldBe fullScan
   }
+
+  behavior of "exact re-rank tier"
+
+  it should "lift IVF+PQ recall several-fold at O(c) extra work per query" in {
+    // VERDICT r7 #5: ADC-only recall@3 floors at 0.10/0.20 (nProbe
+    // 1/2) — quantization error, not cell capture, dominates. The
+    // re-rank tier fetches true embeddings for the top-c ADC
+    // candidates per query (a broadcast-sized pair set) and re-scores
+    // exactly, so recall climbs toward the cell-capture ceiling.
+    import spark.implicits._
+    val e = corpus
+    val queries = e.filter(col("vec_id") < 30)
+    val exact = exactTopK(queries, e, 3)
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1)
+      .localCheckpoint(true)
+    def rerankAt(nProbe: Int, c: Int): Map[Long, Set[Long]] =
+      Similarity.ivfPqRerankTopK(queries, e, cents, "vec_id", "embedding",
+          dim = 64, m = 8, codebookK = 16, k = 3, nProbe = nProbe, iters = 2,
+          rerankC = c)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val r2 = recall(rerankAt(2, 48), exact)
+    info(f"re-ranked recall@3 at nProbe=2, c=48: $r2%.3f")
+    r2 should be >= 0.5 // ADC-only floor at this operating point was 0.20
+    // and the plan keeps the no-corpus-shuffle property: the exact
+    // re-score joins are broadcast (pair set + query embeddings), so
+    // no exchange hash-partitions an embedding-carrying corpus frame
+    val plan = Similarity.ivfPqRerankTopK(queries, e, cents, "vec_id", "embedding",
+        dim = 64, m = 8, codebookK = 16, k = 3, nProbe = 2, iters = 2, rerankC = 48)
+      .queryExecution.executedPlan.toString
+    "Exchange hashpartitioning\\([^)]*emb".r.findAllIn(plan).size shouldBe 0
+  }
 }
