@@ -571,9 +571,9 @@ object ExtQueries {
   // separately and join incoming.bk === existing.bk, so same-side pairs
   // are never ENUMERATED (VERDICT r6 #1 — the old form self-joined all
   // bands then filtered parity, generating incoming×incoming and
-  // existing×existing pairs only to discard them). One corpus scan and
-  // ONE band shuffle serve both sides (sidedCandidates' reused
-  // exchange). In production the existing side is the persisted
+  // existing×existing pairs only to discard them; each side's
+  // shingle/signature work is parity-pruned at its scan, see
+  // sidedCandidates' scaladoc). In production the existing side is the persisted
   // signature store — [[SignatureStore.dedupBatch]] is this same
   // geometry with the corpus side READ (signatures + n-grams, no text)
   // instead of recomputed, making a run O(batch), not O(corpus).
@@ -689,8 +689,8 @@ object ExtQueries {
   // sides band separately and join eval.bk === train.bk, so eval×eval
   // and train×train pairs are never ENUMERATED (VERDICT r6 #1: the old
   // form generated all same-split pairs — ~81% of the join output at a
-  // 90/10 split — then filtered them), with ONE corpus scan and one
-  // band shuffle serving both sides (sidedCandidates' reused exchange).
+  // 90/10 split — then filtered them); each side's shingle/signature
+  // work is split-pruned at its scan (sidedCandidates' scaladoc).
   // The leak class benchmark decontamination misses: contamination
   // between a corpus' OWN splits. Split assignment is a pure function
   // of (seed, doc_id) — reproducible on any engine.
