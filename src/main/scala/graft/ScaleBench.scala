@@ -82,7 +82,9 @@ object ScaleBench {
     // round 6
     "sim_ivfpq", "pipeline_split_leakage",
     // round 7
-    "dedup_incremental_store")
+    "dedup_incremental_store",
+    // round 8
+    "sim_ivfpq_rerank", "streaming_dedup_golden")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)
@@ -267,7 +269,38 @@ object ScaleBench {
         s"full=$fullBytes pruned=$prunedBytes probe=${probed.size}/$allCells")
       sb.append(s""","ivfpq_partition_pruning":{"cells":$allCells,""" +
         s""""probedCells":${probed.size},"fullScanBytes":$fullBytes,""" +
-        s""""prunedScanBytes":$prunedBytes}}""")
+        s""""prunedScanBytes":$prunedBytes}""")
+      // SignatureStore size evidence (VERDICT r7 #1): the store's keyed
+      // shingles table (8-byte md5-prefix longs) vs the round-7 STRING
+      // form on the same corpus half — the byte ratio is the "scales
+      // with 8 bytes per distinct n-gram, not corpus text bytes" claim,
+      // measured. Ingest wall time doubles as the store_ingest slope.
+      val half = docs.select(col("doc_id"), col("text"))
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+      val storeDir = Files.createTempDirectory("graft-store-size").toString
+      val tIng = System.nanoTime()
+      graft.ext.SignatureStore.append(half, "doc_id", "text", storeDir)
+      val ingSec = (System.nanoTime() - tIng) / 1e9
+      val strDir = Files.createTempDirectory("graft-store-str").toString
+      graft.ext.Dedup.shingleRows(half, "doc_id", "text")
+        .write.parquet(s"$strDir/shingles")
+      def dirBytes(p: String): Long = {
+        val root = new java.io.File(p)
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) f.length() else 0L
+        if (root.exists) walk(root) else 0L
+      }
+      val keyedB = dirBytes(s"$storeDir/shingles")
+      val strB = dirBytes(s"$strDir/shingles")
+      System.err.println(f"[scale] $label/signature_store keyed=$keyedB string=$strB " +
+        f"ratio=${strB.toDouble / math.max(1L, keyedB)}%.1f ingest=${ingSec}%.2fs")
+      sb.append(s""","signature_store":{"ingestSec":${f"$ingSec%.3f"},""" +
+        s""""signaturesBytes":${dirBytes(s"$storeDir/signatures")},""" +
+        s""""shinglesKeyedBytes":$keyedB,"shinglesStringBytes":$strB,""" +
+        s""""hashesBytes":${dirBytes(s"$storeDir/hashes")}}}""")
+      graft.ext.SignatureStore.deleteStore(java.nio.file.Paths.get(storeDir))
+      graft.ext.SignatureStore.deleteStore(java.nio.file.Paths.get(strDir))
     }
     sb.append('}')
     java.nio.file.Files.writeString(Paths.get(outJson), sb.toString)

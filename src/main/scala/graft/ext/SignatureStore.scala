@@ -31,10 +31,19 @@ import graft.sinks.ArcaneLayout
   * }}}
   *
   * The store holds signatures and 8-byte shingle keys, never document
-  * text and never n-gram strings (VERDICT r7 #1: the string form was a
-  * multiple of the corpus text bytes — the keyed form is a constant
-  * 8 bytes per (doc, distinct n-gram) row, an order of magnitude
-  * smaller, with the signatures and hashes tables O(docs)). Keys are
+  * text and never n-gram strings (VERDICT r7 #1). What the keyed form
+  * buys, measured (ScaleBench `signature_store` rows): the verify
+  * join's store-side stream carries FIXED 8-byte longs instead of
+  * ~20-25-byte strings (the per-batch shuffle every ingested batch
+  * pays), key equality stays in cheap codegen'd long compares, and the
+  * table's size bound is engine-independent — 8 bytes per (doc,
+  * distinct n-gram) row regardless of n-gram length or charset. AT
+  * REST the two forms are comparable at test tiers (string/keyed byte
+  * ratio 0.9 / 0.7 / 1.1 at sf0.01 / sf0.1 / x10): parquet
+  * dictionary-encodes the Zipf head of repeated trigrams well, and
+  * that win decays as the per-row-group vocabulary outgrows the
+  * dictionary page (the x10 tier is where keys start winning) — the
+  * honest claim is "bounded and stable", not "10× smaller". Keys are
   * [[Dedup.wideShingleKey]] (60-bit md5 prefix): the verify join only
   * tests equality, and at 60 bits colliding vocabulary pairs stay ≪ 1
   * up to ~10⁸ distinct shingles — the `dedup_incremental_store` oracle
