@@ -84,7 +84,7 @@ object ScaleBench {
     // round 7
     "dedup_incremental_store",
     // round 8
-    "sim_ivfpq_rerank", "streaming_dedup_golden")
+    "sim_ivfpq_rerank", "streaming_dedup_golden", "dedup_substring")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)

@@ -287,6 +287,77 @@ object Dedup {
       .drop("sig_a", "sig_b")
   }
 
+  /** Exact-substring duplication profile, Lee-et-al style ("Deduplicating
+    * Training Data Makes Language Models Better", 2022 — their
+    * suffix-array exact-substring criterion re-expressed Spark-first):
+    * a doc's W-token windows are fingerprinted and any window occurring
+    * in ≥2 DISTINCT docs marks an exactly-duplicated token run. Unlike
+    * the pairwise Jaccard tiers this is corpus-global and LINEAR — one
+    * row per window position, a hash-groupBy on the window key (map-side
+    * combine), a key-join back, and a per-doc aggregate; no candidate
+    * pairs, no n² term anywhere, which is why substring dedup is the
+    * tier that still runs when pairwise verification can't.
+    *
+    * Window keys are [[wideShingleKey]] 60-bit md5 prefixes (the
+    * fingerprint join/aggregate streams 8-byte longs, never W-token
+    * strings; a key collision falsely marks ONE window duplicated —
+    * at 60 bits a rounding error on corpus statistics, and the DuckDB
+    * oracle mirrors the same arithmetic so the gate stays exact).
+    *
+    * Returns one row per doc with ≥ W tokens:
+    * (doc_id, n_windows, n_dup_windows, dup_ratio_e4 — exact integer
+    * rational, max_dup_run — longest run of CONSECUTIVE duplicated
+    * windows, i.e. max_dup_run + W − 1 exactly-shared tokens). */
+  def substringDupProfile(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame = {
+    // Single-scan, join-free formulation: the cross-doc flag is a
+    // WINDOW aggregate over the key (min(id) ≠ max(id) within a wk
+    // partition ⟺ the window occurs in ≥2 distinct docs), not a
+    // groupBy+self-semi-join — a self-join either re-scans the corpus
+    // for its probe side (the optimizer pushes the join below any
+    // shared repartition, splitting the reused exchange) or broadcasts
+    // a corpus-sized dup-key set; the window form pays one wk exchange
+    // + sort and touches the corpus ONCE. The follow-on per-doc pass
+    // rides one doc_id exchange: the running flagged-count makes
+    // gaps-and-islands run ids (pos − running_count is constant across
+    // a consecutive flagged run), and both per-doc aggregates and the
+    // final join consume the same doc_id partitioning with no further
+    // shuffle (plan: 1 scan, 2 hash exchanges, 1 presentation sort).
+    import org.apache.spark.sql.expressions.Window
+    val wins = df
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col(idCol),
+        posexplode(TextOps.shingles(col("toks"), w)).as(Seq("pos", "win")))
+      .select(col(idCol), (col("pos") + 1).as("pos"),
+        wideShingleKey(col("win")).as("wk"))
+    val overKey = Window.partitionBy(col("wk"))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = wins
+      .withColumn("flag",
+        (min(col(idCol)).over(overKey) =!= max(col(idCol)).over(overKey))
+          .cast("long"))
+      .withColumn("rf", sum(col("flag")).over(byDoc))
+      // run id for flagged rows; null for clean rows, which then all
+      // collapse into ONE (doc, null) group — so a single two-level
+      // aggregation chain yields total windows, duplicated windows and
+      // the longest run without a second pass or a join
+      .withColumn("grp", when(col("flag") === 1L, col("pos") - col("rf")))
+    base
+      .groupBy(col(idCol), col("grp")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_windows"),
+        sum(when(col("grp").isNotNull, col("c")).otherwise(lit(0L)))
+          .as("n_dup_windows"),
+        max(when(col("grp").isNotNull, col("c"))).as("max_run"))
+      .select(col(idCol),
+        col("n_windows"),
+        col("n_dup_windows"),
+        expr("(n_dup_windows * 10000) div n_windows").as("dup_ratio_e4"),
+        coalesce(col("max_run"), lit(0L)).as("max_dup_run"))
+  }
+
   /** Doc → (id, simhash32) via explode → 32 codegen'd bit-vote sums:
     * each token's md5 is computed once (the per-row HOF form,
     * [[TextOps.simhash32]], recomputes it per bit — 32×); the shuffle

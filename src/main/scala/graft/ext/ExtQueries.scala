@@ -361,13 +361,14 @@ object ExtQueries {
   // dedup_minhash: LSH-banded candidate pairs (no cartesian)
   // ------------------------------------------------------------------
 
-  /** DuckDB mirror of [[Dedup.shingleKey]]'s hex-prefix parse: first 7
-    * hex digits of an md5 string `h` as a BIGINT (positional
+  /** DuckDB mirror of [[Dedup.shingleKey]]'s hex-prefix parse: first
+    * `digits` hex digits of an md5 string `h` as a BIGINT (positional
     * strpos-nibble sum — portable to any engine without a hex-parse
-    * builtin). Call sites compute `md5(s)` ONCE and pass the column. */
-  private def hexPrefixKeySql(h: String): String = {
-    val terms = (1 to 7).map { j =>
-      val w = math.pow(16, 7 - j).toLong
+    * builtin; digits=15 mirrors [[Dedup.wideShingleKey]]). Call sites
+    * compute `md5(s)` ONCE and pass the column. */
+  private def hexPrefixKeySql(h: String, digits: Int = 7): String = {
+    val terms = (1 to digits).map { j =>
+      val w = (0 until digits - j).foldLeft(1L)((a, _) => a * 16L)
       s"(strpos('0123456789abcdef', substr($h, $j, 1)) - 1) * $w"
     }
     terms.mkString("(", " + ", ")::BIGINT")
@@ -1799,6 +1800,46 @@ object ExtQueries {
        |FROM em ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // dedup_substring: exact-substring duplication profile (Lee et al.
+  // 2022's suffix-array criterion, Spark-first) — any W-token window
+  // shared by ≥2 docs marks an exactly-duplicated run; per doc, the
+  // duplicated-window count, exact integer-rational coverage ratio and
+  // longest duplicated run. Corpus-global and LINEAR (window keys
+  // hash-grouped, no candidate pairs) — the dedup tier that still runs
+  // where pairwise verification can't. Keys are the 60-bit md5 prefix,
+  // mirrored digit-for-digit by the oracle.
+  // ------------------------------------------------------------------
+
+  private val SubW = 10
+
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDupProfile(docs(spark, dir).select("doc_id", "text"),
+        "doc_id", "text", SubW)
+      .orderBy("doc_id")
+
+  private val dedupSubstringSql =
+    s"""WITH $TokCte,
+       |win AS (SELECT doc_id, i AS pos,
+       |    ${hexPrefixKeySql(s"md5(array_to_string(toks[i:i+${SubW - 1}], ' '))", 15)} AS wk
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${SubW - 1})) AS i
+       |        FROM tok WHERE len(toks) >= $SubW)),
+       |dup AS (SELECT wk FROM win GROUP BY wk HAVING count(DISTINCT doc_id) >= 2),
+       |fl AS (SELECT w.doc_id, w.pos,
+       |    w.pos - row_number() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS grp
+       |  FROM win w WHERE w.wk IN (SELECT wk FROM dup)),
+       |runs AS (SELECT doc_id, count(*)::BIGINT AS run_len
+       |  FROM fl GROUP BY doc_id, grp),
+       |per AS (SELECT doc_id, sum(run_len)::BIGINT AS n_dup,
+       |    max(run_len)::BIGINT AS max_run FROM runs GROUP BY doc_id),
+       |nw AS (SELECT doc_id, count(*)::BIGINT AS n_windows FROM win GROUP BY doc_id)
+       |SELECT nw.doc_id, nw.n_windows,
+       |  coalesce(per.n_dup, 0)::BIGINT AS n_dup_windows,
+       |  (coalesce(per.n_dup, 0) * 10000) // nw.n_windows AS dup_ratio_e4,
+       |  coalesce(per.max_run, 0)::BIGINT AS max_dup_run
+       |FROM nw LEFT JOIN per ON per.doc_id = nw.doc_id
+       |ORDER BY nw.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // streaming_dedup_golden: the STREAMING near-dup flow, oracle-checked
   // (VERDICT r7 #8 — the streaming path's output contract was spec-only
   // before this). The corpus streams as 5 deterministic micro-batches
@@ -1895,6 +1936,7 @@ object ExtQueries {
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_incremental_store" -> (dedupIncrementalStore(_, _)),
     "streaming_dedup_golden" -> (streamingDedupGolden(_, _)),
+    "dedup_substring" -> (dedupSubstring(_, _)),
     "text_cooccurrence" -> (textCooccurrence(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
@@ -1940,6 +1982,7 @@ object ExtQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_store" -> dedupIncrementalSql,
     "streaming_dedup_golden" -> streamingDedupGoldenSql,
+    "dedup_substring" -> dedupSubstringSql,
     "text_cooccurrence" -> textCooccurrenceSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,

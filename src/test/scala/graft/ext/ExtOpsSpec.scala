@@ -51,6 +51,20 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
     (3L, "completely unrelated text about spark catalyst optimizer internals"))
 
+  it should "profile exact-substring duplication: planted shared run found, lengths exact" in {
+    import spark.implicits._
+    // docs 1/2 share the 12-token prefix "the quick ... again" and
+    // differ at the last token; doc 3 shares nothing. With W=10 the
+    // shared windows are positions 1..3 of each doc (13 tokens → 4
+    // windows, the 4th covering the differing tail token).
+    val out = Dedup.substringDupProfile(nearDupCorpus, "doc_id", "text", w = 10)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    out(0) shouldBe ((1L, 4L, 3L, 7500L, 3L)) // 3 of 4 windows dup, one run of 3
+    out(1) shouldBe ((2L, 4L, 3L, 7500L, 3L))
+    out.length shouldBe 2 // doc 3 has 8 tokens < W → no windows, excluded by contract
+  }
+
   it should "bucket near-duplicates together and skip unrelated docs" in {
     import spark.implicits._
     val proj = Dedup.minhashProject(nearDupCorpus, "doc_id", "text")

@@ -214,6 +214,17 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
     }
   }
 
+  it should "profile substring duplication in ONE corpus scan, join-free" in {
+    // the Lee-et-al substring tier must stay linear: one scan, the
+    // window-key exchange + the per-doc exchange, no join anywhere (a
+    // self-join form either re-scans the corpus or broadcasts a
+    // corpus-sized key set)
+    val p = plan("dedup_substring")
+    "FileScan parquet".r.findAllIn(p).size shouldBe 1
+    p should not include "Join"
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 2
+  }
+
   it should "keep incremental dedup cartesian-free with the cross-side filter below the verify" in {
     val p = plan("dedup_incremental")
     p should not include "CartesianProduct"
