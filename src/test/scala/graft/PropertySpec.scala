@@ -39,6 +39,47 @@ class PropertySpec extends AnyFlatSpec with Matchers with SparkFixture {
     }
   }
 
+  behavior of "substring duplication profile"
+
+  it should "equal a brute-force reference on random small corpora" in {
+    import spark.implicits._
+    // random corpora over a tiny vocabulary (forces genuine cross-doc
+    // window collisions) — the distributed windowed/gaps-and-islands
+    // plan must agree with the obvious in-memory computation on every
+    // (n_windows, n_dup_windows, dup_ratio_e4, max_dup_run) row
+    val w = 3
+    val genDoc = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    val corpora = samples(Gen.listOfN(6, genDoc), 10)
+    corpora.zipWithIndex.foreach { case (docsList, ci) =>
+      val df = docsList.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = graft.ext.Dedup.substringDupProfile(df, "doc_id", "text", w)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      // reference: windows as raw strings, per-doc flags, island scan
+      val toks = docsList.zipWithIndex.map { case (t, i) =>
+        i.toLong -> t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+      }.filter(_._2.size >= w)
+      val wins = toks.map { case (id, tk) =>
+        id -> tk.sliding(w).map(_.mkString(" ")).toVector
+      }
+      val owners = wins.flatMap { case (id, ws) => ws.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val want = wins.map { case (id, ws) =>
+        val flags = ws.map(s => owners(s).exists(_ != id))
+        val runs = flags.foldLeft(List.empty[Int]) {
+          case (acc, true)  => if (acc.nonEmpty && acc.head > 0) (acc.head + 1) :: acc.tail else 1 :: acc
+          case (acc, false) => 0 :: acc
+        }.filter(_ > 0)
+        val nDup = flags.count(identity).toLong
+        (id, ws.size.toLong, nDup, nDup * 10000 / ws.size,
+          if (runs.isEmpty) 0L else runs.max.toLong)
+      }.sortBy(_._1)
+      withClue(s"corpus #$ci: $docsList: ") { got shouldBe want }
+    }
+  }
+
   behavior of "PageState JSON codec"
 
   it should "round-trip any pointer, including unicode and quotes" in {
