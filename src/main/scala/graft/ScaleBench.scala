@@ -84,7 +84,8 @@ object ScaleBench {
     // round 7
     "dedup_incremental_store",
     // round 8
-    "sim_ivfpq_rerank", "streaming_dedup_golden", "dedup_substring")
+    "sim_ivfpq_rerank", "streaming_dedup_golden", "dedup_substring",
+    "pipeline_dedup_apply")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)

@@ -1730,6 +1730,74 @@ object ExtQueries {
        |FROM comp ORDER BY cluster_id, doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // pipeline_dedup_apply: the dedup DECISION applied end to end — what
+  // a deployment actually materializes. Per doc: keep (canonical),
+  // drop_exact (a byte-identical copy of an earlier doc — keeper is
+  // the min doc_id of its content-hash group), or drop_near (a
+  // non-canonical member of an LSH-verified near-dup cluster — keeper
+  // is the cluster's min member, which IS the component label). The
+  // near tier composes the dedup_cluster pipeline (banded candidates →
+  // exact-Jaccard verify → connected components), so the decision is
+  // hash-verified end to end including the clustering. Exact-drop
+  // takes precedence (an exact copy is also a near-dup; the exact tier
+  // is the cheaper check a pipeline applies first).
+  // ------------------------------------------------------------------
+
+  def pipelineDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val hashes = d.select(col("doc_id"), md5(col("text")).as("h"))
+    val ex = hashes.withColumn("ex_keeper",
+      min(col("doc_id")).over(Window.partitionBy(col("h"))))
+    val exd = Dedup.shingleRows(d, "doc_id", "text", ShingleN)
+    val proj = Dedup.minhashFromShingles(exd, "doc_id", MinhashK, LshBands, LshRows)
+    val candidates = Dedup.minhashCandidates(proj, "doc_id", MinhashK).drop("n_sig_match")
+    val dupPairs = Dedup.jaccardVerifyExploded(candidates, exd, threshold = 0.8)
+      .filter(col("is_dup") === 1L)
+      .select("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(dupPairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp"))
+    ex.select("doc_id", "ex_keeper")
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex_keeper") =!= col("doc_id"), lit("drop_exact"))
+          .when(col("comp").isNotNull && col("comp") =!= col("doc_id"), lit("drop_near"))
+          .otherwise(lit("keep")).as("decision"),
+        when(col("ex_keeper") =!= col("doc_id"), col("ex_keeper"))
+          .when(col("comp").isNotNull && col("comp") =!= col("doc_id"), col("comp"))
+          .otherwise(col("doc_id")).as("keeper_id"))
+      .orderBy("doc_id")
+  }
+
+  private val pipelineDedupApplySql =
+    s"""WITH RECURSIVE $TokCte, $ShCte,
+       |$SigCtes,
+       |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+       |dup AS (SELECT p.doc_a, p.doc_b
+       |  FROM pairs p
+       |  JOIN shd a ON a.doc_id = p.doc_a
+       |  JOIN shd b ON b.doc_id = p.doc_b
+       |  WHERE 10 * len(list_intersect(a.shd, b.shd)) >= 8 * len(list_distinct(a.shd || b.shd))),
+       |edges AS (SELECT doc_a AS s, doc_b AS d FROM dup
+       |  UNION ALL SELECT doc_b, doc_a FROM dup),
+       |nodes AS (SELECT DISTINCT s AS n FROM edges),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
+       |comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+       |exh AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS ex_keeper
+       |  FROM documents)
+       |SELECT exh.doc_id,
+       |  CASE WHEN exh.ex_keeper <> exh.doc_id THEN 'drop_exact'
+       |       WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> exh.doc_id THEN 'drop_near'
+       |       ELSE 'keep' END AS decision,
+       |  CASE WHEN exh.ex_keeper <> exh.doc_id THEN exh.ex_keeper
+       |       WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> exh.doc_id THEN c.cluster_id
+       |       ELSE exh.doc_id END AS keeper_id
+       |FROM exh LEFT JOIN comp c ON c.doc_id = exh.doc_id
+       |ORDER BY exh.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // text_heavy_hitters: corpus-wide top-20 shingles (total occurrences
   // + document frequency). TakeOrderedAndProject after one partial
   // aggregate — each executor contributes its local top candidates, so
@@ -1937,6 +2005,7 @@ object ExtQueries {
     "dedup_incremental_store" -> (dedupIncrementalStore(_, _)),
     "streaming_dedup_golden" -> (streamingDedupGolden(_, _)),
     "dedup_substring" -> (dedupSubstring(_, _)),
+    "pipeline_dedup_apply" -> (pipelineDedupApply(_, _)),
     "text_cooccurrence" -> (textCooccurrence(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
@@ -1983,6 +2052,7 @@ object ExtQueries {
     "dedup_incremental_store" -> dedupIncrementalSql,
     "streaming_dedup_golden" -> streamingDedupGoldenSql,
     "dedup_substring" -> dedupSubstringSql,
+    "pipeline_dedup_apply" -> pipelineDedupApplySql,
     "text_cooccurrence" -> textCooccurrenceSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,

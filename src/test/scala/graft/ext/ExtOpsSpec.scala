@@ -65,6 +65,24 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     out.length shouldBe 2 // doc 3 has 8 tokens < W → no windows, excluded by contract
   }
 
+  it should "apply dedup decisions: exact copies drop to the hash keeper, near copies to the cluster min" in {
+    import spark.implicits._
+    val corpus = df(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near copy of 1
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"),   // exact copy of 1
+      (4L, "completely unrelated text about spark catalyst optimizer internals"))
+    val fn = graft.ext.ExtQueries.queries("pipeline_dedup_apply")
+    val dir = java.nio.file.Files.createTempDirectory("dedup-apply").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = fn(spark, dir).as[(Long, String, Long)].collect().toSeq
+    out shouldBe Seq(
+      (1L, "keep", 1L),
+      (2L, "drop_near", 1L),
+      (3L, "drop_exact", 1L),
+      (4L, "keep", 4L))
+  }
+
   it should "bucket near-duplicates together and skip unrelated docs" in {
     import spark.implicits._
     val proj = Dedup.minhashProject(nearDupCorpus, "doc_id", "text")
