@@ -162,8 +162,9 @@ object Bench {
       streaming.map { case (_, sec, _) => "streaming_dedup" -> sec } ++
       storeIngest.map("store_ingest" -> _)
 
-    def render(fmt: Double => String, minimal: Boolean): String = {
-      val qs = withStreaming.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    def render(fmt: Double => String, minimal: Boolean,
+        rows: Seq[(String, Double)], otherN: Int, otherSec: Double): String = {
+      val qs = rows.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val total = withStreaming.map(_._2).sum
       val sf = sfDir.split("/").reverse.collectFirst {
@@ -173,26 +174,45 @@ object Bench {
         if (minimal && failed.isEmpty) ""
         else "," + "\"failed\":" +
           failed.distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val otherJson =
+        if (otherN == 0) ""
+        else s""","other_n":$otherN,"other_sec":${fmt(otherSec)}"""
       val streamJson = streaming.map { case (n, sec, state) =>
         s""","streaming":{"docs":$n,"rows_per_sec":${fmt(n / math.max(sec, 1e-9))},"state_rows":$state}"""
       }.filter(_ => !minimal).getOrElse("")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf$failedJson$streamJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf$otherJson$failedJson$streamJson}"""
     }
     // stdout gets a COMPACT line: the driver captures a ~2000-char tail
-    // of stdout, and the full-precision line outgrew it in round 5 AND
-    // (at 2 decimals, 81 rows) again in round 7 — both times "parsed":
-    // null. One decimal with trailing zeros stripped plus omitting the
-    // empty failed/streaming detail keeps the line under ~1,950 chars
-    // up to ~90 queries; the full-precision record (with the streaming
-    // throughput object) goes to BENCH_LOCAL.json.
+    // of stdout (a 1,906-char line parsed in round 6; 2,036 clipped in
+    // round 7 — "parsed": null both times it overflowed). Formatting
+    // alone (1 decimal, stripped zeros, empty objects omitted) no
+    // longer guarantees fit as the query count grows, so the stdout
+    // line holds a hard 1,850-char budget: when it would overflow, the
+    // CHEAPEST rows fold into "other_n"/"other_sec" (count + summed
+    // seconds — the total stays exact) until it fits. Every per-query
+    // figure, full precision, and the streaming throughput object are
+    // always in BENCH_LOCAL.json.
     def stripped(v: Double): String = {
       val s = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
       val t = if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
       if (t.isEmpty) "0" else t
     }
-    println(render(stripped, minimal = true))
+    val budget = 1850
+    val byCost = withStreaming.sortBy(_._2)
+    var keep = withStreaming.toSeq
+    var folded = Seq.empty[(String, Double)]
+    var line = render(stripped, minimal = true, keep, folded.size, folded.map(_._2).sum)
+    var idx = 0
+    while (line.length > budget && idx < byCost.size) {
+      folded = folded :+ byCost(idx)
+      val drop = folded.map(_._1).toSet
+      keep = withStreaming.filterNot { case (k, _) => drop(k) }
+      line = render(stripped, minimal = true, keep, folded.size, folded.map(_._2).sum)
+      idx += 1
+    }
+    println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      render(v => v.toString, minimal = false))
+      render(v => v.toString, minimal = false, withStreaming.toSeq, 0, 0.0))
     spark.stop()
     if (failed.nonEmpty) sys.exit(3)
   }
