@@ -172,6 +172,22 @@ object SignatureStore {
         targetRecordsPerFile = targetRecordsPerFile)
     }.toMap
 
+  /** Maintenance policy for the ingestion loop: compact once every
+    * `every` committed batches (a foreachBatch driver calls this after
+    * [[append]]; each admitted batch adds one file per table per
+    * touched bucket, so file count grows linearly with batches until
+    * compacted). Counting COMMITTED batches keeps the trigger
+    * deterministic under replays — an uncommitted partial append never
+    * advances the schedule. Returns the compacted file names, empty
+    * when this wasn't a scheduled maintenance point. */
+  def maybeCompact(spark: SparkSession, path: String, every: Int,
+      targetRecordsPerFile: Long = 1000000L): Map[String, Seq[String]] = {
+    require(every > 0, "every must be positive")
+    val n = committedBatches(spark, path).size
+    if (n > 0 && n % every == 0) compact(spark, path, targetRecordsPerFile)
+    else Map.empty
+  }
+
   def signatures(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/signatures/data")
 

@@ -217,6 +217,31 @@ class SignatureStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
     after shouldBe before
   }
 
+  it should "run scheduled compaction from the ingestion loop without changing results" in {
+    // the maintenance policy a foreachBatch driver wires after append:
+    // every 2 committed batches, compact — file growth stays bounded
+    // while dedup results are byte-identical before/after
+    val store = tempDir("sigstore-maybecompact")
+    SignatureStore.append(docsDf(1L -> s"$base one"), "doc_id", "text", store, nBuckets = 2)
+    SignatureStore.maybeCompact(spark, store, every = 2) shouldBe empty // 1 commit: not due
+    (2L to 4L).foreach { i =>
+      SignatureStore.append(docsDf(i -> s"$base $i"), "doc_id", "text", store)
+      SignatureStore.maybeCompact(spark, store, every = 2)
+    }
+    // 4 commits → compactions ran at 2 and 4; shingles files are one
+    // per (bucket, schema) group, not one per append
+    def shingleFiles: Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$store/shingles/data")).filter(_.getName.endsWith(".parquet"))
+    }
+    shingleFiles.groupBy(_.getParentFile.getName).values.foreach(_.size shouldBe 1)
+    val out = SignatureStore.dedupBatch(docsDf(100L -> s"$base one"), "doc_id", "text", store)
+      .collect().head
+    out.getLong(1) shouldBe 1L // exact copy of stored doc 1, found post-compaction
+    out.getLong(3) shouldBe 1L // and a near-dup via the compacted signature/shingle tables
+  }
+
   it should "prune store buckets and avoid a store-side shuffle in the verify read" in {
     // design-for-scale audit: the candidate-restricted shingle read
     // must (a) broadcast the candidate id set (no shuffle of the store
