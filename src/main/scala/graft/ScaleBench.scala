@@ -85,7 +85,7 @@ object ScaleBench {
     "dedup_incremental_store",
     // round 8
     "sim_ivfpq_rerank", "streaming_dedup_golden", "dedup_substring",
-    "pipeline_dedup_apply")
+    "pipeline_dedup_apply", "sim_index_store")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)

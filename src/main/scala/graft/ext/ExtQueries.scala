@@ -1478,6 +1478,42 @@ object ExtQueries {
   // candidate restriction itself.
   // ------------------------------------------------------------------
 
+  // ------------------------------------------------------------------
+  // sim_index_store: the PRODUCTION ANN path — sim_ivfpq's composition
+  // run against a PERSISTED VectorIndex (coarse centroids + PQ
+  // codebooks trained once and stored as metadata tables; codes
+  // cell-partitioned on disk). The query coarse-assigns against the
+  // stored centroids, reads ONLY the probed cells' code files, and
+  // ADC-scores candidate-restricted — output contract and arithmetic
+  // identical to sim_ivfpq, so the SAME DuckDB oracle hash-verifies
+  // the store path end to end (like dedup_incremental_store vs
+  // dedup_incremental). The index is built once per corpus dir
+  // (ingestion, outside the timed path); temp dirs cleaned on exit.
+  // ------------------------------------------------------------------
+
+  private val vindexCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def vindexFor(spark: SparkSession, dir: String): String =
+    vindexCache.synchronized {
+      vindexCache.getOrElseUpdate(dir, {
+        val path = java.nio.file.Files.createTempDirectory("graft-vindex")
+        sys.addShutdownHook(SignatureStore.deleteStore(path))
+        val e = emb(spark, dir).select("vec_id", "embedding")
+        VectorIndex.build(e, "vec_id", "embedding", path.toString,
+          dim = 64, m = PqM, codebookK = PqK, coarseK = 8,
+          coarseIters = 1, pqIters = PqIters)
+        path.toString
+      })
+    }
+
+  def simIndexStore(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    VectorIndex.topK(e.filter(col("vec_id") < 10), vindexFor(spark, dir),
+        "vec_id", "embedding", k = 3, nProbe = 2)
+      .select("query_id", "neighbor_id", "cell", "adist_e6", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   def simIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select("vec_id", "embedding")
     val cents = Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1)
@@ -2035,6 +2071,7 @@ object ExtQueries {
     "sim_pq" -> (simPq(_, _)),
     "sim_ivfpq" -> (simIvfPq(_, _)),
     "sim_ivfpq_rerank" -> (simIvfPqRerank(_, _)),
+    "sim_index_store" -> (simIndexStore(_, _)),
     "source_similarity" -> (sourceSimilarity(_, _)),
     "pipeline_corpus_clean" -> (pipelineCorpusClean(_, _)),
     "embed_quantize" -> (embedQuantize(_, _)),
@@ -2082,6 +2119,7 @@ object ExtQueries {
     "sim_pq" -> simPqSql,
     "sim_ivfpq" -> simIvfPqSql,
     "sim_ivfpq_rerank" -> simIvfPqRerankSql,
+    "sim_index_store" -> simIvfPqSql,
     "source_similarity" -> sourceSimilaritySql,
     "pipeline_corpus_clean" -> pipelineCorpusCleanSql,
     "embed_quantize" -> embedQuantizeSql,

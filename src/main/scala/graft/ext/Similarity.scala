@@ -335,48 +335,60 @@ object Similarity {
     * cid, d_e6) — |codebook|·m entries per query, broadcast-sized.
     * Shared by [[pqTopK]] (full-corpus ADC scan) and [[ivfPqTopK]]
     * (cell-pruned scoring). */
-  private[graft] def pqStructures(queries: DataFrame, corpus: DataFrame, idCol: String,
-      embCol: String, dim: Int, m: Int, codebookK: Int,
-      iters: Int, sampleFraction: Double = 1.0): (DataFrame, DataFrame) = {
-    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+  /** (id, s, semb) sub-vector rows — ALL subspaces ride one exploded
+    * frame: training, encoding, and the distance tables are single
+    * multi-key jobs keyed by (s, …) instead of m independent pipelines
+    * (m separate legs cost m× every shuffle/broadcast at plan level
+    * even when each is tiny). */
+  private[graft] def pqSubRows(df: DataFrame, idCol: String, embCol: String,
+      dim: Int, m: Int): DataFrame = {
     val subDim = dim / m
-    // ALL subspaces ride one exploded (id, s, semb) frame: training,
-    // encoding, and the distance tables are single multi-key jobs keyed
-    // by (s, …) instead of m independent pipelines — the stage count is
-    // constant in m (m separate legs cost m× every shuffle/broadcast
-    // at plan level even when each is tiny)
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
-    def subRows(df: DataFrame): DataFrame = df.select(col(idCol),
+    df.select(col(idCol),
       posexplode(expr(
         s"transform(sequence(0, ${m - 1}), s -> slice($embCol, s * $subDim + 1, $subDim))"))
         .as(Seq("s", "semb")))
-    val corpusSub = subRows(corpus)
-    val subSqDist = expr("graft_vector_sqdist(semb, cemb)")
-    def assign(df: DataFrame, cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col(idCol), col("s"))
-        .orderBy(col("dist").asc, col("cid").asc)
-      df.join(broadcast(cents), "s")
-        .withColumn("dist", subSqDist)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col(idCol), col("s"), col("semb"), col("cid").as("cell"))
-    }
-    // seeded per-subspace codebooks + Lloyd iterations, all subspaces at
-    // once: e6 fixed-point (s, cell, pos) sums — bit-reproducible.
-    // Seeds are the bottom-codebookK ids (TakeOrderedAndProject +
-    // broadcast semi-join — id-scheme-independent, VERDICT r6 #2);
-    // Lloyd passes run over a deterministic sample when
-    // sampleFraction < 1 (train on the sample, ENCODE the full corpus —
-    // the at-scale discipline), seeds still from the full frame
+  }
+
+  private def pqSubSqDist = expr("graft_vector_sqdist(semb, cemb)")
+
+  /** Nearest codebook entry per (id, subspace) over exploded sub-rows:
+    * (id, s, semb, cell). The codebook is broadcast (m × codebookK
+    * rows — metadata). */
+  private[graft] def pqAssign(sub: DataFrame, cents: DataFrame,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol), col("s"))
+      .orderBy(col("dist").asc, col("cid").asc)
+    sub.join(broadcast(cents), "s")
+      .withColumn("dist", pqSubSqDist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("s"), col("semb"), col("cid").as("cell"))
+  }
+
+  /** Seeded per-subspace codebooks + Lloyd iterations, all subspaces
+    * at once: e6 fixed-point (s, cell, pos) sums — bit-reproducible.
+    * Seeds are the bottom-codebookK ids (TakeOrderedAndProject +
+    * broadcast semi-join — id-scheme-independent, VERDICT r6 #2);
+    * Lloyd passes run over a deterministic sample when
+    * sampleFraction < 1 (train on the sample, ENCODE the full corpus —
+    * the at-scale discipline), seeds still from the full frame.
+    * Returns (s, cid, cemb) — m × codebookK rows of metadata, the
+    * artifact [[VectorIndex]] persists. */
+  private[graft] def trainPqCodebooks(corpus: DataFrame, idCol: String,
+      embCol: String, dim: Int, m: Int, codebookK: Int, iters: Int,
+      sampleFraction: Double = 1.0): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val corpusSub = pqSubRows(corpus, idCol, embCol, dim, m)
     val trainSub =
       if (sampleFraction >= 1.0) corpusSub
-      else subRows(corpus.sample(withReplacement = false, sampleFraction, seed = 2654435761L))
+      else pqSubRows(corpus.sample(withReplacement = false, sampleFraction, seed = 2654435761L),
+        idCol, embCol, dim, m)
     val seedIds = corpus.select(col(idCol)).orderBy(col(idCol)).limit(codebookK)
     var cents = corpusSub
       .join(broadcast(seedIds), Seq(idCol), "left_semi")
       .select(col("s"), col(idCol).as("cid"), col("semb").as("cemb"))
     for (_ <- 1 to iters) {
-      cents = assign(trainSub, cents)
+      cents = pqAssign(trainSub, cents, idCol)
         .select(col("s"), col("cell"), posexplode(col("semb")).as(Seq("pos", "v")))
         .groupBy("s", "cell", "pos")
         .agg(sum(round(col("v").cast("double") * 1e6).cast("long")).as("su"),
@@ -392,13 +404,31 @@ object Similarity {
         // production)
         .localCheckpoint(true)
     }
-    val codes = assign(corpusSub, cents)
-      .select(col(idCol).as("neighbor_id"), col("s"), col("cell"))
-    val dtab = subRows(queries)
+    cents
+  }
+
+  /** Per-query ADC distance tables against a (possibly persisted)
+    * codebook: (query_id, qs, cid, d_e6) — |codebook|·m rows per
+    * query, broadcast-sized. */
+  private[graft] def pqAdcTables(queries: DataFrame, cents: DataFrame,
+      idCol: String, embCol: String, dim: Int, m: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    pqSubRows(queries, idCol, embCol, dim, m)
       .select(col(idCol).as("query_id"), col("s"), col("semb"))
       .join(broadcast(cents), "s")
       .select(col("query_id"), col("s").as("qs"), col("cid"),
-        round(subSqDist * 1e6).cast("long").as("d_e6"))
+        round(pqSubSqDist * 1e6).cast("long").as("d_e6"))
+  }
+
+  private[graft] def pqStructures(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, dim: Int, m: Int, codebookK: Int,
+      iters: Int, sampleFraction: Double = 1.0): (DataFrame, DataFrame) = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cents = trainPqCodebooks(corpus, idCol, embCol, dim, m, codebookK, iters, sampleFraction)
+    val codes = pqAssign(pqSubRows(corpus, idCol, embCol, dim, m), cents, idCol)
+      .select(col(idCol).as("neighbor_id"), col("s"), col("cell"))
+    val dtab = pqAdcTables(queries, cents, idCol, embCol, dim, m)
     (codes, dtab)
   }
 

@@ -199,6 +199,33 @@ class TrainingRobustnessSpec extends AnyFlatSpec with Matchers with SparkFixture
     allProbe shouldBe fullScan
   }
 
+  behavior of "persisted vector index"
+
+  it should "admit new batches against stored artifacts and prune probed cells at the file level" in {
+    import spark.implicits._
+    val e = corpus
+    val half1 = e.filter(col("vec_id") < 250)
+    val half2 = e.filter(col("vec_id") >= 250)
+    val path = java.nio.file.Files.createTempDirectory("vindex-spec").toString
+    // artifacts trained on batch 1 only; batch 2 admitted by encode-only
+    VectorIndex.build(half1, "vec_id", "embedding", path,
+      dim = 64, m = 8, codebookK = 16, coarseK = 4, coarseIters = 1, pqIters = 1)
+    VectorIndex.append(half2, "vec_id", "embedding", path)
+    val queries = e.filter(col("vec_id") < 5)
+    val out = VectorIndex.topK(queries, path, "vec_id", "embedding", k = 5, nProbe = 2)
+    val rows = out.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    rows.map(_._1).toSet.size shouldBe 5 // every query answered
+    rows.map(_._2).exists(_ >= 250) shouldBe true // appended batch is searchable
+    // file-level pruning: the code-store scan carries a partition
+    // filter on cell — only the probed cells' directories are read
+    val scan = out.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("codes/data")).toSeq
+    scan should not be empty
+    atLeast(1, scan) should include regex "PartitionFilters: \\[[^\\]]*cell"
+    graft.ext.SignatureStore.deleteStore(java.nio.file.Paths.get(path))
+  }
+
   behavior of "exact re-rank tier"
 
   it should "lift IVF+PQ recall several-fold at O(c) extra work per query" in {
