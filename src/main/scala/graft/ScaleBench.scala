@@ -87,6 +87,11 @@ object ScaleBench {
     "sim_ivfpq_rerank", "streaming_dedup_golden", "dedup_substring",
     "pipeline_dedup_apply", "sim_index_store")
 
+  /** Queries whose first call per corpus dir pays a one-time persisted
+    * store/index build (cached thereafter) — warmed before measuring. */
+  private val StoreBackedQueries: Set[String] =
+    Set("dedup_incremental_store", "sim_index_store", "streaming_dedup_golden")
+
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)
     case Some("run") => run(args(1), args.drop(2))
@@ -164,6 +169,18 @@ object ScaleBench {
     tiers.zipWithIndex.foreach { case ((label, dir, corpusOnly), ti) =>
       val queries = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => !corpusOnly || CorpusQueries(n) }
+      // store-backed queries build their persisted store/index ONCE per
+      // corpus dir (cached); run them unmeasured first so their
+      // recorded rows are the steady-state query — otherwise the
+      // tier's first call conflates the one-time ingestion/build with
+      // the scan/shuffle slope being measured
+      queries.filter { case (n, _) => StoreBackedQueries(n) }
+        .foreach { case (n, fn) =>
+          try fn(spark, dir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[scale] $label/$n warm-up failed: ${e.getClass.getSimpleName}")
+          }
+        }
       if (ti > 0) sb.append(',')
       sb.append(s""""$label":{"dir":"$dir","queries":{""")
       queries.zipWithIndex.foreach { case ((name, fn), qi) =>
