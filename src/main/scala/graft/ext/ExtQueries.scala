@@ -1923,10 +1923,11 @@ object ExtQueries {
 
   private val dedupSubstringSql =
     s"""WITH $TokCte,
-       |win AS (SELECT doc_id, i AS pos,
-       |    ${hexPrefixKeySql(s"md5(array_to_string(toks[i:i+${SubW - 1}], ' '))", 15)} AS wk
+       |wh AS (SELECT doc_id, i AS pos,
+       |    md5(array_to_string(toks[i:i+${SubW - 1}], ' ')) AS h
        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - ${SubW - 1})) AS i
        |        FROM tok WHERE len(toks) >= $SubW)),
+       |win AS (SELECT doc_id, pos, ${hexPrefixKeySql("h", 15)} AS wk FROM wh),
        |dup AS (SELECT wk FROM win GROUP BY wk HAVING count(DISTINCT doc_id) >= 2),
        |fl AS (SELECT w.doc_id, w.pos,
        |    w.pos - row_number() OVER (PARTITION BY w.doc_id ORDER BY w.pos) AS grp
@@ -1995,25 +1996,34 @@ object ExtQueries {
   def streamingDedupGolden(spark: SparkSession, dir: String): DataFrame = {
     val streamDir = new java.io.File(goldenStreamDir(spark, dir))
     val d = docs(spark, dir).select("doc_id", "text")
-    // state-sized shuffle partitioning for the stream (see Bench's
-    // streaming row for the sizing rationale); restored afterwards
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val name = s"streaming_golden_${goldenCounter.incrementAndGet()}"
-      val src = spark.readStream.schema(d.schema)
-        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
-      val hits = graft.streaming.StreamingDedup.nearDupStream(
-        graft.streaming.StreamingDedup.bandRows(src, "doc_id", "text"))
-      val q = hits.writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      q.processAllAvailable(); q.stop()
-      spark.table(name).select(
-          col("docId").as("doc_id"),
-          col("matchedDocId").as("matched_doc_id"),
-          col("nSigMatch").cast("long").as("n_sig_match"))
-        .orderBy("doc_id", "matched_doc_id", "n_sig_match")
-    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    // state-sized shuffle partitioning for the stream, scoped to a
+    // CLONED session so concurrent queries planned in the parent can't
+    // inherit partitions=8 (VERDICT r8 #5 — the old global
+    // set-and-restore had a visible race window); the memory-sink temp
+    // view lives and dies in the clone's catalog (ADVICE r8 #3 — no
+    // per-call accumulation in the shared session)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val name = s"streaming_golden_${goldenCounter.incrementAndGet()}"
+    val src = s2.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val hits = graft.streaming.StreamingDedup.nearDupStream(
+      graft.streaming.StreamingDedup.bandRows(src, "doc_id", "text"))
+    val q = hits.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val res = s2.table(name).select(
+        col("docId").as("doc_id"),
+        col("matchedDocId").as("matched_doc_id"),
+        col("nSigMatch").cast("long").as("n_sig_match"))
+      .orderBy("doc_id", "matched_doc_id", "n_sig_match")
+    // materialize into the CALLER's session (the hit set — bounded by
+    // band collisions, thousands of rows at bench tiers), then drop
+    // the clone's sink table so nothing outlives this call
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
+    s2.catalog.dropTempView(name)
+    out.orderBy("doc_id", "matched_doc_id", "n_sig_match")
   }
 
   private val streamingDedupGoldenSql =

@@ -74,14 +74,26 @@ object SignatureStore {
   private def fsFor(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** First-append metadata create. overwrite=false closes the
+    * check-then-create race (ADVICE r8 #2): two concurrent first
+    * appends with different `nBuckets` can no longer interleave so one
+    * writer's rows are bucketed with count A while metadata records
+    * count B — the loser gets FileAlreadyExists and defers to the
+    * winner's recorded count, which [[append]] re-reads through
+    * [[buckets]] before computing any `bkt`. */
   private def writeMeta(spark: SparkSession, path: String, buckets: Int): Unit = {
     val fs = fsFor(spark, path)
     val p = new Path(s"$path/metadata/v0/store.json")
     if (!fs.exists(p)) {
       fs.mkdirs(p.getParent)
-      val out = fs.create(p, true)
-      out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
-      out.close()
+      try {
+        val out = fs.create(p, false)
+        out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
+        out.close()
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => () // lost the race
+        case _: java.io.IOException if fs.exists(p) => () // lost the race (local fs)
+      }
     }
   }
 
@@ -246,15 +258,23 @@ object SignatureStore {
     // verify immune to duplicate store rows from an at-least-once
     // re-append; it runs on the candidate-restricted slice, so the
     // dedup shuffle is bounded by candidates, never the store.
-    // the candidate id set is bounded by LSH bucket occupancy (and by
-    // maxBucket when set) — broadcast is justified at ANY corpus scale,
-    // and hinting it statically (not waiting for AQE) both removes the
-    // store-side shuffle the SMJ fallback would plan AND lets dynamic
-    // partition pruning reuse the broadcast to prune bkt= partitions
+    // the candidate id set is bounded ONLY when maxBucket > 0 caps
+    // bucket occupancy — then the static broadcast hint is justified at
+    // any corpus scale, removes the store-side shuffle the SMJ fallback
+    // would plan, AND lets dynamic partition pruning reuse the
+    // broadcast to prune bkt= partitions. With no cap (maxBucket = 0)
+    // a boilerplate-heavy corpus makes candidates O(batch × bucket
+    // size) and a forced broadcast risks driver/executor OOM (ADVICE
+    // r8 #1) — strategy is left to AQE, which still broadcasts small
+    // runtime sets but keeps the shuffle fallback. Production
+    // deployments should set a positive maxBucket (LSH stop-bucket
+    // removal) to get the pruned-file read.
     val candCorpusIds = cand.select(col("doc_b").as("doc_id")).distinct()
       .withColumn("bkt", bktCol(col("doc_id"), b))
+    val candKeyed =
+      if (maxBucket > 0) broadcast(candCorpusIds) else candCorpusIds
     val exdStore = shingles(spark, path)
-      .join(broadcast(candCorpusIds), Seq("bkt", "doc_id"), "left_semi")
+      .join(candKeyed, Seq("bkt", "doc_id"), "left_semi")
       .select(col("doc_id"), col("x").as("s"))
       .distinct()
     val exdInKeyed = exdIn.select(col("doc_id"), Dedup.wideShingleKey(col("s")).as("s"))

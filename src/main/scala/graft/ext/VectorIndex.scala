@@ -1,6 +1,8 @@
 package graft.ext
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sinks.ArcaneLayout
@@ -21,9 +23,39 @@ import graft.sinks.ArcaneLayout
   *   coarse/      — coarse IVF centroids (cid, emb), plain parquet metadata
   *   books/       — PQ codebooks (s, cid, cemb), plain parquet metadata
   *   codes/data/cell=N/ — ArcaneLayout cell-partitioned PQ codes
-  *                        (neighbor_id, s, code)
+  *                        (neighbor_id, s, code), schema file +
+  *                        COMPLETED token published once
   *   metadata/v0/index.json — {dim, m} the encode/query arithmetic mirrors
+  *   metadata/v0/qerr.json  — build-time mean quantization error (e6)
+  *   metadata/drift/<batchId>.json — per-append drift metric (see below)
+  *   _commits/<batchId>     — empty marker, written LAST per append
   * }}}
+  *
+  * Durability is [[SignatureStore]]'s commit discipline (the
+  * reference's COMPLETED-token protocol, ParquetSink.cs:244-261): data
+  * files first, the `_commits/<batchId>` marker LAST, so delivery is
+  * at-least-once and replays are tolerated at BOTH layers — (a) a
+  * replayed [[append]] whose marker landed is a no-op (idempotent by
+  * batch id), and (b) duplicate code rows from a crash-between-write-
+  * and-marker replay are collapsed on read ([[topK]] takes one code per
+  * (neighbor_id, s)), so ADC sums can never double. Each append adds
+  * one file per touched `cell=` partition; run [[compact]] /
+  * [[maybeCompact]] on the ingestion cadence to keep file counts
+  * bounded (ArcaneLayout.compact rewrites per-partition, so `cell=`
+  * pruning is unaffected).
+  *
+  * Index lifecycle: quantization error is the recall-degradation proxy
+  * for an index whose codebooks were trained on an old distribution.
+  * [[build]] records the corpus' mean quantization error (mean squared
+  * distance between each sub-vector and its admitted code, e6
+  * fixed-point); every [[append]] measures the same statistic for its
+  * batch IN the encode pass (no extra scan) and persists
+  * `metadata/drift/<batchId>.json` with the ratio vs build time. A
+  * ratio near 1 means the stored codebooks still fit the data; sustained
+  * ratios above [[DriftRebuildThreshold]] mean appended vectors are
+  * being quantized ~that-many-times coarser than the index was built
+  * for — schedule a [[build]] (retrain) over the accumulated corpus.
+  * [[needsRebuild]] is the one-call form of that policy.
   *
   * [[topK]] reproduces [[Similarity.ivfPqTopK]] bit-for-bit on the
   * same corpus and parameters (same assignment, same ADC arithmetic,
@@ -36,48 +68,96 @@ import graft.sinks.ArcaneLayout
   * seeks. */
 object VectorIndex {
 
-  private def fs(spark: SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+  /** Drift ratio above which appended batches are quantized so much
+    * worse than build time that recall has likely degraded — the
+    * documented rebuild trigger. The value is a starting point
+    * (mean-sqdist roughly doubling); tune per corpus against a
+    * held-out recall probe. */
+  val DriftRebuildThreshold = 2.0
 
-  private def writeMeta(spark: SparkSession, path: String, dim: Int, m: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/metadata/v0/index.json")
+  /** What one [[append]] reports: the admitted batch's commit id, its
+    * mean quantization error (e6), the ratio vs the build-time error
+    * (1.0 for the build batch itself), and whether this call was a
+    * replay no-op of an already-committed batch. */
+  final case class AppendResult(
+      batchId: String, qerrE6: Long, driftRatio: Double, replayed: Boolean)
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Single-writer metadata create: overwrite=false so two racing
+    * first writers cannot interleave a check-then-create (the loser
+    * gets FileAlreadyExists and defers to the winner's recorded
+    * values — callers re-read through [[meta]]). */
+  private def writeJson(spark: SparkSession, path: String, rel: String,
+      json: String, overwrite: Boolean): Unit = {
+    val p = new Path(s"$path/$rel")
     val f = fs(spark, path)
     f.mkdirs(p.getParent)
-    val out = f.create(p, true)
-    out.write(s"""{"dim":$dim,"m":$m}""".getBytes("UTF-8"))
-    out.close()
+    if (overwrite && f.exists(p)) f.delete(p, false)
+    try {
+      val out = f.create(p, false)
+      out.write(json.getBytes("UTF-8"))
+      out.close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => () // lost the race
+      case e: java.io.IOException if f.exists(p) => () // lost the race (local fs)
+    }
   }
+
+  private def readJson(spark: SparkSession, path: String, rel: String): Option[String] = {
+    val p = new Path(s"$path/$rel")
+    val f = fs(spark, path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close())
+    }
+  }
+
+  private def jsonLong(txt: String, k: String): Option[Long] =
+    s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
 
   /** (dim, m) recorded at build — the shape every encode/query must
     * mirror. */
   def meta(spark: SparkSession, path: String): (Int, Int) = {
-    val in = fs(spark, path).open(
-      new org.apache.hadoop.fs.Path(s"$path/metadata/v0/index.json"))
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val get = (k: String) => s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt)
-      .getOrElse(throw new IllegalStateException(s"unreadable index metadata: $k"))
-      .group(1).toInt
+    val txt = readJson(spark, path, "metadata/v0/index.json")
+      .getOrElse(throw new IllegalStateException(s"no index metadata under $path"))
+    val get = (k: String) => jsonLong(txt, k)
+      .getOrElse(throw new IllegalStateException(s"unreadable index metadata: $k")).toInt
     (get("dim"), get("m"))
   }
+
+  /** Build-time mean quantization error (e6 fixed-point), the
+    * denominator of every append's drift ratio. None before [[build]]
+    * finishes recording it (the build batch itself reports ratio 1). */
+  def buildQerrE6(spark: SparkSession, path: String): Option[Long] =
+    readJson(spark, path, "metadata/v0/qerr.json").flatMap(jsonLong(_, "qerr_e6"))
 
   /** Train the index artifacts from a corpus and admit it: coarse
     * centroids + PQ codebooks persisted as metadata tables, then
     * [[append]] encodes the corpus into the cell-partitioned code
-    * store. Training cost is paid ONCE per index lifetime. */
+    * store, and the corpus' own quantization error is recorded as the
+    * drift baseline. Training cost is paid ONCE per index lifetime;
+    * re-running [[build]] is the rebuild path (retrains artifacts and
+    * re-records the baseline). */
   def build(corpus: DataFrame, idCol: String, embCol: String, path: String,
       dim: Int, m: Int, codebookK: Int, coarseK: Int,
       coarseIters: Int = 1, pqIters: Int = 1,
-      sampleFraction: Double = 1.0): Unit = {
+      sampleFraction: Double = 1.0): AppendResult = {
     val spark = corpus.sparkSession
-    writeMeta(spark, path, dim, m)
+    writeJson(spark, path, "metadata/v0/index.json",
+      s"""{"dim":$dim,"m":$m}""", overwrite = true)
     Similarity.trainCentroids(corpus, idCol, embCol, coarseK, coarseIters, sampleFraction)
       .select(col(idCol).as("cid"), col(embCol).as("emb"))
       .write.mode("overwrite").parquet(s"$path/coarse")
     Similarity.trainPqCodebooks(corpus, idCol, embCol, dim, m, codebookK,
         pqIters, sampleFraction)
       .write.mode("overwrite").parquet(s"$path/books")
-    append(corpus, idCol, embCol, path)
+    val r = append(corpus, idCol, embCol, path)
+    writeJson(spark, path, "metadata/v0/qerr.json",
+      s"""{"qerr_e6":${r.qerrE6}}""", overwrite = true)
+    r
   }
 
   def coarse(spark: SparkSession, path: String, embCol: String): DataFrame =
@@ -87,22 +167,127 @@ object VectorIndex {
   def books(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/books")
 
+  /** Committed batch markers — what a recovering driver consults to
+    * decide whether the last epoch's append landed. */
+  def committedBatches(spark: SparkSession, path: String): Seq[String] = {
+    val dir = new Path(s"$path/_commits")
+    val f = fs(spark, path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName).sorted
+  }
+
   /** Encode one batch against the STORED artifacts and append its
     * codes under the owning coarse cells — O(batch) work, narrow
-    * (broadcast codebook joins), no retraining. */
-  def append(batch: DataFrame, idCol: String, embCol: String, path: String): Unit = {
+    * (broadcast codebook joins), no retraining. Write order is the
+    * commit discipline: code files first, schema/COMPLETED token once,
+    * the drift metric, then the `_commits/<batchId>` marker LAST.
+    * Passing the driver's checkpointed `batchId` makes the call
+    * idempotent: a replay of an epoch whose marker landed writes
+    * nothing and returns `replayed = true`; a replay of an epoch that
+    * crashed before its marker re-appends (duplicate code rows), which
+    * [[topK]] collapses on read. The returned drift ratio is the batch
+    * vs build-time mean quantization error (see class doc). */
+  def append(batch: DataFrame, idCol: String, embCol: String, path: String,
+      batchId: Option[String] = None): AppendResult = {
     val spark = batch.sparkSession
+    val id = batchId.getOrElse(java.util.UUID.randomUUID().toString)
+    if (committedBatches(spark, path).contains(id)) {
+      val persisted = readJson(spark, path, s"metadata/drift/$id.json")
+      val q = persisted.flatMap(jsonLong(_, "qerr_e6")).getOrElse(0L)
+      val base = buildQerrE6(spark, path)
+      val ratio = base.filter(_ > 0L).map(b => q.toDouble / b).getOrElse(1.0)
+      return AppendResult(id, q, ratio, replayed = true)
+    }
     val (dim, m) = meta(spark, path)
     val cents = coarse(spark, path, embCol)
       .select(col("vi_cid").as(idCol), col(embCol))
     val cells = Similarity.assignCells(batch, cents, idCol, embCol)
       .select(col(idCol).as("neighbor_id"), col("cell"))
-    val codes = Similarity.pqAssign(
-        Similarity.pqSubRows(batch, idCol, embCol, dim, m),
-        books(spark, path), idCol)
-      .select(col(idCol).as("neighbor_id"), col("s"), col("cell").as("code"))
-    ArcaneLayout.writeDataBatch(codes.join(cells, "neighbor_id"),
-      s"$path/codes", partitionColumns = Seq("cell"))
+    // encode keeping the admitted code's squared distance: the drift
+    // metric rides the SAME pass that produces the codes (no extra
+    // scan; `rows` is batch-sized and cached across the two actions)
+    graft.functions.GraftFunctions.register(spark)
+    val w = Window.partitionBy(col("neighbor_id"), col("s"))
+      .orderBy(col("dist").asc, col("cid").asc)
+    val assigned = Similarity.pqSubRows(batch, idCol, embCol, dim, m)
+      .withColumnRenamed(idCol, "neighbor_id")
+      .join(broadcast(books(spark, path)), "s")
+      .withColumn("dist", Similarity.sqDist("semb", "cemb"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("neighbor_id"), col("s"), col("cid").as("code"), col("dist"))
+    val rows = assigned.join(cells, "neighbor_id").persist()
+    try {
+      val qerrE6 = Option(rows.agg(avg(col("dist"))).head.get(0))
+        .map(v => math.round(v.asInstanceOf[Double] * 1e6)).getOrElse(0L)
+      val out = rows.select(col("neighbor_id"), col("s"), col("code"), col("cell"))
+      ArcaneLayout.writeDataBatch(out, s"$path/codes", partitionColumns = Seq("cell"))
+      val hash = graft.schema.SchemaOps.shortFingerprint(out.schema)
+      if (!ArcaneLayout.completionTokenExists(out, s"$path/codes", hash)) {
+        ArcaneLayout.writeSchemaFile(out, s"$path/codes")
+        ArcaneLayout.writeCompletionToken(out, s"$path/codes", hash)
+      }
+      val base = buildQerrE6(spark, path)
+      val ratio = base.filter(_ > 0L).map(b => qerrE6.toDouble / b).getOrElse(1.0)
+      writeJson(spark, path, s"metadata/drift/$id.json",
+        s"""{"qerr_e6":$qerrE6,"build_qerr_e6":${base.getOrElse(-1L)},"ratio":$ratio}""",
+        overwrite = true)
+      val f = fs(spark, path)
+      f.mkdirs(new Path(s"$path/_commits"))
+      f.create(new Path(s"$path/_commits/$id"), true).close()
+      AppendResult(id, qerrE6, ratio, replayed = false)
+    } finally rows.unpersist()
+  }
+
+  /** Per-append drift history — (batchId, qerr_e6, ratio) in append
+    * order (file mtime, name tiebreak — batch ids are opaque). The ops
+    * dashboard feed for the rebuild decision. */
+  def driftHistory(spark: SparkSession, path: String): Seq[(String, Long, Double)] = {
+    val dir = new Path(s"$path/metadata/drift")
+    val f = fs(spark, path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .sortBy(st => (st.getModificationTime, st.getPath.getName))
+      .map(_.getPath.getName).flatMap { name =>
+      readJson(spark, path, s"metadata/drift/$name").map { txt =>
+        (name.stripSuffix(".json"),
+          jsonLong(txt, "qerr_e6").getOrElse(0L),
+          s""""ratio"\\s*:\\s*([0-9.Ee+-]+)""".r.findFirstMatchIn(txt)
+            .map(_.group(1).toDouble).getOrElse(1.0))
+      }
+    }
+  }
+
+  /** The rebuild policy, one call: true when the most recent append's
+    * drift ratio exceeds `threshold` — appended vectors are being
+    * quantized ~threshold× coarser than the index was built for, the
+    * recall-degradation proxy. Schedule [[build]] over the accumulated
+    * corpus when this trips. */
+  def needsRebuild(spark: SparkSession, path: String,
+      threshold: Double = DriftRebuildThreshold): Boolean =
+    driftHistory(spark, path).lastOption.exists(_._3 > threshold)
+
+  /** Rewrite the code store's small append files into ~target-sized
+    * ones, per `cell=` partition — each append adds one file per
+    * touched cell, so file count grows linearly with batches until
+    * compacted. Safe under concurrent appends (ArcaneLayout compacts a
+    * snapshot listing; late files are untouched) and pruning-neutral
+    * (rewrites stay inside their partition subdir). */
+  def compact(spark: SparkSession, path: String,
+      targetRecordsPerFile: Long = 1000000L): Seq[String] =
+    ArcaneLayout.compact(spark, s"$path/codes",
+      targetRecordsPerFile = targetRecordsPerFile)
+
+  /** Maintenance policy for the ingestion loop: compact once every
+    * `every` COMMITTED batches — deterministic under replays because
+    * an uncommitted partial append never advances the schedule
+    * (mirrors [[SignatureStore.maybeCompact]]). */
+  def maybeCompact(spark: SparkSession, path: String, every: Int,
+      targetRecordsPerFile: Long = 1000000L): Seq[String] = {
+    require(every > 0, "every must be positive")
+    val n = committedBatches(spark, path).size
+    if (n > 0 && n % every == 0) compact(spark, path, targetRecordsPerFile)
+    else Seq.empty
   }
 
   /** Approximate top-k against the stored index: queries coarse-assign
@@ -131,9 +316,15 @@ object VectorIndex {
       // the hive partition column infers as INT; the contract (and the
       // oracle schema) carries the coarse cell as BIGINT
       .select(col("query_id"), col("neighbor_id"), col("cell").cast("long").as("cell_ivf"))
+    // ONE code per (neighbor_id, subspace): collapses duplicate rows
+    // from a crash-before-marker re-append so the ADC sum over
+    // subspaces cannot double (codes are deterministic against the
+    // stored books, so surviving rows are identical); runs on the
+    // cell-pruned slice, never the whole store
     val codes = stored.select(col("neighbor_id"), col("s"), col("code").as("cell"))
+      .dropDuplicates("neighbor_id", "s")
     val dtab = Similarity.pqAdcTables(queries, books(spark, path), idCol, embCol, dim, m)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist_e6").asc, col("neighbor_id").asc)
     Similarity.adcScoreCandidates(codes, dtab, cand)
       .withColumn("rnk", row_number().over(w).cast("long"))

@@ -242,21 +242,57 @@ class SignatureStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
     out.getLong(3) shouldBe 1L // and a near-dup via the compacted signature/shingle tables
   }
 
-  it should "prune store buckets and avoid a store-side shuffle in the verify read" in {
-    // design-for-scale audit: the candidate-restricted shingle read
-    // must (a) broadcast the candidate id set (no shuffle of the store
+  it should "prune store buckets and avoid a store-side shuffle in the capped verify read" in {
+    // design-for-scale audit: with a positive maxBucket (the
+    // production setting — candidate count is then bounded by LSH
+    // occupancy caps) the candidate-restricted shingle read must
+    // (a) broadcast the candidate id set (no shuffle of the store
     // side), and (b) carry a dynamic-partition-pruning filter on bkt so
     // only the candidates' bucket directories are read at all
     val store = tempDir("sigstore-prune")
     SignatureStore.append(docsDf((1L to 20L).map(i =>
       i -> s"$base distinct tail marker $i"): _*), "doc_id", "text", store)
     val df = SignatureStore.dedupBatch(
-      docsDf(100L -> base.replace("tonight", "tomorrow")), "doc_id", "text", store)
+      docsDf(100L -> base.replace("tonight", "tomorrow")), "doc_id", "text", store,
+      maxBucket = 64)
     val plan = df.queryExecution.executedPlan.toString
     val shingleScanLines = plan.linesIterator
       .filter(l => l.contains("FileScan parquet") && l.contains("shingles/data")).toSeq
     shingleScanLines should not be empty
     atLeast(1, shingleScanLines) should include("dynamicpruningexpression(bkt")
+  }
+
+  it should "NOT force a broadcast of the candidate set when buckets are uncapped" in {
+    // ADVICE r8 #1: with maxBucket = 0 nothing bounds the candidate
+    // set (a boilerplate-heavy corpus makes it O(batch × bucket
+    // size)) — the verify read must leave join strategy to AQE instead
+    // of statically hinting a broadcast that could OOM at scale. The
+    // static plan for the store-side semi-join therefore starts as a
+    // non-broadcast join (AQE may still flip it at runtime from
+    // observed sizes — that fallback is the point).
+    val store = tempDir("sigstore-nocap")
+    SignatureStore.append(docsDf((1L to 20L).map(i =>
+      i -> s"$base distinct tail marker $i"): _*), "doc_id", "text", store)
+    // model the at-scale statistics (estimates over the broadcast
+    // threshold) by disabling size-based auto-broadcast: a forced HINT
+    // would still plan BroadcastHashJoin here — the gate must not
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SignatureStore.dedupBatch(
+        docsDf(100L -> base.replace("tonight", "tomorrow")), "doc_id", "text", store)
+      val initial = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val semiLines = initial.linesIterator
+        .filter(l => l.contains("LeftSemi")).toSeq
+      semiLines should not be empty
+      val bktSemi = semiLines.filter(_.contains("bkt"))
+      bktSemi should not be empty
+      // the shingle-store semi-join must not be a statically-forced
+      // broadcast (the batch-id anti-joins keep their explicit hints —
+      // they are O(batch) by construction)
+      no(bktSemi) should include("Broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   it should "cap degenerate corpus-side band buckets in crossCandidates (skew guard)" in {
