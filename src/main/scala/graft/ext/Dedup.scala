@@ -128,10 +128,27 @@ object Dedup {
       ex.join(sizes.filter(col("bucket_n") > maxBucket), Seq("bk"), "left_anti")
     }
 
-  /** Exact dedup: group rows by the sha-256 of their normalized text,
-    * keep the smallest id per group. One shuffle, partial-aggregated. */
+  /** THE exact-duplicate content hash — sha-256 of the canonical
+    * normalized text ([[TextOps.normalized]]: lowercase, non-alnum
+    * split, single-space rejoin). Every exact tier in the engine
+    * shares this one definition (VERDICT r8 #3 — the store path
+    * previously hashed raw bytes while the streaming/batch paths
+    * hashed normalized text, two silently divergent "exact duplicate"
+    * semantics): [[exact]], [[SignatureStore]]'s hashes table and
+    * exact tier, `dedup_incremental`/`pipeline_dedup_apply`'s
+    * exact-drop tier, and
+    * [[graft.streaming.StreamingDedup.exactDupStream]]. Byte-level
+    * identity (when whitespace/punctuation variants must stay
+    * distinct — e.g. a content-version manifest) is a different
+    * contract: hash the raw column directly, as `pipeline_manifest`
+    * does. */
+  def contentHash(text: Column): Column =
+    sha2(TextOps.normalized(text), 256)
+
+  /** Exact dedup: group rows by [[contentHash]], keep the smallest id
+    * per group. One shuffle, partial-aggregated. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(sha2(TextOps.normalized(col(textCol)), 256).as("content_hash"))
+    df.groupBy(contentHash(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_" + idCol), count(lit(1)).as("n_copies"))
 
   /** Doc → (id, sig, bands) projection via explode → k partial-min

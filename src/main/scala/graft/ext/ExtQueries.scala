@@ -593,7 +593,7 @@ object ExtQueries {
       .withColumn("in_id", col("doc_a")) // doc_a is the side-1 (incoming) id
     val near = verified.groupBy("in_id")
       .agg(count(lit(1)).as("n_candidates"), max(col("is_dup")).as("near_dup"))
-    val hashes = d.select(col("doc_id"), md5(col("text")).as("h"))
+    val hashes = d.select(col("doc_id"), Dedup.contentHash(col("text")).as("h"))
     val exact = hashes.filter(pmod(col("doc_id"), lit(2)) === 1).alias("i")
       .join(hashes.filter(pmod(col("doc_id"), lit(2)) === 0).alias("e"),
         col("i.h") === col("e.h"), "left_semi")
@@ -667,7 +667,7 @@ object ExtQueries {
        |  FROM x JOIN shd a ON a.doc_id = x.doc_a JOIN shd b ON b.doc_id = x.doc_b),
        |near AS (SELECT in_id, count(*)::BIGINT AS n_candidates,
        |    max(is_dup)::BIGINT AS near_dup FROM ver GROUP BY in_id),
-       |hs AS (SELECT doc_id, md5(text) AS h FROM documents),
+       |hs AS (SELECT doc_id, sha256(array_to_string(toks, ' ')) AS h FROM tok),
        |exk AS (SELECT DISTINCT i.doc_id AS in_id FROM hs i
        |  WHERE ((i.doc_id % 2) + 2) % 2 = 1
        |    AND EXISTS (SELECT 1 FROM hs e
@@ -1781,7 +1781,7 @@ object ExtQueries {
 
   def pipelineDedupApply(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select("doc_id", "text")
-    val hashes = d.select(col("doc_id"), md5(col("text")).as("h"))
+    val hashes = d.select(col("doc_id"), Dedup.contentHash(col("text")).as("h"))
     val ex = hashes.withColumn("ex_keeper",
       min(col("doc_id")).over(Window.partitionBy(col("h"))))
     val exd = Dedup.shingleRows(d, "doc_id", "text", ShingleN)
@@ -1821,8 +1821,8 @@ object ExtQueries {
        |  UNION
        |  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
        |comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
-       |exh AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS ex_keeper
-       |  FROM documents)
+       |exh AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(array_to_string(toks, ' '))) AS ex_keeper
+       |  FROM tok)
        |SELECT exh.doc_id,
        |  CASE WHEN exh.ex_keeper <> exh.doc_id THEN 'drop_exact'
        |       WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> exh.doc_id THEN 'drop_near'
@@ -1970,27 +1970,33 @@ object ExtQueries {
   // production). The stream itself still runs on every call.
   private val goldenDirCache = scala.collection.mutable.Map.empty[String, String]
 
+  /** Slice a document frame into `GoldenBatches` single-file parquet
+    * micro-batches (batch = `pmod(doc_id, GoldenBatches)`) with spaced
+    * mtimes — FileStreamSource orders by mtime, so with
+    * `maxFilesPerTrigger=1` the trigger order is deterministic. */
+  private def writeGoldenStream(d: DataFrame): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-golden")
+    sys.addShutdownHook(SignatureStore.deleteStore(tmp))
+    val streamDir = new java.io.File(tmp.toFile, "stream"); streamDir.mkdirs()
+    val epoch = 1700000000000L // fixed base; only the relative order matters
+    (0 until GoldenBatches).foreach { i =>
+      val part = s"$tmp/part$i"
+      d.filter(pmod(col("doc_id"), lit(GoldenBatches)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(part)
+      val f = new java.io.File(part).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $part"))
+      val dest = new java.io.File(streamDir, f"batch-$i%03d.parquet")
+      java.nio.file.Files.move(f.toPath, dest.toPath)
+      dest.setLastModified(epoch + i * 60000L)
+    }
+    streamDir.toString
+  }
+
   private def goldenStreamDir(spark: SparkSession, dir: String): String =
     goldenDirCache.synchronized {
-      goldenDirCache.getOrElseUpdate(dir, {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-stream-golden")
-        sys.addShutdownHook(SignatureStore.deleteStore(tmp))
-        val streamDir = new java.io.File(tmp.toFile, "stream"); streamDir.mkdirs()
-        val d = docs(spark, dir).select("doc_id", "text")
-        val epoch = 1700000000000L // fixed base; only the relative order matters
-        (0 until GoldenBatches).foreach { i =>
-          val part = s"$tmp/part$i"
-          d.filter(pmod(col("doc_id"), lit(GoldenBatches)) === i)
-            .coalesce(1).write.mode("overwrite").parquet(part)
-          val f = new java.io.File(part).listFiles()
-            .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-            .getOrElse(throw new IllegalStateException(s"no part file in $part"))
-          val dest = new java.io.File(streamDir, f"batch-$i%03d.parquet")
-          java.nio.file.Files.move(f.toPath, dest.toPath)
-          dest.setLastModified(epoch + i * 60000L) // FileStreamSource orders by mtime
-        }
-        streamDir.toString
-      })
+      goldenDirCache.getOrElseUpdate(dir,
+        writeGoldenStream(docs(spark, dir).select("doc_id", "text")))
     }
 
   def streamingDedupGolden(spark: SparkSession, dir: String): DataFrame = {
@@ -2025,6 +2031,100 @@ object ExtQueries {
     s2.catalog.dropTempView(name)
     out.orderBy("doc_id", "matched_doc_id", "n_sig_match")
   }
+
+  // ------------------------------------------------------------------
+  // streaming_exact_golden: the streaming EXACT tier, oracle-checked
+  // (VERDICT r8 #3 — exactDupStream was spec-only, and its hash
+  // definition has been unified with the batch/store paths onto
+  // Dedup.contentHash). Same 5-micro-batch golden harness as
+  // streaming_dedup_golden; the DuckDB oracle replays first-owner
+  // semantics exactly: a hash's owner is the smallest doc id in the
+  // EARLIEST batch carrying that hash, and every other doc with the
+  // same normalized-content hash emits one (doc_id, first_doc_id) hit
+  // on arrival — including same-batch arrivals (the whole group is
+  // processed together, so non-owners of a new hash emit immediately).
+  // ------------------------------------------------------------------
+
+  // The synthetic corpus has no two documents whose NORMALIZED text
+  // collides (checked at sf0.01 and sf0.1), so a golden over the raw
+  // stream would pass vacuously on 0 rows. The exact stream therefore
+  // ingests the corpus PLUS deterministic normalized-equal clones —
+  // case/punctuation variants, identity-preserving under
+  // TextOps.normalized (the corpus is pure ASCII, so upper/lower
+  // roundtrips are byte-stable). Clone id offsets are chosen mod
+  // GoldenBatches to cover the interesting arrival orders: +1000001
+  // lands one batch after its original (and for originals in batch 4
+  // WRAPS to batch 0 — the clone arrives first and owns the hash, so
+  // the owner is NOT the smallest id), +2000003 three batches after,
+  // +3000000 the SAME batch (same-trigger emission against the
+  // just-admitted owner).
+  private def exactCloneCorpus(d: DataFrame): DataFrame =
+    d.unionAll(d.filter(pmod(col("doc_id"), lit(37)) === 0)
+        .select((col("doc_id") + 1000001L).as("doc_id"),
+          upper(col("text")).as("text")))
+      .unionAll(d.filter(pmod(col("doc_id"), lit(111)) === 0)
+        .select((col("doc_id") + 2000003L).as("doc_id"),
+          concat(col("text"), lit(" !!!")).as("text")))
+      .unionAll(d.filter(pmod(col("doc_id"), lit(53)) === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          upper(col("text")).as("text")))
+
+  /** The same clone construction for the DuckDB oracle. */
+  private val ExactCloneCte =
+    """base AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000001, upper(text) FROM documents
+      |    WHERE ((doc_id % 37) + 37) % 37 = 0
+      |  UNION ALL SELECT doc_id + 2000003, text || ' !!!' FROM documents
+      |    WHERE ((doc_id % 111) + 111) % 111 = 0
+      |  UNION ALL SELECT doc_id + 3000000, upper(text) FROM documents
+      |    WHERE ((doc_id % 53) + 53) % 53 = 0)""".stripMargin
+
+  private val goldenExactDirCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def goldenExactStreamDir(spark: SparkSession, dir: String): String =
+    goldenExactDirCache.synchronized {
+      goldenExactDirCache.getOrElseUpdate(dir,
+        writeGoldenStream(exactCloneCorpus(docs(spark, dir).select("doc_id", "text"))))
+    }
+
+  def streamingExactGolden(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = new java.io.File(goldenExactStreamDir(spark, dir))
+    val d = docs(spark, dir).select("doc_id", "text")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val name = s"streaming_exact_${goldenCounter.incrementAndGet()}"
+    val src = s2.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val hits = graft.streaming.StreamingDedup.exactDupStream(src, "doc_id", "text")
+    val q = hits.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val res = s2.table(name).select(
+        col("docId").as("doc_id"),
+        col("firstDocId").as("first_doc_id"))
+      .orderBy("doc_id", "first_doc_id")
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
+    s2.catalog.dropTempView(name)
+    out.orderBy("doc_id", "first_doc_id")
+  }
+
+  private val streamingExactGoldenSql =
+    s"""WITH $ExactCloneCte,
+       |tokb AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+       |    '[^a-z0-9]+'), x -> x <> '') AS toks FROM base),
+       |hs AS (SELECT doc_id, sha256(array_to_string(toks, ' ')) AS h FROM tokb),
+       |j AS (SELECT hs.doc_id, hs.h,
+       |    ((hs.doc_id % $GoldenBatches) + $GoldenBatches) % $GoldenBatches AS b
+       |  FROM hs),
+       |own AS (SELECT h, doc_id AS owner FROM (
+       |    SELECT h, doc_id,
+       |      row_number() OVER (PARTITION BY h ORDER BY b, doc_id) AS rn
+       |    FROM j) WHERE rn = 1)
+       |SELECT j.doc_id, own.owner AS first_doc_id
+       |FROM j JOIN own ON own.h = j.h
+       |WHERE j.doc_id <> own.owner
+       |ORDER BY j.doc_id, first_doc_id""".stripMargin
 
   private val streamingDedupGoldenSql =
     s"""WITH $TokCte, $ShCte,
@@ -2067,6 +2167,7 @@ object ExtQueries {
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_incremental_store" -> (dedupIncrementalStore(_, _)),
     "streaming_dedup_golden" -> (streamingDedupGolden(_, _)),
+    "streaming_exact_golden" -> (streamingExactGolden(_, _)),
     "dedup_substring" -> (dedupSubstring(_, _)),
     "pipeline_dedup_apply" -> (pipelineDedupApply(_, _)),
     "text_cooccurrence" -> (textCooccurrence(_, _)),
@@ -2115,6 +2216,7 @@ object ExtQueries {
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_store" -> dedupIncrementalSql,
     "streaming_dedup_golden" -> streamingDedupGoldenSql,
+    "streaming_exact_golden" -> streamingExactGoldenSql,
     "dedup_substring" -> dedupSubstringSql,
     "pipeline_dedup_apply" -> pipelineDedupApplySql,
     "text_cooccurrence" -> textCooccurrenceSql,

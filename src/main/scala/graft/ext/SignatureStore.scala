@@ -25,7 +25,9 @@ import graft.sinks.ArcaneLayout
   * {{{
   *   signatures/data/bkt=N/  (doc_id, sig array<long>, bands array<string>, n_sh)
   *   shingles/data/bkt=N/    (doc_id, x)  — 60-bit shingle KEYS, for exact verify
-  *   hashes/data/bkt=N/      (doc_id, h)  — md5 content hash, for the exact tier
+  *   hashes/data/bkt=N/      (doc_id, h)  — [[Dedup.contentHash]] (sha-256 of
+  *                            normalized text — the engine's ONE exact-dup
+  *                            definition), for the exact tier
   *   metadata/v0/store.json   — {"buckets": n}: the bkt arithmetic readers must mirror
   *   _commits/<batchId>       — empty marker, written LAST per append
   * }}}
@@ -135,7 +137,8 @@ object SignatureStore {
     val tables = Seq(
       "signatures" -> proj,
       "shingles"   -> exd.select(col("doc_id"), Dedup.wideShingleKey(col("s")).as("x")),
-      "hashes"     -> batch.select(col(idCol).as("doc_id"), md5(col(textCol)).as("h")))
+      "hashes"     -> batch.select(col(idCol).as("doc_id"),
+        Dedup.contentHash(col(textCol)).as("h")))
     tables.foreach { case (name, df) =>
       val target = s"$path/$name"
       val out = df.withColumn("bkt", bktCol(col("doc_id"), b))
@@ -281,7 +284,7 @@ object SignatureStore {
     val verified = Dedup.jaccardVerifyExploded(cand, exdInKeyed.unionAll(exdStore), threshold)
     val near = verified.groupBy(col("doc_a").as("doc_id"))
       .agg(count(lit(1)).as("n_candidates"), max(col("is_dup")).as("near_dup"))
-    val exact = in.select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = in.select(col("doc_id"), Dedup.contentHash(col("text")).as("h"))
       .join(hashes(spark, path).join(broadcast(inIds), Seq("doc_id"), "left_anti")
           .select(col("h")),
         Seq("h"), "left_semi")

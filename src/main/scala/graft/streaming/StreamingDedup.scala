@@ -110,14 +110,21 @@ object StreamingDedup {
       }
   }
 
-  /** Exact-dup hits: state keyed by the content hash of the normalized
-    * text, holding the first owner id; later arrivals emit hits. */
+  /** Exact-dup hits: state keyed by [[Dedup.contentHash]] (the
+    * engine's one exact-dup definition — sha-256 of normalized text,
+    * shared with the batch and store paths), holding the first owner
+    * id; later arrivals emit hits.
+    *
+    * First-owner semantics: the owner of a hash is the smallest doc id
+    * in the EARLIEST micro-batch that carried it (ids sorted within a
+    * batch); every later arrival of the same hash emits one
+    * [[ExactDupHit]] naming that owner. */
   def exactDupStream(docs: DataFrame, idCol: String,
       textCol: String): Dataset[ExactDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .select(sha2(TextOps.normalized(col(textCol)), 256).as("h"),
+      .select(Dedup.contentHash(col(textCol)).as("h"),
         col(idCol).cast("long").as("docId"))
       .as[(String, Long)]
       .groupByKey(_._1)
