@@ -158,9 +158,35 @@ object Bench {
         failed ::= "store_ingest"
         None
       }
+    // Train-vs-search stage split for the sim_ivfpq family (VERDICT r8
+    // #6): the sim_ivfpq/sim_pq query rows are dominated by in-plan
+    // training, which hides search-stage regressions — the stage that
+    // matters at scale (training is once-per-corpus, search is
+    // per-query). This row times the shared TRAINING stage alone
+    // (eagerly-materialized centroids + codebooks, identical parameters
+    // to sim_ivfpq); the cached-structures SEARCH row already exists as
+    // sim_index_store (stored index, built outside its timed path). A
+    // sim_ivfpq movement now attributes per stage. min-of-2.
+    val simTrain: Option[Double] =
+      try {
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          graft.ext.ExtQueries.simTrainStage(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sec = times.min
+        System.err.println(f"[bench] sim_train ${sec}%.2fs")
+        Some(sec)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sim_train failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        failed ::= "sim_train"
+        None
+      }
     val withStreaming = results ++
       streaming.map { case (_, sec, _) => "streaming_dedup" -> sec } ++
-      storeIngest.map("store_ingest" -> _)
+      storeIngest.map("store_ingest" -> _) ++
+      simTrain.map("sim_train" -> _)
 
     def render(fmt: Double => String, minimal: Boolean,
         rows: Seq[(String, Double)], otherN: Int, otherSec: Double): String = {

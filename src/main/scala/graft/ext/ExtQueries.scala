@@ -1514,6 +1514,27 @@ object ExtQueries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Bench-only stage row (VERDICT r8 #6): the TRAINING stage of the
+    * sim_ivfpq family alone — the same coarse centroids (k=8, one
+    * Lloyd iteration) and PQ codebooks (m=8 × k=16, two iterations)
+    * that sim_ivfpq / sim_ivfpq_rerank / VectorIndex.build compute
+    * in-plan. Both trainers eagerly materialize (localCheckpoint), so
+    * the timed cost IS the training; the returned frame is the
+    * metadata-sized union of both structures. The paired SEARCH-stage
+    * row is `sim_index_store` (stored structures, warm): a sim_ivfpq
+    * regression attributes to training if sim_train moved, to search
+    * if sim_index_store moved. Not oracled — the structures are
+    * already hash-verified through sim_ivf / sim_pq / sim_ivfpq. */
+  def simTrainStage(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1)
+    val books = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+      dim = 64, m = PqM, codebookK = PqK, iters = PqIters)
+    cents.select(lit(-1).as("s"), col("vec_id").as("cid"),
+        col("embedding").as("cemb"))
+      .unionByName(books)
+  }
+
   def simIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select("vec_id", "embedding")
     val cents = Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1)
