@@ -19,6 +19,15 @@ case class NearDupHit(docId: Long, matchedDocId: Long, nSigMatch: Int)
 /** An incoming doc whose content hash was already stored. */
 case class ExactDupHit(docId: Long, firstDocId: Long)
 
+/** One exploded LSH band row carrying its document's event time, for
+  * the TTL-bounded store variant. */
+case class BandRowT(bandKey: String, docId: Long, sig: Seq[Long],
+    ts: java.sql.Timestamp)
+
+/** A band-bucket member with the event time it was (last) seen at,
+  * for the TTL-bounded store variant. */
+case class DocSigT(docId: Long, sig: Seq[Long], tsMs: Long)
+
 /** Streaming incremental dedup (VERDICT r5 #5): the batch
   * `dedup_incremental` check — exact content hash + LSH candidate
   * signatures — wired as a REAL Structured Streaming flow. Each
@@ -107,6 +116,113 @@ object StreamingDedup {
             .filterNot(d => prior.exists(_.docId == d.docId))
           state.update(grown.take(maxBucket))
           hits.iterator
+      }
+  }
+
+  /** [[bandRows]] plus the document's event time: the projection for
+    * the TTL-bounded variant. `docs` must already carry a watermark on
+    * `tsCol` (`docs.withWatermark(tsCol, delay)`) — the watermark is
+    * what retires state. */
+  def bandRowsTs(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3,
+      shingleN: Int = 3): Dataset[BandRowT] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("docId"),
+        // the watermarked attribute itself rides along (as a Timestamp
+        // field, NOT converted to a long — the watermark metadata lives
+        // on this attribute, and the event-time-timeout analyzer check
+        // requires it to reach the stateful operator)
+        col(tsCol).as("ts"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
+      .select(col("docId"), col("ts"),
+        Dedup.minhashSigOnce(TextOps.shingles(col("toks"), shingleN), k).as("sig"))
+      .select(
+        explode(Dedup.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bandKey"),
+        col("docId"), col("sig"), col("ts"))
+      .as[BandRowT]
+  }
+
+  /** [[nearDupStream]] with a RETENTION HORIZON (VERDICT r8 #8): an
+    * incoming doc is matched against — and stored members survive as —
+    * only the corpus whose EVENT TIME is within `ttlMs` of the
+    * watermark. [[nearDupStream]]'s unbounded state is correct when
+    * the stream IS the corpus store; a bounded-horizon deployment
+    * (dedup against the trailing week of a feed) needs state that
+    * holds steady at O(buckets active inside the horizon), not the
+    * stream's lifetime vocabulary.
+    *
+    * The horizon is event-time on purpose: retention defined against
+    * the watermark is DETERMINISTIC and replayable — reprocessing the
+    * same feed from a checkpoint (or a backfill at full speed) evicts
+    * exactly the same members at exactly the same triggers, where a
+    * processing-time horizon would depend on how fast the replay ran.
+    * (A processing-time variant also has an operational trap: armed
+    * processing-time timeouts make the engine schedule no-data batches
+    * forever, so neither `processAllAvailable()` nor
+    * `Trigger.AvailableNow` ever sees the stream idle.)
+    *
+    * Mechanics: members carry the event time they were last seen at
+    * ([[DocSigT]]; re-arrival refreshes it forward). At each bucket
+    * access, members with `tsMs + ttlMs <= watermark` are dropped
+    * BEFORE matching — inside the horizon the semantics are identical
+    * to [[nearDupStream]] (same batch-vs-corpus rule, same cap, same
+    * per-band emission; spec-pinned on the base spec's scenario).
+    * Arrivals themselves always get matched (a too-late doc still
+    * deserves its dedup verdict) but only inside-horizon rows are
+    * STORED. Buckets with no arrivals can't self-clean on access, so
+    * each update arms [[GroupStateTimeout.EventTimeTimeout]] at the
+    * newest member's expiry; the watermark passing it means every
+    * member is gone, and the callback removes the bucket outright —
+    * idle keys leave the store instead of parking forever. */
+  def nearDupStreamTtl(rows: Dataset[BandRowT], ttlMs: Long,
+      maxBucket: Int = 64, minSigMatch: Int = 8): Dataset[NearDupHit] = {
+    require(ttlMs > 0, "ttlMs must be positive")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.bandKey)
+      .flatMapGroupsWithState[Seq[DocSigT], NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, incoming: Iterator[BandRowT], state: GroupState[Seq[DocSigT]]) =>
+          if (state.hasTimedOut) {
+            // the watermark passed max(member ts) + ttl: every member
+            // is beyond the horizon — drop the whole bucket
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs() // 0 until it advances
+            val prior = state.getOption.getOrElse(Seq.empty)
+              .filter(_.tsMs + ttlMs > wm)
+            val batch = incoming.toVector.sortBy(_.docId)
+            val hits = for {
+              in <- batch
+              m <- prior
+              if m.docId != in.docId
+              nm = in.sig.zip(m.sig).count { case (a, b) => a == b }
+              if nm >= minSigMatch
+            } yield NearDupHit(in.docId, m.docId, nm)
+            // store only inside-horizon arrivals; re-arrival of a live
+            // member refreshes its timestamp forward (it was just seen)
+            val live = batch.filter(_.ts.getTime + ttlMs > wm)
+            val grown =
+              prior.map { m =>
+                live.filter(_.docId == m.docId).map(_.ts.getTime)
+                  .foldLeft(m)((acc, t) => acc.copy(tsMs = math.max(acc.tsMs, t)))
+              } ++
+                live.filterNot(r => prior.exists(_.docId == r.docId))
+                  .map(r => DocSigT(r.docId, r.sig, r.ts.getTime))
+            val kept = grown.take(maxBucket)
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(kept)
+              // > wm by construction: every kept member passed the
+              // tsMs + ttlMs > wm filter above
+              state.setTimeoutTimestamp(kept.map(_.tsMs).max + ttlMs)
+            }
+            hits.iterator
+          }
       }
   }
 

@@ -94,6 +94,91 @@ class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally q.stop()
   }
 
+  behavior of "StreamingDedup.nearDupStreamTtl"
+
+  // The TTL horizon is event-time (watermark-driven), so these specs
+  // are fully deterministic: timestamps are planted, the watermark
+  // advances only when data arrives, and eviction happens at exact
+  // trigger boundaries — no sleeps, no wall clock.
+  private def ts(minute: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(1700000000000L + minute * 60000L)
+
+  private def ttlQuery(in: MemoryStream[(Long, String, java.sql.Timestamp)],
+      name: String, ttlMs: Long) = {
+    val hits = StreamingDedup.nearDupStreamTtl(
+      StreamingDedup.bandRowsTs(
+        in.toDF().toDF("doc_id", "text", "ts").withWatermark("ts", "0 seconds"),
+        "doc_id", "text", "ts"),
+      ttlMs = ttlMs, minSigMatch = 6)
+    hits.writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", tempDir(s"$name-ckpt"))
+      .start()
+  }
+
+  it should "behave exactly like nearDupStream inside the horizon" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // horizon (1h) far wider than the planted timestamps (minutes
+    // 0-2) → the base operator's semantics on the base spec's scenario
+    val q = ttlQuery(in, "ttl_wide_hits", 3600000L)
+    try {
+      in.addData((2L, base.format("today"), ts(0)), (4L, unrelated, ts(0)))
+      q.processAllAvailable()
+      spark.table("ttl_wide_hits").count() shouldBe 0
+      in.addData((11L, base.format("tonight"), ts(1)),
+        (12L, base.format("tomorrow"), ts(1)),
+        (13L, "entirely novel content discussing walnut cultivation and irrigation schedules", ts(1)))
+      q.processAllAvailable()
+      in.addData((21L, base.format("tonight"), ts(2)))
+      q.processAllAvailable()
+      val pairs = spark.table("ttl_wide_hits").as[NearDupHit].collect()
+        .map(h => (h.docId, h.matchedDocId)).distinct.sorted
+      pairs should contain((11L, 2L))
+      pairs should contain((12L, 2L))
+      pairs should contain((21L, 11L))
+      pairs.map(_._1) should not contain 13L
+      pairs should not contain ((12L, 11L)) // batch-vs-corpus preserved
+    } finally q.stop()
+  }
+
+  it should "evict members past the horizon and drop idle buckets" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = ttlQuery(in, "ttl_hits", ttlMs = 600000L) // 10-minute horizon
+    try {
+      // minute 0: the corpus — watermark still at its initial floor
+      in.addData((2L, base.format("today"), ts(0)), (4L, unrelated, ts(0)))
+      q.processAllAvailable()
+      // minute 20: an unrelated doc pushes the watermark past minute
+      // 10 = every minute-0 member's expiry; their idle buckets are
+      // removed by the timeout path in the watermark-advance batch
+      in.addData((99L, "totally fresh subject matter involving glacier monitoring equipment", ts(20)))
+      q.processAllAvailable()
+      // minute 21: a near-dup of doc 2 arrives AFTER the horizon — no
+      // hit (expired members are dropped at access, before matching)
+      in.addData((11L, base.format("tonight"), ts(21)))
+      q.processAllAvailable()
+      spark.table("ttl_hits").count() shouldBe 0
+      // state holds exactly docs 99 and 11 (4 band buckets each, one
+      // member each): minute-0 buckets are GONE, not parked empty
+      val stateRows = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsTotal).lastOption
+      stateRows shouldBe Some(8L)
+      // the post-eviction store still works: an inside-horizon
+      // near-dup matches the live member, never the expired one
+      in.addData((12L, base.format("tomorrow"), ts(22)))
+      q.processAllAvailable()
+      val pairs = spark.table("ttl_hits").as[NearDupHit].collect()
+        .map(h => (h.docId, h.matchedDocId)).distinct
+      pairs should contain((12L, 11L))
+      pairs should not contain ((12L, 2L))
+    } finally q.stop()
+  }
+
   behavior of "StreamingDedup.exactDupStream"
 
   it should "flag later arrivals of a stored content hash (normalization included)" in {
