@@ -2054,6 +2054,99 @@ object ExtQueries {
   }
 
   // ------------------------------------------------------------------
+  // streaming_ttl_golden: the event-time TTL variant of the streaming
+  // near-dup store (VERDICT r8 #8), oracle-checked. Same 5-micro-batch
+  // golden harness, with batch i carrying event time epoch + 7min·i
+  // and a 10-minute horizon: at batch i's access the watermark sits at
+  // 7min·(i−1), so a member from batch j is live iff 7j + 10 > 7(i−1)
+  // ⟺ j ≥ i−2 — the live corpus is EXACTLY the two previous batches.
+  // DuckDB replays eviction composed with the 64-member cap: admission
+  // is sequential (new arrivals fill whatever the live prior left of
+  // the cap), so per (bucket, batch) the admitted count unrolls as
+  // a_j = min(n_j, max(0, 64 − a_{j−1} − a_{j−2})) — five chained
+  // CTEs, no recursion needed. Rows never admitted are dropped forever
+  // (they still get matched on their own arrival); expired members
+  // free their cap slots for later batches.
+  // ------------------------------------------------------------------
+
+  private val TtlGoldenHorizonMs = 600000L // 10 min
+  private val TtlGoldenSpacingMs = 420000L // 7 min between batches
+
+  private val goldenTtlDirCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def goldenTtlStreamDir(spark: SparkSession, dir: String): String =
+    goldenTtlDirCache.synchronized {
+      goldenTtlDirCache.getOrElseUpdate(dir,
+        writeGoldenStream(docs(spark, dir).select(col("doc_id"), col("text"),
+          timestamp_millis(lit(1700000000000L) +
+            pmod(col("doc_id"), lit(GoldenBatches)) * TtlGoldenSpacingMs).as("ts"))))
+    }
+
+  def streamingTtlGolden(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = new java.io.File(goldenTtlStreamDir(spark, dir))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val name = s"streaming_ttl_${goldenCounter.incrementAndGet()}"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val src = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val hits = graft.streaming.StreamingDedup.nearDupStreamTtl(
+      graft.streaming.StreamingDedup.bandRowsTs(
+        src.withWatermark("ts", "0 seconds"), "doc_id", "text", "ts"),
+      ttlMs = TtlGoldenHorizonMs)
+    val q = hits.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val res = s2.table(name).select(
+        col("docId").as("doc_id"),
+        col("matchedDocId").as("matched_doc_id"),
+        col("nSigMatch").cast("long").as("n_sig_match"))
+      .orderBy("doc_id", "matched_doc_id", "n_sig_match")
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
+    s2.catalog.dropTempView(name)
+    out.orderBy("doc_id", "matched_doc_id", "n_sig_match")
+  }
+
+  private val streamingTtlGoldenSql =
+    s"""WITH $TokCte, $ShCte,
+       |$SigCtes,
+       |bat AS (SELECT doc_id, ((doc_id % $GoldenBatches) + $GoldenBatches) % $GoldenBatches AS b
+       |  FROM documents),
+       |exb AS (SELECT e.doc_id, e.bk, bat.b,
+       |    row_number() OVER (PARTITION BY e.bk, bat.b ORDER BY e.doc_id) AS r
+       |  FROM ex e JOIN bat ON bat.doc_id = e.doc_id),
+       |c0 AS (SELECT bk,
+       |    count(*) FILTER (WHERE b = 0) AS n0,
+       |    count(*) FILTER (WHERE b = 1) AS n1,
+       |    count(*) FILTER (WHERE b = 2) AS n2,
+       |    count(*) FILTER (WHERE b = 3) AS n3,
+       |    count(*) FILTER (WHERE b = 4) AS n4
+       |  FROM exb GROUP BY bk),
+       |c1 AS (SELECT *, least(n0, 64) AS a0 FROM c0),
+       |c2 AS (SELECT *, least(n1, greatest(0, 64 - a0)) AS a1 FROM c1),
+       |c3 AS (SELECT *, least(n2, greatest(0, 64 - a1 - a0)) AS a2 FROM c2),
+       |c4 AS (SELECT *, least(n3, greatest(0, 64 - a2 - a1)) AS a3 FROM c3),
+       |c5 AS (SELECT *, least(n4, greatest(0, 64 - a3 - a2)) AS a4 FROM c4),
+       |mem AS (SELECT e.doc_id, e.bk, e.b FROM exb e JOIN c5 c ON c.bk = e.bk
+       |  WHERE e.r <= (CASE e.b WHEN 0 THEN c.a0 WHEN 1 THEN c.a1
+       |    WHEN 2 THEN c.a2 WHEN 3 THEN c.a3 ELSE c.a4 END)),
+       |hit AS (SELECT a.doc_id AS doc_id, m.doc_id AS matched_doc_id,
+       |    len(list_filter(generate_series(1, $MinhashK), i -> sa.sig[i] = sb.sig[i]))::BIGINT AS n_sig_match
+       |  FROM exb a JOIN mem m ON a.bk = m.bk AND m.b < a.b AND m.b >= a.b - 2
+       |  JOIN sig sa ON sa.doc_id = a.doc_id
+       |  JOIN sig sb ON sb.doc_id = m.doc_id)
+       |SELECT doc_id, matched_doc_id, n_sig_match FROM hit
+       |WHERE n_sig_match >= 8
+       |ORDER BY doc_id, matched_doc_id, n_sig_match""".stripMargin
+
+  // ------------------------------------------------------------------
   // streaming_exact_golden: the streaming EXACT tier, oracle-checked
   // (VERDICT r8 #3 — exactDupStream was spec-only, and its hash
   // definition has been unified with the batch/store paths onto
@@ -2189,6 +2282,7 @@ object ExtQueries {
     "dedup_incremental_store" -> (dedupIncrementalStore(_, _)),
     "streaming_dedup_golden" -> (streamingDedupGolden(_, _)),
     "streaming_exact_golden" -> (streamingExactGolden(_, _)),
+    "streaming_ttl_golden" -> (streamingTtlGolden(_, _)),
     "dedup_substring" -> (dedupSubstring(_, _)),
     "pipeline_dedup_apply" -> (pipelineDedupApply(_, _)),
     "text_cooccurrence" -> (textCooccurrence(_, _)),
@@ -2238,6 +2332,7 @@ object ExtQueries {
     "dedup_incremental_store" -> dedupIncrementalSql,
     "streaming_dedup_golden" -> streamingDedupGoldenSql,
     "streaming_exact_golden" -> streamingExactGoldenSql,
+    "streaming_ttl_golden" -> streamingTtlGoldenSql,
     "dedup_substring" -> dedupSubstringSql,
     "pipeline_dedup_apply" -> pipelineDedupApplySql,
     "text_cooccurrence" -> textCooccurrenceSql,
