@@ -87,13 +87,15 @@ object ScaleBench {
     "sim_ivfpq_rerank", "streaming_dedup_golden", "dedup_substring",
     "pipeline_dedup_apply", "sim_index_store",
     // round 9
-    "streaming_exact_golden", "streaming_ttl_golden")
+    "streaming_exact_golden", "streaming_ttl_golden",
+    "streaming_exact_ttl_golden")
 
   /** Queries whose first call per corpus dir pays a one-time persisted
     * store/index build (cached thereafter) — warmed before measuring. */
   private val StoreBackedQueries: Set[String] =
     Set("dedup_incremental_store", "sim_index_store", "streaming_dedup_golden",
-      "streaming_exact_golden", "streaming_ttl_golden")
+      "streaming_exact_golden", "streaming_ttl_golden",
+      "streaming_exact_ttl_golden")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)

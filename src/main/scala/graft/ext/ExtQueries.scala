@@ -2240,6 +2240,91 @@ object ExtQueries {
        |WHERE j.doc_id <> own.owner
        |ORDER BY j.doc_id, first_doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // streaming_exact_ttl_golden: the exact tier under the event-time
+  // retention horizon, oracle-checked. Same clone corpus and the same
+  // 7-min-spacing / 10-min-horizon constants as streaming_ttl_golden:
+  // a hash entry is alive at batch i iff last seen at batch j ≥ i−2,
+  // so OWNERSHIP CHAINS break exactly when consecutive presence
+  // batches are ≥ 3 apart — the '+2000003' clones (3 batches after
+  // their original) now land past the horizon and start their own
+  // chains instead of emitting hits, while the '+1000001' (1 batch)
+  // and '+3000000' (same batch) clones still hit. DuckDB derives the
+  // chains with a lag/gap + running-sum (gaps-and-islands) pass and
+  // assigns each chain the smallest id of its FIRST presence batch as
+  // owner — the operator's first-owner rule scoped to a chain.
+  // ------------------------------------------------------------------
+
+  private val goldenExactTtlDirCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def goldenExactTtlStreamDir(spark: SparkSession, dir: String): String =
+    goldenExactTtlDirCache.synchronized {
+      goldenExactTtlDirCache.getOrElseUpdate(dir,
+        writeGoldenStream(
+          exactCloneCorpus(docs(spark, dir).select("doc_id", "text"))
+            .withColumn("ts", timestamp_millis(lit(1700000000000L) +
+              pmod(col("doc_id"), lit(GoldenBatches)) * TtlGoldenSpacingMs))))
+    }
+
+  def streamingExactTtlGolden(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = new java.io.File(goldenExactTtlStreamDir(spark, dir))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val name = s"streaming_exact_ttl_${goldenCounter.incrementAndGet()}"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val src = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val hits = graft.streaming.StreamingDedup.exactDupStreamTtl(
+      src.withWatermark("ts", "0 seconds"), "doc_id", "text", "ts",
+      ttlMs = TtlGoldenHorizonMs)
+    val q = hits.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val res = s2.table(name).select(
+        col("docId").as("doc_id"),
+        col("firstDocId").as("first_doc_id"))
+      .orderBy("doc_id", "first_doc_id")
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
+    s2.catalog.dropTempView(name)
+    out.orderBy("doc_id", "first_doc_id")
+  }
+
+  private val streamingExactTtlGoldenSql =
+    s"""WITH $ExactCloneCte,
+       |tokb AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+       |    '[^a-z0-9]+'), x -> x <> '') AS toks FROM base),
+       |hs AS (SELECT doc_id, sha256(array_to_string(toks, ' ')) AS h FROM tokb),
+       |j AS (SELECT hs.doc_id, hs.h,
+       |    ((hs.doc_id % $GoldenBatches) + $GoldenBatches) % $GoldenBatches AS b
+       |  FROM hs),
+       |pres AS (SELECT h, b FROM j GROUP BY h, b),
+       |brk AS (SELECT h, b,
+       |    CASE WHEN lag(b) OVER (PARTITION BY h ORDER BY b) IS NULL
+       |           OR b - lag(b) OVER (PARTITION BY h ORDER BY b) >= 3
+       |         THEN 1 ELSE 0 END AS nc
+       |  FROM pres),
+       |chain AS (SELECT h, b,
+       |    sum(nc) OVER (PARTITION BY h ORDER BY b
+       |      ROWS UNBOUNDED PRECEDING) AS cid
+       |  FROM brk),
+       |cstart AS (SELECT h, cid, min(b) AS b0 FROM chain GROUP BY h, cid),
+       |own AS (SELECT c.h, c.cid, min(j.doc_id) AS owner
+       |  FROM cstart c JOIN j ON j.h = c.h AND j.b = c.b0
+       |  GROUP BY c.h, c.cid)
+       |SELECT j.doc_id, o.owner AS first_doc_id
+       |FROM j
+       |JOIN chain ch ON ch.h = j.h AND ch.b = j.b
+       |JOIN own o ON o.h = j.h AND o.cid = ch.cid
+       |WHERE j.doc_id <> o.owner
+       |ORDER BY j.doc_id, first_doc_id""".stripMargin
+
   private val streamingDedupGoldenSql =
     s"""WITH $TokCte, $ShCte,
        |$SigCtes,
@@ -2282,6 +2367,7 @@ object ExtQueries {
     "dedup_incremental_store" -> (dedupIncrementalStore(_, _)),
     "streaming_dedup_golden" -> (streamingDedupGolden(_, _)),
     "streaming_exact_golden" -> (streamingExactGolden(_, _)),
+    "streaming_exact_ttl_golden" -> (streamingExactTtlGolden(_, _)),
     "streaming_ttl_golden" -> (streamingTtlGolden(_, _)),
     "dedup_substring" -> (dedupSubstring(_, _)),
     "pipeline_dedup_apply" -> (pipelineDedupApply(_, _)),
@@ -2332,6 +2418,7 @@ object ExtQueries {
     "dedup_incremental_store" -> dedupIncrementalSql,
     "streaming_dedup_golden" -> streamingDedupGoldenSql,
     "streaming_exact_golden" -> streamingExactGoldenSql,
+    "streaming_exact_ttl_golden" -> streamingExactTtlGoldenSql,
     "streaming_ttl_golden" -> streamingTtlGoldenSql,
     "dedup_substring" -> dedupSubstringSql,
     "pipeline_dedup_apply" -> pipelineDedupApplySql,

@@ -253,4 +253,55 @@ object StreamingDedup {
           ids.filter(_ != owner).map(ExactDupHit(_, owner)).iterator
       }
   }
+
+  /** [[exactDupStream]] with the same EVENT-TIME retention horizon as
+    * [[nearDupStreamTtl]]: a hash's ownership survives only while the
+    * hash keeps being SEEN inside the horizon — every arrival
+    * refreshes the last-seen time; once the watermark passes
+    * lastSeen + ttl the entry is evicted ([[GroupStateTimeout
+    * .EventTimeTimeout]], same determinism rationale) and the next
+    * arrival starts a NEW ownership chain (smallest id of its batch
+    * owns). Within a chain the semantics are exactly
+    * [[exactDupStream]]'s first-owner rule. Arrivals that are
+    * themselves already beyond the horizon (late data) still get their
+    * verdict against a live owner — or each other, same-batch — but
+    * are not stored.
+    *
+    * `docs` must carry a watermark on `tsCol`. State: (ownerId,
+    * lastSeenMs) per hash alive inside the horizon — bounded by the
+    * ACTIVE hash vocabulary, not the stream's lifetime. */
+  def exactDupStreamTtl(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, ttlMs: Long): Dataset[ExactDupHit] = {
+    require(ttlMs > 0, "ttlMs must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(Dedup.contentHash(col(textCol)).as("h"),
+        col(idCol).cast("long").as("docId"), col(tsCol).as("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), ExactDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed lastSeen + ttl
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val batch = rows.toVector.sortBy(_._2)
+            val live = state.getOption.filter(_._2 + ttlMs > wm)
+            val owner = live.map(_._1).getOrElse(batch.head._2)
+            val hits = batch.map(_._2).filter(_ != owner)
+              .map(ExactDupHit(_, owner))
+            val lastSeen =
+              (live.map(_._2).toSeq ++ batch.map(_._3.getTime)).max
+            if (lastSeen + ttlMs > wm) {
+              state.update((owner, lastSeen))
+              state.setTimeoutTimestamp(lastSeen + ttlMs)
+            } else state.remove() // every arrival already expired
+            hits.iterator
+          }
+      }
+  }
 }

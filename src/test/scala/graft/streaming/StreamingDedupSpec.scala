@@ -179,6 +179,47 @@ class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally q.stop()
   }
 
+  behavior of "StreamingDedup.exactDupStreamTtl"
+
+  it should "break ownership chains when the hash goes unseen past the horizon" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val hits = StreamingDedup.exactDupStreamTtl(
+      in.toDF().toDF("doc_id", "text", "ts").withWatermark("ts", "0 seconds"),
+      "doc_id", "text", "ts", ttlMs = 600000L) // 10-minute horizon
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("exact_ttl_hits")
+      .option("checkpointLocation", tempDir("exactttl-ckpt"))
+      .start()
+    try {
+      def collected() = spark.table("exact_ttl_hits").as[ExactDupHit]
+        .collect().map(h => (h.docId, h.firstDocId)).sorted.toSeq
+      // minute 0: two copies in one batch → 2 owns, 6 hits
+      in.addData((2L, "Hello World", ts(0)), (6L, "hello,  world!", ts(0)))
+      q.processAllAvailable()
+      // minute 20: a third copy — watermark still at minute 0, the
+      // entry is alive, hit vs owner 2; last-seen refreshes to 20
+      in.addData((12L, "HELLO world", ts(20)))
+      q.processAllAvailable()
+      collected() shouldBe Seq((6L, 2L), (12L, 2L))
+      // minute 40: an unrelated doc pushes the watermark past
+      // minute 30 = the entry's refreshed expiry → evicted
+      in.addData((99L, unrelated, ts(40)))
+      q.processAllAvailable()
+      // minute 41: the hash reappears AFTER the break — no hit, doc 22
+      // starts a NEW ownership chain
+      in.addData((22L, "hello WORLD", ts(41)))
+      q.processAllAvailable()
+      collected() shouldBe Seq((6L, 2L), (12L, 2L))
+      // minute 42: inside the new chain's horizon — hit vs the NEW
+      // owner, never the original one
+      in.addData((32L, "hello world", ts(42)))
+      q.processAllAvailable()
+      collected() shouldBe Seq((6L, 2L), (12L, 2L), (32L, 22L))
+    } finally q.stop()
+  }
+
   behavior of "StreamingDedup.exactDupStream"
 
   it should "flag later arrivals of a stored content hash (normalization included)" in {
