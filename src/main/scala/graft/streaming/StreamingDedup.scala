@@ -52,6 +52,13 @@ case class DocSigT(docId: Long, sig: Seq[Long], tsMs: Long)
   * long per distinct content hash — signatures, never documents; at
   * 100 TB the store scales with the corpus VOCABULARY of band keys,
   * and the heavy text never enters the state store or the shuffle.
+  * Deployments at that scale run the RocksDB state store provider
+  * (`spark.sql.streaming.stateStore.providerClass`), keeping state on
+  * executor-local disk instead of heap — semantics are provider-
+  * independent (spec-pinned identical hits under RocksDB), so the
+  * ceiling becomes disk, not memory. Horizon-bounded variants
+  * ([[nearDupStreamTtl]], [[exactDupStreamTtl]]) additionally keep
+  * the state BOUNDED, not merely off-heap.
   *
   * Signatures are computed per-row with the single-pass fold form
   * ([[Dedup.minhashSigOnce]] — one md5 per shingle, k cheap mixes): a

@@ -179,6 +179,51 @@ class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally q.stop()
   }
 
+  it should "produce identical hits under the RocksDB state store provider" in {
+    // the 100 TB deployment shape: RocksDB-backed state stores keep
+    // streaming state off the executor heap (bounded only by local
+    // disk), which is what lets the corpus signature store grow to
+    // billions of band buckets. Same scenario as the wide-horizon
+    // test — semantics must be bit-identical, and the progress
+    // metrics must prove the provider actually engaged.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val hits = StreamingDedup.nearDupStreamTtl(
+      StreamingDedup.bandRowsTs(
+        in.toDF().toDF("doc_id", "text", "ts").withWatermark("ts", "0 seconds"),
+        "doc_id", "text", "ts"),
+      ttlMs = 3600000L, minSigMatch = 6)
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("rocksdb_hits")
+      .option("checkpointLocation", tempDir("rocksdb-ckpt"))
+      .start()
+    try {
+      in.addData((2L, base.format("today"), ts(0)), (4L, unrelated, ts(0)))
+      q.processAllAvailable()
+      in.addData((11L, base.format("tonight"), ts(1)),
+        (12L, base.format("tomorrow"), ts(1)))
+      q.processAllAvailable()
+      in.addData((21L, base.format("tonight"), ts(2)))
+      q.processAllAvailable()
+      val pairs = s2.table("rocksdb_hits").as[NearDupHit].collect()
+        .map(h => (h.docId, h.matchedDocId)).distinct.sorted
+      pairs should contain((11L, 2L))
+      pairs should contain((12L, 2L))
+      pairs should contain((21L, 11L))
+      pairs should not contain ((12L, 11L))
+      import scala.jdk.CollectionConverters._
+      val metricKeys = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .flatMap(_.customMetrics.keySet().asScala)
+      atLeast(1, metricKeys) should include("rocksdb")
+    } finally q.stop()
+  }
+
   behavior of "StreamingDedup.exactDupStreamTtl"
 
   it should "break ownership chains when the hash goes unseen past the horizon" in {
