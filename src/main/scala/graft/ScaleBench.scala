@@ -88,7 +88,7 @@ object ScaleBench {
     "pipeline_dedup_apply", "sim_index_store",
     // round 9
     "streaming_exact_golden", "streaming_ttl_golden",
-    "streaming_exact_ttl_golden")
+    "streaming_exact_ttl_golden", "dedup_semantic")
 
   /** Queries whose first call per corpus dir pays a one-time persisted
     * store/index build (cached thereafter) — warmed before measuring. */

@@ -1535,6 +1535,43 @@ object ExtQueries {
       .unionByName(books)
   }
 
+  // ------------------------------------------------------------------
+  // dedup_semantic: SemDeDup (Abbas et al. 2023) — embedding-space
+  // near-dup removal scoped to coarse k-means clusters. Reuses the
+  // sim_ivf coarse quantizer (SAME seeded training), so the oracle
+  // replays cells via the shared IvfCtes block and the cluster
+  // assignment itself stays hash-verified; within-cell pairs at
+  // cosine ≥ 0.30 (e4 fixed point, the dedup_embed_cosine convention)
+  // mark semantic dups, keeper = min id.
+  // ------------------------------------------------------------------
+
+  private val SemScoreE4 = 3000L
+
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1)
+    Similarity.semanticDedup(e, "vec_id", "embedding", cents, SemScoreE4)
+      .orderBy("vec_id")
+  }
+
+  private val SemDotSql =
+    "list_aggregate(list_transform(generate_series(1, 64), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')"
+
+  private val dedupSemanticSql =
+    s"""WITH $IvfCtes,
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE cast(round($SemDotSql / (a.nrm * b.nrm) * 10000) AS BIGINT) >= $SemScoreE4),
+       |na AS (SELECT id_a AS vec_id, count(*)::BIGINT AS n FROM p GROUP BY 1),
+       |nb AS (SELECT id_b AS vec_id, count(*)::BIGINT AS n FROM p GROUP BY 1)
+       |SELECT g.vec_id, g.cell,
+       |  (coalesce(na.n, 0) + coalesce(nb.n, 0))::BIGINT AS n_dups,
+       |  CASE WHEN coalesce(nb.n, 0) > 0 THEN 'drop' ELSE 'keep' END AS decision
+       |FROM asg g
+       |LEFT JOIN na ON na.vec_id = g.vec_id
+       |LEFT JOIN nb ON nb.vec_id = g.vec_id
+       |ORDER BY g.vec_id""".stripMargin
+
   def simIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select("vec_id", "embedding")
     val cents = Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1)
@@ -2389,6 +2426,7 @@ object ExtQueries {
     "embed_quantize" -> (embedQuantize(_, _)),
     "source_sketch" -> (sourceSketch(_, _)),
     "dedup_embed_cosine" -> (dedupEmbedCosine(_, _)),
+    "dedup_semantic" -> (dedupSemantic(_, _)),
     "text_bpe_tokens" -> (textBpeTokens(_, _)),
     "text_rolling_hash" -> (textRollingHash(_, _)),
     "source_blob_listing" -> (sourceBlobListing(_, _)),
@@ -2440,6 +2478,7 @@ object ExtQueries {
     "embed_quantize" -> embedQuantizeSql,
     "source_sketch" -> sourceSketchSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "text_bpe_tokens" -> textBpeTokensSql,
     "text_rolling_hash" -> textRollingHashSql,
     "source_blob_listing" -> sourceBlobListingSql,

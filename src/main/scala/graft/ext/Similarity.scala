@@ -581,6 +581,48 @@ object Similarity {
       .select("id_a", "id_b", "n_tables", "score_e4")
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication") Spark-first:
+    * semantic near-duplicates are detected INSIDE coarse k-means
+    * clusters only — the candidate pair space is Σ|cell|² instead of
+    * n², and the cluster count is the scale knob (the paper runs 50 K
+    * clusters over LAION; more cells ⇒ smaller cells ⇒ fewer pairs,
+    * with [[trainCentroids]]' sampling keeping the training cost
+    * flat). Within a cell, pairs with cosine ≥ the e4 threshold are
+    * semantic duplicates; the keeper rule here is deterministic
+    * min-id (the paper keeps the member farthest from the centroid —
+    * any fixed representative works, and min-id keeps the decision
+    * bit-reproducible across engines). Both join sides arrive
+    * hash-partitioned by cell, so the pair enumeration is co-located;
+    * no corpus-sized broadcast, no n² term.
+    *
+    * Returns one row per vector: (id, cell, n_dups — above-threshold
+    * partners in its cell, decision keep/drop — drop iff a
+    * smaller-id partner exists). */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, minScoreE4: Long): DataFrame = {
+    val asg = assignCells(df, centroids, idCol, embCol)
+    val a = asg.select(col("cell"), col(idCol).as("id_a"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = asg.select(col("cell"), col(idCol).as("id_b"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("score_e4",
+        round(dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")) * 10000).cast("long"))
+      .filter(col("score_e4") >= minScoreE4)
+      .select(col("id_a"), col("id_b"))
+    val asA = pairs.groupBy(col("id_a").as(idCol)).agg(count(lit(1)).as("n_a"))
+    val asB = pairs.groupBy(col("id_b").as(idCol)).agg(count(lit(1)).as("n_b"))
+    asg.select(col(idCol), col("cell"))
+      .join(asA, Seq(idCol), "left")
+      .join(asB, Seq(idCol), "left")
+      .withColumn("n_dups",
+        coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)))
+      .withColumn("decision",
+        when(coalesce(col("n_b"), lit(0L)) > 0, lit("drop")).otherwise(lit("keep")))
+      .select(col(idCol), col("cell"), col("n_dups"), col("decision"))
+  }
+
   private def rank(scoredPairs: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col(s"q.$idCol"))
       .orderBy(col("score_e4").desc, col(s"n.$idCol"))

@@ -241,6 +241,29 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     out shouldBe Set(0L, 1L, 3L, 4L) // nProbe=1 would have hidden 1 and 3
   }
 
+  it should "mark within-cluster semantic dups, min-id keeper, cross-cluster ignored" in {
+    import spark.implicits._
+    val pad = Seq.fill(62)(0f)
+    val e = embDf(
+      (0L, Seq(10f, 0f) ++ pad),   // cluster A (seed)
+      (1L, Seq(0f, 10f) ++ pad),   // cluster B (seed)
+      (2L, Seq(9f, 1f) ++ pad),    // A: cosine vs 0 ≈ 0.994 → dup, dropped (0 is keeper)
+      (3L, Seq(1f, 9f) ++ pad),    // B: dup of 1 → dropped
+      (4L, Seq(0f, 0f) ++ pad :+ 10f)) // orthogonal: lands in some cell, no dup
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding", k = 2, iters = 1)
+    val out = Similarity.semanticDedup(e, "vec_id", "embedding", cents, minScoreE4 = 9000L)
+      .select("vec_id", "decision").as[(Long, String)].collect().sortBy(_._1)
+    out.toMap apply 0L shouldBe "keep"
+    out.toMap apply 1L shouldBe "keep"
+    out.toMap apply 2L shouldBe "drop"
+    out.toMap apply 3L shouldBe "drop"
+    out.toMap apply 4L shouldBe "keep"
+    // vectors 2 and 3 are NEAR-IDENTICAL to different-cluster seeds:
+    // cosine(2, 3) ≈ 0.22 — never a pair anyway, but the point of the
+    // cluster scope is that (0,1)-style cross-cluster pairs are never
+    // even ENUMERATED
+  }
+
   it should "only compare within sign buckets for ANN" in {
     import spark.implicits._
     // v[i] vs v[i+32]: doc 0/1 share bucket (all bits 1), doc 2 differs
