@@ -230,6 +230,27 @@ object ScaleBench {
       val secE = (System.nanoTime() - t0e) / 1e9
       val (_, swE, _) = tally.settled()
       sb.append(s""","embed_neardup_scaled":{"n":$nVec,"bits":$bits,"shuffleWrite":$swE,"sec":${f"$secE%.3f"}}""")
+      // production-geometry SemDeDup: cluster count derived from the
+      // corpus (target ~250 vectors/cell), so pairs-per-cell — the
+      // Σ|cell|² in-cell cosine term — stays FLAT as the corpus grows
+      // and total pair work is linear in n. The dedup_semantic ORACLE
+      // query pins k=8 so DuckDB replays the seeded training; THIS row
+      // is the slope a deployment's k ∝ n configuration follows
+      // (SemDeDup's 50 K-cluster LAION geometry). Training (eager,
+      // metadata-sized output) runs before the tally so the row
+      // isolates the dedup stage.
+      val e1 = embDf.select(col("vec_id"), col("embedding"))
+      val kSem = math.max(8L, nVec / 250L).toInt
+      val semCents = graft.ext.Similarity.trainCentroids(
+        e1, "vec_id", "embedding", k = kSem, iters = 1)
+      tally.reset()
+      val t0s = System.nanoTime()
+      graft.ext.Similarity.semanticDedup(e1, "vec_id", "embedding",
+          semCents, minScoreE4 = 3000L)
+        .write.format("noop").mode("overwrite").save()
+      val secS = (System.nanoTime() - t0s) / 1e9
+      val (_, swS, _) = tally.settled()
+      sb.append(s""","semantic_scaled":{"n":$nVec,"k":$kSem,"shuffleWrite":$swS,"sec":${f"$secS%.3f"}}""")
       // IVF+PQ pruning evidence: score the SAME pre-built (checkpointed)
       // PQ structures full-scan vs cell-pruned, so the tally isolates
       // the search stage (training shuffles are identical in both
