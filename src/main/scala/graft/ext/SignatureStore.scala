@@ -70,44 +70,49 @@ object SignatureStore {
 
   val DefaultBuckets = 16
 
+  /** On-disk format version recorded in `metadata/v0/store.json`.
+    * Version 2 = the `hashes` table holds [[Dedup.contentHash]]
+    * (sha-256 of normalized text); version 1 (never versioned on
+    * disk — any store.json WITHOUT a `format` field) held md5 of raw
+    * text. The two never collide, so opening a v1 store with v2 code
+    * would silently report `exact_dup = 0` for every true duplicate —
+    * [[buckets]] fails loudly instead (ADVICE r9). */
+  val FormatVersion = 2
+
   private def bktCol(id: Column, buckets: Int): Column =
     pmod(hash(id), lit(buckets))
 
   private def fsFor(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    StoreMeta.fs(spark, path)
 
-  /** First-append metadata create. overwrite=false closes the
-    * check-then-create race (ADVICE r8 #2): two concurrent first
-    * appends with different `nBuckets` can no longer interleave so one
-    * writer's rows are bucketed with count A while metadata records
-    * count B — the loser gets FileAlreadyExists and defers to the
-    * winner's recorded count, which [[append]] re-reads through
-    * [[buckets]] before computing any `bkt`. */
-  private def writeMeta(spark: SparkSession, path: String, buckets: Int): Unit = {
-    val fs = fsFor(spark, path)
-    val p = new Path(s"$path/metadata/v0/store.json")
-    if (!fs.exists(p)) {
-      fs.mkdirs(p.getParent)
-      try {
-        val out = fs.create(p, false)
-        out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
-        out.close()
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => () // lost the race
-        case _: java.io.IOException if fs.exists(p) => () // lost the race (local fs)
-      }
-    }
-  }
+  /** First-append metadata create, via the shared [[StoreMeta]]
+    * single-writer protocol (ADVICE r8 #2): two concurrent first
+    * appends with different `nBuckets` cannot interleave a
+    * check-then-create — the loser's rename refuses the existing
+    * target and [[append]] re-reads the winner's recorded count
+    * through [[buckets]] before computing any `bkt`. */
+  private def writeMeta(spark: SparkSession, path: String, buckets: Int): Unit =
+    StoreMeta.writeJson(spark, path, "metadata/v0/store.json",
+      s"""{"format":$FormatVersion,"buckets":$buckets}""", overwrite = false)
 
   /** Bucket count recorded at store creation — the one number every
-    * reader must mirror for `bkt` co-location to mean anything. */
+    * reader must mirror for `bkt` co-location to mean anything.
+    * Refuses a store whose recorded format (absent = v1) predates
+    * [[FormatVersion]]: the hash definitions differ byte-for-byte, so
+    * proceeding would silently match nothing in the exact tier.
+    * Re-admit the corpus (or rewrite the `hashes` table) to upgrade. */
   def buckets(spark: SparkSession, path: String): Int = {
-    val fs = fsFor(spark, path)
-    val p = new Path(s"$path/metadata/v0/store.json")
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt) match {
-      case Some(m) => m.group(1).toInt
+    val p = s"$path/metadata/v0/store.json"
+    val txt = StoreMeta.readJson(spark, path, "metadata/v0/store.json")
+      .getOrElse(throw new IllegalStateException(s"no store metadata: $p"))
+    val fmt = StoreMeta.jsonLong(txt, "format").getOrElse(1L)
+    if (fmt != FormatVersion)
+      throw new IllegalStateException(
+        s"store at $path has hash format v$fmt, this engine writes v$FormatVersion " +
+          "(contentHash = sha-256 of normalized text); old hashes would silently " +
+          "match nothing — rebuild the store or rewrite its hashes table")
+    StoreMeta.jsonLong(txt, "buckets") match {
+      case Some(b) => b.toInt
       case None    => throw new IllegalStateException(s"unreadable store metadata: $p")
     }
   }

