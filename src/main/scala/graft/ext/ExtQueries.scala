@@ -1825,20 +1825,33 @@ object ExtQueries {
 
   // ------------------------------------------------------------------
   // pipeline_dedup_apply: the dedup DECISION applied end to end — what
-  // a deployment actually materializes. Per doc: keep (canonical),
-  // drop_exact (a byte-identical copy of an earlier doc — keeper is
-  // the min doc_id of its content-hash group), or drop_near (a
-  // non-canonical member of an LSH-verified near-dup cluster — keeper
-  // is the cluster's min member, which IS the component label). The
-  // near tier composes the dedup_cluster pipeline (banded candidates →
-  // exact-Jaccard verify → connected components), so the decision is
-  // hash-verified end to end including the clustering. Exact-drop
-  // takes precedence (an exact copy is also a near-dup; the exact tier
-  // is the cheaper check a pipeline applies first).
+  // a deployment actually materializes, ONE surface for every tier
+  // (the reference's analogue is the single ARCANE_MERGE_KEY contract
+  // all sinks share, src/Sinks/Parquet/Models/Constants.cs:11-21). Per
+  // doc: keep (canonical), drop_exact (byte-identical copy — keeper =
+  // min doc_id of its content-hash group), drop_near (non-canonical
+  // member of an LSH-verified near-dup cluster — keeper = the
+  // component label), or drop_semantic (VERDICT r9 #1: non-canonical
+  // member of a SemDeDup embedding-space cluster — within-coarse-cell
+  // pairs at cosine ≥ threshold, connected components, keeper = the
+  // component's min id). Precedence exact > near > semantic: a tier
+  // only claims a doc no cheaper tier already dropped — the order a
+  // pipeline applies the checks in (hash compare < text Jaccard <
+  // embedding cosine). The near tier composes the dedup_cluster
+  // pipeline and the semantic tier the dedup_semantic cells (SAME
+  // seeded quantizer), so the oracle hash-verifies the full
+  // composition of all three tiers including both clusterings.
   // ------------------------------------------------------------------
 
-  def pipelineDedupApply(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select("doc_id", "text")
+  def pipelineDedupApply(spark: SparkSession, dir: String): DataFrame =
+    dedupDecision(docs(spark, dir).select("doc_id", "text"),
+      emb(spark, dir).select("vec_id", "embedding"))
+
+  /** The three-tier decision composition on explicit frames —
+    * `d` (doc_id, text), `e` (vec_id, embedding) with vec_id keyed to
+    * doc_id. Factored out so the precedence contract is spec-testable
+    * on planted corpora (PipelineDecisionSpec). */
+  private[ext] def dedupDecision(d: DataFrame, e: DataFrame): DataFrame = {
     val hashes = d.select(col("doc_id"), Dedup.contentHash(col("text")).as("h"))
     val ex = hashes.withColumn("ex_keeper",
       min(col("doc_id")).over(Window.partitionBy(col("h"))))
@@ -1850,14 +1863,24 @@ object ExtQueries {
       .select("doc_a", "doc_b")
     val comps = Dedup.connectedComponents(dupPairs, "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("comp"))
+    // semantic tier: dedup_semantic's cells (same seeded training) →
+    // within-cell cosine pairs → connected components, exactly the
+    // near tier's shape one space over
+    val cents = Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1)
+    val semPairs = Similarity.semanticPairs(e, "vec_id", "embedding", cents, SemScoreE4)
+    val scomp = Dedup.connectedComponents(semPairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("comp").as("scomp"))
     ex.select("doc_id", "ex_keeper")
       .join(comps, Seq("doc_id"), "left")
+      .join(scomp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("ex_keeper") =!= col("doc_id"), lit("drop_exact"))
           .when(col("comp").isNotNull && col("comp") =!= col("doc_id"), lit("drop_near"))
+          .when(col("scomp").isNotNull && col("scomp") =!= col("doc_id"), lit("drop_semantic"))
           .otherwise(lit("keep")).as("decision"),
         when(col("ex_keeper") =!= col("doc_id"), col("ex_keeper"))
           .when(col("comp").isNotNull && col("comp") =!= col("doc_id"), col("comp"))
+          .when(col("scomp").isNotNull && col("scomp") =!= col("doc_id"), col("scomp"))
           .otherwise(col("doc_id")).as("keeper_id"))
       .orderBy("doc_id")
   }
@@ -1879,16 +1902,32 @@ object ExtQueries {
        |  UNION
        |  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
        |comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+       |$IvfCtes,
+       |sp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE cast(round($SemDotSql / (a.nrm * b.nrm) * 10000) AS BIGINT) >= $SemScoreE4),
+       |sedges AS (SELECT id_a AS s, id_b AS d FROM sp
+       |  UNION ALL SELECT id_b, id_a FROM sp),
+       |snodes AS (SELECT DISTINCT s AS n FROM sedges),
+       |sreach(n, m) AS (
+       |  SELECT n, n FROM snodes
+       |  UNION
+       |  SELECT r.n, e2.d FROM sreach r JOIN sedges e2 ON r.m = e2.s),
+       |scomp AS (SELECT n AS doc_id, min(m) AS scluster FROM sreach GROUP BY n),
        |exh AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(array_to_string(toks, ' '))) AS ex_keeper
        |  FROM tok)
        |SELECT exh.doc_id,
        |  CASE WHEN exh.ex_keeper <> exh.doc_id THEN 'drop_exact'
        |       WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> exh.doc_id THEN 'drop_near'
+       |       WHEN sc.scluster IS NOT NULL AND sc.scluster <> exh.doc_id THEN 'drop_semantic'
        |       ELSE 'keep' END AS decision,
        |  CASE WHEN exh.ex_keeper <> exh.doc_id THEN exh.ex_keeper
        |       WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> exh.doc_id THEN c.cluster_id
+       |       WHEN sc.scluster IS NOT NULL AND sc.scluster <> exh.doc_id THEN sc.scluster
        |       ELSE exh.doc_id END AS keeper_id
-       |FROM exh LEFT JOIN comp c ON c.doc_id = exh.doc_id
+       |FROM exh
+       |LEFT JOIN comp c ON c.doc_id = exh.doc_id
+       |LEFT JOIN scomp sc ON sc.doc_id = exh.doc_id
        |ORDER BY exh.doc_id""".stripMargin
 
   // ------------------------------------------------------------------

@@ -602,15 +602,7 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, embCol: String,
       centroids: DataFrame, minScoreE4: Long): DataFrame = {
     val asg = assignCells(df, centroids, idCol, embCol)
-    val a = asg.select(col("cell"), col(idCol).as("id_a"),
-      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
-    val b = asg.select(col("cell"), col(idCol).as("id_b"),
-      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-    val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
-      .withColumn("score_e4",
-        round(dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")) * 10000).cast("long"))
-      .filter(col("score_e4") >= minScoreE4)
-      .select(col("id_a"), col("id_b"))
+    val pairs = pairsWithinCells(asg, idCol, minScoreE4)
     val asA = pairs.groupBy(col("id_a").as(idCol)).agg(count(lit(1)).as("n_a"))
     val asB = pairs.groupBy(col("id_b").as(idCol)).agg(count(lit(1)).as("n_b"))
     asg.select(col(idCol), col("cell"))
@@ -621,6 +613,29 @@ object Similarity {
       .withColumn("decision",
         when(coalesce(col("n_b"), lit(0L)) > 0, lit("drop")).otherwise(lit("keep")))
       .select(col(idCol), col("cell"), col("n_dups"), col("decision"))
+  }
+
+  /** The SemDeDup pair stage alone — (id_a, id_b) with id_a < id_b,
+    * cosine ≥ threshold, enumerated ONLY within coarse cells (same
+    * Σ|cell|² bound and co-location as [[semanticDedup]]). This is the
+    * edge list the corpus-decision composition feeds to connected
+    * components, mirroring how the near tier's verified LSH pairs
+    * feed `pipeline_dedup_apply`. */
+  def semanticPairs(df: DataFrame, idCol: String, embCol: String,
+      centroids: DataFrame, minScoreE4: Long): DataFrame =
+    pairsWithinCells(assignCells(df, centroids, idCol, embCol), idCol, minScoreE4)
+
+  private def pairsWithinCells(asg: DataFrame, idCol: String,
+      minScoreE4: Long): DataFrame = {
+    val a = asg.select(col("cell"), col(idCol).as("id_a"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = asg.select(col("cell"), col(idCol).as("id_b"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .withColumn("score_e4",
+        round(dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")) * 10000).cast("long"))
+      .filter(col("score_e4") >= minScoreE4)
+      .select(col("id_a"), col("id_b"))
   }
 
   private def rank(scoredPairs: DataFrame, idCol: String, k: Int): DataFrame = {

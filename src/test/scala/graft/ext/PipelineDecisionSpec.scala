@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+
+/** VERDICT r9 #1: the corpus dedup decision is ONE surface with THREE
+  * tiers — exact > near > semantic — and the precedence contract must
+  * hold on docs claimed by more than one tier: a cheaper tier's drop
+  * always wins, keeper = that tier's canonical member. Planted corpus:
+  * each overlap case gets a doc pair whose membership in the tiers is
+  * controlled independently (text identity, text near-identity,
+  * embedding identity). */
+class PipelineDecisionSpec extends AnyFlatSpec with Matchers with SparkFixture {
+
+  // ~40-word sentences: one changed word alters 3 of ~38 shingles, so
+  // exact Jaccard stays >= 0.8 (the near tier's verify threshold) and
+  // the LSH bands still collide. Disjoint vocabulary across groups.
+  private val textA =
+    "the quick brown fox jumps over the lazy dog and runs far away into the green forest " +
+      "while morning light spreads slowly across quiet hills where small birds gather seeds " +
+      "beside the old stone wall near the river tonight"
+  private val textB =
+    "database engines schedule compaction tasks during idle windows so storage segments stay " +
+      "balanced and query latency remains predictable even when ingestion bursts arrive from " +
+      "many concurrent producers writing append only logs across partitioned durable volumes overnight"
+  private val textC =
+    "mountain climbers check anchor ropes carefully before every ascent because weather systems " +
+      "change rapidly above the tree line and loose rock fields demand patient footwork from " +
+      "anyone crossing exposed ridges toward the summit plateau together"
+  private val textD =
+    "orchestra rehearsals begin with tuning strings and woodwinds against a single oboe note " +
+      "until every section agrees on pitch then the conductor shapes phrasing dynamics and tempo " +
+      "through repeated passages of the evening symphony program"
+  private val textE =
+    "harvest crews repair irrigation channels each spring so meltwater reaches distant orchards " +
+      "before blossom season and the village shares pressed cider once autumn picking fills the " +
+      "cellar racks with crates of late ripening apples"
+
+  private val textF =
+    "telescope arrays scan the southern sky every clear night recording faint pulsar timing " +
+      "signals that drift slowly as interstellar plasma disperses each pulse differently across " +
+      "receiver bands calibrated against atomic clocks in the observatory basement"
+
+  private def oneHot(pos: Int): Seq[Float] =
+    Seq.tabulate(64)(i => if (i == pos) 1f else 0f)
+
+  private def decide(docRows: Seq[(Long, String)],
+      embRows: Seq[(Long, Seq[Float])]): Map[Long, (String, Long)] = {
+    import spark.implicits._
+    val d: DataFrame = docRows.toDF("doc_id", "text")
+    val e: DataFrame = embRows.toDF("vec_id", "embedding")
+    ExtQueries.dedupDecision(d, e).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+  }
+
+  behavior of "the three-tier dedup decision"
+
+  it should "apply precedence exact > near > semantic with per-tier canonical keepers" in {
+    val docRows = Seq[(Long, String)](
+      0L -> textA,
+      1L -> textA, // exact copy of 0
+      2L -> textB,
+      3L -> textB.replace("overnight", "today"), // near copy of 2
+      4L -> textC,
+      5L -> textD, // textually unrelated to 4; embedding-identical (semantic tier only)
+      6L -> textE,
+      7L -> textE.replace("apples", "pears"), // near copy of 6 AND embedding-identical
+      8L -> textF,
+      9L -> textF) // exact copy of 8 AND embedding-identical
+    val embRows = Seq[(Long, Seq[Float])](
+      0L -> oneHot(0), 1L -> oneHot(1), 2L -> oneHot(2), 3L -> oneHot(3),
+      4L -> oneHot(20), 5L -> oneHot(20), // semantic pair (4,5)
+      6L -> oneHot(30), 7L -> oneHot(30), // semantic pair (6,7) — near wins
+      8L -> oneHot(40), 9L -> oneHot(40)) // semantic pair (8,9) — exact wins
+    val out = decide(docRows, embRows)
+    out(0L) shouldBe ("keep", 0L)
+    out(1L) shouldBe ("drop_exact", 0L)
+    out(2L) shouldBe ("keep", 2L)
+    out(3L) shouldBe ("drop_near", 2L)
+    out(4L) shouldBe ("keep", 4L)
+    out(5L) shouldBe ("drop_semantic", 4L) // semantic-only pair, keeper = min id
+    out(6L) shouldBe ("keep", 6L)
+    out(7L) shouldBe ("drop_near", 6L) // near-dup AND semantic-dup: near wins
+    out(8L) shouldBe ("keep", 8L)
+    out(9L) shouldBe ("drop_exact", 8L) // exact-dup AND semantic-dup: exact wins
+  }
+
+  it should "label semantic clusters transitively with the component minimum" in {
+    // a 3-member semantic chain (4-5, 5-... all same cell): every
+    // non-minimum member drops to the SAME keeper — the component
+    // label, not its nearest partner
+    val docRows = Seq[(Long, String)](
+      0L -> textA, 1L -> textB, 2L -> textC, 3L -> textD, 4L -> textE)
+    val embRows = Seq[(Long, Seq[Float])](
+      0L -> oneHot(0), 1L -> oneHot(1),
+      2L -> oneHot(20), 3L -> oneHot(20), 4L -> oneHot(20))
+    val out = decide(docRows, embRows)
+    out(2L) shouldBe ("keep", 2L)
+    out(3L) shouldBe ("drop_semantic", 2L)
+    out(4L) shouldBe ("drop_semantic", 2L)
+  }
+}
