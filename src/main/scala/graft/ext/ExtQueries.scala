@@ -1572,6 +1572,47 @@ object ExtQueries {
        |LEFT JOIN nb ON nb.vec_id = g.vec_id
        |ORDER BY g.vec_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // dedup_semantic_store: the PRODUCTION SemDeDup path (VERDICT r9
+  // #2) — the coarse quantizer comes from the PERSISTED VectorIndex
+  // (same store sim_index_store queries; trained once per corpus,
+  // outside this query), so a run pays only the encode-side
+  // assignment, and the degenerate-cell cap is ON: cells above
+  // SemStoreCellCap split into deterministic id-mod subcells, bounding
+  // any one partition's pair work (the skew guard a boilerplate-heavy
+  // corpus needs). At sf0.01 the 8 cells hold ~60 docs each, so the
+  // cap path is EXERCISED here — the oracle replays cell sizes, the
+  // subcell arithmetic, and the capped pair space exactly.
+  // ------------------------------------------------------------------
+
+  private val SemStoreCellCap = 40
+
+  def dedupSemanticStore(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    VectorIndex.semanticDedup(e, "vec_id", "embedding", vindexFor(spark, dir),
+        SemScoreE4, maxCellSize = SemStoreCellCap)
+      .orderBy("vec_id")
+  }
+
+  private val dedupSemanticStoreSql =
+    s"""WITH $IvfCtes,
+       |cz AS (SELECT cell, count(*) AS cn FROM asg GROUP BY cell),
+       |asgs AS (SELECT g.vec_id, g.embedding, g.nrm, g.cell,
+       |    g.vec_id % greatest(1, CAST(ceil(z.cn / $SemStoreCellCap.0) AS BIGINT)) AS sub
+       |  FROM asg g JOIN cz z ON z.cell = g.cell),
+       |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM asgs a JOIN asgs b ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
+       |  WHERE cast(round($SemDotSql / (a.nrm * b.nrm) * 10000) AS BIGINT) >= $SemScoreE4),
+       |na AS (SELECT id_a AS vec_id, count(*)::BIGINT AS n FROM p GROUP BY 1),
+       |nb AS (SELECT id_b AS vec_id, count(*)::BIGINT AS n FROM p GROUP BY 1)
+       |SELECT g.vec_id, g.cell,
+       |  (coalesce(na.n, 0) + coalesce(nb.n, 0))::BIGINT AS n_dups,
+       |  CASE WHEN coalesce(nb.n, 0) > 0 THEN 'drop' ELSE 'keep' END AS decision
+       |FROM asg g
+       |LEFT JOIN na ON na.vec_id = g.vec_id
+       |LEFT JOIN nb ON nb.vec_id = g.vec_id
+       |ORDER BY g.vec_id""".stripMargin
+
   def simIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select("vec_id", "embedding")
     val cents = Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1)
@@ -2466,6 +2507,7 @@ object ExtQueries {
     "source_sketch" -> (sourceSketch(_, _)),
     "dedup_embed_cosine" -> (dedupEmbedCosine(_, _)),
     "dedup_semantic" -> (dedupSemantic(_, _)),
+    "dedup_semantic_store" -> (dedupSemanticStore(_, _)),
     "text_bpe_tokens" -> (textBpeTokens(_, _)),
     "text_rolling_hash" -> (textRollingHash(_, _)),
     "source_blob_listing" -> (sourceBlobListing(_, _)),
@@ -2518,6 +2560,7 @@ object ExtQueries {
     "source_sketch" -> sourceSketchSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "dedup_semantic_store" -> dedupSemanticStoreSql,
     "text_bpe_tokens" -> textBpeTokensSql,
     "text_rolling_hash" -> textRollingHashSql,
     "source_blob_listing" -> sourceBlobListingSql,

@@ -294,6 +294,26 @@ object VectorIndex {
     else Seq.empty
   }
 
+  /** Store-backed SemDeDup (VERDICT r9 #2): [[Similarity.semanticDedup]]
+    * with the coarse quantizer read from THIS index's persisted
+    * centroids instead of retrained in-plan — the 100 TB form, where
+    * the quantizer is a stored artifact and each dedup run pays only
+    * the encode-side assignment pass (the `dedup_incremental` vs
+    * `dedup_incremental_store` relationship, one space over). Pass
+    * `maxCellSize > 0` in production: it is the degenerate-cell skew
+    * guard (boilerplate embeddings collapsing into one cell otherwise
+    * put \|cell\|²/2 pairs in a single partition — see
+    * [[Similarity.semanticPairs]] for the split semantics). Retrain
+    * cadence is the index's own drift policy ([[needsRebuild]]). */
+  def semanticDedup(df: DataFrame, idCol: String, embCol: String, path: String,
+      minScoreE4: Long, maxCellSize: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val cents = coarse(spark, path, embCol)
+      .select(col("vi_cid").as(idCol), col(embCol))
+    Similarity.semanticDecision(
+      Similarity.assignCells(df, cents, idCol, embCol), idCol, minScoreE4, maxCellSize)
+  }
+
   /** Approximate top-k against the stored index: queries coarse-assign
     * against the persisted centroids, the probed cells' code FILES are
     * the only index bytes read (hive partition pruning on `cell=`),

@@ -238,6 +238,36 @@ class VectorIndexSpec extends AnyFlatSpec with Matchers with SparkFixture {
     cleanup(path)
   }
 
+  behavior of "store-backed semantic dedup"
+
+  it should "cap degenerate-cell pair work by splitting into deterministic subcells" in {
+    // VERDICT r9 #2: a boilerplate corpus (near-identical embeddings)
+    // collapses into ONE coarse cell — uncapped, that cell alone owns
+    // |cell|²/2 pairs in one partition; the cap must bound it while
+    // still dropping boilerplate members within each subcell.
+    import spark.implicits._
+    val boiler = Seq.tabulate(64)(i => if (i == 5) 1f else 0f)
+    val e = (0L until 120L).map(i => (i, boiler)).toDF("vec_id", "embedding")
+    val path = tempIndex("degen")
+    VectorIndex.build(e, "vec_id", "embedding", path,
+      dim = 64, m = 8, codebookK = 16, coarseK = 4)
+    val cents = VectorIndex.coarse(spark, path, "embedding")
+      .select(col("vi_cid").as("vec_id"), col("embedding"))
+    // uncapped: the degenerate cell enumerates every pair
+    Similarity.semanticPairs(e, "vec_id", "embedding", cents, 3000L)
+      .count() shouldBe 120L * 119L / 2L
+    // capped at 10: ceil(120/10) = 12 subcells of 10 -> 12 * 45 pairs
+    Similarity.semanticPairs(e, "vec_id", "embedding", cents, 3000L, maxCellSize = 10)
+      .count() shouldBe 12L * 45L
+    // the capped decision still drops boilerplate: one keeper (the
+    // subcell minimum) survives per subcell, everything else drops
+    val dec = VectorIndex.semanticDedup(e, "vec_id", "embedding", path,
+      minScoreE4 = 3000L, maxCellSize = 10)
+    dec.filter(col("decision") === "keep").count() shouldBe 12L
+    dec.filter(col("decision") === "drop").count() shouldBe 108L
+    cleanup(path)
+  }
+
   /** Exact L2 top-k ground truth per query id (the recall probe). */
   private def exactTopK(queries: DataFrame, e: DataFrame, k: Int): Map[Long, Set[Long]] = {
     import org.apache.spark.sql.expressions.Window
