@@ -183,10 +183,39 @@ object Bench {
         failed ::= "sim_train"
         None
       }
+    // Host-drift sentinel (VERDICT r9 #3): a CONSTANT-cost synthetic
+    // row — fixed row count, pure codegen'd CPU (xxhash64 over a
+    // range), no IO, no dependence on SF or on any graft code path —
+    // whose plan can never change round over round. Recorded runs
+    // self-calibrate against it: the driver's bench has twice (r3, r9)
+    // reported broad slowdowns on byte-identical code because the host
+    // was contended; when host_sentinel moves with the other rows the
+    // drift is the box, when it's flat a query movement is code.
+    // min-of-2, the same estimator as every row.
+    val sentinel: Option[Double] =
+      try {
+        import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          spark.range(0, 1500000000L, 1, 32)
+            .select(pmod(xxhash64(col("id")), lit(1000L)).as("h")) // bounded: ANSI sum can't overflow
+            .agg(sum("h"))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sec = times.min
+        System.err.println(f"[bench] host_sentinel ${sec}%.2fs")
+        Some(sec)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] host_sentinel failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        failed ::= "host_sentinel"
+        None
+      }
     val withStreaming = results ++
       streaming.map { case (_, sec, _) => "streaming_dedup" -> sec } ++
       storeIngest.map("store_ingest" -> _) ++
-      simTrain.map("sim_train" -> _)
+      simTrain.map("sim_train" -> _) ++
+      sentinel.map("host_sentinel" -> _)
 
     def render(fmt: Double => String, minimal: Boolean,
         rows: Seq[(String, Double)], otherN: Int, otherSec: Double): String = {

@@ -19,16 +19,24 @@ import org.apache.spark.sql.functions._
 object QueryKit {
   /** `spark.read.parquet` over one driver-generated table.
     *
-    * The events table stores TIMESTAMP(NANOS), which Spark's Parquet
-    * reader rejects by default; `nanosAsLong` surfaces it as epoch-nanos
-    * LongType and [[tsMicros]] converts where a timestamp is needed.
-    * The conf flip is scoped to the one table that needs it instead of
-    * mutating the shared session on every call. */
+    * The events table's `ts` has been generated two ways across driver
+    * rounds — TIMESTAMP(NANOS), which Spark's Parquet reader rejects
+    * unless `nanosAsLong` surfaces it as epoch-nanos LongType, and
+    * plain TIMESTAMP(MICROS), which arrives as TIMESTAMP_NTZ. Every
+    * consumer (and every DuckDB oracle, via `epoch_ns(ts)`) is written
+    * against the epoch-nanos-long shape, so both generations normalize
+    * to it here: the session runs in UTC ([[graft.runtime.GraftSession]]),
+    * making the NTZ→instant cast the same identity DuckDB applies to a
+    * naive timestamp. The conf flip is scoped to the one table that
+    * needs it instead of mutating the shared session on every call. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events" &&
         !spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType != org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    else df
   }
 
   /** Epoch-nanos long column → TimestampType (microsecond floor).

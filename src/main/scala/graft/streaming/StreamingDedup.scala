@@ -241,7 +241,17 @@ object StreamingDedup {
     * First-owner semantics: the owner of a hash is the smallest doc id
     * in the EARLIEST micro-batch that carried it (ids sorted within a
     * batch); every later arrival of the same hash emits one
-    * [[ExactDupHit]] naming that owner. */
+    * [[ExactDupHit]] naming that owner.
+    *
+    * Owner re-arrival contract (VERDICT r9 #6): an arrival carrying
+    * the OWNER'S OWN doc id is never a hit — it IS the owner
+    * re-arriving, whether in the owning batch (a replayed source
+    * delivering the row twice) or any later batch (a full-document
+    * replay). It leaves ownership untouched. Hits are otherwise
+    * PER-ARRIVAL: a non-owner id delivered twice emits twice — the
+    * stream reports arrivals, and at-least-once dedup of the hit
+    * stream itself is the downstream sink's `dropDuplicates`
+    * (the same contract the near tier documents). */
   def exactDupStream(docs: DataFrame, idCol: String,
       textCol: String): Dataset[ExactDupHit] = {
     val spark = docs.sparkSession
@@ -273,6 +283,14 @@ object StreamingDedup {
     * themselves already beyond the horizon (late data) still get their
     * verdict against a live owner — or each other, same-batch — but
     * are not stored.
+    *
+    * Owner re-arrival contract (VERDICT r9 #6): same as
+    * [[exactDupStream]] — an arrival carrying the live owner's own id
+    * never emits a hit, in the owning batch or later ones — PLUS the
+    * TTL consequence: like every arrival, it refreshes the chain's
+    * last-seen time, so an owner that keeps re-arriving keeps its
+    * chain alive past what the original expiry would have allowed.
+    * Non-owner hits stay per-arrival.
     *
     * `docs` must carry a watermark on `tsCol`. State: (ownerId,
     * lastSeenMs) per hash alive inside the horizon — bounded by the

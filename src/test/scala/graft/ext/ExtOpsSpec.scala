@@ -75,6 +75,13 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     val fn = graft.ext.ExtQueries.queries("pipeline_dedup_apply")
     val dir = java.nio.file.Files.createTempDirectory("dedup-apply").toString
     corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // the decision surface's semantic tier reads embeddings keyed to
+    // doc ids; orthogonal one-hots → no semantic pairs, so this spec
+    // keeps exercising the exact/near tiers in isolation
+    // (PipelineDecisionSpec owns the cross-tier precedence cases)
+    (1L to 4L).map(i => (i, Seq.tabulate(64)(j => if (j == i.toInt) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = fn(spark, dir).as[(Long, String, Long)].collect().toSeq
     out shouldBe Seq(
       (1L, "keep", 1L),

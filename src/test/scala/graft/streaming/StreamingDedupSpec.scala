@@ -289,4 +289,152 @@ class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkFixture {
       out.toSeq shouldBe Seq((6L, 2L), (12L, 2L))
     } finally q.stop()
   }
+
+  it should "never flag the owner's own id re-arriving, and keep non-owner hits per-arrival" in {
+    // VERDICT r9 #6: the duplicate-id-in-batch contract, pinned. A
+    // replayed source can deliver the owner's row twice in its owning
+    // batch, or replay the whole document in a later batch — neither
+    // is a duplicate HIT, because the arrival IS the owner. Non-owner
+    // arrivals stay per-arrival (each replay emits again); collapsing
+    // those is the downstream sink's dropDuplicates, same as the near
+    // tier's documented at-least-once contract.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val hits = StreamingDedup.exactDupStream(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("owner_hits")
+      .option("checkpointLocation", tempDir("ownerdup-ckpt"))
+      .start()
+    try {
+      def collected() = spark.table("owner_hits").as[ExactDupHit]
+        .collect().map(h => (h.docId, h.firstDocId)).sorted.toSeq
+      // batch 1: the owner's row delivered TWICE in the owning batch
+      // (normalization-equal variants) → doc 2 owns, zero hits
+      in.addData((2L, "Hello World"), (2L, "hello,  world!"))
+      q.processAllAvailable()
+      collected() shouldBe Seq.empty
+      // batch 2: the owner's document replayed in a LATER batch →
+      // still not a hit, ownership untouched
+      in.addData((2L, "HELLO WORLD"))
+      q.processAllAvailable()
+      collected() shouldBe Seq.empty
+      // batch 3: a genuine duplicate still hits the original owner
+      in.addData((6L, "hello world"))
+      q.processAllAvailable()
+      collected() shouldBe Seq((6L, 2L))
+      // batch 4: the non-owner id replayed twice in one batch →
+      // per-arrival semantics, TWO more hits against the same owner
+      in.addData((6L, "Hello, World"), (6L, "hello world!"))
+      q.processAllAvailable()
+      collected() shouldBe Seq((6L, 2L), (6L, 2L), (6L, 2L))
+    } finally q.stop()
+  }
+
+  it should "let an owner re-arrival refresh its TTL chain without emitting a hit" in {
+    // The TTL half of the r9 #6 contract: the owner's own arrival is
+    // never a hit AND — like every arrival — refreshes last-seen, so a
+    // re-arriving owner keeps its chain alive past the original
+    // expiry. The minute-13 hit below proves the refresh mattered:
+    // without it the watermark (minute 12) would already have evicted
+    // the minute-0 entry (expiry minute 10) and doc 32 would have
+    // started a fresh chain instead of hitting owner 2.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val hits = StreamingDedup.exactDupStreamTtl(
+      in.toDF().toDF("doc_id", "text", "ts").withWatermark("ts", "0 seconds"),
+      "doc_id", "text", "ts", ttlMs = 600000L) // 10-minute horizon
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("owner_ttl_hits")
+      .option("checkpointLocation", tempDir("ownerttl-ckpt"))
+      .start()
+    try {
+      def collected() = spark.table("owner_ttl_hits").as[ExactDupHit]
+        .collect().map(h => (h.docId, h.firstDocId)).sorted.toSeq
+      // minute 0: doc 2 owns its hash
+      in.addData((2L, "Hello World", ts(0)))
+      q.processAllAvailable()
+      // minute 8: the OWNER re-arrives — no hit, last-seen → minute 8
+      in.addData((2L, "hello world", ts(8)))
+      q.processAllAvailable()
+      collected() shouldBe Seq.empty
+      // minute 12: unrelated traffic pushes the watermark past the
+      // ORIGINAL expiry (minute 10) but not the refreshed one (18)
+      in.addData((99L, unrelated, ts(12)))
+      q.processAllAvailable()
+      // minute 13: the duplicate hits the ORIGINAL owner — the chain
+      // survived only because the owner's re-arrival refreshed it
+      in.addData((32L, "HELLO world", ts(13)))
+      q.processAllAvailable()
+      collected() shouldBe Seq((32L, 2L))
+    } finally q.stop()
+  }
+
+  it should "recover TTL state across kill/resume with RocksDB changelog checkpointing" in {
+    // VERDICT r9 #5: the 100 TB restore-cost knob. With changelog
+    // checkpointing the RocksDB provider uploads per-commit CHANGELOGS
+    // instead of full snapshots, so recovery replays a changelog tail
+    // rather than re-downloading the whole store. Semantics must be
+    // unchanged: kill the stream after the owner is stored, resume
+    // from the same checkpoint, and the post-resume duplicate must hit
+    // the pre-kill owner — state crossed the restart. The .changelog
+    // files in the checkpoint prove the knob engaged.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    import s2.implicits._
+    val inDir = tempDir("chglog-in")
+    val ckpt = tempDir("chglog-ckpt")
+    val outDir = tempDir("chglog-out")
+    // a memory sink cannot recover from a checkpoint; the file sink
+    // can, and its _spark_metadata commit log doubles as the
+    // exactly-once evidence across the restart
+    def streamHits() = {
+      val src = s2.readStream
+        .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+      StreamingDedup.exactDupStreamTtl(
+          src.withWatermark("ts", "0 seconds"),
+          "doc_id", "text", "ts", ttlMs = 3600000L)
+        .toDF()
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    // run 1: the owner batch, then KILL
+    Seq((2L, "Hello World", ts(0)), (4L, unrelated, ts(0)))
+      .toDF("doc_id", "text", "ts").repartition(1).write
+      .mode("append").parquet(inDir)
+    val q1 = streamHits()
+    try q1.processAllAvailable() finally q1.stop()
+    // explicit schema: a hit-free first run leaves only _spark_metadata
+    def readOut() = s2.read.schema("docId LONG, firstDocId LONG").parquet(outDir)
+    readOut().count() shouldBe 0
+    // the duplicate arrives while the stream is DOWN
+    Seq((12L, "HELLO world", ts(5)))
+      .toDF("doc_id", "text", "ts").repartition(1).write
+      .mode("append").parquet(inDir)
+    // run 2 resumes from the checkpoint: only the new file is read,
+    // and the hit names the owner stored before the kill
+    val q2 = streamHits()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = readOut().as[ExactDupHit].collect()
+      .map(h => (h.docId, h.firstDocId)).toSeq
+    out shouldBe Seq((12L, 2L))
+    // the knob engaged: per-commit changelog files exist in the
+    // checkpoint's state directory
+    import scala.jdk.CollectionConverters._
+    val changelogs = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(ckpt, "state"))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".changelog")).toList
+    changelogs should not be empty
+  }
 }
