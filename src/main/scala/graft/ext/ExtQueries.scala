@@ -1886,13 +1886,23 @@ object ExtQueries {
 
   def pipelineDedupApply(spark: SparkSession, dir: String): DataFrame =
     dedupDecision(docs(spark, dir).select("doc_id", "text"),
-      emb(spark, dir).select("vec_id", "embedding"))
+      emb(spark, dir).select("vec_id", "embedding"),
+      // production shape: the semantic tier's quantizer is the
+      // PERSISTED VectorIndex artifact (same seeded training the
+      // IvfCtes oracle replays — hash-proven by dedup_semantic_store),
+      // so a decision run pays encode-side assignment, not a Lloyd
+      // pass; the build amortizes across every store-backed query
+      semCents = Some(VectorIndex
+        .coarse(spark, vindexFor(spark, dir), "embedding")
+        .select(col("vi_cid").as("vec_id"), col("embedding"))))
 
   /** The three-tier decision composition on explicit frames —
     * `d` (doc_id, text), `e` (vec_id, embedding) with vec_id keyed to
     * doc_id. Factored out so the precedence contract is spec-testable
-    * on planted corpora (PipelineDecisionSpec). */
-  private[ext] def dedupDecision(d: DataFrame, e: DataFrame): DataFrame = {
+    * on planted corpora (PipelineDecisionSpec); `semCents` swaps the
+    * in-plan seeded training for a stored quantizer's centroids. */
+  private[ext] def dedupDecision(d: DataFrame, e: DataFrame,
+      semCents: Option[DataFrame] = None): DataFrame = {
     val hashes = d.select(col("doc_id"), Dedup.contentHash(col("text")).as("h"))
     val ex = hashes.withColumn("ex_keeper",
       min(col("doc_id")).over(Window.partitionBy(col("h"))))
@@ -1907,7 +1917,8 @@ object ExtQueries {
     // semantic tier: dedup_semantic's cells (same seeded training) →
     // within-cell cosine pairs → connected components, exactly the
     // near tier's shape one space over
-    val cents = Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1)
+    val cents = semCents.getOrElse(
+      Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1))
     val semPairs = Similarity.semanticPairs(e, "vec_id", "embedding", cents, SemScoreE4)
     val scomp = Dedup.connectedComponents(semPairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("comp").as("scomp"))
