@@ -2471,6 +2471,85 @@ object ExtQueries {
        |ORDER BY doc_id, matched_doc_id, n_sig_match""".stripMargin
 
   // ------------------------------------------------------------------
+  // streaming_semantic_golden: the semantic tier's STREAMING form,
+  // oracle-checked — completes the tier × mode matrix (exact / near /
+  // semantic × batch / store-backed / streaming). The embeddings table
+  // streams through 5 micro-batches (batch = vec_id mod 5, the
+  // writeGoldenStream slicing); each arrival coarse-assigns against
+  // the PERSISTED VectorIndex quantizer (same seeded training the
+  // IvfCtes block replays — the dedup_semantic_store equivalence),
+  // scores against its cell's prior-batch admitted members only
+  // (batch-vs-corpus, the near tier's rule) and is admitted in
+  // (batch, vec_id) order up to SemStreamMaxCell per cell. The cap is
+  // chosen to BIND at sf0.01 (~60 vectors/cell over 8 cells), so the
+  // oracle replays capped admission — a per-cell row_number over
+  // (batch, vec_id), the streaming_dedup_golden pattern one space
+  // over — not just the pair scores.
+  // ------------------------------------------------------------------
+
+  private val SemStreamMaxCell = 40
+
+  private val goldenSemDirCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def goldenSemStreamDir(spark: SparkSession, dir: String): String =
+    goldenSemDirCache.synchronized {
+      goldenSemDirCache.getOrElseUpdate(dir,
+        writeGoldenStream(emb(spark, dir)
+          .select(col("vec_id").as("doc_id"), col("embedding"))))
+    }
+
+  def streamingSemanticGolden(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = goldenSemStreamDir(spark, dir)
+    // the stored quantizer: coarseK × dim doubles of metadata
+    val cents = VectorIndex.coarse(spark, vindexFor(spark, dir), "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val name = s"streaming_semantic_${goldenCounter.incrementAndGet()}"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val src = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val hits = graft.streaming.StreamingDedup.semanticDupStream(
+      src, "vec_id", "embedding", cents, SemScoreE4,
+      maxCell = SemStreamMaxCell)
+    val q = hits.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val res = s2.table(name).select(
+        col("vecId").as("vec_id"),
+        col("matchedVecId").as("matched_vec_id"),
+        col("scoreE4").as("score_e4"))
+      .orderBy("vec_id", "matched_vec_id")
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
+    s2.catalog.dropTempView(name)
+    out.orderBy("vec_id", "matched_vec_id")
+  }
+
+  private val SemStreamDotSql =
+    "list_aggregate(list_transform(generate_series(1, 64), i -> v.embedding[i]::DOUBLE * u.embedding[i]::DOUBLE), 'sum')"
+
+  private val streamingSemanticGoldenSql =
+    s"""WITH $IvfCtes,
+       |jb AS (SELECT vec_id, embedding, nrm, cell,
+       |    ((vec_id % $GoldenBatches) + $GoldenBatches) % $GoldenBatches AS b
+       |  FROM asg),
+       |adm AS (SELECT jb.*, row_number() OVER (PARTITION BY cell ORDER BY b, vec_id) AS rn
+       |  FROM jb),
+       |p AS (SELECT v.vec_id, u.vec_id AS matched_vec_id,
+       |    cast(round($SemStreamDotSql / (v.nrm * u.nrm) * 10000) AS BIGINT) AS score_e4
+       |  FROM jb v JOIN adm u ON u.cell = v.cell AND u.b < v.b AND u.rn <= $SemStreamMaxCell)
+       |SELECT vec_id, matched_vec_id, score_e4 FROM p
+       |WHERE score_e4 >= $SemScoreE4
+       |ORDER BY vec_id, matched_vec_id""".stripMargin
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "text_stats" -> (textStats(_, _)),
@@ -2496,6 +2575,7 @@ object ExtQueries {
     "streaming_dedup_golden" -> (streamingDedupGolden(_, _)),
     "streaming_exact_golden" -> (streamingExactGolden(_, _)),
     "streaming_exact_ttl_golden" -> (streamingExactTtlGolden(_, _)),
+    "streaming_semantic_golden" -> (streamingSemanticGolden(_, _)),
     "streaming_ttl_golden" -> (streamingTtlGolden(_, _)),
     "dedup_substring" -> (dedupSubstring(_, _)),
     "pipeline_dedup_apply" -> (pipelineDedupApply(_, _)),
@@ -2549,6 +2629,7 @@ object ExtQueries {
     "streaming_dedup_golden" -> streamingDedupGoldenSql,
     "streaming_exact_golden" -> streamingExactGoldenSql,
     "streaming_exact_ttl_golden" -> streamingExactTtlGoldenSql,
+    "streaming_semantic_golden" -> streamingSemanticGoldenSql,
     "streaming_ttl_golden" -> streamingTtlGoldenSql,
     "dedup_substring" -> dedupSubstringSql,
     "pipeline_dedup_apply" -> pipelineDedupApplySql,

@@ -19,6 +19,10 @@ case class NearDupHit(docId: Long, matchedDocId: Long, nSigMatch: Int)
 /** An incoming doc whose content hash was already stored. */
 case class ExactDupHit(docId: Long, firstDocId: Long)
 
+/** An incoming vector flagged against an already-admitted member of
+  * its coarse cell in embedding space (streaming SemDeDup tier). */
+case class SemDupHit(vecId: Long, matchedVecId: Long, scoreE4: Long)
+
 /** One exploded LSH band row carrying its document's event time, for
   * the TTL-bounded store variant. */
 case class BandRowT(bandKey: String, docId: Long, sig: Seq[Long],
@@ -327,6 +331,94 @@ object StreamingDedup {
             } else state.remove() // every arrival already expired
             hits.iterator
           }
+      }
+  }
+
+  /** Streaming SemDeDup (round 10): the semantic tier's streaming
+    * form, completing the tier × mode matrix (exact / near / semantic
+    * × batch / store-backed / streaming). Incoming vectors
+    * coarse-assign against a FIXED quantizer — the persisted
+    * [[graft.ext.VectorIndex]] centroids, collected driver-side
+    * (coarseK × dim doubles of metadata, the same bounded collect as
+    * the index's probed-cell set); the cell id keys the state store;
+    * each cell holds at most `maxCell` admitted members. An arrival is
+    * scored against its cell's PRIOR-batch members only
+    * (batch-vs-corpus — the near tier's cross-side-only rule; pairs
+    * inside one micro-batch are never enumerated) and emits one
+    * [[SemDupHit]] per stored member with cosine ≥ `minScoreE4`/1e4;
+    * arrivals are then admitted in (batch, vec_id) order while the
+    * cell has room — first-come membership, never evicted, exactly
+    * the order the `streaming_semantic_golden` oracle replays with a
+    * per-cell row_number.
+    *
+    * Arithmetic parity with the batch tier and the DuckDB oracle:
+    * dot/norm accumulate in Double over the float coords in index
+    * order ([[graft.functions.VectorDot]]'s convention) and cell
+    * assignment is argmin of squared L2 with ties to the LOWEST
+    * centroid id ([[graft.ext.Similarity.assignCells]]'s row_number
+    * order), so scores and cells are bit-identical across the three
+    * forms.
+    *
+    * State: cells × maxCell × (dim floats + id + norm) — unlike the
+    * text tiers the state holds the fixed-width vectors themselves
+    * (cosine needs coordinates; dim floats is the same order of
+    * magnitude as the near tier's k-slot signatures). At k ∝ n
+    * production geometry (~250 vectors/cell, the measured
+    * `semantic_scaled` configuration) a 100 M-vector corpus is
+    * ~400 K cells × 64 members × ~270 B ≈ 7 GB across all executors,
+    * hash-partitioned by cell — RocksDB-provider territory, same as
+    * the other tiers. */
+  def semanticDupStream(vecs: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[(Long, Array[Double])], minScoreE4: Long,
+      maxCell: Int = 64): Dataset[SemDupHit] = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = centroids.sortBy(_._1).toArray
+    vecs
+      .select(col(idCol).cast("long").as("vecId"), col(embCol).as("emb"))
+      .as[(Long, Array[Float])]
+      .map { case (id, emb) =>
+        var bestCid = -1L; var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cents.length) {
+          val ce = cents(c)._2
+          var d = 0.0; var i = 0
+          while (i < ce.length) {
+            val t = emb(i).toDouble - ce(i); d += t * t; i += 1
+          }
+          // strict < while iterating ascending cid = ties to lowest cid
+          if (d < bestD) { bestD = d; bestCid = cents(c)._1 }
+          c += 1
+        }
+        var n = 0.0; var i = 0
+        while (i < emb.length) { n += emb(i).toDouble * emb(i).toDouble; i += 1 }
+        (bestCid, id, emb, math.sqrt(n))
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Array[Float], Double)], SemDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Array[Float], Double)],
+            state: GroupState[List[(Long, Array[Float], Double)]]) =>
+          val batch = rows.toVector.sortBy(_._2)
+          val prior = state.getOption.getOrElse(Nil) // admission order
+          val hits = Vector.newBuilder[SemDupHit]
+          batch.foreach { case (_, id, emb, nrm) =>
+            prior.foreach { case (mid, memb, mnrm) =>
+              var dot = 0.0; var i = 0
+              while (i < emb.length) {
+                dot += emb(i).toDouble * memb(i).toDouble; i += 1
+              }
+              // math.round = half-up, DuckDB round = half-away: equal for
+              // the positive scores that can reach the threshold
+              val score = math.round(dot / (nrm * mnrm) * 10000.0)
+              if (score >= minScoreE4) hits += SemDupHit(id, mid, score)
+            }
+          }
+          val admitted = batch.take(math.max(0, maxCell - prior.size))
+            .map { case (_, id, emb, nrm) => (id, emb, nrm) }
+          if (admitted.nonEmpty) state.update(prior ++ admitted)
+          hits.result().iterator
       }
   }
 }

@@ -437,4 +437,82 @@ class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkFixture {
       .filter(_.toString.endsWith(".changelog")).toList
     changelogs should not be empty
   }
+
+  behavior of "StreamingDedup.semanticDupStream"
+
+  // two far-apart coarse cells: centroid 0 at e0, centroid 1 at e10
+  private def oneHot(pos: Int, scale: Float = 1f): Array[Float] =
+    Array.tabulate(64)(i => if (i == pos) scale else 0f)
+  private val semCents: Seq[(Long, Array[Double])] = Seq(
+    0L -> oneHot(0).map(_.toDouble),
+    1L -> oneHot(10).map(_.toDouble))
+
+  it should "flag arrivals against prior-batch cell members only, with capped admission" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float])]
+    val hits = StreamingDedup.semanticDupStream(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      semCents, minScoreE4 = 3000L, maxCell = 2)
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("sem_hits")
+      .option("checkpointLocation", tempDir("semdup-ckpt"))
+      .start()
+    try {
+      def collected() = spark.table("sem_hits").as[SemDupHit].collect()
+        .map(h => (h.vecId, h.matchedVecId, h.scoreE4)).sorted.toSeq
+      // batch 1: one member per cell; no prior members → no hits.
+      // vec 2 sits at e1: equidistant from both centroids (sq dist 2
+      // each) → tie resolves to the LOWEST cid, cell 0 — but cosine
+      // vs e0 is 0, so it never matches, only occupies a member slot
+      in.addData((1L, oneHot(0).toSeq), (2L, oneHot(1).toSeq),
+        (5L, oneHot(10).toSeq))
+      q.processAllAvailable()
+      collected() shouldBe Seq.empty
+      // batch 2: vec 11 = e0 → hits member 1 (cos 1.0 = 10000), not
+      // member 2 (cos 0); vec 12 = e0 scaled → same-batch pair with 11
+      // SUPPRESSED (batch-vs-corpus), hits member 1 only
+      in.addData((11L, oneHot(0).toSeq), (12L, oneHot(0, 0.5f).toSeq))
+      q.processAllAvailable()
+      collected() shouldBe Seq((11L, 1L, 10000L), (12L, 1L, 10000L))
+      // cell 0 now holds [1, 2] — maxCell = 2 bound at batch-2
+      // admission time, so 11 and 12 were NOT admitted
+      // batch 3: vec 21 = e0 → hits the ADMITTED members only
+      // (member 1; member 2 at cos 0 misses) — NOT 11 or 12
+      in.addData((21L, oneHot(0).toSeq))
+      q.processAllAvailable()
+      collected() shouldBe Seq((11L, 1L, 10000L), (12L, 1L, 10000L),
+        (21L, 1L, 10000L))
+      // the other cell is independent: vec 25 = e10 hits member 5
+      in.addData((25L, oneHot(10).toSeq))
+      q.processAllAvailable()
+      collected() should contain((25L, 5L, 10000L))
+    } finally q.stop()
+  }
+
+  it should "admit within a batch in vec_id order when the cap leaves partial room" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float])]
+    val hits = StreamingDedup.semanticDupStream(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      semCents, minScoreE4 = 3000L, maxCell = 2)
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("sem_adm_hits")
+      .option("checkpointLocation", tempDir("semadm-ckpt"))
+      .start()
+    try {
+      // batch 1: three cell-0 vectors arrive at once; the cap admits
+      // the two LOWEST ids (7, 8), not 9
+      in.addData((9L, oneHot(0).toSeq), (7L, oneHot(0).toSeq),
+        (8L, oneHot(0, 2f).toSeq))
+      q.processAllAvailable()
+      // batch 2: a probe matches exactly the admitted set
+      in.addData((30L, oneHot(0).toSeq))
+      q.processAllAvailable()
+      val got = spark.table("sem_adm_hits").as[SemDupHit].collect()
+        .map(h => (h.vecId, h.matchedVecId)).sorted.toSeq
+      got shouldBe Seq((30L, 7L), (30L, 8L))
+    } finally q.stop()
+  }
 }
