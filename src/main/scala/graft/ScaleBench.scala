@@ -90,14 +90,16 @@ object ScaleBench {
     "streaming_exact_golden", "streaming_ttl_golden",
     "streaming_exact_ttl_golden", "dedup_semantic",
     // round 10
-    "dedup_semantic_store", "streaming_semantic_golden")
+    "dedup_semantic_store", "streaming_semantic_golden",
+    "streaming_semantic_ttl_golden")
 
   /** Queries whose first call per corpus dir pays a one-time persisted
     * store/index build (cached thereafter) — warmed before measuring. */
   private val StoreBackedQueries: Set[String] =
     Set("dedup_incremental_store", "sim_index_store", "dedup_semantic_store",
       "streaming_dedup_golden", "streaming_exact_golden", "streaming_ttl_golden",
-      "streaming_exact_ttl_golden", "streaming_semantic_golden")
+      "streaming_exact_ttl_golden", "streaming_semantic_golden",
+      "streaming_semantic_ttl_golden")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)

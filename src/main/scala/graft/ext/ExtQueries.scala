@@ -2535,6 +2535,101 @@ object ExtQueries {
   private val SemStreamDotSql =
     "list_aggregate(list_transform(generate_series(1, 64), i -> v.embedding[i]::DOUBLE * u.embedding[i]::DOUBLE), 'sum')"
 
+  // ------------------------------------------------------------------
+  // streaming_semantic_ttl_golden: the semantic streaming tier under
+  // the event-time retention horizon, oracle-checked — same 7-min
+  // spacing / 10-min horizon as the other TTL goldens, so a cell
+  // member admitted at batch j is alive at batch i iff j ≥ i−2, and
+  // EVICTION FREES ADMISSION ROOM: the cap binds against the
+  // active-horizon membership, not lifetime arrivals. The cap (8,
+  // against ~12 arrivals per cell-batch at sf0.01) is chosen so the
+  // composed recurrence actually oscillates — full admission, starved
+  // batches while the horizon is saturated, re-opened room after
+  // expiry — and the oracle replays it with the streaming_ttl_golden
+  // chained-CTE admission recurrence, per CELL instead of per band
+  // bucket, composed with the cosine scores.
+  // ------------------------------------------------------------------
+
+  private val SemTtlMaxCell = 8
+
+  private val goldenSemTtlDirCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def goldenSemTtlStreamDir(spark: SparkSession, dir: String): String =
+    goldenSemTtlDirCache.synchronized {
+      goldenSemTtlDirCache.getOrElseUpdate(dir,
+        writeGoldenStream(emb(spark, dir)
+          .select(col("vec_id").as("doc_id"), col("embedding"),
+            timestamp_millis(lit(1700000000000L) +
+              pmod(col("vec_id"), lit(GoldenBatches)) * TtlGoldenSpacingMs).as("ts"))))
+    }
+
+  def streamingSemanticTtlGolden(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = goldenSemTtlStreamDir(spark, dir)
+    val cents = VectorIndex.coarse(spark, vindexFor(spark, dir), "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val name = s"streaming_semantic_ttl_${goldenCounter.incrementAndGet()}"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val src = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      .select(col("doc_id").as("vec_id"), col("embedding"), col("ts"))
+      .withWatermark("ts", "0 seconds")
+    val hits = graft.streaming.StreamingDedup.semanticDupStreamTtl(
+      src, "vec_id", "embedding", "ts", cents, SemScoreE4,
+      ttlMs = TtlGoldenHorizonMs, maxCell = SemTtlMaxCell)
+    val q = hits.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val res = s2.table(name).select(
+        col("vecId").as("vec_id"),
+        col("matchedVecId").as("matched_vec_id"),
+        col("scoreE4").as("score_e4"))
+      .orderBy("vec_id", "matched_vec_id")
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
+    s2.catalog.dropTempView(name)
+    out.orderBy("vec_id", "matched_vec_id")
+  }
+
+  private val streamingSemanticTtlGoldenSql =
+    s"""WITH $IvfCtes,
+       |jb AS (SELECT vec_id, embedding, nrm, cell,
+       |    ((vec_id % $GoldenBatches) + $GoldenBatches) % $GoldenBatches AS b,
+       |    row_number() OVER (
+       |      PARTITION BY cell, ((vec_id % $GoldenBatches) + $GoldenBatches) % $GoldenBatches
+       |      ORDER BY vec_id) AS r
+       |  FROM asg),
+       |sc0 AS (SELECT cell,
+       |    count(*) FILTER (WHERE b = 0) AS n0,
+       |    count(*) FILTER (WHERE b = 1) AS n1,
+       |    count(*) FILTER (WHERE b = 2) AS n2,
+       |    count(*) FILTER (WHERE b = 3) AS n3,
+       |    count(*) FILTER (WHERE b = 4) AS n4
+       |  FROM jb GROUP BY cell),
+       |sc1 AS (SELECT *, least(n0, $SemTtlMaxCell) AS a0 FROM sc0),
+       |sc2 AS (SELECT *, least(n1, greatest(0, $SemTtlMaxCell - a0)) AS a1 FROM sc1),
+       |sc3 AS (SELECT *, least(n2, greatest(0, $SemTtlMaxCell - a1 - a0)) AS a2 FROM sc2),
+       |sc4 AS (SELECT *, least(n3, greatest(0, $SemTtlMaxCell - a2 - a1)) AS a3 FROM sc3),
+       |sc5 AS (SELECT *, least(n4, greatest(0, $SemTtlMaxCell - a3 - a2)) AS a4 FROM sc4),
+       |mem AS (SELECT j.vec_id, j.embedding, j.nrm, j.cell, j.b
+       |  FROM jb j JOIN sc5 c ON c.cell = j.cell
+       |  WHERE j.r <= (CASE j.b WHEN 0 THEN c.a0 WHEN 1 THEN c.a1
+       |    WHEN 2 THEN c.a2 WHEN 3 THEN c.a3 ELSE c.a4 END)),
+       |p AS (SELECT v.vec_id, u.vec_id AS matched_vec_id,
+       |    cast(round($SemStreamDotSql / (v.nrm * u.nrm) * 10000) AS BIGINT) AS score_e4
+       |  FROM jb v JOIN mem u ON u.cell = v.cell AND u.b < v.b AND u.b >= v.b - 2)
+       |SELECT vec_id, matched_vec_id, score_e4 FROM p
+       |WHERE score_e4 >= $SemScoreE4
+       |ORDER BY vec_id, matched_vec_id""".stripMargin
+
   private val streamingSemanticGoldenSql =
     s"""WITH $IvfCtes,
        |jb AS (SELECT vec_id, embedding, nrm, cell,
@@ -2576,6 +2671,7 @@ object ExtQueries {
     "streaming_exact_golden" -> (streamingExactGolden(_, _)),
     "streaming_exact_ttl_golden" -> (streamingExactTtlGolden(_, _)),
     "streaming_semantic_golden" -> (streamingSemanticGolden(_, _)),
+    "streaming_semantic_ttl_golden" -> (streamingSemanticTtlGolden(_, _)),
     "streaming_ttl_golden" -> (streamingTtlGolden(_, _)),
     "dedup_substring" -> (dedupSubstring(_, _)),
     "pipeline_dedup_apply" -> (pipelineDedupApply(_, _)),
@@ -2630,6 +2726,7 @@ object ExtQueries {
     "streaming_exact_golden" -> streamingExactGoldenSql,
     "streaming_exact_ttl_golden" -> streamingExactTtlGoldenSql,
     "streaming_semantic_golden" -> streamingSemanticGoldenSql,
+    "streaming_semantic_ttl_golden" -> streamingSemanticTtlGoldenSql,
     "streaming_ttl_golden" -> streamingTtlGoldenSql,
     "dedup_substring" -> dedupSubstringSql,
     "pipeline_dedup_apply" -> pipelineDedupApplySql,

@@ -368,33 +368,42 @@ object StreamingDedup {
     * ~400 K cells × 64 members × ~270 B ≈ 7 GB across all executors,
     * hash-partitioned by cell — RocksDB-provider territory, same as
     * the other tiers. */
+  /** Coarse-assignment + norm as COLUMN expressions over the literal
+    * centroid set — codegen'd, and (unlike a typed `map`, which mints
+    * fresh attributes via SerializeFromObject) watermark metadata on
+    * an event-time column survives the projection, which the TTL
+    * variant's EventTimeTimeout requires. `array_min` over
+    * (dist, cid) structs compares fields in order — exactly
+    * [[graft.ext.Similarity.assignCells]]'s dist-asc, cid-asc
+    * row_number rule — and the native `graft_vector_sqdist` /
+    * `graft_vector_dot` expressions accumulate in Double over the
+    * float coords in index order, the engine-wide convention. */
+  private def withSemCell(vecs: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val distStructs = centroids.sortBy(_._1).map { case (cid, ce) =>
+      struct(
+        call_function("graft_vector_sqdist", col("emb"),
+          typedLit(ce.toSeq)).as("d"),
+        lit(cid).as("cid"))
+    }
+    vecs
+      .withColumn("emb", col(embCol))
+      .withColumn("cell", array_min(array(distStructs: _*)).getField("cid"))
+      .withColumn("nrm",
+        sqrt(call_function("graft_vector_dot", col("emb"), col("emb"))))
+      .withColumn("vecId", col(idCol).cast("long"))
+  }
+
   def semanticDupStream(vecs: DataFrame, idCol: String, embCol: String,
       centroids: Seq[(Long, Array[Double])], minScoreE4: Long,
       maxCell: Int = 64): Dataset[SemDupHit] = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val spark = vecs.sparkSession
     import spark.implicits._
-    val cents = centroids.sortBy(_._1).toArray
-    vecs
-      .select(col(idCol).cast("long").as("vecId"), col(embCol).as("emb"))
-      .as[(Long, Array[Float])]
-      .map { case (id, emb) =>
-        var bestCid = -1L; var bestD = Double.PositiveInfinity
-        var c = 0
-        while (c < cents.length) {
-          val ce = cents(c)._2
-          var d = 0.0; var i = 0
-          while (i < ce.length) {
-            val t = emb(i).toDouble - ce(i); d += t * t; i += 1
-          }
-          // strict < while iterating ascending cid = ties to lowest cid
-          if (d < bestD) { bestD = d; bestCid = cents(c)._1 }
-          c += 1
-        }
-        var n = 0.0; var i = 0
-        while (i < emb.length) { n += emb(i).toDouble * emb(i).toDouble; i += 1 }
-        (bestCid, id, emb, math.sqrt(n))
-      }
+    withSemCell(vecs, idCol, embCol, centroids)
+      .select(col("cell"), col("vecId"), col("emb"), col("nrm"))
+      .as[(Long, Long, Array[Float], Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[List[(Long, Array[Float], Double)], SemDupHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -405,20 +414,101 @@ object StreamingDedup {
           val hits = Vector.newBuilder[SemDupHit]
           batch.foreach { case (_, id, emb, nrm) =>
             prior.foreach { case (mid, memb, mnrm) =>
-              var dot = 0.0; var i = 0
-              while (i < emb.length) {
-                dot += emb(i).toDouble * memb(i).toDouble; i += 1
+              if (mid != id) { // a replayed member is itself, not a dup
+                var dot = 0.0; var i = 0
+                while (i < emb.length) {
+                  dot += emb(i).toDouble * memb(i).toDouble; i += 1
+                }
+                // math.round = half-up, DuckDB round = half-away: equal
+                // for the positive scores that can reach the threshold
+                val score = math.round(dot / (nrm * mnrm) * 10000.0)
+                if (score >= minScoreE4) hits += SemDupHit(id, mid, score)
               }
-              // math.round = half-up, DuckDB round = half-away: equal for
-              // the positive scores that can reach the threshold
-              val score = math.round(dot / (nrm * mnrm) * 10000.0)
-              if (score >= minScoreE4) hits += SemDupHit(id, mid, score)
             }
           }
           val admitted = batch.take(math.max(0, maxCell - prior.size))
             .map { case (_, id, emb, nrm) => (id, emb, nrm) }
           if (admitted.nonEmpty) state.update(prior ++ admitted)
           hits.result().iterator
+      }
+  }
+
+  /** [[semanticDupStream]] under the same event-time retention horizon
+    * as the other TTL tiers: a cell member is kept only while its
+    * event time is inside the horizon — once the watermark passes
+    * `ts + ttl` it is evicted (per-access, with
+    * [[GroupStateTimeout.EventTimeTimeout]] clearing idle cells whose
+    * every member expired), and eviction FREES ADMISSION ROOM, so the
+    * cap binds against the cell's ACTIVE-horizon membership, not its
+    * lifetime arrivals. Scoring stays batch-vs-prior-members (alive
+    * ones only); arrivals beyond the horizon (late data) still get
+    * their verdict but are not stored; a live member re-arriving under
+    * the same vec_id refreshes its timestamp forward
+    * ([[nearDupStreamTtl]]'s rule). State: active-horizon members per
+    * cell, capped — bounded by the horizon's vector traffic even when
+    * the corpus's lifetime vocabulary is unbounded.
+    *
+    * `vecs` must carry a watermark on `tsCol`. */
+  def semanticDupStreamTtl(vecs: DataFrame, idCol: String, embCol: String,
+      tsCol: String, centroids: Seq[(Long, Array[Double])],
+      minScoreE4: Long, ttlMs: Long, maxCell: Int = 64): Dataset[SemDupHit] = {
+    require(ttlMs > 0, "ttlMs must be positive")
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    withSemCell(vecs, idCol, embCol, centroids)
+      .select(col("cell"), col("vecId"), col("emb"), col("nrm"),
+        col(tsCol).as("ts"))
+      // the event-time column rides into the stateful function as-is:
+      // a typed map here would mint a fresh attribute and lose the
+      // watermark tag EventTimeTimeout requires
+      .as[(Long, Long, Array[Float], Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Array[Float], Double, Long)], SemDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long,
+            rows: Iterator[(Long, Long, Array[Float], Double, java.sql.Timestamp)],
+            state: GroupState[List[(Long, Array[Float], Double, Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove() // watermark passed every member's expiry
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            val prior = state.getOption.getOrElse(Nil)
+              .filter(_._4 + ttlMs > wm) // evict: frees admission room
+            val batch = rows.toVector.sortBy(_._2)
+              .map { case (cell, id, emb, nrm, ts) =>
+                (cell, id, emb, nrm, ts.getTime)
+              }
+            val hits = Vector.newBuilder[SemDupHit]
+            batch.foreach { case (_, id, emb, nrm, _) =>
+              prior.foreach { case (mid, memb, mnrm, _) =>
+                if (mid != id) {
+                  var dot = 0.0; var i = 0
+                  while (i < emb.length) {
+                    dot += emb(i).toDouble * memb(i).toDouble; i += 1
+                  }
+                  val score = math.round(dot / (nrm * mnrm) * 10000.0)
+                  if (score >= minScoreE4) hits += SemDupHit(id, mid, score)
+                }
+              }
+            }
+            val live = batch.filter(_._5 + ttlMs > wm)
+            val refreshed = prior.map { m =>
+              live.filter(_._2 == m._1).map(_._5)
+                .foldLeft(m)((acc, t) => acc.copy(_4 = math.max(acc._4, t)))
+            }
+            val fresh = live
+              .filterNot(r => prior.exists(_._1 == r._2))
+              .map { case (_, id, emb, nrm, t) => (id, emb, nrm, t) }
+            val kept = (refreshed ++ fresh).take(maxCell)
+            if (kept.isEmpty) state.remove()
+            else {
+              state.update(kept)
+              state.setTimeoutTimestamp(kept.map(_._4).max + ttlMs)
+            }
+            hits.result().iterator
+          }
       }
   }
 }

@@ -515,4 +515,46 @@ class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkFixture {
       got shouldBe Seq((30L, 7L), (30L, 8L))
     } finally q.stop()
   }
+
+  behavior of "StreamingDedup.semanticDupStreamTtl"
+
+  it should "evict expired members, freeing admission room for new arrivals" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val hits = StreamingDedup.semanticDupStreamTtl(
+      in.toDF().toDF("vec_id", "embedding", "ts").withWatermark("ts", "0 seconds"),
+      "vec_id", "embedding", "ts", semCents, minScoreE4 = 3000L,
+      ttlMs = 600000L, maxCell = 2) // 10-minute horizon, 2-member cells
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("sem_ttl_hits")
+      .option("checkpointLocation", tempDir("semttl-ckpt"))
+      .start()
+    try {
+      def collected() = spark.table("sem_ttl_hits").as[SemDupHit].collect()
+        .map(h => (h.vecId, h.matchedVecId)).sorted.toSeq
+      // minute 0: cell 0 fills to its cap
+      in.addData((1L, oneHot(0).toSeq, ts(0)), (2L, oneHot(0, 2f).toSeq, ts(0)))
+      q.processAllAvailable()
+      // minute 8 (watermark 0, members alive): arrival hits BOTH, and
+      // is NOT admitted — the cap binds against live membership
+      in.addData((11L, oneHot(0).toSeq, ts(8)))
+      q.processAllAvailable()
+      collected() shouldBe Seq((11L, 1L), (11L, 2L))
+      // minute 20: other-cell traffic pushes the watermark to 8, then
+      // 20 — members 1/2 (expiry minute 10) die with it
+      in.addData((99L, oneHot(10).toSeq, ts(20)))
+      q.processAllAvailable()
+      // minute 21 (watermark 20): the cell is EMPTY — no hits, and the
+      // arrival takes the freed room
+      in.addData((31L, oneHot(0).toSeq, ts(21)))
+      q.processAllAvailable()
+      collected() shouldBe Seq((11L, 1L), (11L, 2L))
+      // minute 22: a new arrival matches the NEW member only — the
+      // expired members are gone, not shadowed
+      in.addData((41L, oneHot(0).toSeq, ts(22)))
+      q.processAllAvailable()
+      collected() shouldBe Seq((11L, 1L), (11L, 2L), (41L, 31L))
+    } finally q.stop()
+  }
 }
