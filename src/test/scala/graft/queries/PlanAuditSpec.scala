@@ -333,4 +333,49 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
     p should include("BroadcastHashJoin")
     "Exchange hashpartitioning\\([^)]*embedding".r.findAllIn(p).size shouldBe 0
   }
+
+  it should "keep the semantic dedup family cartesian-free — nested-loops broadcast metadata only" in {
+    // round 10: the three-tier decision surface and both SemDeDup
+    // forms. The ONLY sanctioned nested-loop is assignCells'
+    // crossJoin(broadcast(centroids)) — whose build side is
+    // metadata-sized by construction (checkpointed trained centroids,
+    // or the index store's coarse/ table) and NEVER a corpus scan.
+    // The attach subtree replicates across the decision's self-join
+    // branches, so the invariant is per-node build-side content, not
+    // a node count. In-cell pair enumeration must be an equi-join on
+    // the cell key, never a product.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // pipeline_dedup_apply's connected-components tiers run under
+      // eager checkpoints, so its FINAL plan only joins the
+      // checkpointed cluster labels — the attach is audited through
+      // the two semantic queries that share the enumeration code
+      for ((q, attachVisible) <- Seq("pipeline_dedup_apply" -> false,
+          "dedup_semantic" -> true, "dedup_semantic_store" -> true)) {
+        val planTree = graft.SparkEntry.queries(q)(spark, dir)
+          .queryExecution.executedPlan
+        withClue(q) {
+          planTree.toString should not include "CartesianProduct"
+          val bnljs = planTree.collect {
+            case j: BroadcastNestedLoopJoinExec => j
+          }
+          if (attachVisible) bnljs should not be empty // the attach exists
+          bnljs.foreach { j =>
+            val build =
+              if (j.buildSide.toString.contains("Right")) j.right else j.left
+            val corpusScans = build.collect {
+              case s: FileSourceScanExec
+                  if s.toString.contains("embeddings.parquet") ||
+                    s.toString.contains("documents.parquet") => s
+            }
+            withClue(s"nested-loop build side scans corpus: ") {
+              corpusScans shouldBe empty
+            }
+          }
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
