@@ -557,4 +557,45 @@ class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkFixture {
       collected() shouldBe Seq((11L, 1L), (11L, 2L), (41L, 31L))
     } finally q.stop()
   }
+
+  it should "produce identical hits under the RocksDB state store provider" in {
+    // provider independence for the semantic stream, same contract the
+    // near tier pins: the 100 TB shape keeps the vector-bearing cell
+    // state on executor-local disk, and semantics must not move
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    import s2.implicits._
+    implicit val sqlCtx = s2.sqlContext
+    val in = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val hits = StreamingDedup.semanticDupStreamTtl(
+      in.toDF().toDF("vec_id", "embedding", "ts").withWatermark("ts", "0 seconds"),
+      "vec_id", "embedding", "ts", semCents, minScoreE4 = 3000L,
+      ttlMs = 600000L, maxCell = 2)
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("sem_rocks_hits")
+      .option("checkpointLocation", tempDir("semrocks-ckpt"))
+      .start()
+    try {
+      in.addData((1L, oneHot(0).toSeq, ts(0)), (2L, oneHot(0, 2f).toSeq, ts(0)))
+      q.processAllAvailable()
+      in.addData((11L, oneHot(0).toSeq, ts(8)))
+      q.processAllAvailable()
+      in.addData((99L, oneHot(10).toSeq, ts(20)))
+      q.processAllAvailable()
+      in.addData((31L, oneHot(0).toSeq, ts(21)))
+      q.processAllAvailable()
+      in.addData((41L, oneHot(0).toSeq, ts(22)))
+      q.processAllAvailable()
+      val got = s2.table("sem_rocks_hits").as[SemDupHit].collect()
+        .map(h => (h.vecId, h.matchedVecId)).sorted.toSeq
+      got shouldBe Seq((11L, 1L), (11L, 2L), (41L, 31L)) // same as default provider
+      import scala.jdk.CollectionConverters._
+      val metricKeys = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .flatMap(_.customMetrics.keySet().asScala)
+      atLeast(1, metricKeys) should include("rocksdb")
+    } finally q.stop()
+  }
 }
