@@ -556,9 +556,13 @@ object Dedup {
     * O(log diameter) rounds instead of O(diameter). Every data operation
     * is a distributed join/aggregate over the edge list, which is output
     * of LSH candidate verification — metadata-sized relative to the
-    * corpus (pairs, not documents). Intermediates are localCheckpoint'ed
-    * so lineage doesn't grow with rounds (on a cluster, `checkpoint` to
-    * a reliable store for fault tolerance instead).
+    * corpus (pairs, not documents). Intermediates are checkpointed each
+    * round so lineage doesn't grow with rounds: to the RELIABLE
+    * checkpoint store when the session has one configured
+    * (`sparkContext.setCheckpointDir` — the cluster deployment shape,
+    * where a lost executor must not restart the whole propagation),
+    * falling back to `localCheckpoint` otherwise (single-box runs,
+    * where executor loss means the app died anyway).
     *
     * Convergence is detected from a single scalar aggregate per round:
     * min-label propagation only ever DECREASES labels, so the label sum
@@ -598,10 +602,15 @@ object Dedup {
     * [[connectedComponents]] for the algorithm). */
   def connectedComponentsResult(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): CcResult = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // reliable checkpoints when the session has a checkpoint dir (the
+    // cluster shape: a lost executor replays from the store, not from
+    // the whole propagation lineage); local otherwise
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    val edges = ckpt(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
     def jump(df: DataFrame): DataFrame = {
@@ -623,7 +632,7 @@ object Dedup {
         .select(col("src").as("id"), col("comp"))
       val stepped = labels.unionAll(nbr)
         .groupBy("id").agg(min("comp").as("comp"))
-      val shortcut = jump(jump(stepped)).localCheckpoint(true)
+      val shortcut = ckpt(jump(jump(stepped)))
       val sig = signature(shortcut)
       labels = shortcut
       done = sig._2 == 0L || prevSig.contains(sig)

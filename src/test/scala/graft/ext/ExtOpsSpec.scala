@@ -554,4 +554,29 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     // 1-2, 2-3 transitively joins 3 to 1 even if (1,3) was never a pair
     components((1L, 2L), (2L, 3L)) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
   }
+
+  it should "use reliable checkpoints when the session has a checkpoint dir" in {
+    // the cluster deployment shape: with sparkContext.setCheckpointDir
+    // configured, every per-round truncation goes to the reliable
+    // store (a lost executor replays from it instead of restarting the
+    // whole propagation); labels must be identical to the local path
+    import spark.implicits._
+    val ckptDir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      val chain = (1L until 32L).map(i => (i, i + 1))
+      val got = Dedup.connectedComponents(
+          chain.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      got.size shouldBe 32
+      got.values.toSet shouldBe Set(1L)
+      // the reliable store was actually used
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      try files.filter(java.nio.file.Files.isRegularFile(_)).count() should be > 0L
+      finally files.close()
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+      graft.ext.SignatureStore.deleteStore(java.nio.file.Paths.get(ckptDir))
+    }
+  }
 }
