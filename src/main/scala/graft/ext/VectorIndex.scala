@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -353,5 +353,34 @@ object VectorIndex {
     Similarity.adcScoreCandidates(codes, dtab, cand)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** Online ANN serving: a STREAM of query vectors searched against
+    * the persisted index, one [[topK]] per micro-batch — Spark's
+    * standard per-batch serving shape (`foreachBatch` hands each
+    * trigger's queries to the full batch API, so the search is
+    * BIT-IDENTICAL to the batch path: same coarse assignment, same
+    * cell-file pruning, same ADC arithmetic, same (query_id,
+    * neighbor_id, cell, adist_e6, rnk) contract). The index is the
+    * static side — centroids and codebooks are metadata reads per
+    * trigger, and only the PROBED cells' code files are read, so
+    * per-trigger cost scales with the batch's query count and nProbe,
+    * never with index size. `handler` receives each batch's ranked
+    * results with its batch id (deliver-to-sink, metrics, dedup on
+    * replay — the caller's exactly-once policy).
+    *
+    * Returns the started [[StreamingQuery]]; stop it to end serving. */
+  def topKStream(queries: DataFrame, path: String, idCol: String,
+      embCol: String, k: Int, nProbe: Int = 2,
+      checkpointLocation: Option[String] = None)(
+      handler: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = queries.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // an empty trigger has nothing to rank — skip the index reads
+        if (!batch.isEmpty)
+          handler(topK(batch, path, idCol, embCol, k, nProbe), batchId)
+      }
+    checkpointLocation.fold(writer)(writer.option("checkpointLocation", _))
+      .start()
   }
 }

@@ -280,4 +280,41 @@ class VectorIndexSpec extends AnyFlatSpec with Matchers with SparkFixture {
       .select(col("q.vec_id"), col("n.vec_id")).as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
   }
+
+  behavior of "VectorIndex online serving"
+
+  it should "serve streamed query batches bit-identically to the batch topK" in {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tempIndex("serve")
+    try {
+      VectorIndex.build(corpus, "vec_id", "embedding", path,
+        dim = 64, m = 8, codebookK = 16, coarseK = 8)
+      val qSets = Seq(0L until 3L, 3L until 6L) // two micro-batches
+      val expected = qSets.map { ids =>
+        topKRows(path, corpus.filter(col("vec_id").isin(ids: _*)))
+      }
+      val got = scala.collection.mutable.Map.empty[Long, Seq[(Long, Long, Long, Long)]]
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = VectorIndex.topKStream(
+          in.toDF().toDF("vec_id", "embedding"), path,
+          "vec_id", "embedding", k = 5, nProbe = 2) { (res, batchId) =>
+        got.synchronized {
+          got(batchId) = res.select("query_id", "neighbor_id", "adist_e6", "rnk")
+            .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+        }
+      }
+      try {
+        val vecs = corpus.as[(Long, Seq[Float])].collect().toMap
+        qSets.zipWithIndex.foreach { case (ids, _) =>
+          in.addData(ids.map(i => (i, vecs(i))): _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // each micro-batch's served ranking equals the batch-path call
+      // on the same queries — same assignment, pruning, ADC, ranks
+      got.keySet.toSeq.sorted.map(got) shouldBe expected
+    } finally cleanup(path)
+  }
 }
