@@ -355,6 +355,32 @@ object VectorIndex {
       .filter(col("rnk") <= k)
   }
 
+  /** Streaming INGEST into the persisted index: one idempotent
+    * [[append]] per micro-batch, keyed by the stream's batch id — the
+    * exactly-once composition the commit-marker discipline was built
+    * for. `foreachBatch` re-delivers a batch after a crash with the
+    * SAME id; `append` sees its `_commits/` marker and no-ops, so a
+    * restart can never double-admit codes (the crash-before-marker
+    * case is covered by append's read-side dedup, spec'd at the store
+    * level). Each admitted batch also rides the drift metric —
+    * [[needsRebuild]]'s policy applies to the stream unchanged. The
+    * optional `onBatch` observer receives every [[AppendResult]]
+    * (drift ratio, replay flag) for monitoring.
+    *
+    * Returns the started [[StreamingQuery]]; stop it to end ingest. */
+  def appendStream(vecs: DataFrame, path: String, idCol: String,
+      embCol: String, checkpointLocation: Option[String] = None)(
+      onBatch: AppendResult => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = vecs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          onBatch(append(batch, idCol, embCol, path,
+            batchId = Some(s"stream-$batchId")))
+      }
+    checkpointLocation.fold(writer)(writer.option("checkpointLocation", _))
+      .start()
+  }
+
   /** Online ANN serving: a STREAM of query vectors searched against
     * the persisted index, one [[topK]] per micro-batch — Spark's
     * standard per-batch serving shape (`foreachBatch` hands each

@@ -281,6 +281,45 @@ class VectorIndexSpec extends AnyFlatSpec with Matchers with SparkFixture {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
   }
 
+  behavior of "VectorIndex streaming ingest"
+
+  it should "ingest streamed batches exactly-once via batch-id commit markers" in {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tempIndex("ingest")
+    try {
+      // the quantizer trains on the even half; the odd half arrives
+      // as a stream afterwards — encode-only admission
+      VectorIndex.build(corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", path, dim = 64, m = 8, codebookK = 16, coarseK = 8)
+      val odd = corpus.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .as[(Long, Seq[Float])].collect()
+      val results = scala.collection.mutable.ArrayBuffer.empty[VectorIndex.AppendResult]
+      val in = MemoryStream[(Long, Seq[Float])]
+      val q = VectorIndex.appendStream(
+          in.toDF().toDF("vec_id", "embedding"), path, "vec_id", "embedding") {
+        r => results.synchronized { results += r }
+      }
+      try {
+        val (b0, b1) = odd.splitAt(odd.length / 2)
+        in.addData(b0: _*); q.processAllAvailable()
+        in.addData(b1: _*); q.processAllAvailable()
+      } finally q.stop()
+      results.map(_.batchId).sorted.toSeq shouldBe Seq("stream-0", "stream-1")
+      results.count(_.replayed) shouldBe 0
+      // a crash re-delivery of batch 0 (foreachBatch replays the SAME
+      // id) hits the commit marker and no-ops
+      val replay = VectorIndex.append(
+        odd.take(odd.length / 2).toSeq.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", path, batchId = Some("stream-0"))
+      replay.replayed shouldBe true
+      // every vector is admitted exactly once
+      spark.read.parquet(s"$path/codes/data")
+        .select("neighbor_id").distinct().count() shouldBe corpus.count()
+    } finally cleanup(path)
+  }
+
   behavior of "VectorIndex online serving"
 
   it should "serve streamed query batches bit-identically to the batch topK" in {
