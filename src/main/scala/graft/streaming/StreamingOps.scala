@@ -68,6 +68,39 @@ object StreamingOps {
     joined.drop(col(s"d.$dimKey"))
   }
 
+  /** Ingest-time benchmark decontamination (round 10): the
+    * `pipeline_decontaminate` check as a guard on a DOCUMENT STREAM.
+    * Benchmark shingles are the static broadcast side (metadata-sized
+    * by definition — the corpus is the 100 TB side and never
+    * shuffles for the join); each arriving doc's DISTINCT shingles
+    * (`array_distinct` per row — a doc's shingles all ride its one
+    * row, so this replicates the batch path's per-doc `distinct()`
+    * without a second streaming aggregate) join the broadcast set, and
+    * a watermarked windowed count flags docs with ≥ `minHits`
+    * benchmark n-grams. Append-mode output; state is one count per
+    * flagged-candidate doc inside the watermark horizon — evicted with
+    * the window, never stream-lifetime.
+    *
+    * Returns (doc_id, n_hits) per flagged doc once its window closes. */
+  def decontaminateStream(docs: DataFrame, benchShingles: DataFrame,
+      idCol: String, textCol: String, tsCol: String,
+      watermarkDelay: String, windowLength: String,
+      shingleN: Int = 3, minHits: Long = 1): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
+        graft.ext.TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
+      .select(col("doc_id"), col("ts"),
+        explode(array_distinct(
+          graft.ext.TextOps.shingles(col("toks"), shingleN))).as("sh"))
+      .join(broadcast(benchShingles.select(col("s")).distinct()),
+        col("sh") === col("s"))
+      .groupBy(window(col("ts"), windowLength), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .select(col("doc_id"), col("n_hits"))
+
   /** Streaming exact dedup: emit only the FIRST occurrence of each key
     * across micro-batches, with explicit per-key state via
     * flatMapGroupsWithState — the custom-state extension tier. For

@@ -110,6 +110,46 @@ class StreamingOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally q.stop()
   }
 
+  behavior of "decontaminateStream ingest guard"
+
+  it should "flag arriving docs that share shingles with the broadcast benchmark set" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // benchmark: one distinctive sentence; its trigram shingles are
+    // the static side, derived with the SAME helper the batch
+    // pipeline_decontaminate uses
+    val bench = graft.ext.Dedup.shingleRows(
+      Seq((0L, "the secret benchmark question about ancient rivers and their deltas"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val flagged = StreamingOps.decontaminateStream(
+      in.toDF().toDF("doc_id", "text", "ts"), bench,
+      "doc_id", "text", "ts",
+      watermarkDelay = "0 seconds", windowLength = "5 minutes",
+      minHits = 2)
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("decon_out")
+      .option("checkpointLocation", tempDir("decon-ckpt"))
+      .start()
+    try {
+      in.addData(
+        // contaminated: contains the benchmark phrase verbatim
+        (10L, "prefix words then the secret benchmark question about ancient rivers appears here", ts(0)),
+        // near-miss: shares exactly ONE shingle — below minHits=2
+        (11L, "unrelated text mentioning ancient rivers and nothing else of note", ts(0)),
+        // clean
+        (12L, "completely unrelated content about spark catalyst optimizer internals", ts(1)))
+      q.processAllAvailable()
+      // push the watermark so the 10:00 window closes (append mode)
+      in.addData((99L, "filler traffic far in the future", ts(30)))
+      q.processAllAvailable()
+      val out = spark.table("decon_out")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      out.map(_._1) shouldBe Seq(10L)
+      out.head._2 should be >= 2L
+    } finally q.stop()
+  }
+
   behavior of "firstSeen stateful dedup"
 
   it should "emit only the first occurrence of each key across micro-batches" in {
