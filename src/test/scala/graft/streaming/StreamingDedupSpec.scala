@@ -598,4 +598,53 @@ class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkFixture {
       atLeast(1, metricKeys) should include("rocksdb")
     } finally q.stop()
   }
+
+  it should "recover vector-bearing cell state across kill/resume with changelog checkpointing" in {
+    // the semantic tier's state rows carry nested float arrays (the
+    // member vectors) — this proves THAT schema round-trips through a
+    // RocksDB changelog-checkpoint restore, not just the exact tier's
+    // scalar state: the post-resume duplicate must cosine-match a
+    // member admitted before the kill
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    import s2.implicits._
+    val inDir = tempDir("semchg-in")
+    val ckpt = tempDir("semchg-ckpt")
+    val outDir = tempDir("semchg-out")
+    def streamHits() = {
+      val src = s2.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1").parquet(inDir)
+        .withWatermark("ts", "0 seconds")
+      StreamingDedup.semanticDupStreamTtl(
+          src, "vec_id", "embedding", "ts", semCents,
+          minScoreE4 = 3000L, ttlMs = 3600000L)
+        .toDF()
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .start()
+    }
+    Seq((1L, oneHot(0).toSeq, ts(0)), (5L, oneHot(10).toSeq, ts(0)))
+      .toDF("vec_id", "embedding", "ts").repartition(1).write
+      .mode("append").parquet(inDir)
+    val q1 = streamHits()
+    try q1.processAllAvailable() finally q1.stop()
+    // the duplicate arrives while the stream is DOWN
+    Seq((21L, oneHot(0).toSeq, ts(5)))
+      .toDF("vec_id", "embedding", "ts").repartition(1).write
+      .mode("append").parquet(inDir)
+    val q2 = streamHits()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = s2.read
+      .schema("vecId LONG, matchedVecId LONG, scoreE4 LONG")
+      .parquet(outDir).as[SemDupHit].collect()
+      .map(h => (h.vecId, h.matchedVecId, h.scoreE4)).toSeq
+    out shouldBe Seq((21L, 1L, 10000L))
+  }
 }
