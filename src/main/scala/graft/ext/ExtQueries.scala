@@ -1919,7 +1919,13 @@ object ExtQueries {
     // near tier's shape one space over
     val cents = semCents.getOrElse(
       Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1))
-    val semPairs = Similarity.semanticPairs(e, "vec_id", "embedding", cents, SemScoreE4)
+    // the degenerate-cell cap rides the decision surface exactly as it
+    // does dedup_semantic_store: a boilerplate-heavy cell splits into
+    // id-mod subcells bounding any one partition's pair work (the
+    // oracle replays the subcell arithmetic); a cell under the cap is
+    // untouched, so planted-corpus specs see the uncapped semantics
+    val semPairs = Similarity.semanticPairs(e, "vec_id", "embedding", cents,
+      SemScoreE4, maxCellSize = SemStoreCellCap)
     val scomp = Dedup.connectedComponents(semPairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("comp").as("scomp"))
     ex.select("doc_id", "ex_keeper")
@@ -1955,8 +1961,12 @@ object ExtQueries {
        |  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
        |comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
        |$IvfCtes,
+       |scz AS (SELECT cell, count(*) AS cn FROM asg GROUP BY cell),
+       |sasg AS (SELECT g.vec_id, g.embedding, g.nrm, g.cell,
+       |    g.vec_id % greatest(1, CAST(ceil(z.cn / $SemStoreCellCap.0) AS BIGINT)) AS sub
+       |  FROM asg g JOIN scz z ON z.cell = g.cell),
        |sp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  FROM sasg a JOIN sasg b ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
        |  WHERE cast(round($SemDotSql / (a.nrm * b.nrm) * 10000) AS BIGINT) >= $SemScoreE4),
        |sedges AS (SELECT id_a AS s, id_b AS d FROM sp
        |  UNION ALL SELECT id_b, id_a FROM sp),
