@@ -334,6 +334,33 @@ object StreamingDedup {
       }
   }
 
+  /** Coarse-assignment + norm as COLUMN expressions over the literal
+    * centroid set — codegen'd, and (unlike a typed `map`, which mints
+    * fresh attributes via SerializeFromObject) watermark metadata on
+    * an event-time column survives the projection, which the TTL
+    * variant's EventTimeTimeout requires. `array_min` over
+    * (dist, cid) structs compares fields in order — exactly
+    * [[graft.ext.Similarity.assignCells]]'s dist-asc, cid-asc
+    * row_number rule — and the native `graft_vector_sqdist` /
+    * `graft_vector_dot` expressions accumulate in Double over the
+    * float coords in index order, the engine-wide convention. */
+  private def withSemCell(vecs: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val distStructs = centroids.sortBy(_._1).map { case (cid, ce) =>
+      struct(
+        call_function("graft_vector_sqdist", col("emb"),
+          typedLit(ce.toSeq)).as("d"),
+        lit(cid).as("cid"))
+    }
+    vecs
+      .withColumn("emb", col(embCol))
+      .withColumn("cell", array_min(array(distStructs: _*)).getField("cid"))
+      .withColumn("nrm",
+        sqrt(call_function("graft_vector_dot", col("emb"), col("emb"))))
+      .withColumn("vecId", col(idCol).cast("long"))
+  }
+
   /** Streaming SemDeDup (round 10): the semantic tier's streaming
     * form, completing the tier × mode matrix (exact / near / semantic
     * × batch / store-backed / streaming). Incoming vectors
@@ -368,33 +395,6 @@ object StreamingDedup {
     * ~400 K cells × 64 members × ~270 B ≈ 7 GB across all executors,
     * hash-partitioned by cell — RocksDB-provider territory, same as
     * the other tiers. */
-  /** Coarse-assignment + norm as COLUMN expressions over the literal
-    * centroid set — codegen'd, and (unlike a typed `map`, which mints
-    * fresh attributes via SerializeFromObject) watermark metadata on
-    * an event-time column survives the projection, which the TTL
-    * variant's EventTimeTimeout requires. `array_min` over
-    * (dist, cid) structs compares fields in order — exactly
-    * [[graft.ext.Similarity.assignCells]]'s dist-asc, cid-asc
-    * row_number rule — and the native `graft_vector_sqdist` /
-    * `graft_vector_dot` expressions accumulate in Double over the
-    * float coords in index order, the engine-wide convention. */
-  private def withSemCell(vecs: DataFrame, idCol: String, embCol: String,
-      centroids: Seq[(Long, Array[Double])]): DataFrame = {
-    graft.functions.GraftFunctions.register(vecs.sparkSession)
-    val distStructs = centroids.sortBy(_._1).map { case (cid, ce) =>
-      struct(
-        call_function("graft_vector_sqdist", col("emb"),
-          typedLit(ce.toSeq)).as("d"),
-        lit(cid).as("cid"))
-    }
-    vecs
-      .withColumn("emb", col(embCol))
-      .withColumn("cell", array_min(array(distStructs: _*)).getField("cid"))
-      .withColumn("nrm",
-        sqrt(call_function("graft_vector_dot", col("emb"), col("emb"))))
-      .withColumn("vecId", col(idCol).cast("long"))
-  }
-
   def semanticDupStream(vecs: DataFrame, idCol: String, embCol: String,
       centroids: Seq[(Long, Array[Double])], minScoreE4: Long,
       maxCell: Int = 64): Dataset[SemDupHit] = {
