@@ -39,17 +39,63 @@ object Bench {
         Some(name)
       }
 
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Host-drift sentinels (VERDICT r9 #3, widened r11 per VERDICT r10
+    // #1): two CONSTANT-cost synthetic probes whose plans can never
+    // change round over round, so recorded runs self-calibrate against
+    // them. The CPU probe (xxhash64 over a range, no IO, no shuffle)
+    // catches CPU contention; the r10 record showed it is blind to the
+    // mode that actually hit the driver box (dedup_minhash/dedup_segments
+    // 3× slower with a FLAT cpu sentinel), so the SHUFFLE probe — a
+    // fixed-size repartition+agg that writes/reads real shuffle blocks
+    // through the same local-disk/page-cache path as every wide query —
+    // covers IO/shuffle contention. Both are probed at three
+    // checkpoints (after warm-up, between the passes, after pass 2):
+    // a contended window DURING the run shows up as probe spread even
+    // when the box was quiet at the end.
+    def cpuProbe(): Double = {
+      import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+      val t0 = System.nanoTime()
+      spark.range(0, 1500000000L, 1, 32)
+        .select(pmod(xxhash64(col("id")), lit(1000L)).as("h")) // bounded: ANSI sum can't overflow
+        .agg(sum("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def shuffleProbe(): Double = {
+      import org.apache.spark.sql.functions.{col, sum}
+      val t0 = System.nanoTime()
+      spark.range(0, 25000000L, 1, 32)
+        .repartition(64, col("id")) // a real exchange: ~200 MB of blocks
+        .agg(sum(col("id")))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1) // PINNED order: alphabetical, every round
     queries.foreach { case (n, fn) => execute(n, fn) } // warm-up
 
     var failed = List.empty[String]
+    val cpuSent = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val shufSent = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def probeSentinels(tag: String): Unit =
+      try {
+        val c = cpuProbe(); val s = shuffleProbe()
+        cpuSent += c; shufSent += s
+        System.err.println(f"[bench] sentinel.$tag cpu=$c%.2fs shuffle=$s%.2fs")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sentinel.$tag failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    try { cpuProbe(); shuffleProbe() } catch { case _: Throwable => () } // sentinel warm-up
     def measuredPass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       execute(name, fn).foreach(f => failed ::= f)
       name -> (System.nanoTime() - t0) / 1e9
     }
+    probeSentinels("pre")
     val pass1 = measuredPass()
+    probeSentinels("mid")
     val pass2 = measuredPass().toMap
+    probeSentinels("post")
     val minOf2 = pass1.map { case (name, t) =>
       name -> math.min(t, pass2.getOrElse(name, t))
     }
@@ -183,45 +229,35 @@ object Bench {
         failed ::= "sim_train"
         None
       }
-    // Host-drift sentinel (VERDICT r9 #3): a CONSTANT-cost synthetic
-    // row — fixed row count, pure codegen'd CPU (xxhash64 over a
-    // range), no IO, no dependence on SF or on any graft code path —
-    // whose plan can never change round over round. Recorded runs
-    // self-calibrate against it: the driver's bench has twice (r3, r9)
-    // reported broad slowdowns on byte-identical code because the host
-    // was contended; when host_sentinel moves with the other rows the
-    // drift is the box, when it's flat a query movement is code.
-    // min-of-2, the same estimator as every row.
-    val sentinel: Option[Double] =
-      try {
-        import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
-        val times = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          spark.range(0, 1500000000L, 1, 32)
-            .select(pmod(xxhash64(col("id")), lit(1000L)).as("h")) // bounded: ANSI sum can't overflow
-            .agg(sum("h"))
-            .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        val sec = times.min
-        System.err.println(f"[bench] host_sentinel ${sec}%.2fs")
-        Some(sec)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] host_sentinel failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
-        failed ::= "host_sentinel"
-        None
-      }
+    // The sentinel QUERY rows are the min over the three checkpoint
+    // probes (the same estimator as every row — the plan's cost, not
+    // the box's worst moment); the per-checkpoint series rides
+    // BENCH_LOCAL.json's "sentinels" key and the stderr tail, so a
+    // contended window during the run is attributable after the fact.
+    val sentinelRows =
+      (if (cpuSent.nonEmpty) Seq("host_sentinel" -> cpuSent.min) else Seq.empty) ++
+      (if (shufSent.nonEmpty) Seq("shuffle_sentinel" -> shufSent.min) else Seq.empty)
+    sentinelRows.foreach { case (n, v) => System.err.println(f"[bench] $n ${v}%.2fs") }
+    // NOT summed into "total": sentinels measure the host, not the
+    // engine (ADVICE r10 — pre-r11 totals included host_sentinel's
+    // ~0.9 s; r11 totals are engine-only, note kept wherever totals
+    // are compared across that boundary).
     val withStreaming = results ++
       streaming.map { case (_, sec, _) => "streaming_dedup" -> sec } ++
       storeIngest.map("store_ingest" -> _) ++
-      simTrain.map("sim_train" -> _) ++
-      sentinel.map("host_sentinel" -> _)
+      simTrain.map("sim_train" -> _)
+    val sentinelJson = {
+      def arr(xs: Seq[Double]) = xs.map(v => f"$v%.2f").mkString("[", ",", "]")
+      if (cpuSent.isEmpty && shufSent.isEmpty) ""
+      else s""","sentinels":{"cpu":${arr(cpuSent.toSeq)},"shuffle":${arr(shufSent.toSeq)}}"""
+    }
 
+    val displayRows = withStreaming ++ sentinelRows
     def render(fmt: Double => String, minimal: Boolean,
         rows: Seq[(String, Double)], otherN: Int, otherSec: Double): String = {
       val qs = rows.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      val total = withStreaming.map(_._2).sum
+      val total = withStreaming.map(_._2).sum // engine rows only — sentinels excluded
       val sf = sfDir.split("/").reverse.collectFirst {
         case s if s.startsWith("sf") => s.drop(2)
       }.getOrElse("0")
@@ -235,7 +271,8 @@ object Bench {
       val streamJson = streaming.map { case (n, sec, state) =>
         s""","streaming":{"docs":$n,"rows_per_sec":${fmt(n / math.max(sec, 1e-9))},"state_rows":$state}"""
       }.filter(_ => !minimal).getOrElse("")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf$otherJson$failedJson$streamJson}"""
+      val sentJson = if (minimal) "" else sentinelJson
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf$otherJson$failedJson$streamJson$sentJson}"""
     }
     // stdout gets a COMPACT line: the driver captures a ~2000-char tail
     // of stdout (a 1,906-char line parsed in round 6; 2,036 clipped in
@@ -253,21 +290,23 @@ object Bench {
       if (t.isEmpty) "0" else t
     }
     val budget = 1850
+    // sentinel rows never fold into "other": "other" sums into total
+    // comparisons and the sentinels' whole job is staying identifiable
     val byCost = withStreaming.sortBy(_._2)
-    var keep = withStreaming.toSeq
+    var keep = displayRows.toSeq
     var folded = Seq.empty[(String, Double)]
     var line = render(stripped, minimal = true, keep, folded.size, folded.map(_._2).sum)
     var idx = 0
     while (line.length > budget && idx < byCost.size) {
       folded = folded :+ byCost(idx)
       val drop = folded.map(_._1).toSet
-      keep = withStreaming.filterNot { case (k, _) => drop(k) }
+      keep = displayRows.filterNot { case (k, _) => drop(k) }
       line = render(stripped, minimal = true, keep, folded.size, folded.map(_._2).sum)
       idx += 1
     }
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      render(v => v.toString, minimal = false, withStreaming.toSeq, 0, 0.0))
+      render(v => v.toString, minimal = false, displayRows.toSeq, 0, 0.0))
     spark.stop()
     if (failed.nonEmpty) sys.exit(3)
   }

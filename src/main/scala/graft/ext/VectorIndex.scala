@@ -367,15 +367,35 @@ object VectorIndex {
     * optional `onBatch` observer receives every [[AppendResult]]
     * (drift ratio, replay flag) for monitoring.
     *
+    * Marker NAMESPACING (ADVICE r10, medium): batch ids restart at 0
+    * for every stream started without a checkpoint, and are shared by
+    * independent streams ingesting into the same index path — a bare
+    * `stream-<batchId>` marker would make [[append]] mistake a second
+    * stream's (or a restarted checkpoint-less stream's) real first
+    * batches for replays and silently drop them. So the marker key is
+    * `stream-<ns>-<batchId>` where `ns` derives from the CHECKPOINT
+    * path when one is given (stable across restarts — a crash replay
+    * lands in the same namespace and the marker dedupe works as
+    * designed) and is a fresh random namespace per start otherwise
+    * (without a checkpoint nothing records delivered offsets, so
+    * exactly-once is unattainable anyway; honest at-least-once
+    * admission — with [[topK]]'s read-side duplicate collapse — beats
+    * silently no-op'ing real data).
+    *
     * Returns the started [[StreamingQuery]]; stop it to end ingest. */
   def appendStream(vecs: DataFrame, path: String, idCol: String,
       embCol: String, checkpointLocation: Option[String] = None)(
       onBatch: AppendResult => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = checkpointLocation match {
+      case Some(cp) =>
+        f"cp${scala.util.hashing.MurmurHash3.stringHash(new Path(cp).toUri.toString) & 0xffffffffL}%08x"
+      case None => java.util.UUID.randomUUID().toString.take(8)
+    }
     val writer = vecs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty)
           onBatch(append(batch, idCol, embCol, path,
-            batchId = Some(s"stream-$batchId")))
+            batchId = Some(s"stream-$ns-$batchId")))
       }
     checkpointLocation.fold(writer)(writer.option("checkpointLocation", _))
       .start()

@@ -426,7 +426,14 @@ object StreamingDedup {
               }
             }
           }
-          val admitted = batch.take(math.max(0, maxCell - prior.size))
+          // admit only ids not already members (an at-least-once replay
+          // of an admitted vector must not burn a second cap slot or
+          // double-emit hits for every later match — ADVICE r10), and
+          // one slot per id within the batch
+          val admitted = batch
+            .filterNot(r => prior.exists(_._1 == r._2))
+            .distinctBy(_._2)
+            .take(math.max(0, maxCell - prior.size))
             .map { case (_, id, emb, nrm) => (id, emb, nrm) }
           if (admitted.nonEmpty) state.update(prior ++ admitted)
           hits.result().iterator
@@ -500,6 +507,7 @@ object StreamingDedup {
             }
             val fresh = live
               .filterNot(r => prior.exists(_._1 == r._2))
+              .distinctBy(_._2) // one slot per id within the batch
               .map { case (_, id, emb, nrm, t) => (id, emb, nrm, t) }
             val kept = (refreshed ++ fresh).take(maxCell)
             if (kept.isEmpty) state.remove()

@@ -81,6 +81,16 @@ object StreamingOps {
     * flagged-candidate doc inside the watermark horizon — evicted with
     * the window, never stream-lifetime.
     *
+    * n_hits counts DISTINCT matched (doc, shingle) pairs, not arrival
+    * rows: an at-least-once source replaying a doc inside one window
+    * must not double its count and falsely push a one-shingle overlap
+    * across `minHits` (ADVICE r10) — so matched pairs pass through
+    * `dropDuplicatesWithinWatermark(doc_id, sh)` before the windowed
+    * count, mirroring the batch path's per-doc `distinct()`. Dedup
+    * state is per matched pair inside the watermark horizon
+    * (benchmark-overlapping shingles only — a tiny fraction of
+    * traffic), evicted by watermark like the count state.
+    *
     * Returns (doc_id, n_hits) per flagged doc once its window closes. */
   def decontaminateStream(docs: DataFrame, benchShingles: DataFrame,
       idCol: String, textCol: String, tsCol: String,
@@ -96,6 +106,7 @@ object StreamingOps {
           graft.ext.TextOps.shingles(col("toks"), shingleN))).as("sh"))
       .join(broadcast(benchShingles.select(col("s")).distinct()),
         col("sh") === col("s"))
+      .dropDuplicatesWithinWatermark("doc_id", "sh")
       .groupBy(window(col("ts"), windowLength), col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minHits)

@@ -306,15 +306,51 @@ class VectorIndexSpec extends AnyFlatSpec with Matchers with SparkFixture {
         in.addData(b0: _*); q.processAllAvailable()
         in.addData(b1: _*); q.processAllAvailable()
       } finally q.stop()
-      results.map(_.batchId).sorted.toSeq shouldBe Seq("stream-0", "stream-1")
+      val ids = results.map(_.batchId).sorted.toSeq
+      // markers are namespaced per stream instance (stream-<ns>-<n>)
+      ids.map(_.split("-").last) shouldBe Seq("0", "1")
+      ids.map(_.split("-").dropRight(1).mkString("-")).distinct.size shouldBe 1
       results.count(_.replayed) shouldBe 0
       // a crash re-delivery of batch 0 (foreachBatch replays the SAME
-      // id) hits the commit marker and no-ops
+      // id within the SAME stream namespace) hits the marker and no-ops
       val replay = VectorIndex.append(
         odd.take(odd.length / 2).toSeq.toDF("vec_id", "embedding"),
-        "vec_id", "embedding", path, batchId = Some("stream-0"))
+        "vec_id", "embedding", path, batchId = Some(ids.head))
       replay.replayed shouldBe true
       // every vector is admitted exactly once
+      spark.read.parquet(s"$path/codes/data")
+        .select("neighbor_id").distinct().count() shouldBe corpus.count()
+    } finally cleanup(path)
+  }
+
+  it should "not mistake a second checkpoint-less stream's batches for replays" in {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = tempIndex("ingest2")
+    try {
+      VectorIndex.build(corpus.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", path, dim = 64, m = 8, codebookK = 16, coarseK = 8)
+      val odd = corpus.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .as[(Long, Seq[Float])].collect()
+      val (b0, b1) = odd.splitAt(odd.length / 2)
+      // two independent streams (no checkpoint) ingest into the SAME
+      // index path; both start at batchId 0 — before namespacing, the
+      // second stream's batch 0 collided with the first's marker and
+      // was silently dropped (ADVICE r10, medium)
+      val results = scala.collection.mutable.ArrayBuffer.empty[VectorIndex.AppendResult]
+      def runOne(data: Seq[(Long, Seq[Float])]): Unit = {
+        val in = MemoryStream[(Long, Seq[Float])]
+        val q = VectorIndex.appendStream(
+            in.toDF().toDF("vec_id", "embedding"), path, "vec_id", "embedding") {
+          r => results.synchronized { results += r }
+        }
+        try { in.addData(data: _*); q.processAllAvailable() } finally q.stop()
+      }
+      runOne(b0); runOne(b1)
+      results.map(_.batchId).forall(_.endsWith("-0")) shouldBe true
+      results.map(_.batchId).distinct.size shouldBe 2
+      results.count(_.replayed) shouldBe 0
       spark.read.parquet(s"$path/codes/data")
         .select("neighbor_id").distinct().count() shouldBe corpus.count()
     } finally cleanup(path)

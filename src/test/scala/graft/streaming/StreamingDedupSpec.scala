@@ -516,6 +516,37 @@ class StreamingDedupSpec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally q.stop()
   }
 
+  it should "not double-admit a replayed or same-batch duplicate member" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float])]
+    val hits = StreamingDedup.semanticDupStream(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      semCents, minScoreE4 = 3000L, maxCell = 3)
+    val q = hits.writeStream.outputMode("append")
+      .format("memory").queryName("sem_replay_hits")
+      .option("checkpointLocation", tempDir("semreplay-ckpt"))
+      .start()
+    try {
+      // batch 1: vec 1 arrives TWICE in one batch (at-least-once
+      // in-batch duplicate) — it must take ONE member slot, not two
+      in.addData((1L, oneHot(0).toSeq), (1L, oneHot(0).toSeq))
+      q.processAllAvailable()
+      // batch 2: vec 1 re-arrives (source replay) alongside fresh vec 2;
+      // pre-fix, 1 was stored a second time (burning a cap slot) and
+      // every later match would double-emit against it
+      in.addData((1L, oneHot(0).toSeq), (2L, oneHot(0, 2f).toSeq))
+      q.processAllAvailable()
+      // batch 3: probe — with members [1, 2] (one copy of 1, cap room
+      // left for 2), the probe hits EACH exactly once
+      in.addData((9L, oneHot(0).toSeq))
+      q.processAllAvailable()
+      val got = spark.table("sem_replay_hits").as[SemDupHit].collect()
+        .map(h => (h.vecId, h.matchedVecId)).sorted.toSeq
+      got.filter(_._1 == 9L) shouldBe Seq((9L, 1L), (9L, 2L))
+    } finally q.stop()
+  }
+
   behavior of "StreamingDedup.semanticDupStreamTtl"
 
   it should "evict expired members, freeing admission room for new arrivals" in {

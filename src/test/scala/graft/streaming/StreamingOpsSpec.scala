@@ -150,6 +150,39 @@ class StreamingOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally q.stop()
   }
 
+  it should "not let an at-least-once replay inflate n_hits across minHits" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = graft.ext.Dedup.shingleRows(
+      Seq((0L, "the secret benchmark question about ancient rivers and their deltas"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val flagged = StreamingOps.decontaminateStream(
+      in.toDF().toDF("doc_id", "text", "ts"), bench,
+      "doc_id", "text", "ts",
+      watermarkDelay = "10 minutes", windowLength = "5 minutes",
+      minHits = 2)
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("decon_replay_out")
+      .option("checkpointLocation", tempDir("decon-replay-ckpt"))
+      .start()
+    try {
+      // doc 11 shares exactly ONE shingle with the benchmark; an
+      // at-least-once source redelivers it — in-batch and next-batch —
+      // inside the same window. Per-arrival counting would read 3 hits
+      // and falsely cross minHits=2; distinct (doc, shingle) stays at 1.
+      val row = (11L, "unrelated text mentioning ancient rivers and nothing else of note", ts(0))
+      in.addData(row, row)
+      q.processAllAvailable()
+      in.addData(row) // cross-batch redelivery, same window
+      q.processAllAvailable()
+      in.addData((99L, "filler traffic far in the future", ts(60)))
+      q.processAllAvailable()
+      spark.table("decon_replay_out")
+        .as[(Long, Long)].collect().toSeq shouldBe empty
+    } finally q.stop()
+  }
+
   behavior of "firstSeen stateful dedup"
 
   it should "emit only the first occurrence of each key across micro-batches" in {
