@@ -1,0 +1,361 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.ext.{Dedup, StoreMeta}
+import graft.sinks.ArcaneLayout
+
+/** The STREAMING DECISION SURFACE (VERDICT r10 #2): every dedup tier
+  * streams individually ([[StreamingDedup]]), but an ingest deployment
+  * wants ONE arrival-time verdict per document — keep, or drop with the
+  * tier that claimed it and the corpus member it duplicates — not three
+  * separate hit streams it must reconcile itself. This object composes
+  * the exact > near > semantic precedence of the batch surface
+  * (`ExtQueries.pipelineDedupApply`; reference analogue: the single
+  * ARCANE_MERGE_KEY contract every sink shares,
+  * /root/reference/src/Sinks/Parquet/Models/Constants.cs:11-21) into a
+  * per-micro-batch decision over PERSISTED stores.
+  *
+  * Why `foreachBatch` and not one stateful operator: the three tiers
+  * key state by three different things (content hash / LSH band key /
+  * coarse cell), and Spark restricts chaining `flatMapGroupsWithState`
+  * operators in one query — so the composed verdict runs each
+  * micro-batch as BATCH joins against disk-backed stores (hive-
+  * partitioned parquet, the [[graft.ext.SignatureStore]] discipline),
+  * which also makes the corpus state durable, queryable, and shared
+  * with the batch/incremental paths rather than locked inside a
+  * streaming checkpoint.
+  *
+  * Decision semantics per arriving document (matching the golden
+  * oracle `streaming_decision_golden` clause for clause):
+  *
+  *  - '''drop_exact''': the doc's [[Dedup.contentHash]] is already
+  *    OWNED — by a stored doc from an earlier batch (first arrival
+  *    owns, whatever its id: a clone arriving before its original
+  *    makes the original the duplicate), or by a smaller-id doc in the
+  *    same batch (the whole group is decided together, the
+  *    [[StreamingDedup.exactDupStream]] rule). Keeper = the owner.
+  *  - '''drop_near''': ≥ `minSigMatch` of k MinHash slots agree with a
+  *    stored band-bucket member from an EARLIER batch (prior-members
+  *    only — pairs within one micro-batch are never near-claimed,
+  *    the batch-vs-corpus rule every tier shares). Keeper = the
+  *    smallest matching stored id.
+  *  - '''drop_semantic''': cosine ≥ `minScoreE4`/1e4 against a stored
+  *    member of the doc's coarse cell (quantizer = the PERSISTED
+  *    [[graft.ext.VectorIndex]] centroids, passed in as metadata)
+  *    admitted in an earlier batch. Keeper = smallest matching id.
+  *  - '''keep''' otherwise; keeper_id = doc_id.
+  *
+  * Precedence is exact > near > semantic — the order a pipeline runs
+  * the checks (hash compare < text Jaccard < embedding cosine), same
+  * as the batch surface. The arrival-time keeper names the MATCHED
+  * member, not a transitive component label: canonicalization across
+  * chains (A≈B≈C with A≉C) is the cluster state's job
+  * ([[graft.ext.Dedup.connectedComponents]] / the incremental
+  * component store), not an O(1)-per-arrival verdict's.
+  *
+  * STORES ARE VERDICT-INDEPENDENT: every arrival is admitted (hash
+  * ownership if new; band rows while its buckets have cap room; cell
+  * membership while its cell does). The store is "what the stream has
+  * seen", the decision is "what the consumer should do" — decoupling
+  * the two keeps admission replayable under at-least-once delivery and
+  * lets the oracle decompose into the three proven per-tier replays.
+  *
+  * Scale shape per micro-batch (designed for 100 TB corpora):
+  * admission and matching read only TOUCHED partitions — every store
+  * is hive-partitioned (hash buckets for hashes/bands, cell for
+  * cells), the probe side broadcasts the batch's O(batch) key set, and
+  * store rows per bucket/cell are CAPPED (`maxBucket`/`maxCell` — the
+  * same skew bounds as the stateful tiers), so the per-batch cost is
+  * O(batch × cap), never O(corpus). Appends accumulate small files;
+  * [[compact]] is the maintenance pass. No driver-side collect
+  * anywhere in the flow — decisions land as a partitioned parquet
+  * table.
+  *
+  * Exactly-once: decisions for batch B are written by OVERWRITE to
+  * `decisions/batch=B` (replay rewrites the same rows), and store
+  * admission is guarded by a `_commits/B` marker written LAST plus
+  * insert-if-absent anti-joins inside — a replayed epoch with the
+  * marker present skips admission entirely; a crash mid-admission
+  * re-runs it where only the missing rows insert. (The one divergence
+  * window: a crash between partial table writes can admit a batch's
+  * band rows in two attempts, giving within-batch rank order that
+  * differs from the single-attempt order if the cap was nearly full.)
+  */
+object StreamingDecision {
+
+  val FormatVersion = 1
+
+  private val hashesSchema = StructType(Seq(
+    StructField("h", StringType), StructField("owner_id", LongType),
+    StructField("bkt", IntegerType)))
+  private val bandsSchema = StructType(Seq(
+    StructField("bk", StringType), StructField("doc_id", LongType),
+    StructField("sig", ArrayType(LongType)), StructField("rank", IntegerType),
+    StructField("bkt", IntegerType)))
+  private val cellsSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("emb", ArrayType(FloatType)),
+    StructField("nrm", DoubleType), StructField("rank", IntegerType),
+    StructField("cell", LongType)))
+
+  private def bktOf(c: org.apache.spark.sql.Column, b: Int) =
+    pmod(hash(c), lit(b))
+
+  private def readOrEmpty(spark: SparkSession, dir: String,
+      schema: StructType): DataFrame = {
+    val fs = StoreMeta.fs(spark, dir)
+    if (fs.exists(new Path(dir)))
+      spark.read.schema(schema).parquet(dir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  private def writeMeta(spark: SparkSession, path: String, buckets: Int): Unit =
+    StoreMeta.writeJson(spark, path, "metadata/v0/store.json",
+      s"""{"format":$FormatVersion,"buckets":$buckets}""", overwrite = false)
+
+  /** Bucket count recorded at store creation — readers recompute `bkt`
+    * with it, never a default that could silently diverge
+    * ([[graft.ext.SignatureStore.buckets]]'s contract). */
+  def buckets(spark: SparkSession, path: String): Int = {
+    val txt = StoreMeta.readJson(spark, path, "metadata/v0/store.json")
+      .getOrElse(throw new IllegalStateException(s"no store metadata under $path"))
+    StoreMeta.jsonLong(txt, "buckets")
+      .getOrElse(throw new IllegalStateException(s"unreadable store metadata under $path"))
+      .toInt
+  }
+
+  /** The decision table accumulated so far — one row per arrival:
+    * (doc_id, decision, keeper_id), partitioned by `batch`. */
+  def decisions(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/decisions")
+
+  /** Decide one micro-batch against the stores under `path`, write the
+    * decisions to `decisions/batch=<batchKey>`, admit the batch, and
+    * return the decision frame. `centroids` is the semantic tier's
+    * FIXED quantizer (the persisted VectorIndex coarse centroids —
+    * coarseK × dim doubles of metadata); pass `embCol = None` (or an
+    * empty centroid set) to run a text-only two-tier surface. */
+  def processBatch(batch: DataFrame, idCol: String, textCol: String,
+      embCol: Option[String], path: String,
+      centroids: Seq[(Long, Array[Double])], batchKey: String,
+      minSigMatch: Int = 8, maxBucket: Int = 64,
+      minScoreE4: Long = 3000L, maxCell: Int = 64,
+      k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3, shingleN: Int = 3,
+      nBuckets: Int = 16): DataFrame = {
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    writeMeta(spark, path, nBuckets)
+    val b = buckets(spark, path)
+
+    val semOn = embCol.nonEmpty && centroids.nonEmpty
+    val baseCols = Seq(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text")) ++ embCol.map(c => col(c).as("embedding"))
+    // one slot per id within a batch (at-least-once replay guard — the
+    // same in-batch dedup every stateful tier applies)
+    val in = batch.select(baseCols: _*).dropDuplicates("doc_id").persist()
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](in)
+    try {
+      val ids = in.select("doc_id")
+
+      // ---- exact tier: stored owner, else smallest same-batch id ----
+      val bh = in.select(col("doc_id"), Dedup.contentHash(col("text")).as("h"))
+        .withColumn("bkt", bktOf(col("h"), b))
+      val storedH = readOrEmpty(spark, s"$path/hashes/data", hashesSchema)
+      // store rows for the batch's hashes only: the broadcast batch key
+      // set prunes bkt partitions (files) then rows; a replayed batch's
+      // own stored ownership (owner inside the batch) must not claim
+      // the owner itself — the anti-join below drops those rows
+      val ownerHits = storedH
+        .join(broadcast(bh.select("bkt", "h").distinct()), Seq("bkt", "h"), "left_semi")
+        .join(broadcast(ids.select(col("doc_id").as("owner_id"))),
+          Seq("owner_id"), "left_anti")
+        .select(col("h"), col("owner_id"))
+      val batchOwn = bh.groupBy("h").agg(min("doc_id").as("batch_owner"))
+      val ex = bh
+        .join(broadcast(ownerHits), Seq("h"), "left")
+        .join(batchOwn, Seq("h"))
+        .select(col("doc_id"),
+          coalesce(col("owner_id"),
+            when(col("batch_owner") =!= col("doc_id"), col("batch_owner")))
+            .as("ex_keeper"))
+
+      // ---- near tier: batch bands vs stored bucket members ----------
+      val exdIn = Dedup.shingleRows(in, "doc_id", "text", shingleN)
+      val projIn = Dedup.minhashFromShingles(exdIn, "doc_id", k, bands, rowsPerBand)
+      val bandIn = projIn
+        .select(col("doc_id"), col("sig"), explode(col("bands")).as("bk"))
+        .withColumn("bkt", bktOf(col("bk"), b))
+        .persist()
+      cached += bandIn
+      val storedB = readOrEmpty(spark, s"$path/bands/data", bandsSchema)
+      // stored members of TOUCHED buckets only — bounded by
+      // O(batch bands × maxBucket); the broadcast key set prunes files
+      val bucketMembers = storedB
+        .join(broadcast(bandIn.select("bkt", "bk").distinct()), Seq("bkt", "bk"), "left_semi")
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      val nearK = bucketMembers
+        .select(col("bkt"), col("bk"), col("doc_id").as("m_id"), col("sig").as("m_sig"))
+        .join(broadcast(bandIn), Seq("bkt", "bk"))
+        .withColumn("n_sig_match",
+          size(filter(zip_with(col("sig"), col("m_sig"), (x, y) => x === y),
+            v => v)))
+        .filter(col("n_sig_match") >= minSigMatch)
+        .groupBy("doc_id").agg(min("m_id").as("near_keeper"))
+
+      // ---- semantic tier: batch vectors vs stored cell members ------
+      val asgIn =
+        if (semOn) {
+          val a = StreamingDedup.withSemCell(in.filter(col("embedding").isNotNull),
+              "doc_id", "embedding", centroids)
+            .select(col("vecId").as("doc_id"), col("cell"), col("emb"), col("nrm"))
+            .persist()
+          cached += a
+          a
+        } else
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            StructType(Seq(StructField("doc_id", LongType),
+              StructField("cell", LongType),
+              StructField("emb", ArrayType(FloatType)),
+              StructField("nrm", DoubleType))))
+      val storedC = readOrEmpty(spark, s"$path/cells/data", cellsSchema)
+      val cellMembers = storedC
+        .join(broadcast(asgIn.select("cell").distinct()), Seq("cell"), "left_semi")
+        .join(broadcast(ids.select(col("doc_id").as("vec_id"))), Seq("vec_id"), "left_anti")
+      val semK = cellMembers
+        .select(col("cell"), col("vec_id").as("m_id"), col("emb").as("m_emb"),
+          col("nrm").as("m_nrm"))
+        .join(broadcast(asgIn), Seq("cell"))
+        .withColumn("score_e4",
+          round(call_function("graft_vector_dot", col("emb"), col("m_emb"))
+            / (col("nrm") * col("m_nrm")) * lit(10000.0)).cast("long"))
+        .filter(col("score_e4") >= minScoreE4)
+        .groupBy("doc_id").agg(min("m_id").as("sem_keeper"))
+
+      // ---- verdict: exact > near > semantic > keep ------------------
+      val dec = in.select("doc_id")
+        .join(broadcast(ex), Seq("doc_id"), "left")
+        .join(broadcast(nearK), Seq("doc_id"), "left")
+        .join(broadcast(semK), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("ex_keeper").isNotNull, lit("drop_exact"))
+            .when(col("near_keeper").isNotNull, lit("drop_near"))
+            .when(col("sem_keeper").isNotNull, lit("drop_semantic"))
+            .otherwise(lit("keep")).as("decision"),
+          coalesce(col("ex_keeper"), col("near_keeper"), col("sem_keeper"),
+            col("doc_id")).as("keeper_id"))
+
+      // replay-idempotent: the same batch rewrites the same rows
+      dec.write.mode("overwrite").parquet(s"$path/decisions/batch=$batchKey")
+
+      // ---- admission (marker-guarded, insert-if-absent) -------------
+      val fs = StoreMeta.fs(spark, path)
+      val marker = new Path(s"$path/_commits/$batchKey")
+      if (!fs.exists(marker)) {
+        // hashes: first arrival owns; an already-owned hash is never
+        // re-admitted (ownership persists across the stream's lifetime)
+        val storedTouchedH = storedH
+          .join(broadcast(bh.select("bkt", "h").distinct()), Seq("bkt", "h"), "left_semi")
+          .select("bkt", "h")
+        val newH = bh.groupBy("bkt", "h").agg(min("doc_id").as("owner_id"))
+          .join(broadcast(storedTouchedH), Seq("bkt", "h"), "left_anti")
+          .select("h", "owner_id", "bkt")
+        appendTable(newH, s"$path/hashes", Seq("bkt"))
+
+        // bands: sequential cap fill — rank = stored count + in-batch
+        // row_number by doc_id; only rank ≤ maxBucket rows are stored,
+        // so the table is bounded by buckets × maxBucket
+        val storedTouchedB = storedB
+          .join(broadcast(bandIn.select("bkt", "bk").distinct()), Seq("bkt", "bk"), "left_semi")
+        val bCnt = storedTouchedB.groupBy("bkt", "bk")
+          .agg(count(lit(1)).cast("int").as("n0"))
+        val newB = bandIn
+          .join(broadcast(storedTouchedB.select("bkt", "bk", "doc_id")),
+            Seq("bkt", "bk", "doc_id"), "left_anti")
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("bkt", "bk").orderBy("doc_id")))
+          .join(broadcast(bCnt), Seq("bkt", "bk"), "left")
+          .withColumn("rank", (coalesce(col("n0"), lit(0)) + col("rn")).cast("int"))
+          .filter(col("rank") <= maxBucket)
+          .select("bk", "doc_id", "sig", "rank", "bkt")
+        appendTable(newB, s"$path/bands", Seq("bkt"))
+
+        // cells: same sequential fill per coarse cell
+        if (semOn) {
+          val storedTouchedC = storedC
+            .join(broadcast(asgIn.select("cell").distinct()), Seq("cell"), "left_semi")
+          val cCnt = storedTouchedC.groupBy("cell")
+            .agg(count(lit(1)).cast("int").as("n0"))
+          val newC = asgIn.select(col("cell"), col("doc_id").as("vec_id"),
+              col("emb"), col("nrm"))
+            .join(broadcast(storedTouchedC.select("cell", "vec_id")),
+              Seq("cell", "vec_id"), "left_anti")
+            .withColumn("rn",
+              row_number().over(Window.partitionBy("cell").orderBy("vec_id")))
+            .join(broadcast(cCnt), Seq("cell"), "left")
+            .withColumn("rank", (coalesce(col("n0"), lit(0)) + col("rn")).cast("int"))
+            .filter(col("rank") <= maxCell)
+            .select("vec_id", "emb", "nrm", "rank", "cell")
+          appendTable(newC, s"$path/cells", Seq("cell"))
+        }
+
+        fs.mkdirs(new Path(s"$path/_commits"))
+        fs.create(marker, true).close()
+      }
+      spark.read.parquet(s"$path/decisions/batch=$batchKey")
+    } finally {
+      cached.foreach(_.unpersist())
+    }
+  }
+
+  private def appendTable(df: DataFrame, target: String,
+      partCols: Seq[String]): Unit = {
+    ArcaneLayout.writeDataBatch(df, target, partitionColumns = partCols)
+    val h = graft.schema.SchemaOps.shortFingerprint(df.schema)
+    if (!ArcaneLayout.completionTokenExists(df, target, h)) {
+      ArcaneLayout.writeSchemaFile(df, target)
+      ArcaneLayout.writeCompletionToken(df, target, h)
+    }
+  }
+
+  /** Wire a document stream through the decision surface: one
+    * [[processBatch]] per micro-batch, keyed by the epoch id. Give a
+    * `checkpointLocation` in production so a restart resumes the epoch
+    * sequence instead of restarting batch ids at 0 against a
+    * now-populated store (the [[graft.ext.VectorIndex.appendStream]]
+    * marker-collision lesson, ADVICE r10). */
+  def run(stream: DataFrame, idCol: String, textCol: String,
+      embCol: Option[String], path: String,
+      centroids: Seq[(Long, Array[Double])],
+      checkpointLocation: Option[String] = None,
+      minSigMatch: Int = 8, maxBucket: Int = 64,
+      minScoreE4: Long = 3000L, maxCell: Int = 64,
+      nBuckets: Int = 16): StreamingQuery = {
+    val w0 = stream.writeStream
+      .foreachBatch { (df: DataFrame, epoch: Long) =>
+        processBatch(df, idCol, textCol, embCol, path, centroids,
+          batchKey = epoch.toString, minSigMatch = minSigMatch,
+          maxBucket = maxBucket, minScoreE4 = minScoreE4,
+          maxCell = maxCell, nBuckets = nBuckets): Unit
+      }
+    checkpointLocation.fold(w0)(cp => w0.option("checkpointLocation", cp))
+      .start()
+  }
+
+  /** Maintenance: rewrite each store table's per-batch append files
+    * into ~target-sized ones (the [[graft.ext.SignatureStore.compact]]
+    * pass for this store's tables). */
+  def compact(spark: SparkSession, path: String,
+      targetRecordsPerFile: Long = 1000000L): Map[String, Seq[String]] =
+    Seq("hashes", "bands", "cells").flatMap { t =>
+      if (StoreMeta.fs(spark, path).exists(new Path(s"$path/$t/data")))
+        Some(t -> ArcaneLayout.compact(spark, s"$path/$t",
+          targetRecordsPerFile = targetRecordsPerFile))
+      else None
+    }.toMap
+}

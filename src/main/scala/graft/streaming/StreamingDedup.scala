@@ -344,7 +344,7 @@ object StreamingDedup {
     * row_number rule — and the native `graft_vector_sqdist` /
     * `graft_vector_dot` expressions accumulate in Double over the
     * float coords in index order, the engine-wide convention. */
-  private def withSemCell(vecs: DataFrame, idCol: String, embCol: String,
+  private[streaming] def withSemCell(vecs: DataFrame, idCol: String, embCol: String,
       centroids: Seq[(Long, Array[Double])]): DataFrame = {
     graft.functions.GraftFunctions.register(vecs.sparkSession)
     val distStructs = centroids.sortBy(_._1).map { case (cid, ce) =>

@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+
+/** VERDICT r10 #2: the streaming decision surface must apply the batch
+  * surface's exact > near > semantic precedence AT ARRIVAL TIME — one
+  * verdict per arriving doc against the persisted stores — with
+  * first-arrival hash ownership, prior-batch-only near/semantic
+  * claims, replay idempotence, and capped cell admission. Planted
+  * corpora mirror PipelineDecisionSpec's construction (tier membership
+  * controlled independently via text identity, near-identity, and
+  * embedding identity). */
+class StreamingDecisionSpec extends AnyFlatSpec with Matchers with SparkFixture {
+
+  private val textA =
+    "the quick brown fox jumps over the lazy dog and runs far away into the green forest " +
+      "while morning light spreads slowly across quiet hills where small birds gather seeds " +
+      "beside the old stone wall near the river tonight"
+  private val textB =
+    "database engines schedule compaction tasks during idle windows so storage segments stay " +
+      "balanced and query latency remains predictable even when ingestion bursts arrive from " +
+      "many concurrent producers writing append only logs across partitioned durable volumes overnight"
+  private val textBNear = textB.replace("compaction", "vacuuming")
+  private val textC =
+    "mountain climbers check anchor ropes carefully before every ascent because weather systems " +
+      "change rapidly above the tree line and loose rock fields demand patient footwork from " +
+      "anyone crossing exposed ridges toward the summit plateau together"
+  private val textD =
+    "orchestra rehearsals begin with tuning strings and woodwinds against a single oboe note " +
+      "until every section agrees on pitch then the conductor shapes phrasing dynamics and tempo " +
+      "through repeated passages of the evening symphony program"
+  private val textE =
+    "harvest crews repair irrigation channels each spring so meltwater reaches distant orchards " +
+      "before blossom season and the village shares pressed cider once autumn picking fills the " +
+      "cellar racks with crates of late ripening apples"
+
+  private def oneHot(pos: Int): Seq[Float] =
+    Seq.tabulate(64)(i => if (i == pos) 1f else 0f)
+
+  private val cents: Seq[(Long, Array[Double])] = Seq(
+    0L -> Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0),
+    1L -> Array.tabulate(64)(i => if (i == 32) 1.0 else 0.0))
+
+  private def df(rows: Seq[(Long, String, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "embedding")
+  }
+
+  private def decide(store: String, batchKey: String,
+      rows: Seq[(Long, String, Seq[Float])],
+      maxCell: Int = 64): Map[Long, (String, Long)] =
+    StreamingDecision.processBatch(df(rows), "doc_id", "text",
+        Some("embedding"), store, cents, batchKey, maxCell = maxCell)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  behavior of "StreamingDecision.processBatch"
+
+  it should "apply exact > near > semantic precedence at arrival time" in {
+    val store = tempDir("dec-prec")
+    val b0 = decide(store, "0", Seq(
+      (10L, textA, oneHot(0)),
+      (20L, textB, oneHot(32)),
+      (30L, textC, oneHot(7))))
+    b0(10L) shouldBe ("keep", 10L)
+    b0(20L) shouldBe ("keep", 20L)
+    b0(30L) shouldBe ("keep", 30L)
+
+    val b1 = decide(store, "1", Seq(
+      // exact clone of A — also a trivial near-dup AND embedding-equal:
+      // the exact tier must claim it
+      (11L, textA, oneHot(0)),
+      // near-dup of B with B's embedding: near beats semantic
+      (21L, textBNear, oneHot(32)),
+      // A's embedding under unrelated text: semantic tier only
+      (31L, textD, oneHot(0)),
+      // nothing shared: keep
+      (41L, textE, oneHot(45))))
+    b1(11L) shouldBe ("drop_exact", 10L)
+    b1(21L) shouldBe ("drop_near", 20L)
+    b1(31L) shouldBe ("drop_semantic", 10L)
+    b1(41L) shouldBe ("keep", 41L)
+  }
+
+  it should "let the first arrival own a hash regardless of id order" in {
+    val store = tempDir("dec-own")
+    decide(store, "0", Seq((50L, textD, oneHot(32))))
+    // a SMALLER id arriving later is the duplicate — ownership is
+    // arrival order, not min id (the wrap-clone contract the golden
+    // oracle replays with ORDER BY batch, doc_id)
+    val b1 = decide(store, "1", Seq((5L, textD, oneHot(32))))
+    b1(5L) shouldBe ("drop_exact", 50L)
+  }
+
+  it should "claim exact dups within a batch but never near dups" in {
+    val store = tempDir("dec-batch")
+    val b0 = decide(store, "0", Seq(
+      (60L, textA, oneHot(0)),
+      (61L, textA, oneHot(32)),  // same text, same batch
+      (70L, textB, oneHot(45)),
+      (71L, textBNear, oneHot(50)))) // near-dup pair, same batch
+    b0(60L) shouldBe ("keep", 60L)
+    b0(61L) shouldBe ("drop_exact", 60L)
+    // prior-members-only: a same-batch near pair is not claimed
+    b0(70L) shouldBe ("keep", 70L)
+    b0(71L) shouldBe ("keep", 71L)
+    // ...but a THIRD near variant (exact-identical to neither stored
+    // doc) IS claimed one batch later, keeper = min matching stored id
+    val b1 = decide(store, "1",
+      Seq((72L, textB.replace("compaction", "cleanup"), oneHot(50))))
+    b1(72L) shouldBe ("drop_near", 70L)
+  }
+
+  it should "reproduce decisions and admit nothing on replay" in {
+    val store = tempDir("dec-replay")
+    decide(store, "0", Seq((80L, textA, oneHot(0))))
+    val first = decide(store, "1", Seq((81L, textA, oneHot(0)), (82L, textC, oneHot(32))))
+    val bandsN = spark.read.parquet(s"$store/bands/data").count()
+    val hashesN = spark.read.parquet(s"$store/hashes/data").count()
+    val cellsN = spark.read.parquet(s"$store/cells/data").count()
+    // the at-least-once replay of the SAME epoch: decisions identical,
+    // stores untouched (marker guard + insert-if-absent)
+    val replay = decide(store, "1", Seq((81L, textA, oneHot(0)), (82L, textC, oneHot(32))))
+    replay shouldBe first
+    spark.read.parquet(s"$store/bands/data").count() shouldBe bandsN
+    spark.read.parquet(s"$store/hashes/data").count() shouldBe hashesN
+    spark.read.parquet(s"$store/cells/data").count() shouldBe cellsN
+  }
+
+  it should "bound cell admission by maxCell and score only stored members" in {
+    val store = tempDir("dec-cap")
+    decide(store, "0", Seq((100L, textA, oneHot(0))), maxCell = 1)
+    // 101 matches the sole stored member; the cell is full, so 101 is
+    // NOT admitted...
+    val b1 = decide(store, "1", Seq((101L, textC, oneHot(0))), maxCell = 1)
+    b1(101L) shouldBe ("drop_semantic", 100L)
+    // ...and 102 can only have matched 100, never 101
+    val b2 = decide(store, "2", Seq((102L, textD, oneHot(0))), maxCell = 1)
+    b2(102L) shouldBe ("drop_semantic", 100L)
+    val cells = spark.read.parquet(s"$store/cells/data")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    cells shouldBe Seq(100L)
+  }
+
+  it should "run end to end as a foreachBatch stream" in {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = tempDir("dec-stream")
+    val in = MemoryStream[(Long, String, Seq[Float])]
+    val q = StreamingDecision.run(
+      in.toDF().toDF("doc_id", "text", "embedding"),
+      "doc_id", "text", Some("embedding"), store, cents,
+      checkpointLocation = Some(tempDir("dec-stream-ckpt")))
+    try {
+      in.addData((10L, textA, oneHot(0)))
+      q.processAllAvailable()
+      in.addData((11L, textA, oneHot(0)), (31L, textD, oneHot(0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val dec = StreamingDecision.decisions(spark, store)
+      .select("doc_id", "decision", "keeper_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    dec(10L) shouldBe ("keep", 10L)
+    dec(11L) shouldBe ("drop_exact", 10L)
+    dec(31L) shouldBe ("drop_semantic", 10L)
+  }
+}
