@@ -1,0 +1,235 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted CONNECTED-COMPONENTS state (VERDICT r10 #3): the dedup
+  * cluster assignment — component id per doc — maintained INCREMENTALLY
+  * as batches of verified duplicate pairs arrive, instead of re-running
+  * corpus-wide label propagation over all historical pairs every run
+  * (the one full-recompute left in the dedup family; at 100 TB a
+  * nightly full CC is the scale-killer).
+  *
+  * The representation is a UNION-FIND PARENT FOREST in parquet:
+  * `parents/data/bkt=N/` holds one (id, parent) row per node ever seen
+  * in a pair, with `parent < id` on every non-root row (union-by-min:
+  * the merged component's label is the minimum id, so parent pointers
+  * strictly decrease along any chain — no cycles, resolution always
+  * terminates) and `parent = id` marking roots. `bkt = pmod(hash(id),
+  * buckets)` — keyed by the IMMUTABLE id, so a node's row never moves
+  * partitions and every by-id lookup prunes to its bucket files.
+  *
+  * Why union-find and not stored (id → final label): merging two
+  * components under eager labels must rewrite EVERY member row of the
+  * losing component — unbounded write amplification (one pair linking
+  * two million-doc clusters rewrites a million rows). In the forest,
+  * the same merge writes ONE row (the losing root's parent pointer),
+  * so [[merge]]'s mutation set is O(batch endpoints + touched roots)
+  * by construction:
+  *
+  *  1. resolve the batch's endpoint ids to their current roots —
+  *     iterated id-pruned lookups against the store ([[resolve]]),
+  *     each hop reading only the probed ids' bucket partitions;
+  *  2. contract each pair to a root pair, drop the (root, root) ones —
+  *     pairs INSIDE a known component cost nothing further;
+  *  3. run [[Dedup.connectedComponentsResult]] on the contracted
+  *     edges — a graph over touched roots, batch-sized, never corpus-
+  *     sized (min of merged mins = the true component minimum, so
+  *     labels stay exactly the full-recompute labels);
+  *  4. upsert the changed roots + new nodes: read ONLY the affected
+  *     `bkt=` partitions, patch the O(batch) rows, dynamic-partition-
+  *     overwrite those partitions back.
+  *
+  * Resolution chains grow by at most one hop per merge generation;
+  * [[compact]] is the maintenance pass that path-compresses every
+  * parent to its root (one corpus-wide pointer-jump job, the
+  * [[SignatureStore.compact]] cadence), restoring O(1)-hop lookups.
+  * [[components]] materializes the resolved (id, comp) view without
+  * mutating the store.
+  *
+  * Idempotence: [[merge]] is guarded by a `_commits/<batchKey>` marker
+  * AND naturally idempotent without it — replaying already-merged
+  * pairs contracts every edge to (root, root) and upserts nothing.
+  * Partition overwrite is the file-commit-protocol's atomicity (v1
+  * committer rename); deployments needing stronger guarantees put the
+  * table on a transactional format — the store's layout is plain
+  * hive-partitioned parquet on purpose (readable by everything).
+  */
+object ComponentStore {
+
+  val DefaultBuckets = 16
+  val FormatVersion = 1
+
+  private val parentsSchema = StructType(Seq(
+    StructField("id", LongType), StructField("parent", LongType),
+    StructField("bkt", IntegerType)))
+
+  private def bktOf(c: Column, b: Int): Column = pmod(hash(c), lit(b))
+
+  private def writeMeta(spark: SparkSession, path: String, buckets: Int): Unit =
+    StoreMeta.writeJson(spark, path, "metadata/v0/store.json",
+      s"""{"format":$FormatVersion,"buckets":$buckets}""", overwrite = false)
+
+  /** Bucket count recorded at store creation — every reader recomputes
+    * `bkt` with it ([[SignatureStore.buckets]]'s discipline). */
+  def buckets(spark: SparkSession, path: String): Int = {
+    val txt = StoreMeta.readJson(spark, path, "metadata/v0/store.json")
+      .getOrElse(throw new IllegalStateException(s"no store metadata under $path"))
+    StoreMeta.jsonLong(txt, "buckets")
+      .getOrElse(throw new IllegalStateException(s"unreadable store metadata under $path"))
+      .toInt
+  }
+
+  /** The raw parent forest (id, parent, bkt). */
+  def parents(spark: SparkSession, path: String): DataFrame = {
+    val dir = s"$path/parents"
+    if (StoreMeta.fs(spark, path).exists(new Path(dir)))
+      spark.read.schema(parentsSchema).parquet(dir)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], parentsSchema)
+  }
+
+  private def ckpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  /** Resolve each id in `ids` to its current root — (id, root). Each
+    * hop reads only the probed ids' bucket partitions (broadcast key
+    * set + partition pruning on `bkt`), so a batch resolution costs
+    * O(batch × chain depth) row reads, never a store scan. Depth is
+    * bounded by merges since the last [[compact]]; `maxHops` guards
+    * against an uncompacted pathological chain. Unknown ids resolve to
+    * themselves. */
+  def resolve(ids: DataFrame, idColumn: String, path: String,
+      maxHops: Int = 50): DataFrame = {
+    val spark = ids.sparkSession
+    val b = buckets(spark, path)
+    val store = parents(spark, path)
+    var m = ckpt(ids.select(col(idColumn).cast("long").as("id")).distinct()
+      .withColumn("cur", col("id")))
+    var done = false
+    var hops = 0
+    while (!done && hops < maxHops) {
+      val keys = m.select(col("cur").as("id")).distinct()
+        .withColumn("bkt", bktOf(col("id"), b))
+      val hop = store
+        .join(broadcast(keys), Seq("bkt", "id"), "left_semi")
+        .select(col("id").as("cur"), col("parent"))
+        // a root's parent = itself → next = cur → fixed point; ids
+        // absent from the store are their own roots
+        .filter(col("parent") =!= col("cur"))
+      val m2 = ckpt(m.join(broadcast(hop), Seq("cur"), "left")
+        .select(col("id"), coalesce(col("parent"), col("cur")).as("cur"),
+          (col("parent").isNotNull).as("moved")))
+      done = m2.filter(col("moved")).isEmpty
+      m = m2.select("id", "cur")
+      hops += 1
+    }
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ComponentStore.resolve hit maxHops=$maxHops before every chain " +
+          "terminated — run compact() to path-compress the forest")
+    m.select(col("id"), col("cur").as("root"))
+  }
+
+  /** Merge one batch of verified duplicate pairs into the stored
+    * forest. Mutates O(batch endpoints + touched roots) rows across
+    * the affected `bkt=` partitions only; the resulting resolved
+    * labels equal a full recompute over all pairs ever merged
+    * (hash-proven by the `dedup_cluster_incremental` oracle). */
+  def merge(pairs: DataFrame, aCol: String, bCol: String, path: String,
+      batchKey: String, nBuckets: Int = DefaultBuckets): Unit = {
+    val spark = pairs.sparkSession
+    writeMeta(spark, path, nBuckets)
+    val b = buckets(spark, path)
+    val fs = StoreMeta.fs(spark, path)
+    val marker = new Path(s"$path/_commits/$batchKey")
+    if (fs.exists(marker)) return
+
+    val e = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val endpoints = ckpt(e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct())
+
+    val res = ckpt(resolve(endpoints, "id", path))
+    val er = e
+      .join(res.select(col("id").as("src"), col("root").as("ra")), Seq("src"))
+      .join(res.select(col("id").as("dst"), col("root").as("rb")), Seq("dst"))
+      .select("ra", "rb").filter(col("ra") =!= col("rb")).distinct()
+    // CC over the CONTRACTED graph: touched roots only, batch-sized.
+    // Union-by-min: every stored root is the min id of its component,
+    // so min over merged roots = min over all merged members — labels
+    // stay exactly the full-recompute labels.
+    val cc = ckpt(Dedup.connectedComponents(er, "ra", "rb"))
+    val rootUpd = cc.filter(col("id") =!= col("comp"))
+      .select(col("id"), col("comp").as("parent"))
+
+    val store = parents(spark, path)
+    val known = store
+      .join(broadcast(endpoints.withColumn("bkt", bktOf(col("id"), b))),
+        Seq("bkt", "id"), "left_semi")
+      .select("id")
+    val newRows = endpoints.join(broadcast(known), Seq("id"), "left_anti")
+      .join(broadcast(cc.select(col("id"), col("comp"))), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("parent"))
+
+    val upserts = rootUpd.unionByName(newRows).dropDuplicates("id")
+      .withColumn("bkt", bktOf(col("id"), b))
+    // patch only the affected bucket partitions: keep their untouched
+    // rows, replace/insert the upserts, dynamic-overwrite those
+    // partitions (the write set names exactly the affected bkt= dirs).
+    // ckpt breaks the read-the-path-being-overwritten lineage.
+    val affected = upserts.select("bkt").distinct()
+    val kept = store.join(broadcast(affected), Seq("bkt"), "left_semi")
+      .join(broadcast(upserts.select("id")), Seq("id"), "left_anti")
+      .select("id", "parent", "bkt")
+    val patched = ckpt(kept.unionByName(upserts.select("id", "parent", "bkt")))
+    if (!patched.isEmpty)
+      patched.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bkt").parquet(s"$path/parents")
+
+    fs.mkdirs(new Path(s"$path/_commits"))
+    fs.create(marker, true).close()
+  }
+
+  /** The resolved component view — (id, comp) with comp = the min id
+    * reachable in the stored forest; does not mutate the store. One
+    * pointer-jump loop over the whole table (O(log depth) rounds) —
+    * the corpus-wide query, as opposed to [[resolve]]'s batch-pruned
+    * lookup. */
+  def components(spark: SparkSession, path: String): DataFrame = {
+    var l = ckpt(parents(spark, path).select(col("id"), col("parent").as("comp")))
+    var done = false
+    var iter = 0
+    while (!done && iter < 30) {
+      val p = l.select(col("id").as("p_id"), col("comp").as("p_comp"))
+      val stepped = ckpt(l.join(p, l("comp") === p("p_id"), "left")
+        .select(l("id"), coalesce(p("p_comp"), l("comp")).as("comp")))
+      done = stepped.join(l, Seq("id"))
+        .filter(stepped("comp") =!= l("comp")).isEmpty
+      l = stepped
+      iter += 1
+    }
+    l
+  }
+
+  /** Maintenance: path-compress every parent pointer to its root (one
+    * corpus-wide job), restoring single-hop [[resolve]] lookups. Run
+    * on the [[SignatureStore.maybeCompact]] cadence. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val b = buckets(spark, path)
+    val resolved = ckpt(components(spark, path)
+      .select(col("id"), col("comp").as("parent"))
+      .withColumn("bkt", bktOf(col("id"), b)))
+    if (!resolved.isEmpty)
+      resolved.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bkt").parquet(s"$path/parents")
+  }
+}

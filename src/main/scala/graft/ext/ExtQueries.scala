@@ -2655,6 +2655,120 @@ object ExtQueries {
        |ORDER BY vec_id, matched_vec_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // streaming_decision_golden: the STREAMING DECISION SURFACE (VERDICT
+  // r10 #2) — the composed arrival-time keep/drop verdict with
+  // pipeline_dedup_apply's exact > near > semantic precedence, run as
+  // a REAL foreachBatch stream against persisted stores and
+  // oracle-checked end to end. The corpus is documents PLUS the exact
+  // clone set (the corpus has no natural hash collisions, and the
+  // wrap-around '+1000001' clones make some owners arrive BEFORE their
+  // originals — proving ownership is arrival order, not min id),
+  // left-joined to embeddings (clones carry none — the semantic tier
+  // must skip them), sliced into the 5 standard golden micro-batches.
+  //
+  // Stores are verdict-independent (every arrival admitted; caps
+  // bind), so the oracle DECOMPOSES into the three proven per-tier
+  // replays — first-owner hashes (streaming_exact_golden's CTEs over
+  // the clone corpus), prior-batch capped band membership
+  // (streaming_dedup_golden's row_number admission), prior-batch
+  // capped cell membership (streaming_semantic_golden's, cap = 40 so
+  // it BINDS at sf0.01) — composed by one precedence CASE. Keeper =
+  // the owner (exact) or the smallest matching stored member
+  // (near/semantic): the arrival-time verdict names the matched corpus
+  // member; transitive canonicalization stays the cluster state's job.
+  // ------------------------------------------------------------------
+
+  private val goldenDecDirCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def goldenDecStreamDir(spark: SparkSession, dir: String): String =
+    goldenDecDirCache.synchronized {
+      goldenDecDirCache.getOrElseUpdate(dir,
+        writeGoldenStream(
+          exactCloneCorpus(docs(spark, dir).select("doc_id", "text"))
+            .join(emb(spark, dir).select(col("vec_id").as("doc_id"), col("embedding")),
+              Seq("doc_id"), "left")))
+    }
+
+  def streamingDecisionGolden(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = goldenDecStreamDir(spark, dir)
+    val cents = VectorIndex.coarse(spark, vindexFor(spark, dir), "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    // fresh decision store per run: building it IS the flow under test
+    val store = java.nio.file.Files.createTempDirectory("graft-decision")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val src = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = graft.streaming.StreamingDecision.run(src, "doc_id", "text",
+      Some("embedding"), store.toString, cents, maxCell = SemStreamMaxCell)
+    try { q.processAllAvailable() } finally q.stop()
+    val res = graft.streaming.StreamingDecision.decisions(s2, store.toString)
+      .select(col("doc_id"), col("decision"), col("keeper_id"))
+      .orderBy("doc_id")
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
+    SignatureStore.deleteStore(store)
+    out.orderBy("doc_id")
+  }
+
+  private val streamingDecisionGoldenSql =
+    s"""WITH $ExactCloneCte,
+       |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+       |    '[^a-z0-9]+'), x -> x <> '') AS toks FROM base),
+       |$ShCte,
+       |$SigCtes,
+       |bat AS (SELECT doc_id,
+       |    ((doc_id % $GoldenBatches) + $GoldenBatches) % $GoldenBatches AS b
+       |  FROM base),
+       |hs AS (SELECT doc_id, sha256(array_to_string(toks, ' ')) AS h FROM tok),
+       |j AS (SELECT hs.doc_id, hs.h, bat.b FROM hs JOIN bat USING (doc_id)),
+       |own AS (SELECT h, doc_id AS owner FROM (
+       |    SELECT h, doc_id,
+       |      row_number() OVER (PARTITION BY h ORDER BY b, doc_id) AS rn
+       |    FROM j) WHERE rn = 1),
+       |exk AS (SELECT j.doc_id, own.owner AS ex_keeper
+       |  FROM j JOIN own ON own.h = j.h WHERE j.doc_id <> own.owner),
+       |exb AS (SELECT e.doc_id, e.bk, bat.b,
+       |    row_number() OVER (PARTITION BY e.bk ORDER BY bat.b, e.doc_id) AS r
+       |  FROM ex e JOIN bat ON bat.doc_id = e.doc_id),
+       |nearh AS (SELECT a.doc_id, min(m.doc_id) AS near_keeper
+       |  FROM exb a JOIN exb m ON a.bk = m.bk AND m.b < a.b AND m.r <= 64
+       |  JOIN sig sa ON sa.doc_id = a.doc_id
+       |  JOIN sig sb ON sb.doc_id = m.doc_id
+       |  WHERE len(list_filter(generate_series(1, $MinhashK), i -> sa.sig[i] = sb.sig[i])) >= 8
+       |  GROUP BY a.doc_id),
+       |$IvfCtes,
+       |jb AS (SELECT vec_id, embedding, nrm, cell,
+       |    ((vec_id % $GoldenBatches) + $GoldenBatches) % $GoldenBatches AS b
+       |  FROM asg),
+       |adm AS (SELECT jb.*, row_number() OVER (PARTITION BY cell ORDER BY b, vec_id) AS rn
+       |  FROM jb),
+       |semh AS (SELECT v.vec_id AS doc_id, min(u.vec_id) AS sem_keeper
+       |  FROM jb v JOIN adm u ON u.cell = v.cell AND u.b < v.b AND u.rn <= $SemStreamMaxCell
+       |  WHERE cast(round($SemStreamDotSql / (v.nrm * u.nrm) * 10000) AS BIGINT) >= $SemScoreE4
+       |  GROUP BY v.vec_id)
+       |SELECT bat.doc_id,
+       |  CASE WHEN exk.ex_keeper IS NOT NULL THEN 'drop_exact'
+       |       WHEN nearh.near_keeper IS NOT NULL THEN 'drop_near'
+       |       WHEN semh.sem_keeper IS NOT NULL THEN 'drop_semantic'
+       |       ELSE 'keep' END AS decision,
+       |  coalesce(exk.ex_keeper, nearh.near_keeper, semh.sem_keeper,
+       |    bat.doc_id) AS keeper_id
+       |FROM bat
+       |LEFT JOIN exk ON exk.doc_id = bat.doc_id
+       |LEFT JOIN nearh ON nearh.doc_id = bat.doc_id
+       |LEFT JOIN semh ON semh.doc_id = bat.doc_id
+       |ORDER BY bat.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "text_stats" -> (textStats(_, _)),
@@ -2683,6 +2797,7 @@ object ExtQueries {
     "streaming_semantic_golden" -> (streamingSemanticGolden(_, _)),
     "streaming_semantic_ttl_golden" -> (streamingSemanticTtlGolden(_, _)),
     "streaming_ttl_golden" -> (streamingTtlGolden(_, _)),
+    "streaming_decision_golden" -> (streamingDecisionGolden(_, _)),
     "dedup_substring" -> (dedupSubstring(_, _)),
     "pipeline_dedup_apply" -> (pipelineDedupApply(_, _)),
     "text_cooccurrence" -> (textCooccurrence(_, _)),
@@ -2738,6 +2853,7 @@ object ExtQueries {
     "streaming_semantic_golden" -> streamingSemanticGoldenSql,
     "streaming_semantic_ttl_golden" -> streamingSemanticTtlGoldenSql,
     "streaming_ttl_golden" -> streamingTtlGoldenSql,
+    "streaming_decision_golden" -> streamingDecisionGoldenSql,
     "dedup_substring" -> dedupSubstringSql,
     "pipeline_dedup_apply" -> pipelineDedupApplySql,
     "text_cooccurrence" -> textCooccurrenceSql,
