@@ -209,11 +209,14 @@ object ComponentStore {
     var iter = 0
     while (!done && iter < 30) {
       val p = l.select(col("id").as("p_id"), col("comp").as("p_comp"))
+      // `moved` rides the step itself: comparing the stepped frame back
+      // against `l` would be an ambiguous self-join (localCheckpoint
+      // keeps attribute ids)
       val stepped = ckpt(l.join(p, l("comp") === p("p_id"), "left")
-        .select(l("id"), coalesce(p("p_comp"), l("comp")).as("comp")))
-      done = stepped.join(l, Seq("id"))
-        .filter(stepped("comp") =!= l("comp")).isEmpty
-      l = stepped
+        .select(l("id"), coalesce(p("p_comp"), l("comp")).as("comp"),
+          (p("p_comp").isNotNull && p("p_comp") =!= l("comp")).as("moved")))
+      done = stepped.filter(col("moved")).isEmpty
+      l = stepped.select("id", "comp")
       iter += 1
     }
     l

