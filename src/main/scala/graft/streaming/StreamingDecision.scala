@@ -149,6 +149,11 @@ object StreamingDecision {
       k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3, shingleN: Int = 3,
       nBuckets: Int = 16): DataFrame = {
     val spark = batch.sparkSession
+    def phase[A](label: String)(f: => A): A =
+      if (sys.props.contains("graft.timing") || sys.env.contains("GRAFT_TIMING")) {
+        val s = System.nanoTime(); val r = f
+        System.err.println(f"[dec-phase] $batchKey $label: ${(System.nanoTime() - s) / 1e9}%.2f s"); r
+      } else f
     graft.functions.GraftFunctions.register(spark)
     writeMeta(spark, path, nBuckets)
     val b = buckets(spark, path)
@@ -250,13 +255,12 @@ object StreamingDecision {
           coalesce(col("ex_keeper"), col("near_keeper"), col("sem_keeper"),
             col("doc_id")).as("keeper_id"))
 
-      // replay-idempotent: the same batch rewrites the same rows
-      dec.write.mode("overwrite").parquet(s"$path/decisions/batch=$batchKey")
-
       // ---- admission (marker-guarded, insert-if-absent) -------------
       val fs = StoreMeta.fs(spark, path)
       val marker = new Path(s"$path/_commits/$batchKey")
-      if (!fs.exists(marker)) {
+      val admitted = fs.exists(marker)
+      val admits = scala.collection.mutable.ArrayBuffer.empty[(String, () => Unit)]
+      if (!admitted) {
         // hashes: first arrival owns; an already-owned hash is never
         // re-admitted (ownership persists across the stream's lifetime)
         val storedTouchedH = storedH
@@ -265,7 +269,8 @@ object StreamingDecision {
         val newH = bh.groupBy("bkt", "h").agg(min("doc_id").as("owner_id"))
           .join(broadcast(storedTouchedH), Seq("bkt", "h"), "left_anti")
           .select("h", "owner_id", "bkt")
-        appendTable(newH, s"$path/hashes", Seq("bkt"))
+        admits += ("admit-hashes" ->
+          (() => appendTable(newH, s"$path/hashes", Seq("bkt"))))
 
         // bands: sequential cap fill — rank = stored count + in-batch
         // row_number by doc_id; only rank ≤ maxBucket rows are stored,
@@ -283,7 +288,8 @@ object StreamingDecision {
           .withColumn("rank", (coalesce(col("n0"), lit(0)) + col("rn")).cast("int"))
           .filter(col("rank") <= maxBucket)
           .select("bk", "doc_id", "sig", "rank", "bkt")
-        appendTable(newB, s"$path/bands", Seq("bkt"))
+        admits += ("admit-bands" ->
+          (() => appendTable(newB, s"$path/bands", Seq("bkt"))))
 
         // cells: same sequential fill per coarse cell
         if (semOn) {
@@ -301,9 +307,43 @@ object StreamingDecision {
             .withColumn("rank", (coalesce(col("n0"), lit(0)) + col("rn")).cast("int"))
             .filter(col("rank") <= maxCell)
             .select("vec_id", "emb", "nrm", "rank", "cell")
-          appendTable(newC, s"$path/cells", Seq("cell"))
+          admits += ("admit-cells" ->
+            (() => appendTable(newC, s"$path/cells", Seq("cell"))))
         }
+      }
 
+      // The verdict write and the three admissions are INDEPENDENT
+      // Spark jobs (verdict is replay-idempotent overwrite; admissions
+      // read only pre-batch store state) — run them CONCURRENTLY from
+      // the driver, the standard Spark pattern for independent actions.
+      // Serially their per-job fixed cost dominates small micro-batches
+      // (~4× the slowest job); overlapped, batch latency ≈ the slowest
+      // job. The shared cached inputs are materialized FIRST so the
+      // concurrent consumers reuse the cache instead of racing to
+      // compute it.
+      phase("materialize") {
+        in.count(); bandIn.count(); if (semOn) asgIn.count(): Unit
+      }
+      // replay-idempotent: the same batch rewrites the same rows
+      val jobs: Seq[(String, () => Unit)] =
+        ("decisions-write" -> (() =>
+          dec.write.mode("overwrite")
+            .parquet(s"$path/decisions/batch=$batchKey"))) +: admits.toSeq
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(jobs.size)
+      try {
+        jobs.map { case (label, job) =>
+          label -> pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = phase(label)(job())
+          })
+        }.foreach { case (label, f) =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            throw new RuntimeException(s"decision $label failed", e.getCause) }
+        }
+      } finally pool.shutdown()
+
+      // marker LAST, after every table (and the verdict) landed
+      if (!admitted) {
         fs.mkdirs(new Path(s"$path/_commits"))
         fs.create(marker, true).close()
       }
