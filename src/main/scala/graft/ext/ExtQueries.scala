@@ -2187,15 +2187,17 @@ object ExtQueries {
     * micro-batches (batch = `pmod(doc_id, GoldenBatches)`) with spaced
     * mtimes — FileStreamSource orders by mtime, so with
     * `maxFilesPerTrigger=1` the trigger order is deterministic. */
-  private def writeGoldenStream(d: DataFrame): String = {
+  private def writeGoldenStream(d: DataFrame,
+      sentinels: Seq[DataFrame] = Nil): String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-golden")
     sys.addShutdownHook(SignatureStore.deleteStore(tmp))
     val streamDir = new java.io.File(tmp.toFile, "stream"); streamDir.mkdirs()
     val epoch = 1700000000000L // fixed base; only the relative order matters
-    (0 until GoldenBatches).foreach { i =>
+    val batches = (0 until GoldenBatches).map(i =>
+      d.filter(pmod(col("doc_id"), lit(GoldenBatches)) === i)) ++ sentinels
+    batches.zipWithIndex.foreach { case (b, i) =>
       val part = s"$tmp/part$i"
-      d.filter(pmod(col("doc_id"), lit(GoldenBatches)) === i)
-        .coalesce(1).write.mode("overwrite").parquet(part)
+      b.coalesce(1).write.mode("overwrite").parquet(part)
       val f = new java.io.File(part).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no part file in $part"))
@@ -2823,6 +2825,92 @@ object ExtQueries {
        |ORDER BY bat.doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // streaming_decontam_golden: the ingest-time decontamination guard
+  // (StreamingOps.decontaminateStream) oracle-checked end to end
+  // (VERDICT r10 #7 — it was spec'd but never golden-replayed). The
+  // corpus docs (id ≥ BenchmarkDocs) stream through the 5 standard
+  // golden micro-batches carrying event time; the benchmark shingle
+  // set (docs 0..19, computed batch-side) is the static broadcast
+  // side. Decontamination is stateless w.r.t. the corpus — the golden
+  // proves the WINDOWED WATERMARK plumbing: per-doc distinct matched
+  // shingles, the (doc, shingle) replay dedup, and append-mode
+  // emission on window close. A far-future EMPTY sentinel batch
+  // advances the watermark past every window (it reaches the watermark
+  // node, then the ≥-shingleN token filter drops it, so it contributes
+  // no output and needs no oracle row). Each doc arrives once with one
+  // timestamp, so its hits land in exactly one window and the flagged
+  // set equals the batch pipeline_decontaminate — the oracle is that
+  // query's SQL verbatim.
+  // ------------------------------------------------------------------
+
+  private val goldenDecontamDirCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def goldenDecontamStreamDir(spark: SparkSession, dir: String): String =
+    goldenDecontamDirCache.synchronized {
+      goldenDecontamDirCache.getOrElseUpdate(dir, {
+        val withTs = docs(spark, dir)
+          .filter(col("doc_id") >= BenchmarkDocs)
+          .select(col("doc_id"), col("text"),
+            timestamp_millis(lit(1700000000000L) +
+              pmod(col("doc_id"), lit(GoldenBatches)) * TtlGoldenSpacingMs).as("ts"))
+        // TWO sentinels: the first advances the watermark past every
+        // real window; the second is the DATA batch during which those
+        // now-closed windows actually emit (a no-data flush batch is
+        // not guaranteed to complete before processAllAvailable
+        // returns — the emission must ride a real trigger). The
+        // sentinel text must carry >= shingleN real tokens: Catalyst
+        // pushes the token-count filter BELOW the watermark node, so
+        // an empty-text row would be dropped before its event time
+        // registers. Its shingle matches nothing in the benchmark, so
+        // the inner join (which cannot be pushed below the watermark)
+        // still emits no row for it.
+        val sentinels = Seq(100L, 200L).map(m => spark.range(1).select(
+          lit(1000000000L + m).as("doc_id"),
+          lit("zzqxsentinel0 zzqxsentinel1 zzqxsentinel2").as("text"),
+          timestamp_millis(lit(1700000000000L + m * TtlGoldenSpacingMs)).as("ts")))
+        writeGoldenStream(withTs, sentinels = sentinels)
+      })
+    }
+
+  def streamingDecontamGolden(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = goldenDecontamStreamDir(spark, dir)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val bench = Dedup.shingleRows(
+        docs(s2, dir).select("doc_id", "text")
+          .filter(col("doc_id") < BenchmarkDocs),
+        "doc_id", "text", ShingleN)
+      .select("s").distinct()
+    val name = s"streaming_decontam_${goldenCounter.incrementAndGet()}"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val src = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val hits = graft.streaming.StreamingOps.decontaminateStream(
+      src, bench, "doc_id", "text", "ts",
+      watermarkDelay = "0 seconds", windowLength = "10 minutes",
+      shingleN = ShingleN, minHits = DecontamHits)
+    val q = hits.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    if (sys.env.contains("GRAFT_TIMING"))
+      q.recentProgress.foreach(pr => System.err.println(
+        s"[dbg-prog] batch=${pr.batchId} rows=${pr.numInputRows} wm=${pr.eventTime.get("watermark")} sink=${pr.sink.numOutputRows}"))
+    q.stop()
+    val res = s2.table(name).select(col("doc_id"), col("n_hits"))
+      .orderBy("doc_id")
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
+    s2.catalog.dropTempView(name)
+    out.orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
     "text_stats" -> (textStats(_, _)),
@@ -2852,6 +2940,7 @@ object ExtQueries {
     "streaming_semantic_ttl_golden" -> (streamingSemanticTtlGolden(_, _)),
     "streaming_ttl_golden" -> (streamingTtlGolden(_, _)),
     "streaming_decision_golden" -> (streamingDecisionGolden(_, _)),
+    "streaming_decontam_golden" -> (streamingDecontamGolden(_, _)),
     "dedup_substring" -> (dedupSubstring(_, _)),
     "pipeline_dedup_apply" -> (pipelineDedupApply(_, _)),
     "text_cooccurrence" -> (textCooccurrence(_, _)),
@@ -2909,6 +2998,7 @@ object ExtQueries {
     "streaming_semantic_ttl_golden" -> streamingSemanticTtlGoldenSql,
     "streaming_ttl_golden" -> streamingTtlGoldenSql,
     "streaming_decision_golden" -> streamingDecisionGoldenSql,
+    "streaming_decontam_golden" -> pipelineDecontaminateSql,
     "dedup_substring" -> dedupSubstringSql,
     "pipeline_dedup_apply" -> pipelineDedupApplySql,
     "text_cooccurrence" -> textCooccurrenceSql,
