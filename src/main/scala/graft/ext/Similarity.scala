@@ -505,6 +505,83 @@ object Similarity {
       .select("query_id", "neighbor_id", "cell", "dist_e6", "rnk")
   }
 
+  /** Residual view of a cell-assigned frame: (idCol, cell, remb) with
+    * `remb[i] = embedding[i] − centroid(cell)[i]` as doubles — the
+    * input representation for RESIDUAL product quantization (VERDICT
+    * r10 #5): PQ codebooks trained on residuals only need to span the
+    * spread WITHIN a coarse cell, not the whole corpus diameter, so
+    * the same m × codebookK budget quantizes finer. The centroid side
+    * is metadata-sized and broadcast; the subtraction is a narrow
+    * codegen'd `zip_with` pass. */
+  private[graft] def residuals(asg: DataFrame, centroids: DataFrame,
+      idCol: String, embCol: String): DataFrame = {
+    val c = centroids.select(col(idCol).as("rcid"), col(embCol).as("rcemb"))
+    asg.join(broadcast(c), col("cell") === col("rcid"))
+      .select(col(idCol), col("cell"),
+        zip_with(col("embedding"), col("rcemb"),
+          (x, cc) => x.cast("double") - cc).as("remb"))
+  }
+
+  /** Residual-encoded IVF+PQ with the exact re-rank tier — the
+    * standard accuracy step above [[ivfPqRerankTopK]] (which encodes
+    * raw vectors; see Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", §IV: encode x − q_coarse(x)). Differences from
+    * the raw path, all of them per-probed-cell:
+    *
+    *  - corpus codes encode the vector's residual against ITS cell's
+    *    centroid ([[residuals]] over the one-cell assignment);
+    *  - the per-query ADC tables are computed PER PROBED CELL — the
+    *    query's residual differs per probe — so the table is
+    *    (query, probed cell, s, cid): |queries| · nProbe · m ·
+    *    codebookK rows, still broadcast-sized metadata;
+    *  - ADC lookup joins on the candidate's coarse cell as well, so a
+    *    candidate is always scored against the query residual IN THE
+    *    CELL THEY SHARE.
+    *
+    * Plan shape is unchanged from [[ivfPqTopK]]: no shuffle ever
+    * carries an embedding, candidates and tables broadcast, the
+    * aggregate's shuffle holds candidate pairs only. Recall: ADC
+    * ranking approaches the cell-capture ceiling (the fraction of true
+    * neighbors inside the probed cells — what nProbe controls, and the
+    * hard upper bound NO encoding can exceed; measured ceilings are
+    * pinned in TrainingRobustnessSpec). */
+  def ivfPqResidualRerankTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, idCol: String, embCol: String, dim: Int, m: Int,
+      codebookK: Int, k: Int, nProbe: Int = 2, iters: Int = 1,
+      sampleFraction: Double = 1.0, rerankC: Int = 0): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = if (rerankC > 0) rerankC else 4 * k
+    val subDim = dim / m
+    val asgN = assignCells(corpus, centroids, idCol, embCol)
+    val qsgN = assignCellsN(queries, centroids, idCol, embCol, nProbe)
+    val cand = qsgN.select(col(idCol).as("query_id"), col("cell").as("qcell"))
+      .join(asgN.select(col(idCol).as("neighbor_id"), col("cell").as("ncell")),
+        col("qcell") === col("ncell") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("ncell").as("cell_ivf"))
+    val corpusRes = residuals(asgN, centroids, idCol, embCol)
+    val cents = trainPqCodebooks(corpusRes, idCol, "remb", dim, m, codebookK,
+      iters, sampleFraction)
+    val codes = pqAssign(pqSubRows(corpusRes, idCol, "remb", dim, m), cents, idCol)
+      .select(col(idCol).as("neighbor_id"), col("s"), col("cell"))
+    val qsub = residuals(qsgN, centroids, idCol, embCol)
+      .select(col(idCol).as("dq"), col("cell").as("qcell"),
+        posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), s -> slice(remb, s * $subDim + 1, $subDim))"))
+          .as(Seq("s", "semb")))
+    val dtab = qsub.join(broadcast(cents), "s")
+      .select(col("dq"), col("qcell"), col("s").as("qs"), col("cid"),
+        round(pqSubSqDist * 1e6).cast("long").as("d_e6"))
+    val approx = codes
+      .join(broadcast(cand), "neighbor_id")
+      .join(broadcast(dtab),
+        col("query_id") === col("dq") && col("qcell") === col("cell_ivf") &&
+          col("s") === col("qs") && col("cell") === col("cid"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(first(col("cell_ivf")).as("cell"), sum(col("d_e6")).as("adist_e6"))
+    rerankExact(rankByDist(approx, c), queries, corpus, idCol, embCol, k)
+  }
+
   /** [[ivfPqTopK]] with the exact re-rank tier composed on top: ADC
     * ranks the probed-cell candidates to depth `rerankC` (default 4k),
     * then [[rerankExact]] fetches true embeddings for ONLY those pairs
