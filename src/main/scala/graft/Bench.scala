@@ -229,6 +229,32 @@ object Bench {
         failed ::= "sim_train"
         None
       }
+    // Steady-state decision surface (VERDICT r10 #6): the
+    // streaming_decision_golden row pays a fresh store + all five
+    // admissions every run; a deployment's recurring cost is ONE batch
+    // decided against already-accumulated stores. Seeding (4 corpus
+    // slices + quantizer training) runs untimed; the row times the
+    // last slice's arrival-time decision alone. min-of-2 with distinct
+    // batch keys — the second pass decides the same rows against
+    // stores that already contain them, which the per-tier anti-joins
+    // make verdict-identical (the replay contract).
+    val decisionSteady: Option[Double] =
+      try {
+        val (store, cents, last) =
+          graft.ext.ExtQueries.decisionSteadyPrepare(spark, sfDir)
+        val times = (1 to 2).map { p =>
+          val t0 = System.nanoTime()
+          graft.ext.ExtQueries.decisionSteadyBatch(store, cents, last, s"steady-$p")
+          (System.nanoTime() - t0) / 1e9
+        }
+        val sec = times.min
+        System.err.println(f"[bench] decision_steady ${sec}%.2fs")
+        Some(sec)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] decision_steady failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        failed ::= "decision_steady"
+        None
+      }
     // The sentinel QUERY rows are the min over the three checkpoint
     // probes (the same estimator as every row — the plan's cost, not
     // the box's worst moment); the per-checkpoint series rides
@@ -245,7 +271,8 @@ object Bench {
     val withStreaming = results ++
       streaming.map { case (_, sec, _) => "streaming_dedup" -> sec } ++
       storeIngest.map("store_ingest" -> _) ++
-      simTrain.map("sim_train" -> _)
+      simTrain.map("sim_train" -> _) ++
+      decisionSteady.map("decision_steady" -> _)
     val sentinelJson = {
       def arr(xs: Seq[Double]) = xs.map(v => f"$v%.2f").mkString("[", ",", "]")
       if (cpuSent.isEmpty && shufSent.isEmpty) ""

@@ -91,7 +91,10 @@ object ScaleBench {
     "streaming_exact_ttl_golden", "dedup_semantic",
     // round 10
     "dedup_semantic_store", "streaming_semantic_golden",
-    "streaming_semantic_ttl_golden")
+    "streaming_semantic_ttl_golden",
+    // round 11
+    "dedup_cluster_incremental", "streaming_decision_golden",
+    "streaming_decontam_golden", "sim_ivfpq_residual", "multimodal_decode")
 
   /** Queries whose first call per corpus dir pays a one-time persisted
     * store/index build (cached thereafter) — warmed before measuring. */
@@ -99,7 +102,8 @@ object ScaleBench {
     Set("dedup_incremental_store", "sim_index_store", "dedup_semantic_store",
       "streaming_dedup_golden", "streaming_exact_golden", "streaming_ttl_golden",
       "streaming_exact_ttl_golden", "streaming_semantic_golden",
-      "streaming_semantic_ttl_golden")
+      "streaming_semantic_ttl_golden", "dedup_cluster_incremental",
+      "streaming_decision_golden", "streaming_decontam_golden")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)
@@ -278,6 +282,23 @@ object ScaleBench {
       sb.append(s""","semantic_store_scaled":{"n":$nVec,"k":$kSem,""" +
         s""""trainSec":${f"$trSec%.3f"},"dedupSec":${f"$secSS%.3f"},"shuffleWrite":$swSS}""")
       graft.ext.SignatureStore.deleteStore(java.nio.file.Paths.get(semIdxDir))
+      // Steady-state decision surface (VERDICT r10 #6): the stores are
+      // seeded with 4 of the 5 corpus slices (untimed — the
+      // accumulated-corpus state), then ONE batch's arrival-time
+      // keep/drop verdict is measured. The slope that must stay linear
+      // in BATCH size (not corpus size) as the tier grows: admission
+      // and matching read only the touched store partitions.
+      val (decStore, decCents, decLast) =
+        graft.ext.ExtQueries.decisionSteadyPrepare(spark, dir)
+      tally.reset()
+      val t0d = System.nanoTime()
+      graft.ext.ExtQueries.decisionSteadyBatch(decStore, decCents, decLast, "scale-1")
+      val secD = (System.nanoTime() - t0d) / 1e9
+      val (_, swD, _) = tally.settled()
+      val nBatch = decLast.count()
+      System.err.println(f"[scale] $label/decision_steady n=$nBatch sw=$swD ${secD}%.2fs")
+      sb.append(s""","decision_steady_scaled":{"n":$nBatch,"shuffleWrite":$swD,"sec":${f"$secD%.3f"}}""")
+      graft.ext.SignatureStore.deleteStore(java.nio.file.Paths.get(decStore))
       // IVF+PQ pruning evidence: score the SAME pre-built (checkpointed)
       // PQ structures full-scan vs cell-pruned, so the tally isolates
       // the search stage (training shuffles are identical in both
