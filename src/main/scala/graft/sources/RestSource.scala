@@ -49,7 +49,15 @@ object RestSource {
     *    fixed-`expirationPeriod` constructor (.cs:79-99) — the response
     *    is not consulted for a TTL; otherwise `expiresInField` names the
     *    response property carrying seconds-to-expiry (default 3600 when
-    *    absent). */
+    *    absent).
+    *
+    * Header-emission parity (GetRequest, .cs:134-153):
+    *  - headerName null/empty/"Authorization" → one `Authorization`
+    *    header valued `"<scheme or Bearer> <token>"`;
+    *  - any other headerName → valued `"<scheme> <token>"`, or the bare
+    *    token when the scheme is empty (API-key-style headers);
+    *  - `additionalHeaders` ride EVERY authenticated request
+    *    (.cs:147-150). */
   final class DynamicBearerAuth(
       fetcher: HttpFetch,
       tokenUri: String,
@@ -60,6 +68,7 @@ object RestSource {
       scheme: String = "Bearer",
       tokenRequestContentType: String = "application/json",
       fixedTtlSeconds: Option[Long] = None,
+      additionalHeaders: Map[String, String] = Map.empty,
       clock: () => Long = () => System.currentTimeMillis()) extends AuthProvider {
     private var cached: Option[(String, Long)] = None
 
@@ -101,7 +110,13 @@ object RestSource {
           cached = Some((t, now + (ttlSec - 60L) * 1000L)) // renew 60s early
           t
       }
-      Map(headerName -> s"$scheme $token".trim)
+      val name = Option(headerName).filter(_.nonEmpty).getOrElse("Authorization")
+      val value =
+        if (name == "Authorization")
+          s"${Option(scheme).filter(_.nonEmpty).getOrElse("Bearer")} $token"
+        else if (scheme == null || scheme.isEmpty) token
+        else s"$scheme $token"
+      Map(name -> value) ++ additionalHeaders
     }
   }
 

@@ -153,6 +153,65 @@ class PageResolverSpec extends AnyFlatSpec with Matchers with graft.SparkFixture
     auth.headers() shouldBe Map("Authorization" -> "Bearer T2")
   }
 
+  it should "cover the reference header-emission matrix (GetRequest, .cs:134-153)" in {
+    def fetcher = new HttpFetch {
+      override def fetch(uri: String, h: Map[String, String], b: Option[String]) =
+        Some("""{"token": "TK", "expiresIn": 600}""")
+    }
+    def auth(headerName: String, scheme: String) =
+      new DynamicBearerAuth(fetcher, "http://auth", None,
+        headerName = headerName, scheme = scheme)
+    // null/empty/"Authorization" header name → Authorization, scheme
+    // defaulting to Bearer when unset
+    auth(null, null).headers() shouldBe Map("Authorization" -> "Bearer TK")
+    auth("", "").headers() shouldBe Map("Authorization" -> "Bearer TK")
+    auth("Authorization", "Token").headers() shouldBe Map("Authorization" -> "Token TK")
+    // custom header name: "<scheme> <token>", or the BARE token when
+    // the scheme is empty (API-key-style header, .cs:143)
+    auth("X-Auth", "Custom").headers() shouldBe Map("X-Auth" -> "Custom TK")
+    auth("X-Api-Key", "").headers() shouldBe Map("X-Api-Key" -> "TK")
+    auth("X-Api-Key", null).headers() shouldBe Map("X-Api-Key" -> "TK")
+  }
+
+  it should "attach additional headers to every authenticated request (.cs:147-150)" in {
+    var calls = 0
+    val fetcher = new HttpFetch {
+      override def fetch(uri: String, h: Map[String, String], b: Option[String]) = {
+        calls += 1
+        Some(s"""{"token": "T$calls", "expiresIn": 600}""")
+      }
+    }
+    val auth = new DynamicBearerAuth(fetcher, "http://auth", None,
+      additionalHeaders = Map("X-Trace" -> "on", "X-Tenant" -> "t1"))
+    val h1 = auth.headers()
+    h1 shouldBe Map("Authorization" -> "Bearer T1", "X-Trace" -> "on", "X-Tenant" -> "t1")
+    // cached token, additional headers still present
+    auth.headers() shouldBe h1
+    calls shouldBe 1
+  }
+
+  it should "read seconds-to-expiry from a custom response property (.cs:127-129)" in {
+    var now = 0L
+    var calls = 0
+    val fetcher = new HttpFetch {
+      override def fetch(uri: String, h: Map[String, String], b: Option[String]) = {
+        calls += 1
+        // the DEFAULT expiresIn field carries a decoy: only the custom
+        // property may drive the TTL
+        Some(s"""{"token": "T$calls", "expires_in_seconds": 120, "expiresIn": 999999}""")
+      }
+    }
+    val auth = new DynamicBearerAuth(fetcher, "http://auth", None,
+      expiresInField = "expires_in_seconds", clock = () => now)
+    auth.headers() shouldBe Map("Authorization" -> "Bearer T1")
+    now = 59 * 1000L // within 120s − 60s renewal margin
+    auth.headers() shouldBe Map("Authorization" -> "Bearer T1")
+    calls shouldBe 1
+    now = 61 * 1000L // past it — the decoy must not have extended the cache
+    auth.headers() shouldBe Map("Authorization" -> "Bearer T2")
+    calls shouldBe 2
+  }
+
   behavior of "template resolution (RestApiTemplate.cs:33-106)"
 
   it should "short-circuit to an absolute URI returned by a resolver (.cs:72-79)" in {
