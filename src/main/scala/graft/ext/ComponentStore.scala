@@ -222,6 +222,27 @@ object ComponentStore {
     l
   }
 
+  /** Batch keys whose merge committed — the deterministic maintenance
+    * trigger ([[SignatureStore.committedBatches]] discipline: an
+    * uncommitted partial merge never advances the schedule). */
+  def committedBatches(spark: SparkSession, path: String): Seq[String] = {
+    val fs = StoreMeta.fs(spark, path)
+    val dir = new Path(s"$path/_commits")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** [[compact]] every `every` committed merges — bounds resolve-chain
+    * depth (each merge generation can add a hop) the way
+    * [[SignatureStore.maybeCompact]] bounds file count. */
+  def maybeCompact(spark: SparkSession, path: String, every: Int): Boolean = {
+    require(every > 0, "every must be positive")
+    val n = committedBatches(spark, path).size
+    val due = n > 0 && n % every == 0
+    if (due) compact(spark, path)
+    due
+  }
+
   /** Maintenance: path-compress every parent pointer to its root (one
     * corpus-wide job), restoring single-hop [[resolve]] lookups. Run
     * on the [[SignatureStore.maybeCompact]] cadence. */

@@ -2926,8 +2926,12 @@ object ExtQueries {
     out.orderBy("doc_id")
   }
 
-  private val streamingDecisionGoldenSql =
-    s"""WITH $ExactCloneCte,
+  /** Shared verdict-derivation CTE chain ending in
+    * `dec(doc_id, decision, keeper_id)` — the golden query selects it
+    * directly; the cluster query runs connected components over its
+    * drop pairs. */
+  private val decisionVerdictCtes =
+    s"""$ExactCloneCte,
        |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
        |    '[^a-z0-9]+'), x -> x <> '') AS toks FROM base),
        |$ShCte,
@@ -2961,8 +2965,8 @@ object ExtQueries {
        |semh AS (SELECT v.vec_id AS doc_id, min(u.vec_id) AS sem_keeper
        |  FROM jb v JOIN adm u ON u.cell = v.cell AND u.b < v.b AND u.rn <= $SemStreamMaxCell
        |  WHERE cast(round($SemStreamDotSql / (v.nrm * u.nrm) * 10000) AS BIGINT) >= $SemScoreE4
-       |  GROUP BY v.vec_id)
-       |SELECT bat.doc_id,
+       |  GROUP BY v.vec_id),
+       |dec AS (SELECT bat.doc_id,
        |  CASE WHEN exk.ex_keeper IS NOT NULL THEN 'drop_exact'
        |       WHEN nearh.near_keeper IS NOT NULL THEN 'drop_near'
        |       WHEN semh.sem_keeper IS NOT NULL THEN 'drop_semantic'
@@ -2972,8 +2976,74 @@ object ExtQueries {
        |FROM bat
        |LEFT JOIN exk ON exk.doc_id = bat.doc_id
        |LEFT JOIN nearh ON nearh.doc_id = bat.doc_id
-       |LEFT JOIN semh ON semh.doc_id = bat.doc_id
-       |ORDER BY bat.doc_id""".stripMargin
+       |LEFT JOIN semh ON semh.doc_id = bat.doc_id)""".stripMargin
+
+  private val streamingDecisionGoldenSql =
+    s"""WITH $decisionVerdictCtes
+       |SELECT doc_id, decision, keeper_id FROM dec ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // streaming_decision_cluster: ARRIVAL-TIME CLUSTER STATE — the
+  // decision surface's drop verdicts are verified (doc, keeper) pairs,
+  // merged per micro-batch into a persisted ComponentStore union-find
+  // forest (StreamingDecision clusterPath), so transitive canonical
+  // labels (A~B~C with A!~C — what the per-arrival keeper deliberately
+  // does not give) exist the moment the batch commits, maintained in
+  // O(batch + touched roots). The oracle derives the SAME decisions
+  // (decisionVerdictCtes) and computes true components over the drop
+  // pairs with a recursive CTE — algorithm-independent, so the whole
+  // composition (stream -> verdicts -> incremental union-find) is
+  // hash-verified against min-reachable-id ground truth.
+  // ------------------------------------------------------------------
+
+  private val decClusterCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def decisionClusterStore(spark: SparkSession, dir: String): String =
+    decClusterCache.synchronized {
+      decClusterCache.getOrElseUpdate(dir, {
+        val streamDir = goldenDecStreamDir(spark, dir)
+        val cents = VectorIndex.coarse(spark, vindexFor(spark, dir), "embedding")
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        val store = java.nio.file.Files.createTempDirectory("graft-deccluster")
+        sys.addShutdownHook(SignatureStore.deleteStore(store))
+        val cstore = s"$store/clusters"
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType))))
+        val src = s2.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        val q = graft.streaming.StreamingDecision.run(src, "doc_id", "text",
+          Some("embedding"), s"$store/decision", cents,
+          maxCell = SemStreamMaxCell, clusterPath = Some(cstore))
+        try { q.processAllAvailable() } finally q.stop()
+        cstore
+      })
+    }
+
+  def streamingDecisionCluster(spark: SparkSession, dir: String): DataFrame =
+    ComponentStore.components(spark, decisionClusterStore(spark, dir))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy("doc_id")
+
+  private val streamingDecisionClusterSql =
+    s"""WITH RECURSIVE $decisionVerdictCtes,
+       |dp AS (SELECT doc_id, keeper_id FROM dec WHERE decision <> 'keep'),
+       |edges AS (SELECT doc_id AS s, keeper_id AS d FROM dp
+       |  UNION ALL SELECT keeper_id, doc_id FROM dp),
+       |nodes AS (SELECT DISTINCT s AS n FROM edges),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
+       |comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+       |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // Steady-state decision bench support (VERDICT r10 #6): the
@@ -3129,6 +3199,7 @@ object ExtQueries {
     "streaming_semantic_ttl_golden" -> (streamingSemanticTtlGolden(_, _)),
     "streaming_ttl_golden" -> (streamingTtlGolden(_, _)),
     "streaming_decision_golden" -> (streamingDecisionGolden(_, _)),
+    "streaming_decision_cluster" -> (streamingDecisionCluster(_, _)),
     "streaming_decontam_golden" -> (streamingDecontamGolden(_, _)),
     "dedup_substring" -> (dedupSubstring(_, _)),
     "pipeline_dedup_apply" -> (pipelineDedupApply(_, _)),
@@ -3189,6 +3260,7 @@ object ExtQueries {
     "streaming_semantic_ttl_golden" -> streamingSemanticTtlGoldenSql,
     "streaming_ttl_golden" -> streamingTtlGoldenSql,
     "streaming_decision_golden" -> streamingDecisionGoldenSql,
+    "streaming_decision_cluster" -> streamingDecisionClusterSql,
     "streaming_decontam_golden" -> pipelineDecontaminateSql,
     "dedup_substring" -> dedupSubstringSql,
     "pipeline_dedup_apply" -> pipelineDedupApplySql,

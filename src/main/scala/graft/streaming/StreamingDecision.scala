@@ -147,7 +147,8 @@ object StreamingDecision {
       minSigMatch: Int = 8, maxBucket: Int = 64,
       minScoreE4: Long = 3000L, maxCell: Int = 64,
       k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3, shingleN: Int = 3,
-      nBuckets: Int = 16): DataFrame = {
+      nBuckets: Int = 16, clusterPath: Option[String] = None,
+      clusterCompactEvery: Int = 64): DataFrame = {
     val spark = batch.sparkSession
     def phase[A](label: String)(f: => A): A =
       if (sys.props.contains("graft.timing") || sys.env.contains("GRAFT_TIMING")) {
@@ -347,6 +348,23 @@ object StreamingDecision {
         fs.mkdirs(new Path(s"$path/_commits"))
         fs.create(marker, true).close()
       }
+
+      // ---- arrival-time CLUSTER STATE (round 11): every drop verdict
+      // is a verified (doc, keeper) duplicate pair — merged into the
+      // persisted union-find forest, so TRANSITIVE canonical labels
+      // (A≈B≈C with A≉C — what the per-arrival keeper deliberately
+      // does not give) are maintained incrementally, O(batch + touched
+      // roots) per micro-batch, never a corpus-wide recompute. Guarded
+      // by ComponentStore's own commit marker AND naturally idempotent
+      // (a replayed batch re-writes identical decisions, and re-merged
+      // pairs contract to (root, root)).
+      clusterPath.foreach { cp =>
+        val pairs = spark.read.parquet(s"$path/decisions/batch=$batchKey")
+          .filter(col("decision") =!= "keep")
+          .select(col("doc_id"), col("keeper_id"))
+        graft.ext.ComponentStore.merge(pairs, "doc_id", "keeper_id", cp, batchKey)
+        graft.ext.ComponentStore.maybeCompact(spark, cp, clusterCompactEvery): Unit
+      }
       spark.read.parquet(s"$path/decisions/batch=$batchKey")
     } finally {
       cached.foreach(_.unpersist())
@@ -375,13 +393,14 @@ object StreamingDecision {
       checkpointLocation: Option[String] = None,
       minSigMatch: Int = 8, maxBucket: Int = 64,
       minScoreE4: Long = 3000L, maxCell: Int = 64,
-      nBuckets: Int = 16): StreamingQuery = {
+      nBuckets: Int = 16, clusterPath: Option[String] = None): StreamingQuery = {
     val w0 = stream.writeStream
       .foreachBatch { (df: DataFrame, epoch: Long) =>
         processBatch(df, idCol, textCol, embCol, path, centroids,
           batchKey = epoch.toString, minSigMatch = minSigMatch,
           maxBucket = maxBucket, minScoreE4 = minScoreE4,
-          maxCell = maxCell, nBuckets = nBuckets): Unit
+          maxCell = maxCell, nBuckets = nBuckets,
+          clusterPath = clusterPath): Unit
       }
     checkpointLocation.fold(w0)(cp => w0.option("checkpointLocation", cp))
       .start()

@@ -145,6 +145,40 @@ class StreamingDecisionSpec extends AnyFlatSpec with Matchers with SparkFixture 
     cells shouldBe Seq(100L)
   }
 
+  it should "maintain arrival-time cluster state equal to a full recompute" in {
+    // round 11: drop verdicts merge into a persisted ComponentStore per
+    // batch; the resolved labels must equal connected components over
+    // ALL drop pairs ever emitted, and a replayed batch changes nothing
+    import spark.implicits._
+    val store = tempDir("dec-cluster")
+    val cstore = s"$store/clusters"
+    def decideC(key: String, rows: Seq[(Long, String, Seq[Float])]) =
+      StreamingDecision.processBatch(df(rows), "doc_id", "text",
+        Some("embedding"), s"$store/decision", cents, key,
+        clusterPath = Some(cstore))
+    // batch 0: A owns its hash; B owns its text family
+    decideC("b0", Seq((10L, textA, oneHot(0)), (20L, textB, oneHot(1))))
+    // batch 1: exact clone of A (pair 11-10), near dup of B (pair 21-20)
+    decideC("b1", Seq((11L, textA, oneHot(2)), (21L, textBNear, oneHot(3))))
+    // batch 2: another clone of A (pair 12-10 or 12-11 — either keeper
+    // lands in the same component)
+    decideC("b2", Seq((12L, textA, oneHot(4))))
+    val stored = graft.ext.ComponentStore.components(spark, cstore)
+      .as[(Long, Long)].collect().toMap
+    val pairs = StreamingDecision.decisions(spark, s"$store/decision")
+      .filter(org.apache.spark.sql.functions.col("decision") =!= "keep")
+      .select("doc_id", "keeper_id")
+    val full = graft.ext.Dedup.connectedComponents(pairs, "doc_id", "keeper_id")
+      .as[(Long, Long)].collect().toMap
+    stored shouldBe full
+    stored(12L) shouldBe stored(10L) // transitive: via whichever keeper
+    stored(21L) shouldBe stored(20L)
+    // replay: identical decisions, cluster state unchanged
+    decideC("b1", Seq((11L, textA, oneHot(2)), (21L, textBNear, oneHot(3))))
+    graft.ext.ComponentStore.components(spark, cstore)
+      .as[(Long, Long)].collect().toMap shouldBe stored
+  }
+
   it should "run end to end as a foreachBatch stream" in {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
