@@ -94,7 +94,8 @@ object ScaleBench {
     "streaming_semantic_ttl_golden",
     // round 11
     "dedup_cluster_incremental", "streaming_decision_golden",
-    "streaming_decontam_golden", "sim_ivfpq_residual", "multimodal_decode")
+    "streaming_decontam_golden", "sim_ivfpq_residual", "multimodal_decode",
+    "streaming_decision_cluster")
 
   /** Queries whose first call per corpus dir pays a one-time persisted
     * store/index build (cached thereafter) — warmed before measuring. */
@@ -103,7 +104,8 @@ object ScaleBench {
       "streaming_dedup_golden", "streaming_exact_golden", "streaming_ttl_golden",
       "streaming_exact_ttl_golden", "streaming_semantic_golden",
       "streaming_semantic_ttl_golden", "dedup_cluster_incremental",
-      "streaming_decision_golden", "streaming_decontam_golden")
+      "streaming_decision_golden", "streaming_decontam_golden",
+      "streaming_decision_cluster")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)

@@ -98,6 +98,22 @@ class ComponentStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
     p.join(roots, p("parent") === roots("r"), "left_anti").count() shouldBe 0L
   }
 
+  it should "compact on the committed-merges cadence only" in {
+    val store = tempDir("graft-cs-cadence")
+    ComponentStore.merge(pairsDf(batch0), "a", "b", store, "b0")
+    ComponentStore.committedBatches(spark, store) shouldBe Seq("b0")
+    // 1 committed merge, every=2 → not due
+    ComponentStore.maybeCompact(spark, store, every = 2) shouldBe false
+    ComponentStore.merge(pairsDf(batch1), "a", "b", store, "b1")
+    ComponentStore.committedBatches(spark, store) shouldBe Seq("b0", "b1")
+    val before = stored(store)
+    ComponentStore.maybeCompact(spark, store, every = 2) shouldBe true
+    stored(store) shouldBe before
+    // a replayed (skipped) merge commits nothing: the schedule holds
+    ComponentStore.merge(pairsDf(batch1), "a", "b", store, "b1")
+    ComponentStore.committedBatches(spark, store) shouldBe Seq("b0", "b1")
+  }
+
   it should "rewrite only the affected bkt= partitions on merge" in {
     val store = tempDir("graft-cs-local")
     ComponentStore.merge(pairsDf(batch0 ++ batch1 ++ batch2), "a", "b", store, "b")
