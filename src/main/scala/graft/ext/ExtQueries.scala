@@ -1385,6 +1385,51 @@ object ExtQueries {
        |FROM p ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // text_bpe_train: DISTRIBUTED BPE TOKENIZER TRAINING (round 11) —
+  // learn the merge table from the corpus, the artifact
+  // text_bpe_tokens' fixed regex only approximates. The only
+  // corpus-sized job is the initial weighted-vocabulary count; every
+  // merge step runs over the bounded vocab (the property that makes
+  // BPE training feasible at 100 TB). The oracle replays the exact
+  // training: <sym>-wrapped words, per-step pair counts, argmax with
+  // count DESC / pair-lexicographic tie-break, and merge application
+  // via literal replace — whose left-to-right non-overlapping
+  // semantics equal BPE's greedy leftmost rule in both engines (each
+  // symbol carries its own delimiters, so adjacent occurrences both
+  // merge and self-runs merge at even offsets only).
+  // ------------------------------------------------------------------
+
+  private val BpeSteps = 8
+
+  def textBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    BpeTrain.trainMerges(docs(spark, dir).select("text"), "text", BpeSteps)
+      .orderBy("step")
+
+  private val textBpeTrainSql = {
+    val steps = (1 to BpeSteps).map { i =>
+      s"""p$i AS (SELECT cnt, unnest(generate_series(1, len(s) - 1)) AS j, s
+         |  FROM (SELECT cnt, regexp_extract_all(w, '<([^>]*)>', 1) AS s FROM v${i - 1})),
+         |c$i AS (SELECT s[j] AS a, s[j + 1] AS b, sum(cnt)::BIGINT AS c
+         |  FROM p$i GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, c FROM c$i ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |v$i AS (SELECT word, cnt,
+         |    replace(w, '<' || a || '><' || b || '>', '<' || a || b || '>') AS w
+         |  FROM v${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeSteps)
+      .map(i => s"SELECT $i::BIGINT AS step, a AS sym_a, b AS sym_b, c AS pair_count FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $TokCte,
+       |words AS (SELECT unnest(toks) AS word FROM tok),
+       |v0 AS (SELECT word, count(*)::BIGINT AS cnt,
+       |    list_aggregate(list_transform(string_split(word, ''),
+       |      ch -> '<' || ch || '>'), 'string_agg', '') || '<_>' AS w
+       |  FROM words GROUP BY word),
+       |$steps
+       |$union ORDER BY step""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // sim_ivf: inverted-file ANN — cells from TRAINED centroids (one
   // seeded Lloyd iteration over the k=8 lowest-id seeds, e6 fixed-point
   // coordinate means so training is bit-reproducible), multi-probe
@@ -3226,6 +3271,7 @@ object ExtQueries {
     "dedup_semantic" -> (dedupSemantic(_, _)),
     "dedup_semantic_store" -> (dedupSemanticStore(_, _)),
     "text_bpe_tokens" -> (textBpeTokens(_, _)),
+    "text_bpe_train" -> (textBpeTrain(_, _)),
     "text_rolling_hash" -> (textRollingHash(_, _)),
     "source_blob_listing" -> (sourceBlobListing(_, _)),
     "multimodal_ingest" -> (multimodalIngest(_, _)),
@@ -3287,6 +3333,7 @@ object ExtQueries {
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_semantic_store" -> dedupSemanticStoreSql,
     "text_bpe_tokens" -> textBpeTokensSql,
+    "text_bpe_train" -> textBpeTrainSql,
     "text_rolling_hash" -> textRollingHashSql,
     "source_blob_listing" -> sourceBlobListingSql,
     "multimodal_ingest" -> multimodalIngestSql,
