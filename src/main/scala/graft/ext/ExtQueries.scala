@@ -1430,6 +1430,74 @@ object ExtQueries {
   }
 
   // ------------------------------------------------------------------
+  // text_bpe_encode: APPLY the learned merge table to the corpus — the
+  // encode pass a pipeline runs after text_bpe_train ("how many
+  // subword units is each document"). The merges are metadata (k rows,
+  // collected once per corpus dir and folded into ONE codegen'd
+  // projection of k literal replaces — a narrow map pass, no shuffle,
+  // the 100 TB shape). Cross-word false merges are impossible by
+  // construction: a word's final symbol always carries the '_' marker
+  // and no learned pair can START with a marker-bearing symbol (such a
+  // pair is never adjacent inside any word), so encoding the
+  // concatenated doc string equals encoding word by word. The oracle
+  // re-derives the merges AND replays the application with the same
+  // literal-replace semantics.
+  // ------------------------------------------------------------------
+
+  private val bpeMergeCache = scala.collection.mutable.Map.empty[String, Seq[(String, String)]]
+
+  private def bpeMergesFor(spark: SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeCache.synchronized {
+      bpeMergeCache.getOrElseUpdate(dir,
+        BpeTrain.trainMerges(docs(spark, dir).select("text"), "text", BpeSteps)
+          .orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq)
+    }
+
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMergesFor(spark, dir)
+    val wrapped = expr(
+      """concat_ws('', transform(toks, t -> concat(
+        |  concat_ws('', transform(filter(split(t, ''), c -> c != ''),
+        |    c -> concat('<', c, '>'))), '<_>')))""".stripMargin)
+    val applied = merges.foldLeft(wrapped) { case (acc, (a, b)) =>
+      call_function("replace", acc, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+    docs(spark, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("wf", applied)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(expr("regexp_extract_all(wf, '<([^>]*)>', 1)")).cast("long")
+          .as("n_subwords"))
+      .orderBy("doc_id")
+  }
+
+  private val textBpeEncodeSql = {
+    val applied = (1 to BpeSteps).foldLeft("w0") { (acc, i) =>
+      s"replace($acc, '<' || (SELECT a FROM b$i) || '><' || (SELECT b FROM b$i) || '>', " +
+        s"'<' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || '>')"
+    }
+    val trainCtes = textBpeTrainSql
+      .stripPrefix("WITH ")
+      .split("\n")
+      .takeWhile(l => !l.startsWith("SELECT 1::BIGINT"))
+      .mkString("\n")
+      .stripSuffix(",")
+    s"""WITH $trainCtes,
+       |d AS (SELECT doc_id, toks,
+       |    coalesce(list_aggregate(list_transform(toks, t ->
+       |      list_aggregate(list_transform(string_split(t, ''),
+       |        ch -> '<' || ch || '>'), 'string_agg', '') || '<_>'),
+       |      'string_agg', ''), '') AS w0
+       |  FROM tok),
+       |e AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, $applied AS wf FROM d)
+       |SELECT doc_id, n_tokens,
+       |  len(regexp_extract_all(wf, '<([^>]*)>', 1))::BIGINT AS n_subwords
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // sim_ivf: inverted-file ANN — cells from TRAINED centroids (one
   // seeded Lloyd iteration over the k=8 lowest-id seeds, e6 fixed-point
   // coordinate means so training is bit-reproducible), multi-probe
@@ -3272,6 +3340,7 @@ object ExtQueries {
     "dedup_semantic_store" -> (dedupSemanticStore(_, _)),
     "text_bpe_tokens" -> (textBpeTokens(_, _)),
     "text_bpe_train" -> (textBpeTrain(_, _)),
+    "text_bpe_encode" -> (textBpeEncode(_, _)),
     "text_rolling_hash" -> (textRollingHash(_, _)),
     "source_blob_listing" -> (sourceBlobListing(_, _)),
     "multimodal_ingest" -> (multimodalIngest(_, _)),
@@ -3334,6 +3403,7 @@ object ExtQueries {
     "dedup_semantic_store" -> dedupSemanticStoreSql,
     "text_bpe_tokens" -> textBpeTokensSql,
     "text_bpe_train" -> textBpeTrainSql,
+    "text_bpe_encode" -> textBpeEncodeSql,
     "text_rolling_hash" -> textRollingHashSql,
     "source_blob_listing" -> sourceBlobListingSql,
     "multimodal_ingest" -> multimodalIngestSql,
