@@ -106,8 +106,13 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
   it should "keep per-row extension queries free of data shuffles" in {
     // narrow ops: the only exchange allowed is the final orderBy the
     // oracle-determinism harness requires
+    // text_bpe_encode: training runs at plan-construction time
+    // (metadata collect); the ENCODE plan itself must stay a narrow
+    // fold of literal replaces. multimodal_decode: the codec runs
+    // partition-wise; nothing may shuffle but the oracle sort.
     Seq("text_stats", "text_lang_id", "text_bpe_tokens", "multimodal_ingest",
-      "text_rolling_hash", "text_pii_scrub").foreach { q =>
+      "text_rolling_hash", "text_pii_scrub", "text_bpe_encode",
+      "multimodal_decode").foreach { q =>
       val p = plan(q)
       withClue(q) {
         "Exchange".r.findAllIn(p).size should be <= 2 // range-partition sort only (AQE may reuse one)
