@@ -69,8 +69,53 @@ object GraftMain {
     "schemaDdl", "partitionExpression", "numStripes", "lookBackSeconds",
     "startVersion", "validateSchemaEvery", "url")
 
+  /** The round-11 extension surface hosted under the SAME operator
+    * contract as the parity kinds: a streaming dedup-DECISION pod —
+    * document file-stream in, one arrival-time keep/drop verdict per
+    * doc against persisted stores, optional incremental cluster state.
+    * Spec fields: `sourcePath` + `schemaDdl` (the document stream),
+    * `storePath` (decision stores), `checkpointPath`; optional
+    * `idColumn`/`textColumn` (default doc_id/text),
+    * `embeddingColumn` + `quantizerIndexPath` (persisted VectorIndex —
+    * enables the semantic tier), `clusterPath` (arrival-time
+    * ComponentStore), `maxFilesPerTrigger`. The runner lifecycle —
+    * kill switch, supervision, backfill→stream flip, exit codes —
+    * applies unchanged: a deployment runs the decision surface exactly
+    * like a CT or REST stream pod. */
+  private final class DecisionGraph extends StreamGraphBuilder {
+    private def req(spec: StreamSpec, k: String): String =
+      spec.string(k).getOrElse(
+        throw new IllegalArgumentException(s"spec field '$k' is required"))
+    override def build(ctx: StreamContext, spark: SparkSession): DataFrame = {
+      val spec = StreamSpec.fromContext(ctx)
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(req(spec, "schemaDdl")))
+        .option("maxFilesPerTrigger",
+          spec.long("maxFilesPerTrigger").getOrElse(1000L).toString)
+        .parquet(req(spec, "sourcePath"))
+    }
+    override def start(ctx: StreamContext, df: DataFrame, trigger: Trigger): StreamingQuery = {
+      val spec = StreamSpec.fromContext(ctx)
+      val embCol = spec.string("embeddingColumn")
+      val cents = spec.string("quantizerIndexPath") match {
+        case Some(p) => graft.ext.VectorIndex
+          .coarse(df.sparkSession, p, embCol.getOrElse("embedding"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        case None => Seq.empty
+      }
+      graft.streaming.StreamingDecision.run(df,
+        spec.string("idColumn").getOrElse("doc_id"),
+        spec.string("textColumn").getOrElse("text"),
+        embCol, req(spec, "storePath"), cents,
+        checkpointLocation = Some(req(spec, "checkpointPath")),
+        clusterPath = spec.string("clusterPath"),
+        trigger = Some(trigger))
+    }
+  }
+
   /** Built-in kind registry. */
   def builtinKinds: Map[String, StreamGraphBuilder] = Map(
+    "dedup-decision" -> new DecisionGraph,
     "rest" -> new ArcaneSinkGraph((_, spec, spark) =>
       specOptions(spec, RestKeys).foldLeft(
         spark.readStream.format(classOf[graft.sources.dsv2.RestApiTableProvider].getName)

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.ext.{Dedup, StoreMeta}
@@ -393,7 +393,8 @@ object StreamingDecision {
       checkpointLocation: Option[String] = None,
       minSigMatch: Int = 8, maxBucket: Int = 64,
       minScoreE4: Long = 3000L, maxCell: Int = 64,
-      nBuckets: Int = 16, clusterPath: Option[String] = None): StreamingQuery = {
+      nBuckets: Int = 16, clusterPath: Option[String] = None,
+      trigger: Option[Trigger] = None): StreamingQuery = {
     val w0 = stream.writeStream
       .foreachBatch { (df: DataFrame, epoch: Long) =>
         processBatch(df, idCol, textCol, embCol, path, centroids,
@@ -402,7 +403,8 @@ object StreamingDecision {
           maxCell = maxCell, nBuckets = nBuckets,
           clusterPath = clusterPath): Unit
       }
-    checkpointLocation.fold(w0)(cp => w0.option("checkpointLocation", cp))
+    val w1 = trigger.fold(w0)(t => w0.trigger(t))
+    checkpointLocation.fold(w1)(cp => w1.option("checkpointLocation", cp))
       .start()
   }
 

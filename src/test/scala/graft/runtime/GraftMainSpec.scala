@@ -91,6 +91,38 @@ class GraftMainSpec extends AnyFlatSpec with Matchers with SparkFixture {
       "SYS_CHANGE_OPERATION", "ChangeTrackingVersion", "ARCANE_MERGE_KEY")
   }
 
+  it should "host the dedup-decision surface under the same operator contract" in {
+    import spark.implicits._
+    // two exact-duplicate docs + one unique: the verdict surface must
+    // land keep/drop_exact decisions and the incremental cluster state
+    val src = tempDir("graftmain-dec-src")
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val textB = "one two three four five six seven eight nine ten eleven " * 4
+    Seq((1L, textA), (2L, textB), (3L, textA)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val store = tempDir("graftmain-dec-store")
+    val cstore = s"${tempDir("graftmain-dec-cluster")}/clusters"
+    val spec =
+      s"""{
+         |  "sourcePath": "$src",
+         |  "schemaDdl": "doc_id BIGINT, text STRING",
+         |  "storePath": "$store",
+         |  "clusterPath": "$cstore",
+         |  "checkpointPath": "${tempDir("graftmain-dec-ckpt")}",
+         |  "stopAfterBackfill": true
+         |}""".stripMargin
+    GraftMain.run(spark, env("dedup-decision", spec)) shouldBe ExitCodes.Success
+    val dec = graft.streaming.StreamingDecision.decisions(spark, store)
+      .select("doc_id", "decision", "keeper_id")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    dec(1L) shouldBe ("keep", 1L)
+    dec(2L) shouldBe ("keep", 2L)
+    dec(3L) shouldBe ("drop_exact", 1L)
+    // arrival-time cluster state landed too
+    graft.ext.ComponentStore.components(spark, cstore)
+      .as[(Long, Long)].collect().toMap shouldBe Map(1L -> 1L, 3L -> 1L)
+  }
+
   it should "exit FATAL for an unknown stream kind" in {
     GraftMain.run(spark, env("mystery", "{}")) shouldBe ExitCodes.Fatal
   }
