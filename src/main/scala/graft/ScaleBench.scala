@@ -95,7 +95,7 @@ object ScaleBench {
     // round 11
     "dedup_cluster_incremental", "streaming_decision_golden",
     "streaming_decontam_golden", "sim_ivfpq_residual", "multimodal_decode",
-    "streaming_decision_cluster", "text_bpe_train", "text_bpe_encode")
+    "streaming_decision_cluster", "text_bpe_train", "text_bpe_encode", "sim_hard_negatives")
 
   /** Queries whose first call per corpus dir pays a one-time persisted
     * store/index build (cached thereafter) — warmed before measuring. */
@@ -105,7 +105,7 @@ object ScaleBench {
       "streaming_exact_ttl_golden", "streaming_semantic_golden",
       "streaming_semantic_ttl_golden", "dedup_cluster_incremental",
       "streaming_decision_golden", "streaming_decontam_golden",
-      "streaming_decision_cluster", "text_bpe_train", "text_bpe_encode")
+      "streaming_decision_cluster", "text_bpe_train", "text_bpe_encode", "sim_hard_negatives")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)

@@ -1092,6 +1092,53 @@ object ExtQueries {
        |ORDER BY query_id, rnk""".stripMargin
 
   // ------------------------------------------------------------------
+  // sim_hard_negatives: contrastive-training data prep — for each
+  // anchor, the top-k most-similar vectors with a DIFFERENT label
+  // ("hard negatives": near in embedding space, wrong class — the
+  // pairs that carry gradient when training embedding models). The
+  // label predicate rides the candidate row, so it composes with every
+  // ANN tier unchanged: at 100 TB run it through the IVF index
+  // (probe cells, filter label, rerank) exactly as sim_topk scales to
+  // sim_ivfpq; here the oracle-scale form is the label-filtered exact
+  // cosine with the broadcast anchor side.
+  // ------------------------------------------------------------------
+
+  def simHardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = emb(spark, dir).select("vec_id", "embedding", "label")
+      .withColumn("nrm", Similarity.l2Norm("embedding"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qemb"),
+        col("nrm").as("qnrm"), col("label").as("qlab"))
+    val ns = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nemb"),
+      col("nrm").as("nnrm"), col("label").as("neighbor_label"))
+    val scored = ns.join(broadcast(qs),
+        col("query_id") =!= col("neighbor_id") && col("qlab") =!= col("neighbor_label"))
+      .withColumn("score_e4",
+        round(expr("graft_vector_dot(qemb, nemb)") / (col("qnrm") * col("nnrm"))
+          * 10000).cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_e4").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "neighbor_id", "neighbor_label", "score_e4", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  private val simHardNegativesSql =
+    s"""WITH e AS (SELECT vec_id, embedding, label, $NormSql AS nrm FROM embeddings),
+       |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    n.label AS neighbor_label,
+       |    cast(round($DotSql / (q.nrm * n.nrm) * 10000) AS BIGINT) AS score_e4
+       |  FROM e q JOIN e n ON n.vec_id != q.vec_id AND n.label != q.label
+       |  WHERE q.vec_id < 10),
+       |r AS (SELECT query_id, neighbor_id, neighbor_label, score_e4,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score_e4 DESC, neighbor_id) AS rnk
+       |  FROM p)
+       |SELECT query_id, neighbor_id, neighbor_label, score_e4, rnk
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  // ------------------------------------------------------------------
   // sim_ann_lsh: multi-table sign-bucket ANN — candidates from an
   // OR-construction over `LshTables` independent bucket tables, joined
   // on the table-qualified bucket key (the 100 TB plan shape: per-table
@@ -3324,6 +3371,7 @@ object ExtQueries {
     "text_heavy_hitters" -> (textHeavyHitters(_, _)),
     "text_pii_scrub" -> (textPiiScrub(_, _)),
     "sim_topk" -> (simTopK(_, _)),
+    "sim_hard_negatives" -> (simHardNegatives(_, _)),
     "sim_ann_lsh" -> (simAnnLsh(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
     "sim_pq" -> (simPq(_, _)),
@@ -3387,6 +3435,7 @@ object ExtQueries {
     "text_heavy_hitters" -> textHeavyHittersSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "sim_topk" -> simTopKSql,
+    "sim_hard_negatives" -> simHardNegativesSql,
     "sim_ann_lsh" -> simAnnLshSql,
     "sim_ivf" -> simIvfSql,
     "sim_pq" -> simPqSql,
