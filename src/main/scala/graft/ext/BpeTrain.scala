@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
   * (`<a><a><a>`) merges only at even offsets, the BPE rule. The same
   * arithmetic re-runs verbatim in DuckDB, so the trained merges are
   * hash-verified (ties broken by count DESC, then pair lexicographic).
+  *
+  * Step count: the oracle pins 8 steps (generated SQL size); a real
+  * tokenizer runs ~30k. Per-step cost is vocab-bounded and constant,
+  * so k merges = k small jobs — and the standard production
+  * accelerations (apply the top-M pairwise-disjoint merges per round;
+  * track pair-count deltas instead of recounting) slot into this loop
+  * without changing the per-step arithmetic the oracle verifies.
   */
 object BpeTrain {
 
