@@ -202,4 +202,51 @@ class StreamingDecisionSpec extends AnyFlatSpec with Matchers with SparkFixture 
     dec(11L) shouldBe ("drop_exact", 10L)
     dec(31L) shouldBe ("drop_semantic", 10L)
   }
+
+  it should "resume the epoch sequence from the checkpoint after a kill" in {
+    // the GraftMain-hosted shape: checkpointed file stream, killed
+    // mid-sequence, restarted against the SAME stores — epochs must
+    // CONTINUE (a restart at epoch 0 would hit existing commit markers
+    // and silently skip real batches, the VectorIndex.appendStream
+    // marker-collision lesson). Verdicts must equal a one-shot run.
+    import spark.implicits._
+    val root = tempDir("dec-resume")
+    val src = s"$root/src"; new java.io.File(src).mkdirs()
+    val store = s"$root/store"; val ckpt = s"$root/ckpt"
+    val schema = df(Seq.empty).schema
+    def writeBatch(i: Int, rows: Seq[(Long, String, Seq[Float])]): Unit = {
+      val part = s"$root/part$i"
+      df(rows).coalesce(1).write.mode("overwrite").parquet(part)
+      val f = new java.io.File(part).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(src, f"b$i%03d.parquet")
+      java.nio.file.Files.move(f.toPath, dest.toPath)
+      dest.setLastModified(1700000000000L + i * 60000L): Unit
+    }
+    writeBatch(0, Seq((10L, textA, oneHot(0)), (20L, textB, oneHot(1))))
+    writeBatch(1, Seq((11L, textA, oneHot(2))))
+    def start() = StreamingDecision.run(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+      "doc_id", "text", Some("embedding"), store, cents,
+      checkpointLocation = Some(ckpt))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // epochs 0, 1 committed
+    // killed here; two MORE files arrive while the stream is down,
+    // one an exact replay-shaped clone and one fresh
+    writeBatch(2, Seq((12L, textA, oneHot(3))))
+    writeBatch(3, Seq((40L, textE, oneHot(32))))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val dec = StreamingDecision.decisions(spark, store)
+      .select("doc_id", "decision", "keeper_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    dec should have size 5
+    dec(10L) shouldBe ("keep", 10L)
+    dec(11L) shouldBe ("drop_exact", 10L)
+    dec(12L) shouldBe ("drop_exact", 10L) // post-restart batch still matches pre-kill state
+    dec(40L) shouldBe ("keep", 40L)
+    // epoch ids continued: four distinct batch partitions, no collisions
+    StreamingDecision.decisions(spark, store)
+      .select("batch").distinct().count() shouldBe 4
+  }
 }
