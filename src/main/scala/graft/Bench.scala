@@ -232,19 +232,18 @@ object Bench {
     // Steady-state decision surface (VERDICT r10 #6): the
     // streaming_decision_golden row pays a fresh store + all five
     // admissions every run; a deployment's recurring cost is ONE batch
-    // decided against already-accumulated stores. Seeding (4 corpus
-    // slices + quantizer training) runs untimed; the row times the
-    // last slice's arrival-time decision alone. min-of-2 with distinct
-    // batch keys — the second pass decides the same rows against
-    // stores that already contain them, which the per-tier anti-joins
-    // make verdict-identical (the replay contract).
+    // decided against already-accumulated stores. Seeding (3 corpus
+    // slices + quantizer training) runs untimed; the row is the min
+    // over the last TWO slices, each a GENUINELY FRESH batch paying
+    // real admission writes (a replayed second pass would append
+    // nothing and bias the number low — its anti-joins empty out).
     val decisionSteady: Option[Double] =
       try {
-        val (store, cents, last) =
+        val (store, cents, lasts) =
           graft.ext.ExtQueries.decisionSteadyPrepare(spark, sfDir)
-        val times = (1 to 2).map { p =>
+        val times = lasts.zipWithIndex.map { case (batch, p) =>
           val t0 = System.nanoTime()
-          graft.ext.ExtQueries.decisionSteadyBatch(store, cents, last, s"steady-$p")
+          graft.ext.ExtQueries.decisionSteadyBatch(store, cents, batch, s"steady-$p")
           (System.nanoTime() - t0) / 1e9
         }
         val sec = times.min

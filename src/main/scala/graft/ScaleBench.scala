@@ -290,14 +290,14 @@ object ScaleBench {
       // keep/drop verdict is measured. The slope that must stay linear
       // in BATCH size (not corpus size) as the tier grows: admission
       // and matching read only the touched store partitions.
-      val (decStore, decCents, decLast) =
+      val (decStore, decCents, decLasts) =
         graft.ext.ExtQueries.decisionSteadyPrepare(spark, dir)
       tally.reset()
       val t0d = System.nanoTime()
-      graft.ext.ExtQueries.decisionSteadyBatch(decStore, decCents, decLast, "scale-1")
+      graft.ext.ExtQueries.decisionSteadyBatch(decStore, decCents, decLasts.head, "scale-1")
       val secD = (System.nanoTime() - t0d) / 1e9
       val (_, swD, _) = tally.settled()
-      val nBatch = decLast.count()
+      val nBatch = decLasts.head.count()
       System.err.println(f"[scale] $label/decision_steady n=$nBatch sw=$swD ${secD}%.2fs")
       sb.append(s""","decision_steady_scaled":{"n":$nBatch,"shuffleWrite":$swD,"sec":${f"$secD%.3f"}}""")
       graft.ext.SignatureStore.deleteStore(java.nio.file.Paths.get(decStore))

@@ -69,18 +69,13 @@ object ComponentStore {
   private def bktOf(c: Column, b: Int): Column = pmod(hash(c), lit(b))
 
   private def writeMeta(spark: SparkSession, path: String, buckets: Int): Unit =
-    StoreMeta.writeJson(spark, path, "metadata/v0/store.json",
-      s"""{"format":$FormatVersion,"buckets":$buckets}""", overwrite = false)
+    StoreMeta.writeBucketMeta(spark, path, FormatVersion, buckets)
 
   /** Bucket count recorded at store creation — every reader recomputes
-    * `bkt` with it ([[SignatureStore.buckets]]'s discipline). */
-  def buckets(spark: SparkSession, path: String): Int = {
-    val txt = StoreMeta.readJson(spark, path, "metadata/v0/store.json")
-      .getOrElse(throw new IllegalStateException(s"no store metadata under $path"))
-    StoreMeta.jsonLong(txt, "buckets")
-      .getOrElse(throw new IllegalStateException(s"unreadable store metadata under $path"))
-      .toInt
-  }
+    * `bkt` with it, format-checked ([[SignatureStore.buckets]]'s
+    * discipline via [[StoreMeta.readBucketMeta]]). */
+  def buckets(spark: SparkSession, path: String): Int =
+    StoreMeta.readBucketMeta(spark, path, FormatVersion)
 
   /** The raw parent forest (id, parent, bkt). */
   def parents(spark: SparkSession, path: String): DataFrame = {

@@ -3218,8 +3218,15 @@ object ExtQueries {
   // measure.
   // ------------------------------------------------------------------
 
+  /** Seeds GoldenBatches−2 slices (untimed — the accumulated-corpus
+    * state) and returns the last TWO slices: each timed pass must be a
+    * GENUINELY FRESH batch paying real admission writes. A min-of-2
+    * over one fresh pass and one replay of it would record the replay
+    * (its admission anti-joins empty out — strictly cheaper than any
+    * real steady-state batch) and systematically understate the
+    * recurring cost the row claims to measure. */
   def decisionSteadyPrepare(spark: SparkSession, dir: String)
-      : (String, Seq[(Long, Array[Double])], DataFrame) = {
+      : (String, Seq[(Long, Array[Double])], Seq[DataFrame]) = {
     val e = emb(spark, dir).select("vec_id", "embedding")
     val d = docs(spark, dir).select("doc_id", "text")
       .join(e.select(col("vec_id").as("doc_id"), col("embedding")),
@@ -3228,14 +3235,15 @@ object ExtQueries {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     val store = java.nio.file.Files.createTempDirectory("graft-decsteady")
     sys.addShutdownHook(SignatureStore.deleteStore(store))
-    (0 until GoldenBatches - 1).foreach { i =>
+    (0 until GoldenBatches - 2).foreach { i =>
       graft.streaming.StreamingDecision.processBatch(
         d.filter(pmod(col("doc_id"), lit(GoldenBatches)) === i),
         "doc_id", "text", Some("embedding"), store.toString, cents,
         batchKey = s"seed-$i", maxCell = SemStreamMaxCell): Unit
     }
-    val last = d.filter(pmod(col("doc_id"), lit(GoldenBatches)) === (GoldenBatches - 1))
-    (store.toString, cents, last)
+    val lasts = Seq(GoldenBatches - 2, GoldenBatches - 1).map(i =>
+      d.filter(pmod(col("doc_id"), lit(GoldenBatches)) === i))
+    (store.toString, cents, lasts)
   }
 
   def decisionSteadyBatch(store: String, cents: Seq[(Long, Array[Double])],

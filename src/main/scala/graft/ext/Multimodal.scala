@@ -108,12 +108,16 @@ object Multimodal {
     }
 
     /** Real decode: dims + exact per-channel pixel sums. None when the
-      * payload is not a decodable image (the codec-failure row a
-      * pipeline must tolerate, not throw on). */
+      * payload is null or not a decodable image — ANY codec failure
+      * (null payload → NPE path, IOException, or a RuntimeException
+      * from a plugin reader on corrupt-but-signature-valid bytes) is
+      * the codec-failure row a pipeline must tolerate, not throw on. */
     def decode(bytes: Array[Byte]): Option[ImageFeatures] = {
       val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-        catch { case _: java.io.IOException => null }
+        if (bytes == null) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case scala.util.control.NonFatal(_) => null }
       Option(img).map { im =>
         var sr = 0L; var sg = 0L; var sb = 0L
         var y = 0

@@ -75,6 +75,32 @@ object StoreMeta {
     }
   }
 
+  /** Bucketed-store metadata pair: write-once `{"format":F,"buckets":B}`
+    * plus the FORMAT-CHECKED read — shared by [[ComponentStore]] and
+    * [[graft.streaming.StreamingDecision]] so a layout bump cannot
+    * silently read old data with new semantics ([[SignatureStore]]
+    * keeps its own richer hash-format error message). */
+  def writeBucketMeta(spark: SparkSession, path: String,
+      format: Int, buckets: Int): Unit = {
+    writeJson(spark, path, "metadata/v0/store.json",
+      s"""{"format":$format,"buckets":$buckets}""", overwrite = false)
+    ()
+  }
+
+  def readBucketMeta(spark: SparkSession, path: String,
+      expectedFormat: Int): Int = {
+    val txt = readJson(spark, path, "metadata/v0/store.json")
+      .getOrElse(throw new IllegalStateException(s"no store metadata under $path"))
+    val fmt = jsonLong(txt, "format").getOrElse(1L)
+    if (fmt != expectedFormat)
+      throw new IllegalStateException(
+        s"store at $path has format v$fmt, this engine reads v$expectedFormat — " +
+          "rebuild the store to upgrade")
+    jsonLong(txt, "buckets")
+      .getOrElse(throw new IllegalStateException(s"unreadable store metadata under $path"))
+      .toInt
+  }
+
   def jsonLong(txt: String, k: String): Option[Long] =
     s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)
 

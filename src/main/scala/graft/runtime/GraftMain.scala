@@ -97,7 +97,15 @@ object GraftMain {
     override def start(ctx: StreamContext, df: DataFrame, trigger: Trigger): StreamingQuery = {
       val spec = StreamSpec.fromContext(ctx)
       val embCol = spec.string("embeddingColumn")
-      val cents = spec.string("quantizerIndexPath") match {
+      val quantizer = spec.string("quantizerIndexPath")
+      // the semantic tier needs BOTH fields: a lone quantizer (or a
+      // lone embedding column) is an operator typo that would silently
+      // verdict every semantic duplicate 'keep' — fail the pod instead
+      if (embCol.isDefined != quantizer.isDefined)
+        throw new IllegalArgumentException(
+          "spec fields 'embeddingColumn' and 'quantizerIndexPath' must be set together " +
+            s"(embeddingColumn=${embCol.isDefined}, quantizerIndexPath=${quantizer.isDefined})")
+      val cents = quantizer match {
         case Some(p) => graft.ext.VectorIndex
           .coarse(df.sparkSession, p, embCol.getOrElse("embedding"))
           .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
@@ -108,6 +116,11 @@ object GraftMain {
         spec.string("textColumn").getOrElse("text"),
         embCol, req(spec, "storePath"), cents,
         checkpointLocation = Some(req(spec, "checkpointPath")),
+        minSigMatch = spec.long("minSigMatch").map(_.toInt).getOrElse(8),
+        maxBucket = spec.long("maxBucket").map(_.toInt).getOrElse(64),
+        minScoreE4 = spec.long("minScoreE4").getOrElse(3000L),
+        maxCell = spec.long("maxCell").map(_.toInt).getOrElse(64),
+        nBuckets = spec.long("nBuckets").map(_.toInt).getOrElse(16),
         clusterPath = spec.string("clusterPath"),
         trigger = Some(trigger))
     }

@@ -116,19 +116,13 @@ object StreamingDecision {
   }
 
   private def writeMeta(spark: SparkSession, path: String, buckets: Int): Unit =
-    StoreMeta.writeJson(spark, path, "metadata/v0/store.json",
-      s"""{"format":$FormatVersion,"buckets":$buckets}""", overwrite = false)
+    StoreMeta.writeBucketMeta(spark, path, FormatVersion, buckets)
 
   /** Bucket count recorded at store creation — readers recompute `bkt`
-    * with it, never a default that could silently diverge
-    * ([[graft.ext.SignatureStore.buckets]]'s contract). */
-  def buckets(spark: SparkSession, path: String): Int = {
-    val txt = StoreMeta.readJson(spark, path, "metadata/v0/store.json")
-      .getOrElse(throw new IllegalStateException(s"no store metadata under $path"))
-    StoreMeta.jsonLong(txt, "buckets")
-      .getOrElse(throw new IllegalStateException(s"unreadable store metadata under $path"))
-      .toInt
-  }
+    * with it, never a default that could silently diverge; format-
+    * checked via [[graft.ext.StoreMeta.readBucketMeta]]. */
+  def buckets(spark: SparkSession, path: String): Int =
+    StoreMeta.readBucketMeta(spark, path, FormatVersion)
 
   /** The decision table accumulated so far — one row per arrival:
     * (doc_id, decision, keeper_id), partitioned by `batch`. */
@@ -174,13 +168,17 @@ object StreamingDecision {
         .withColumn("bkt", bktOf(col("h"), b))
       val storedH = readOrEmpty(spark, s"$path/hashes/data", hashesSchema)
       // store rows for the batch's hashes only: the broadcast batch key
-      // set prunes bkt partitions (files) then rows; a replayed batch's
-      // own stored ownership (owner inside the batch) must not claim
-      // the owner itself — the anti-join below drops those rows
+      // set prunes bkt partitions (files) then rows. The replay guard
+      // drops stored rows matching the batch's own (h, owner) PAIRS —
+      // row identity, not bare id: a replayed batch must not have its
+      // own stored ownership claim the owner itself, but an id
+      // re-arriving with DIFFERENT content must not suppress that id's
+      // old ownership of some other hash (a bare-id anti-join would
+      // let a true duplicate of the old content through as 'keep')
       val ownerHits = storedH
         .join(broadcast(bh.select("bkt", "h").distinct()), Seq("bkt", "h"), "left_semi")
-        .join(broadcast(ids.select(col("doc_id").as("owner_id"))),
-          Seq("owner_id"), "left_anti")
+        .join(broadcast(bh.select(col("h"), col("doc_id").as("owner_id"))),
+          Seq("h", "owner_id"), "left_anti")
         .select(col("h"), col("owner_id"))
       val batchOwn = bh.groupBy("h").agg(min("doc_id").as("batch_owner"))
       val ex = bh
@@ -201,10 +199,13 @@ object StreamingDecision {
       cached += bandIn
       val storedB = readOrEmpty(spark, s"$path/bands/data", bandsSchema)
       // stored members of TOUCHED buckets only — bounded by
-      // O(batch bands × maxBucket); the broadcast key set prunes files
+      // O(batch bands × maxBucket); the broadcast key set prunes
+      // files. Replay guard on (bk, doc_id) row identity (same
+      // rationale as the exact tier).
       val bucketMembers = storedB
         .join(broadcast(bandIn.select("bkt", "bk").distinct()), Seq("bkt", "bk"), "left_semi")
-        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .join(broadcast(bandIn.select("bk", "doc_id").distinct()),
+          Seq("bk", "doc_id"), "left_anti")
       val nearK = bucketMembers
         .select(col("bkt"), col("bk"), col("doc_id").as("m_id"), col("sig").as("m_sig"))
         .join(broadcast(bandIn), Seq("bkt", "bk"))
@@ -230,9 +231,11 @@ object StreamingDecision {
               StructField("emb", ArrayType(FloatType)),
               StructField("nrm", DoubleType))))
       val storedC = readOrEmpty(spark, s"$path/cells/data", cellsSchema)
+      // replay guard on (cell, vec_id) row identity
       val cellMembers = storedC
         .join(broadcast(asgIn.select("cell").distinct()), Seq("cell"), "left_semi")
-        .join(broadcast(ids.select(col("doc_id").as("vec_id"))), Seq("vec_id"), "left_anti")
+        .join(broadcast(asgIn.select(col("cell"), col("doc_id").as("vec_id"))),
+          Seq("cell", "vec_id"), "left_anti")
       val semK = cellMembers
         .select(col("cell"), col("vec_id").as("m_id"), col("emb").as("m_emb"),
           col("nrm").as("m_nrm"))
@@ -395,10 +398,26 @@ object StreamingDecision {
       minScoreE4: Long = 3000L, maxCell: Int = 64,
       nBuckets: Int = 16, clusterPath: Option[String] = None,
       trigger: Option[Trigger] = None): StreamingQuery = {
+    // Marker NAMESPACING (the VectorIndex.appendStream lesson, ADVICE
+    // r10): epoch ids restart at 0 for a stream started without a
+    // checkpoint and are shared by independent streams on one store
+    // path — a bare epoch marker would make admission mistake real
+    // first batches for replays and silently skip them (and overwrite
+    // prior epochs' decision partitions). The key is namespaced by the
+    // checkpoint path when one is given (stable across restarts, so
+    // crash-replay dedupe still works) and by a fresh random namespace
+    // per start otherwise — without a checkpoint nothing records
+    // delivered offsets anyway, and at-least-once decisions (replays
+    // re-verdict identically) beat silently un-admitted corpus state.
+    val ns = checkpointLocation match {
+      case Some(cp) =>
+        f"cp${scala.util.hashing.MurmurHash3.stringHash(new Path(cp).toUri.toString) & 0xffffffffL}%08x"
+      case None => java.util.UUID.randomUUID().toString.take(8)
+    }
     val w0 = stream.writeStream
       .foreachBatch { (df: DataFrame, epoch: Long) =>
         processBatch(df, idCol, textCol, embCol, path, centroids,
-          batchKey = epoch.toString, minSigMatch = minSigMatch,
+          batchKey = s"$ns-$epoch", minSigMatch = minSigMatch,
           maxBucket = maxBucket, minScoreE4 = minScoreE4,
           maxCell = maxCell, nBuckets = nBuckets,
           clusterPath = clusterPath): Unit

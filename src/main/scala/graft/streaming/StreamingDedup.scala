@@ -505,10 +505,17 @@ object StreamingDedup {
               live.filter(_._2 == m._1).map(_._5)
                 .foldLeft(m)((acc, t) => acc.copy(_4 = math.max(acc._4, t)))
             }
+            // one slot per id within the batch, carrying the MAX event
+            // time — the same last-seen rule `refreshed` applies to
+            // existing members (distinctBy would keep an arbitrary
+            // row's timestamp: partition-order-dependent expiry and a
+            // nondeterministic crash replay)
             val fresh = live
               .filterNot(r => prior.exists(_._1 == r._2))
-              .distinctBy(_._2) // one slot per id within the batch
-              .map { case (_, id, emb, nrm, t) => (id, emb, nrm, t) }
+              .groupBy(_._2).toSeq.sortBy(_._1).map { case (id, rows) =>
+                val r = rows.head
+                (id, r._3, r._4, rows.map(_._5).max)
+              }
             val kept = (refreshed ++ fresh).take(maxCell)
             if (kept.isEmpty) state.remove()
             else {

@@ -145,6 +145,21 @@ class StreamingDecisionSpec extends AnyFlatSpec with Matchers with SparkFixture 
     cells shouldBe Seq(100L)
   }
 
+  it should "not let an id re-arriving with new content suppress its old ownership" in {
+    // replay guards key on stored-row IDENTITY (h, owner), not bare id:
+    // doc 5 owns hash(textA) in batch 1, then re-arrives in batch 2
+    // with DIFFERENT content alongside doc 9 carrying textA — a
+    // bare-id anti-join would drop 5's stored ownership and verdict 9
+    // 'keep' although its content is owned by an earlier arrival
+    val store = tempDir("dec-reuse")
+    val d1 = decide(store, "b1", Seq((5L, textA, oneHot(0))))
+    d1(5L) shouldBe ("keep", 5L)
+    val d2 = decide(store, "b2",
+      Seq((5L, textB, oneHot(1)), (9L, textA, oneHot(2))))
+    d2(9L) shouldBe ("drop_exact", 5L)
+    d2(5L) shouldBe ("keep", 5L) // its new content is unowned
+  }
+
   it should "maintain arrival-time cluster state equal to a full recompute" in {
     // round 11: drop verdicts merge into a persisted ComponentStore per
     // batch; the resolved labels must equal connected components over
