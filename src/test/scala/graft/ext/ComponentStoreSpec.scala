@@ -114,6 +114,19 @@ class ComponentStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
     ComponentStore.committedBatches(spark, store) shouldBe Seq("b0", "b1")
   }
 
+  it should "refuse a store whose recorded format is newer than this engine's" in {
+    val store = tempDir("graft-cs-fmt")
+    ComponentStore.merge(pairsDf(batch0), "a", "b", store, "b0")
+    // simulate a future layout bump: the shared reader must throw, not
+    // silently read v1 data with v2 semantics
+    StoreMeta.writeJson(spark, store, "metadata/v0/store.json",
+      """{"format":99,"buckets":16}""", overwrite = true)
+    val e = intercept[IllegalStateException] {
+      ComponentStore.buckets(spark, store)
+    }
+    e.getMessage should include("format v99")
+  }
+
   it should "rewrite only the affected bkt= partitions on merge" in {
     val store = tempDir("graft-cs-local")
     ComponentStore.merge(pairsDf(batch0 ++ batch1 ++ batch2), "a", "b", store, "b")
