@@ -285,9 +285,11 @@ object ScaleBench {
         s""""trainSec":${f"$trSec%.3f"},"dedupSec":${f"$secSS%.3f"},"shuffleWrite":$swSS}""")
       graft.ext.SignatureStore.deleteStore(java.nio.file.Paths.get(semIdxDir))
       // Steady-state decision surface (VERDICT r10 #6): the stores are
-      // seeded with 4 of the 5 corpus slices (untimed — the
-      // accumulated-corpus state), then ONE batch's arrival-time
-      // keep/drop verdict is measured. The slope that must stay linear
+      // seeded with 3 of the 5 corpus slices (decisionSteadyPrepare
+      // seeds GoldenBatches-2 slices, untimed — the accumulated-corpus
+      // state), then ONE batch's arrival-time keep/drop verdict is
+      // measured (the first of the two unseeded slices; the fifth
+      // stays unused here). The slope that must stay linear
       // in BATCH size (not corpus size) as the tier grows: admission
       // and matching read only the touched store partitions.
       val (decStore, decCents, decLasts) =

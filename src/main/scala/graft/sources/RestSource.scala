@@ -116,7 +116,13 @@ object RestSource {
           s"${Option(scheme).filter(_.nonEmpty).getOrElse("Bearer")} $token"
         else if (scheme == null || scheme.isEmpty) token
         else s"$scheme $token"
-      Map(name -> value) ++ additionalHeaders
+      // Auth header wins a key collision: the reference adds additional
+      // headers to HttpRequestMessage.Headers (GetRequest.cs:147-150),
+      // which APPENDS a second value rather than replacing the auth one.
+      // A Scala Map can't carry two values for one key, so the closest
+      // faithful semantics is "the computed auth header is never
+      // silently dropped" — additionalHeaders first, auth last.
+      additionalHeaders ++ Map(name -> value)
     }
   }
 

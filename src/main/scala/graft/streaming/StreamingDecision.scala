@@ -125,8 +125,29 @@ object StreamingDecision {
     StoreMeta.readBucketMeta(spark, path, FormatVersion)
 
   /** The decision table accumulated so far — one row per arrival:
-    * (doc_id, decision, keeper_id), partitioned by `batch`. */
-  def decisions(spark: SparkSession, path: String): DataFrame =
+    * (doc_id, decision, keeper_id), partitioned by `batch`.
+    *
+    * AT-LEAST-ONCE CAVEAT (ADVICE r11): a [[run]] started WITHOUT a
+    * `checkpointLocation` gets a fresh random marker namespace per
+    * start, so a restart re-delivers every source file under new batch
+    * keys and appends a second, verdict-identical decision row per doc
+    * under the new `batch=` partitions. The raw table therefore may
+    * hold multiple rows per doc_id; this reader keeps only the LATEST
+    * batch's row per doc (batch keys sort by epoch within a namespace,
+    * and replayed verdicts are identical across namespaces, so any
+    * survivor is correct). Use [[decisionsRaw]] for the unfiltered
+    * per-arrival ledger. */
+  def decisions(spark: SparkSession, path: String): DataFrame = {
+    val raw = decisionsRaw(spark, path)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("batch").desc, col("decision").asc)
+    raw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The unfiltered per-arrival decision ledger — may carry duplicate
+    * doc_id rows after an uncheckpointed restart (see [[decisions]]). */
+  def decisionsRaw(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/decisions")
 
   /** Decide one micro-batch against the stores under `path`, write the
@@ -342,6 +363,17 @@ object StreamingDecision {
         }.foreach { case (label, f) =>
           try f.get()
           catch { case e: java.util.concurrent.ExecutionException =>
+            // Cancel the SIBLING jobs before rethrowing (ADVICE r11):
+            // without this the outer finally unpersists the shared
+            // cached inputs while siblings still run, and the store
+            // could receive admissions after the caller has already
+            // seen the failure. shutdownNow interrupts the worker
+            // threads (Spark cancels a job whose submitting thread is
+            // interrupted) and awaitTermination drains them, so the
+            // thrown exception implies no further store writes are in
+            // flight. Replay stays marker-guarded either way.
+            pool.shutdownNow()
+            pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
             throw new RuntimeException(s"decision $label failed", e.getCause) }
         }
       } finally pool.shutdown()
@@ -389,7 +421,14 @@ object StreamingDecision {
     * `checkpointLocation` in production so a restart resumes the epoch
     * sequence instead of restarting batch ids at 0 against a
     * now-populated store (the [[graft.ext.VectorIndex.appendStream]]
-    * marker-collision lesson, ADVICE r10). */
+    * marker-collision lesson, ADVICE r10).
+    *
+    * WITHOUT a checkpoint, a restart re-delivers every source file
+    * under a fresh marker namespace: verdicts replay identically (the
+    * stores admit nothing new), but the `decisions/` ledger gains a
+    * second row per doc under the new `batch=` partitions.
+    * [[decisions]] collapses those to one row per doc (latest batch
+    * wins); [[decisionsRaw]] exposes the full per-arrival ledger. */
   def run(stream: DataFrame, idCol: String, textCol: String,
       embCol: Option[String], path: String,
       centroids: Seq[(Long, Array[Double])],

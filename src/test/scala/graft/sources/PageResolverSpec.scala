@@ -190,6 +190,18 @@ class PageResolverSpec extends AnyFlatSpec with Matchers with graft.SparkFixture
     calls shouldBe 1
   }
 
+  it should "never let an additionalHeaders key drop the computed auth header (ADVICE r11)" in {
+    val fetcher = new HttpFetch {
+      override def fetch(uri: String, h: Map[String, String], b: Option[String]) =
+        Some("""{"token": "REAL", "expiresIn": 600}""")
+    }
+    // the reference APPENDS colliding headers (GetRequest.cs:147-150);
+    // a Map carries one value per key, so the auth value must win
+    val auth = new DynamicBearerAuth(fetcher, "http://auth", None,
+      additionalHeaders = Map("Authorization" -> "Bearer STALE", "X-Trace" -> "on"))
+    auth.headers() shouldBe Map("Authorization" -> "Bearer REAL", "X-Trace" -> "on")
+  }
+
   it should "read seconds-to-expiry from a custom response property (.cs:127-129)" in {
     var now = 0L
     var calls = 0

@@ -145,6 +145,26 @@ class StreamingDecisionSpec extends AnyFlatSpec with Matchers with SparkFixture 
     cells shouldBe Seq(100L)
   }
 
+  it should "collapse uncheckpointed-restart duplicate ledger rows in decisions()" in {
+    // ADVICE r11: a run() without a checkpointLocation gets a fresh
+    // marker namespace per start, so a restart re-delivers every file
+    // under NEW batch keys — verdicts replay identically (row-identity
+    // guards) but the decisions/ ledger gains a second row per doc.
+    // decisions() must collapse to one row per doc; decisionsRaw()
+    // keeps the full per-arrival ledger.
+    val store = tempDir("dec-dup")
+    val rows = Seq((300L, textA, oneHot(0)), (301L, textA, oneHot(0)))
+    val first = decide(store, "nsA-0", rows)
+    val restart = decide(store, "nsB-0", rows) // same files, new namespace
+    restart shouldBe first
+    StreamingDecision.decisionsRaw(spark, store).count() shouldBe 4
+    val dec = StreamingDecision.decisions(spark, store)
+    dec.count() shouldBe 2
+    dec.select("doc_id", "decision", "keeper_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap shouldBe
+      Map(300L -> ("keep", 300L), 301L -> ("drop_exact", 300L))
+  }
+
   it should "not let an id re-arriving with new content suppress its old ownership" in {
     // replay guards key on stored-row IDENTITY (h, owner), not bare id:
     // doc 5 owns hash(textA) in batch 1, then re-arrives in batch 2
