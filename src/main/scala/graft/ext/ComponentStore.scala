@@ -217,6 +217,142 @@ object ComponentStore {
     l
   }
 
+  /** RETRACTION (VERDICT r11 #1): remove `docIds` from the forest and
+    * rebuild ONLY the components they touched. Union-find cannot
+    * un-merge in place — a deleted doc may be the sole bridge between
+    * two sub-clusters, so its component must be re-derived from the
+    * SURVIVING evidence: `survivingPairs` is the caller's current
+    * ground-truth pair set (for the decision surface: the post-
+    * retraction ledger's drop pairs — [[graft.streaming.StreamingDecision]]
+    * purges and re-adjudicates decisions BEFORE calling this).
+    *
+    * Steps, all bounded by the touched components + their new links,
+    * never the corpus:
+    *
+    *  1. resolve the deleted ids to their roots ([[resolve]]: id-pruned
+    *     hops);
+    *  2. collect the affected components' members by walking the forest
+    *     DOWNWARD from those roots (parent-pointer reverse
+    *     reachability — one column-pruned pass per hop; a compacted
+    *     forest is depth-1, so run [[compact]] on cadence);
+    *  3. CLOSE the member set over `survivingPairs`: a re-adjudicated
+    *     doc's new pair may link an affected member to a previously
+    *     untouched component, whose members then join the rebuild set
+    *     (without closure the bridged component's labels would go
+    *     stale) — iterate until no pair leaves the set;
+    *  4. run [[Dedup.connectedComponents]] over the pairs inside the
+    *     closed set — touched-components-sized — and rewrite the
+    *     members' rows: fresh (id, min-reachable-id) rows for nodes in
+    *     surviving pairs, NO row for the deleted ids or for members
+    *     left pair-less (exactly a from-scratch store's population).
+    *
+    * The rebuilt rows are fully path-compressed (resolved labels equal
+    * a from-scratch recompute — oracle-pinned; row-level parents may
+    * be FLATTER than an incremental from-scratch forest, which only
+    * affects chain depth, not labels). Components sharing no member
+    * with the closure are never read or written. Deleted ids land in
+    * `tombstones/`. Returns the distinct deleted-id count. */
+  def delete(docIds: DataFrame, idColumn: String, survivingPairs: DataFrame,
+      aCol: String, bCol: String, path: String): Long = {
+    val spark = docIds.sparkSession
+    val b = buckets(spark, path)
+    val store = parents(spark, path)
+    val del = ckpt(docIds.select(col(idColumn).cast("long").as("id")).distinct())
+    // no global distinct/materialization here: the full pair set is
+    // corpus-sized and only ever consumed through member-restricted
+    // joins below (dedup happens on the restricted slice)
+    val pairs = survivingPairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .join(broadcast(del.select(col("id").as("src"))), Seq("src"), "left_anti")
+      .join(broadcast(del.select(col("id").as("dst"))), Seq("dst"), "left_anti")
+
+    // 2. members of the deleted ids' components: walk parent pointers
+    // DOWNWARD from the roots (each hop is one column-pruned store
+    // pass; depth-1 after compact)
+    def descend(roots: DataFrame): DataFrame = {
+      var members = ckpt(roots.select("id").distinct())
+      var frontier = members
+      var grew = true
+      while (grew && !frontier.isEmpty) {
+        val children = ckpt(store
+          .join(broadcast(frontier.select(col("id").as("parent"))), Seq("parent"), "left_semi")
+          .select("id")
+          .join(broadcast(members), Seq("id"), "left_anti"))
+        grew = !children.isEmpty
+        if (grew) {
+          members = ckpt(members.unionAll(children).distinct())
+          frontier = children
+        }
+      }
+      members
+    }
+    var members = descend(resolve(del, "id", path).select(col("root").as("id")))
+
+    // 3. closure over surviving pairs: pull in any component a new
+    // pair bridges to, until no pair crosses the boundary
+    var closed = false
+    while (!closed) {
+      val touchingSrc = pairs.join(broadcast(members.select(col("id").as("src"))),
+        Seq("src"), "left_semi")
+      val touchingDst = pairs.join(broadcast(members.select(col("id").as("dst"))),
+        Seq("dst"), "left_semi")
+      val outside = ckpt(touchingSrc.select(col("dst").as("id"))
+        .unionAll(touchingDst.select(col("src").as("id"))).distinct()
+        .join(broadcast(members), Seq("id"), "left_anti"))
+      if (outside.isEmpty) closed = true
+      else members = ckpt(members.unionAll(
+        descend(resolve(outside, "id", path).select(col("root").as("id"))))
+        .distinct())
+    }
+
+    // 4. rebuild: CC over the closed set's pairs; fresh compressed rows
+    val inPairs = pairs
+      .join(broadcast(members.select(col("id").as("src"))), Seq("src"), "left_semi")
+      .distinct()
+    val rebuilt = ckpt(
+      if (inPairs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("id", LongType), StructField("parent", LongType))))
+      else Dedup.connectedComponents(inPairs, "src", "dst")
+        .select(col("id"), col("comp").as("parent")))
+
+    // patch the members' bucket partitions: every member's old row goes,
+    // rebuilt rows (and nothing else) come back
+    val allOut = ckpt(members.unionAll(del).distinct())
+    val touched = allOut.select(bktOf(col("id"), b).as("bkt")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.nonEmpty) {
+      val slice = store.filter(col("bkt").isin(touched.map(Integer.valueOf).toSeq: _*))
+      val kept = slice.join(broadcast(allOut), Seq("id"), "left_anti")
+        .select("id", "parent", "bkt")
+      val patched = ckpt(kept.unionByName(
+        rebuilt.withColumn("bkt", bktOf(col("id"), b))))
+      if (!patched.isEmpty)
+        patched.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bkt").parquet(s"$path/parents")
+      // dynamic overwrite cannot clear a partition it writes no rows
+      // for — explicitly delete buckets every row left
+      val nonEmpty = patched.select("bkt").distinct()
+        .collect().map(_.getInt(0)).toSet
+      val fs = StoreMeta.fs(spark, path)
+      touched.filterNot(nonEmpty).foreach { v =>
+        val dir = new Path(s"$path/parents/bkt=$v")
+        if (fs.exists(dir)) fs.delete(dir, true): Unit
+      }
+    }
+    del.write.mode("append").parquet(s"$path/tombstones")
+    del.count()
+  }
+
+  /** Ids ever retracted from this forest — [[delete]]'s audit trail. */
+  def tombstones(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(s"$path/tombstones")
+    if (StoreMeta.fs(spark, path).exists(p)) spark.read.parquet(s"$path/tombstones")
+    else spark.range(0).select(col("id"))
+  }
+
   /** Batch keys whose merge committed — the deterministic maintenance
     * trigger ([[SignatureStore.committedBatches]] discipline: an
     * uncommitted partial merge never advances the schedule). */

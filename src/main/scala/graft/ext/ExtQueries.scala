@@ -3089,9 +3089,14 @@ object ExtQueries {
   /** Shared verdict-derivation CTE chain ending in
     * `dec(doc_id, decision, keeper_id)` — the golden query selects it
     * directly; the cluster query runs connected components over its
-    * drop pairs. */
-  private val decisionVerdictCtes =
-    s"""$ExactCloneCte,
+    * drop pairs; the RETRACTION oracle re-derives it over the corpus
+    * minus a deleted doc set with non-binding caps (`survivorPred`
+    * filters the clone corpus / embedding stream, `bandCap`/`cellCap`
+    * parameterize the two admission caps). */
+  private def decisionVerdictCtesWith(survivorPred: String,
+      survivorVecPred: String, bandCap: Long, cellCap: Long): String =
+    s"""${ExactCloneCte.replace("base AS", "baseall AS")},
+       |base AS (SELECT * FROM baseall WHERE $survivorPred),
        |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
        |    '[^a-z0-9]+'), x -> x <> '') AS toks FROM base),
        |$ShCte,
@@ -3111,7 +3116,7 @@ object ExtQueries {
        |    row_number() OVER (PARTITION BY e.bk ORDER BY bat.b, e.doc_id) AS r
        |  FROM ex e JOIN bat ON bat.doc_id = e.doc_id),
        |nearh AS (SELECT a.doc_id, min(m.doc_id) AS near_keeper
-       |  FROM exb a JOIN exb m ON a.bk = m.bk AND m.b < a.b AND m.r <= 64
+       |  FROM exb a JOIN exb m ON a.bk = m.bk AND m.b < a.b AND m.r <= $bandCap
        |  JOIN sig sa ON sa.doc_id = a.doc_id
        |  JOIN sig sb ON sb.doc_id = m.doc_id
        |  WHERE len(list_filter(generate_series(1, $MinhashK), i -> sa.sig[i] = sb.sig[i])) >= 8
@@ -3119,11 +3124,11 @@ object ExtQueries {
        |$IvfCtes,
        |jb AS (SELECT vec_id, embedding, nrm, cell,
        |    ((vec_id % $GoldenBatches) + $GoldenBatches) % $GoldenBatches AS b
-       |  FROM asg),
+       |  FROM asg WHERE $survivorVecPred),
        |adm AS (SELECT jb.*, row_number() OVER (PARTITION BY cell ORDER BY b, vec_id) AS rn
        |  FROM jb),
        |semh AS (SELECT v.vec_id AS doc_id, min(u.vec_id) AS sem_keeper
-       |  FROM jb v JOIN adm u ON u.cell = v.cell AND u.b < v.b AND u.rn <= $SemStreamMaxCell
+       |  FROM jb v JOIN adm u ON u.cell = v.cell AND u.b < v.b AND u.rn <= $cellCap
        |  WHERE cast(round($SemStreamDotSql / (v.nrm * u.nrm) * 10000) AS BIGINT) >= $SemScoreE4
        |  GROUP BY v.vec_id),
        |dec AS (SELECT bat.doc_id,
@@ -3137,6 +3142,9 @@ object ExtQueries {
        |LEFT JOIN exk ON exk.doc_id = bat.doc_id
        |LEFT JOIN nearh ON nearh.doc_id = bat.doc_id
        |LEFT JOIN semh ON semh.doc_id = bat.doc_id)""".stripMargin
+
+  private val decisionVerdictCtes =
+    decisionVerdictCtesWith("TRUE", "TRUE", 64L, SemStreamMaxCell.toLong)
 
   private val streamingDecisionGoldenSql =
     s"""WITH $decisionVerdictCtes
@@ -3204,6 +3212,92 @@ object ExtQueries {
        |  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
        |comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
        |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // dedup_retraction: TAKEDOWN support for the decision surface
+  // (VERDICT r11 #1). The base state is a full 5-batch decision run
+  // over the clone corpus with NON-BINDING admission caps (one
+  // stream, cached per dir — stream SETUP, the state a deployment
+  // already has). The operator under test runs per call on a COPY of
+  // that state: StreamingDecision.delete() purges every store row and
+  // ledger row of the deleted doc set (ids ≡ 0 mod 13 — the set
+  // includes exact-clone owners, near keepers, and semantic keepers)
+  // and names the invalidated docs; readjudicate() re-verdicts them in
+  // original arrival order against the healed stores. The oracle is a
+  // FROM-SCRATCH re-derivation of the whole decision surface over the
+  // corpus MINUS the deleted docs (same CTE chain as
+  // streaming_decision_golden, base filtered, caps matching) — so the
+  // incremental delete + heal is hash-proven equal to never having
+  // ingested the deleted docs. Non-binding caps are the documented
+  // exactness boundary: under binding caps the deleted docs'
+  // admission slots stay empty until new arrivals fill them
+  // (StreamingDecision scaladoc).
+  // ------------------------------------------------------------------
+
+  private val RetractCap = 1000000L
+  private val retractBaseCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def retractionBaseStore(spark: SparkSession, dir: String): String =
+    retractBaseCache.synchronized {
+      retractBaseCache.getOrElseUpdate(dir, {
+        val streamDir = goldenDecStreamDir(spark, dir)
+        val cents = VectorIndex.coarse(spark, vindexFor(spark, dir), "embedding")
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        val store = java.nio.file.Files.createTempDirectory("graft-retract-base")
+        sys.addShutdownHook(SignatureStore.deleteStore(store))
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType))))
+        val src = s2.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        val q = graft.streaming.StreamingDecision.run(src, "doc_id", "text",
+          Some("embedding"), store.toString, cents,
+          maxBucket = RetractCap.toInt, maxCell = RetractCap.toInt)
+        try { q.processAllAvailable() } finally q.stop()
+        store.toString
+      })
+    }
+
+  def dedupRetraction(spark: SparkSession, dir: String): DataFrame = {
+    val base = retractionBaseStore(spark, dir)
+    val streamDir = goldenDecStreamDir(spark, dir)
+    val cents = VectorIndex.coarse(spark, vindexFor(spark, dir), "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    // the takedown mutates its store — work on a copy so every call
+    // (bench reruns, verify) pays the same real delete + heal
+    val work = java.nio.file.Files.createTempDirectory("graft-retract-run")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(base), work.toFile)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val corpus = s2.read.parquet(streamDir)
+    val del = corpus.filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id")
+    val affected = graft.streaming.StreamingDecision.delete(
+      s2, work.toString, del)
+    val refed = affected.join(corpus, Seq("doc_id"))
+    graft.streaming.StreamingDecision.readjudicate(refed, "doc_id", "text",
+      Some("embedding"), "batch", work.toString, cents)
+    val res = graft.streaming.StreamingDecision.decisions(s2, work.toString)
+      .select(col("doc_id"), col("decision"), col("keeper_id"))
+      .orderBy("doc_id")
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
+    SignatureStore.deleteStore(work)
+    out.orderBy("doc_id")
+  }
+
+  private val dedupRetractionSql =
+    s"""WITH ${decisionVerdictCtesWith(
+         "((doc_id % 13) + 13) % 13 <> 0",
+         "((vec_id % 13) + 13) % 13 <> 0", RetractCap, RetractCap)}
+       |SELECT doc_id, decision, keeper_id FROM dec ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // Steady-state decision bench support (VERDICT r10 #6): the
@@ -3368,6 +3462,7 @@ object ExtQueries {
     "streaming_ttl_golden" -> (streamingTtlGolden(_, _)),
     "streaming_decision_golden" -> (streamingDecisionGolden(_, _)),
     "streaming_decision_cluster" -> (streamingDecisionCluster(_, _)),
+    "dedup_retraction" -> (dedupRetraction(_, _)),
     "streaming_decontam_golden" -> (streamingDecontamGolden(_, _)),
     "dedup_substring" -> (dedupSubstring(_, _)),
     "pipeline_dedup_apply" -> (pipelineDedupApply(_, _)),
@@ -3432,6 +3527,7 @@ object ExtQueries {
     "streaming_ttl_golden" -> streamingTtlGoldenSql,
     "streaming_decision_golden" -> streamingDecisionGoldenSql,
     "streaming_decision_cluster" -> streamingDecisionClusterSql,
+    "dedup_retraction" -> dedupRetractionSql,
     "streaming_decontam_golden" -> pipelineDecontaminateSql,
     "dedup_substring" -> dedupSubstringSql,
     "pipeline_dedup_apply" -> pipelineDedupApplySql,

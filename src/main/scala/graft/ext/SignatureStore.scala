@@ -170,6 +170,58 @@ object SignatureStore {
         .foreach(f => try java.nio.file.Files.delete(f) catch { case _: Exception => () })
   }
 
+  /** RETRACTION (VERDICT r11 #1): remove every stored row of `docIds`
+    * — signatures, shingle keys, and content hashes — so later
+    * [[dedupBatch]] runs can never match, flag, or verify against a
+    * taken-down document. Because every table row is derived from its
+    * OWN document only (appends are per-doc independent, no caps, no
+    * cross-doc state), the post-delete store is row-identical to a
+    * store that never admitted the deleted docs — the strongest
+    * takedown guarantee in the store family, spec-pinned.
+    *
+    * Scale shape: all three tables are hive-partitioned by
+    * `bkt = pmod(hash(doc_id), buckets)`, so the rewrite reads and
+    * rewrites ONLY the deleted ids' bucket partitions (≤ buckets dirs;
+    * file-level pruning) via [[ArcaneLayout.replacePartitions]] —
+    * never a store scan. The deleted ids are also appended to
+    * `tombstones/` (audit trail; re-ingesting a tombstoned id is the
+    * CALLER's policy — filter arrivals against [[tombstones]]).
+    * Returns the number of distinct ids tombstoned. */
+  def delete(docIds: DataFrame, idColumn: String, path: String): Long = {
+    val spark = docIds.sparkSession
+    val b = buckets(spark, path)
+    val ids = docIds.select(col(idColumn).cast("long").as("doc_id")).distinct()
+      .withColumn("bkt", bktCol(col("doc_id"), b))
+      .persist()
+    try {
+      // ≤ `buckets` values by construction — a bounded driver probe
+      val touched = ids.select("bkt").distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.nonEmpty) {
+        val clear = touched.map(v => s"bkt=$v").toSeq
+        Seq("signatures", "shingles", "hashes")
+          .filter(t => fsFor(spark, path).exists(new Path(s"$path/$t/data")))
+          .foreach { t =>
+          val slice = spark.read.parquet(s"$path/$t/data")
+            .filter(col("bkt").isin(touched.map(Integer.valueOf).toSeq: _*))
+          val kept = slice
+            .join(broadcast(ids.select("doc_id")), Seq("doc_id"), "left_anti")
+          ArcaneLayout.replacePartitions(kept, s"$path/$t", Seq("bkt"), clear): Unit
+        }
+      }
+      ids.select("doc_id").write.mode("append").parquet(s"$path/tombstones")
+      ids.count()
+    } finally { ids.unpersist(); () }
+  }
+
+  /** Ids ever retracted from this store — the audit trail [[delete]]
+    * appends to. Empty frame when nothing was ever deleted. */
+  def tombstones(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(s"$path/tombstones")
+    if (fsFor(spark, path).exists(p)) spark.read.parquet(s"$path/tombstones")
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
   /** Committed batch markers — what a recovering driver consults to
     * decide whether the last epoch's append landed. */
   def committedBatches(spark: SparkSession, path: String): Seq[String] = {

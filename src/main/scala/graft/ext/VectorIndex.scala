@@ -271,6 +271,62 @@ object VectorIndex {
       threshold: Double = DriftRebuildThreshold): Boolean =
     driftHistory(spark, path).lastOption.exists(_._3 > threshold)
 
+  /** RETRACTION (VERDICT r11 #1): remove every stored code row of
+    * `docIds`, so [[topK]], [[semanticDedup]], and the streaming
+    * serve/ingest paths can never return or match a taken-down vector
+    * again. Codes are per-doc independent (encoded against the FIXED
+    * stored books), so the post-delete code table is row-identical to
+    * an index that never admitted the deleted vectors.
+    *
+    * What deletion does NOT undo: the coarse centroids and PQ
+    * codebooks were TRAINED on a corpus that included the deleted
+    * vectors — that statistical influence persists until the next
+    * [[build]] (full retrain). This is the standard unlearning caveat
+    * for trained index artifacts: the takedown removes the DOCUMENT
+    * (it is unfindable and unmatchable), while distribution-level
+    * influence decays on the rebuild cadence ([[needsRebuild]]'s
+    * drift policy already schedules those).
+    *
+    * Scale shape: one column-pruned scan of (neighbor_id, cell) finds
+    * the touched cells (the code table is partitioned by cell, not
+    * id — a takedown is a maintenance op, so a 2-column scan is
+    * acceptable); only the touched `cell=` partitions are rewritten
+    * ([[graft.sinks.ArcaneLayout.replacePartitions]]). Ids are
+    * appended to `tombstones/` for audit. Returns the distinct id
+    * count tombstoned. */
+  def delete(docIds: DataFrame, idColumn: String, path: String): Long = {
+    val spark = docIds.sparkSession
+    val ids = docIds.select(col(idColumn).cast("long").as("neighbor_id"))
+      .distinct().persist()
+    try {
+      val codesDir = s"$path/codes/data"
+      if (fs(spark, path).exists(new Path(codesDir))) {
+        val codes = spark.read.parquet(codesDir)
+        val touched = codes.select("neighbor_id", "cell")
+          .join(broadcast(ids), Seq("neighbor_id"), "left_semi")
+          .select("cell").distinct()
+          .collect().map(_.getInt(0)).sorted
+        if (touched.nonEmpty) {
+          val kept = codes
+            .filter(col("cell").isin(touched.map(Integer.valueOf).toSeq: _*))
+            .join(broadcast(ids), Seq("neighbor_id"), "left_anti")
+          ArcaneLayout.replacePartitions(kept, s"$path/codes", Seq("cell"),
+            touched.map(v => s"cell=$v").toSeq): Unit
+        }
+      }
+      ids.select(col("neighbor_id").as("doc_id"))
+        .write.mode("append").parquet(s"$path/tombstones")
+      ids.count()
+    } finally { ids.unpersist(); () }
+  }
+
+  /** Ids ever retracted from this index — [[delete]]'s audit trail. */
+  def tombstones(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(s"$path/tombstones")
+    if (fs(spark, path).exists(p)) spark.read.parquet(s"$path/tombstones")
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
   /** Rewrite the code store's small append files into ~target-sized
     * ones, per `cell=` partition — each append adds one file per
     * touched cell, so file count grows linearly with batches until

@@ -127,6 +127,80 @@ object ArcaneLayout {
     }
   }
 
+  /** RETRACTION PRIMITIVE: rewrite the named hive partitions of an
+    * ArcaneLayout table with `replacement` rows, clearing their old
+    * files — the patch pass every takedown needs (VERDICT r11 #1).
+    * `clearPartitions` are the partition subdirs relative to `data/`
+    * (e.g. `Seq("bkt=3", "bkt=7")`); they must cover every partition
+    * `replacement` writes to AND every partition whose rows were all
+    * deleted (a partition absent from `replacement` is left EMPTY, so
+    * the caller — not this method — decides the delete scope).
+    * Untouched partitions are never read or written.
+    *
+    * Staged files are fully written (with the arcane part naming, so
+    * later [[compact]] passes still see them) BEFORE any old file is
+    * removed; the swap itself is the same non-transactional
+    * delete-then-move window as dynamic partition overwrite — a crash
+    * between the two can lose the cleared partitions' kept rows until
+    * the patch is re-run. Deployments needing stronger guarantees put
+    * the table on a transactional format; the single-writer contract
+    * for maintenance ops applies (see [[graft.ext.StoreMeta]]). */
+  def replacePartitions(replacement: DataFrame, targetPath: String,
+      partitionColumns: Seq[String], clearPartitions: Seq[String],
+      format: String = "parquet"): Seq[String] = {
+    require(partitionColumns.nonEmpty, "replacePartitions needs partition columns")
+    val schemaHash = SchemaOps.shortFingerprint(replacement.schema)
+    val dataDir = s"$targetPath/data"
+    val tmpDir = s"$targetPath/.patch-${UUID.randomUUID()}"
+    val ext = if (format == "json") "json" else "parquet"
+    replacement.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionColumns: _*).format(format).save(tmpDir)
+    val filesystem = fs(replacement, targetPath)
+    val tmpRoot = new Path(tmpDir)
+    val tmpUri = filesystem.makeQualified(tmpRoot).toUri
+    try {
+      val staged = {
+        val it = filesystem.listFiles(tmpRoot, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+        while (it.hasNext) buf += it.next()
+        buf.toSeq
+      }
+      val toMove = staged
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map { s =>
+          val rel = tmpUri.relativize(filesystem.makeQualified(s.getPath).toUri).getPath
+          val sub = rel.lastIndexOf('/') match {
+            case -1 => ""
+            case i  => rel.substring(0, i + 1)
+          }
+          s.getPath -> s"${sub}part-${UUID.randomUUID()}-$schemaHash-chunk.$ext"
+        }
+      // staged rows may only land inside the declared clear scope —
+      // otherwise an untouched partition would silently gain duplicates
+      val scope = clearPartitions.map(_.stripSuffix("/") + "/")
+      toMove.map(_._2).foreach { n =>
+        require(scope.exists(n.startsWith),
+          s"replacement row landed outside the declared partitions: $n")
+      }
+      // point of no return: clear old files, then move staged ones in
+      scope.foreach { sub =>
+        val dir = new Path(s"$dataDir/$sub")
+        if (filesystem.exists(dir)) filesystem.delete(dir, true): Unit
+      }
+      toMove.map(_._2).map(n => new Path(s"$dataDir/$n").getParent).distinct
+        .foreach(filesystem.mkdirs(_): Unit)
+      toMove.map { case (src, name) =>
+        if (!filesystem.rename(src, new Path(s"$dataDir/$name")))
+          throw new java.io.IOException(s"rename failed: $src -> $name")
+        name
+      }
+    } finally {
+      try filesystem.delete(tmpRoot, true)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
+  }
+
   /** Compact small part-files in `data/` into ~`targetRecordsPerFile`
     * files — the maintenance job every append-only layout needs: a
     * 15-second poll interval lands 5760 files/day per stream, and scan

@@ -150,6 +150,274 @@ object StreamingDecision {
   def decisionsRaw(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/decisions")
 
+  // ----------------------------------------------------------------
+  // RETRACTION (VERDICT r11 #1): takedown support for the decision
+  // surface. delete() purges the deleted docs' store rows + ledger
+  // rows and names the docs the deletion invalidates; readjudicate()
+  // re-verdicts those docs IN THEIR ORIGINAL ARRIVAL ORDER against
+  // the healed stores. The composition is oracle-pinned
+  // (`dedup_retraction`): decisions after delete + readjudicate are
+  // hash-equal to a from-scratch run over the corpus minus the
+  // deleted docs — EXACTLY when the admission caps were not binding
+  // on any touched bucket/cell. Under binding caps the surface stays
+  // consistent but can diverge from from-scratch in one bounded way:
+  // admission slots the deleted docs once held stay empty until new
+  // arrivals fill them (the store under-fills; a from-scratch run
+  // would have admitted the next-in-line docs, whose content the
+  // store never retained) — the same class of arrival-history
+  // dependence as the documented crash-window band-rank note.
+  // ----------------------------------------------------------------
+
+  /** Trailing numeric epoch of a batch key — `<ns>-<epoch>` keys (what
+    * [[run]] writes) and plain numeric spec keys both parse; arrival
+    * ORDER across batches is this number (single-namespace ledgers —
+    * see [[decisions]] for the multi-namespace caveat). */
+  private def epochOf(c: org.apache.spark.sql.Column) =
+    regexp_extract(c, "(\\d+)$", 1).cast("long")
+
+  /** RETRACTION step 1: purge `docIds` everywhere — hash ownership,
+    * band rows, cell membership, decision-ledger rows — and return the
+    * invalidated docs: every surviving doc whose recorded keeper is a
+    * deleted doc, as (doc_id, batch) with the ORIGINAL arrival batch.
+    * Feed those docs' content to [[readjudicate]] to heal the surface;
+    * until then their ledger rows still carry the stale keeper.
+    *
+    * Scale shape: the hashes/bands scans are column-pruned full-table
+    * passes (ownership/band rows are not partitioned by doc id — a
+    * takedown is a maintenance op and pays one scan); only TOUCHED
+    * partitions are rewritten ([[graft.sinks.ArcaneLayout.replacePartitions]]
+    * staging discipline). Deleted ids land in `tombstones/`. */
+  def delete(spark: SparkSession, path: String, docIds: DataFrame,
+      idColumn: String = "doc_id"): DataFrame = {
+    val b = buckets(spark, path)
+    val ids = docIds.select(col(idColumn).cast("long").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    val fs = StoreMeta.fs(spark, path)
+
+    // invalidated docs FIRST (computed from the ledger being purged)
+    val raw = decisionsRaw(spark, path)
+      .withColumn("batch", col("batch").cast("string"))
+    val affected = raw
+      .join(broadcast(ids.select(col("doc_id").as("keeper_id"))),
+        Seq("keeper_id"), "left_semi")
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .select("doc_id", "batch").distinct()
+      .localCheckpoint(true)
+
+    def patchArcane(table: String, partCol: String, keyCol: String): Unit = {
+      val dir = s"$path/$table/data"
+      val keyed = ids.select(col("doc_id").as(keyCol))
+      if (fs.exists(new Path(dir))) {
+        val all = spark.read.parquet(dir)
+        val touched = all.join(broadcast(keyed), Seq(keyCol), "left_semi")
+          .select(partCol).distinct()
+          .collect().map(_.get(0)).sortBy(_.toString)
+        if (touched.nonEmpty) {
+          val slice = all.filter(col(partCol).isin(touched: _*))
+          val kept = slice.join(broadcast(keyed), Seq(keyCol), "left_anti")
+            .select(all.columns.map(col).toSeq: _*)
+          ArcaneLayout.replacePartitions(kept, s"$path/$table", Seq(partCol),
+            touched.map(v => s"$partCol=$v").toSeq): Unit
+        }
+      }
+    }
+    patchArcane("hashes", "bkt", "owner_id")
+    patchArcane("bands", "bkt", "doc_id")
+    patchArcane("cells", "cell", "vec_id")
+
+    // ledger purge: patch the touched batch partitions in place
+    val touchedB = raw.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select("batch").distinct().collect().map(_.getString(0))
+    if (touchedB.nonEmpty) {
+      val slice = raw.filter(col("batch").isin(touchedB: _*))
+      val kept = slice.join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      if (!kept.isEmpty)
+        kept.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(s"$path/decisions")
+      val nonEmpty = kept.select("batch").distinct()
+        .collect().map(_.getString(0)).toSet
+      touchedB.filterNot(nonEmpty).foreach { bk =>
+        val dir = new Path(s"$path/decisions/batch=$bk")
+        if (fs.exists(dir)) fs.delete(dir, true): Unit
+      }
+    }
+    ids.write.mode("append").parquet(s"$path/tombstones")
+    affected
+  }
+
+  /** Ids ever retracted from this store — [[delete]]'s audit trail. */
+  def tombstones(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(s"$path/tombstones")
+    if (StoreMeta.fs(spark, path).exists(p)) spark.read.parquet(s"$path/tombstones")
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
+  /** RETRACTION step 2: re-verdict the docs a [[delete]] invalidated —
+    * `docs` is the affected set WITH content ((id, text, embedding?)
+    * joined back by the caller, who owns the corpus) and `batchCol`
+    * carrying each doc's ORIGINAL batch key from delete()'s result.
+    *
+    * One pass reproduces the sequential replay: every tier's match is
+    * restricted to members whose FIRST-ARRIVAL epoch (from the ledger)
+    * precedes the re-fed doc's own epoch — so a re-fed doc from batch
+    * 3 can claim (and be claimed by) exactly what a from-scratch run
+    * at batch 3 would have seen, including other re-fed docs via their
+    * still-stored band/cell rows. Hash ownership transfers to the
+    * earliest surviving arrival per orphaned hash (ties broken by id —
+    * the in-batch ownership rule) and is ADMITTED into the store; band
+    * and cell rows of re-fed docs are already stored, so no other
+    * admission is needed. The re-fed docs' ledger rows are patched IN
+    * their original batch partitions — afterwards the ledger looks
+    * exactly like a from-scratch run's (same partitions, same rows),
+    * so retractions compose. Returns the new decision rows. */
+  def readjudicate(docs: DataFrame, idCol: String, textCol: String,
+      embCol: Option[String], batchCol: String, path: String,
+      centroids: Seq[(Long, Array[Double])],
+      minSigMatch: Int = 8, minScoreE4: Long = 3000L,
+      k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3,
+      shingleN: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val b = buckets(spark, path)
+    val semOn = embCol.nonEmpty && centroids.nonEmpty
+    val baseCols = Seq(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"), col(batchCol).cast("string").as("batch"),
+      epochOf(col(batchCol)).as("ep")) ++ embCol.map(c => col(c).as("embedding"))
+    val in = docs.select(baseCols: _*).dropDuplicates("doc_id").persist()
+    try {
+      if (in.isEmpty)
+        return in.select("doc_id").withColumn("decision", lit(""))
+          .withColumn("keeper_id", col("doc_id")).withColumn("batch", lit(""))
+      // first-arrival epoch per ledger doc — the member-ordering map
+      val ledgerEp = decisionsRaw(spark, path)
+        .select(col("doc_id").as("m_id"), epochOf(col("batch")).as("m_ep"))
+        .groupBy("m_id").agg(min("m_ep").as("m_ep"))
+
+      // ---- exact tier --------------------------------------------
+      val bh = in.select(col("doc_id"), col("ep"),
+          Dedup.contentHash(col("text")).as("h"))
+        .withColumn("bkt", bktOf(col("h"), b))
+      val storedH = readOrEmpty(spark, s"$path/hashes/data", hashesSchema)
+      val ownerHits = storedH
+        .join(broadcast(bh.select("bkt", "h").distinct()), Seq("bkt", "h"), "left_semi")
+        .join(broadcast(bh.select(col("h"), col("doc_id").as("owner_id"))),
+          Seq("h", "owner_id"), "left_anti")
+        .select(col("h"), col("owner_id"))
+      val groupOwn = bh.groupBy("h")
+        .agg(min(struct(col("ep"), col("doc_id"))).as("fa"))
+        .select(col("h"), col("fa.doc_id").as("batch_owner"))
+      val ex = bh
+        .join(broadcast(ownerHits), Seq("h"), "left")
+        .join(groupOwn, Seq("h"))
+        .select(col("doc_id"),
+          coalesce(col("owner_id"),
+            when(col("batch_owner") =!= col("doc_id"), col("batch_owner")))
+            .as("ex_keeper"))
+
+      // ---- near tier ---------------------------------------------
+      val exdIn = Dedup.shingleRows(in, "doc_id", "text", shingleN)
+      val projIn = Dedup.minhashFromShingles(exdIn, "doc_id", k, bands, rowsPerBand)
+      val bandIn = projIn
+        .select(col("doc_id"), col("sig"), explode(col("bands")).as("bk"))
+        .withColumn("bkt", bktOf(col("bk"), b))
+        .join(in.select("doc_id", "ep"), Seq("doc_id"))
+        .persist()
+      val storedB = readOrEmpty(spark, s"$path/bands/data", bandsSchema)
+      val memberRows = storedB
+        .join(broadcast(bandIn.select("bkt", "bk").distinct()), Seq("bkt", "bk"), "left_semi")
+        .select(col("bkt"), col("bk"), col("doc_id").as("m_id"), col("sig").as("m_sig"))
+      val nearK = memberRows
+        .join(ledgerEp, Seq("m_id"), "left")
+        .join(broadcast(bandIn), Seq("bkt", "bk"))
+        .filter(col("m_ep").isNotNull && col("m_ep") < col("ep") &&
+          col("m_id") =!= col("doc_id"))
+        .withColumn("n_sig_match",
+          size(filter(zip_with(col("sig"), col("m_sig"), (x, y) => x === y),
+            v => v)))
+        .filter(col("n_sig_match") >= minSigMatch)
+        .groupBy("doc_id").agg(min("m_id").as("near_keeper"))
+
+      // ---- semantic tier -----------------------------------------
+      val semK =
+        if (semOn) {
+          val asgIn = StreamingDedup.withSemCell(
+              in.filter(col("embedding").isNotNull), "doc_id", "embedding", centroids)
+            .select(col("vecId").as("doc_id"), col("cell"), col("emb"), col("nrm"))
+            .join(in.select("doc_id", "ep"), Seq("doc_id"))
+          val storedC = readOrEmpty(spark, s"$path/cells/data", cellsSchema)
+          storedC
+            .join(broadcast(asgIn.select("cell").distinct()), Seq("cell"), "left_semi")
+            .select(col("cell"), col("vec_id").as("m_id"), col("emb").as("m_emb"),
+              col("nrm").as("m_nrm"))
+            .join(ledgerEp, Seq("m_id"), "left")
+            .join(broadcast(asgIn), Seq("cell"))
+            .filter(col("m_ep").isNotNull && col("m_ep") < col("ep") &&
+              col("m_id") =!= col("doc_id"))
+            .withColumn("score_e4",
+              round(call_function("graft_vector_dot", col("emb"), col("m_emb"))
+                / (col("nrm") * col("m_nrm")) * lit(10000.0)).cast("long"))
+            .filter(col("score_e4") >= minScoreE4)
+            .groupBy("doc_id").agg(min("m_id").as("sem_keeper"))
+        } else
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            StructType(Seq(StructField("doc_id", LongType),
+              StructField("sem_keeper", LongType))))
+
+      // ---- verdict + hash-ownership transfer + ledger patch ------
+      val dec = in.select("doc_id", "batch")
+        .join(broadcast(ex), Seq("doc_id"), "left")
+        .join(broadcast(nearK), Seq("doc_id"), "left")
+        .join(broadcast(semK), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("ex_keeper").isNotNull, lit("drop_exact"))
+            .when(col("near_keeper").isNotNull, lit("drop_near"))
+            .when(col("sem_keeper").isNotNull, lit("drop_semantic"))
+            .otherwise(lit("keep")).as("decision"),
+          coalesce(col("ex_keeper"), col("near_keeper"), col("sem_keeper"),
+            col("doc_id")).as("keeper_id"),
+          col("batch"))
+        .localCheckpoint(true)
+
+      // orphaned hashes get their earliest surviving arrival as owner
+      val storedTouchedH = storedH
+        .join(broadcast(bh.select("bkt", "h").distinct()), Seq("bkt", "h"), "left_semi")
+        .select("bkt", "h")
+      val newH = bh.join(groupOwn, Seq("h"))
+        .filter(col("doc_id") === col("batch_owner"))
+        .select(col("h"), col("doc_id").as("owner_id"), col("bkt"))
+        .join(broadcast(storedTouchedH), Seq("bkt", "h"), "left_anti")
+      appendTable(newH, s"$path/hashes", Seq("bkt"))
+
+      val raw = decisionsRaw(spark, path)
+        .withColumn("batch", col("batch").cast("string"))
+      val touchedB = dec.select("batch").distinct().collect().map(_.getString(0))
+      val kept = raw.filter(col("batch").isin(touchedB: _*))
+        .join(broadcast(dec.select("doc_id")), Seq("doc_id"), "left_anti")
+        .select("doc_id", "decision", "keeper_id", "batch")
+      kept.unionByName(dec).localCheckpoint(true)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch").parquet(s"$path/decisions")
+      dec.select("doc_id", "decision", "keeper_id", "batch")
+    } finally { in.unpersist(); () }
+  }
+
+  /** RETRACTION step 3 (optional cluster heal): rebuild the persisted
+    * union-find components the deleted docs touched, from the HEALED
+    * ledger's drop pairs — call AFTER [[delete]] + [[readjudicate]].
+    * Delegates to [[graft.ext.ComponentStore.delete]] (tombstone +
+    * touched-components-only rebuild + pair-closure over new links). */
+  def healCluster(spark: SparkSession, path: String, clusterPath: String,
+      docIds: DataFrame, idColumn: String = "doc_id"): Long = {
+    val pairs = decisions(spark, path)
+      .filter(col("decision") =!= "keep")
+      .select(col("doc_id"), col("keeper_id"))
+    graft.ext.ComponentStore.delete(docIds, idColumn, pairs,
+      "doc_id", "keeper_id", clusterPath)
+  }
+
   /** Decide one micro-batch against the stores under `path`, write the
     * decisions to `decisions/batch=<batchKey>`, admit the batch, and
     * return the decision frame. `centroids` is the semantic tier's

@@ -156,4 +156,78 @@ class ComponentStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
     }
     stored(store) shouldBe full(allPairs ++ Seq((100L, 101L)))
   }
+
+  behavior of "ComponentStore retraction (VERDICT r11 #1)"
+
+  it should "delete ids and rebuild the touched components to match a recompute" in {
+    import spark.implicits._
+    val store = tempDir("graft-cs-del")
+    ComponentStore.merge(pairsDf(batch0), "a", "b", store, "b0")
+    ComponentStore.merge(pairsDf(batch1), "a", "b", store, "b1")
+    ComponentStore.merge(pairsDf(batch2), "a", "b", store, "b2")
+    // delete 2: the (1,2),(2,3) bridge dies; {1,5,6} survives via
+    // (5,6),(5,1); 3 loses its only pair and must drop out ENTIRELY
+    // (a from-scratch store would never have seen it)
+    val surviving = allPairs.filterNot { case (a, b) => a == 2L || b == 2L }
+    ComponentStore.delete(Seq(2L).toDF("x"), "x",
+      pairsDf(surviving), "a", "b", store)
+    stored(store) shouldBe full(surviving)
+    ComponentStore.parents(spark, store)
+      .filter(col("id").isin(2L, 3L)).count() shouldBe 0L
+    ComponentStore.tombstones(spark, store)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(2L)
+    // untouched components still resolve (and 3 is self-root again)
+    val want = full(surviving)
+    want(10L) shouldBe want(30L)
+    ComponentStore.resolve(Seq(3L).toDF("x"), "x", store)
+      .head().getLong(1) shouldBe 3L
+  }
+
+  it should "close the rebuild over pairs bridging into untouched components" in {
+    import spark.implicits._
+    val store = tempDir("graft-cs-close")
+    ComponentStore.merge(pairsDf(Seq((1L, 2L))), "a", "b", store, "b0")
+    ComponentStore.merge(pairsDf(Seq((10L, 11L))), "a", "b", store, "b1")
+    // deleting 2 with a NEW surviving pair (1,10) — the kind a
+    // re-adjudication emits — must pull 10's whole (untouched-by-the-
+    // delete) component into the rebuild, or its labels go stale
+    val surviving = Seq((1L, 10L), (10L, 11L))
+    ComponentStore.delete(Seq(2L).toDF("x"), "x",
+      pairsDf(surviving), "a", "b", store)
+    stored(store) shouldBe full(surviving)
+    stored(store)(11L) shouldBe 1L // bridged through the new pair
+  }
+
+  it should "leave components disjoint from the deletion untouched on disk" in {
+    import spark.implicits._
+    val store = tempDir("graft-cs-del-local")
+    ComponentStore.merge(pairsDf(batch0 ++ batch1 ++ batch2), "a", "b", store, "b")
+    ComponentStore.compact(spark, store)
+    val b = ComponentStore.buckets(spark, store)
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(): Map[String, Set[String]] =
+      (0 until b).flatMap { i =>
+        val d = new Path(s"$store/parents/bkt=$i")
+        if (fs.exists(d))
+          Some(s"bkt=$i" -> fs.listStatus(d)
+            .map(s => s.getPath.getName + ":" + s.getLen).toSet)
+        else None
+      }.toMap
+    val before = listing()
+    // delete 41: only the {40,41} component's members (40, 41) move
+    val surviving = allPairs.filterNot { case (x, y) => x == 41L || y == 41L }
+    ComponentStore.delete(Seq(41L).toDF("x"), "x",
+      pairsDf(surviving), "a", "b", store)
+    val touched = Seq(40L, 41L).map { id =>
+      spark.range(1).select(pmod(hash(lit(id)), lit(b))).head().getInt(0)
+    }.toSet.map((i: Int) => s"bkt=$i")
+    val after = listing()
+    (after.keySet ++ before.keySet).foreach { k =>
+      if (!touched.contains(k))
+        withClue(s"untouched partition $k must keep its exact file set: ") {
+          after.get(k) shouldBe before.get(k)
+        }
+    }
+    stored(store) shouldBe full(surviving)
+  }
 }

@@ -378,4 +378,39 @@ class SignatureStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
     SignatureStore.append(docsDf(1L -> base), "doc_id", "text", fresh)
     SignatureStore.buckets(spark, fresh) shouldBe SignatureStore.DefaultBuckets
   }
+
+  it should "delete a doc so the store is row-identical to one that never saw it (VERDICT r11 #1)" in {
+    import spark.implicits._
+    // two stores, same appends except doc 2 — after delete(2) every
+    // table must match the never-admitted store EXACTLY (per-doc rows
+    // are independent, so retraction here is lossless)
+    val store = tempDir("sigstore-del")
+    val ghost = tempDir("sigstore-ghost")
+    val b1 = docsDf(1L -> base, 2L -> other)
+    val b2 = docsDf(3L -> base.replace("tonight", "tomorrow"))
+    SignatureStore.append(b1, "doc_id", "text", store)
+    SignatureStore.append(b2, "doc_id", "text", store)
+    SignatureStore.append(docsDf(1L -> base), "doc_id", "text", ghost)
+    SignatureStore.append(b2, "doc_id", "text", ghost)
+    SignatureStore.delete(Seq(2L).toDF("doc_id"), "doc_id", store) shouldBe 1L
+
+    def rows(path: String, table: String): Set[String] =
+      spark.read.parquet(s"$path/$table/data").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    Seq("hashes", "shingles", "signatures").foreach { t =>
+      withClue(s"table $t: ") { rows(store, t) shouldBe rows(ghost, t) }
+    }
+    SignatureStore.tombstones(spark, store)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(2L)
+
+    // a clone of the deleted doc is no longer flagged...
+    val probe = SignatureStore.dedupBatch(docsDf(50L -> other), "doc_id", "text", store)
+      .collect().head
+    probe.getLong(1) shouldBe 0L // exact_dup gone
+    probe.getLong(3) shouldBe 0L // near_dup gone
+    // ...while duplicates of surviving docs still are
+    val keep = SignatureStore.dedupBatch(docsDf(51L -> base), "doc_id", "text", store)
+      .collect().head
+    keep.getLong(1) shouldBe 1L
+  }
 }

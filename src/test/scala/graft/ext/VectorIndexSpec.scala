@@ -392,4 +392,47 @@ class VectorIndexSpec extends AnyFlatSpec with Matchers with SparkFixture {
       got.keySet.toSeq.sorted.map(got) shouldBe expected
     } finally cleanup(path)
   }
+
+  it should "delete vectors so the code store matches one that never admitted them (VERDICT r11 #1)" in {
+    import spark.implicits._
+    val path = tempIndex("delete")
+    val ghost = tempIndex("delete-ghost")
+    try {
+      val e = corpus
+      // the retraction target: whatever the store ranks first for query 3
+      VectorIndex.build(e, "vec_id", "embedding", path,
+        dim = 64, m = 8, codebookK = 16, coarseK = 4)
+      val q3 = e.filter(col("vec_id") === 3)
+      val victim = VectorIndex.topK(q3, path, "vec_id", "embedding", k = 1, nProbe = 2)
+        .head().getAs[Long]("neighbor_id")
+      VectorIndex.delete(Seq(victim).toDF("vec_id"), "vec_id", path) shouldBe 1L
+      // unfindable and unmatchable now…
+      val after = VectorIndex.topK(q3, path, "vec_id", "embedding", k = 5, nProbe = 2)
+        .select("neighbor_id").as[Long].collect()
+      after should not contain victim
+      VectorIndex.tombstones(spark, path)
+        .collect().map(_.getLong(0)).toSet shouldBe Set(victim)
+      // …and the surviving code rows are EXACTLY an index that never
+      // admitted the victim (same build artifacts: copy coarse/books
+      // so the ghost encodes against identical codebooks)
+      Seq("coarse", "books", "metadata").foreach { d =>
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(s"$path/$d"), new java.io.File(s"$ghost/$d"))
+      }
+      VectorIndex.append(e.filter(col("vec_id") =!= victim),
+        "vec_id", "embedding", ghost)
+      def codeRows(p: String): Set[String] =
+        spark.read.parquet(s"$p/codes/data").collect()
+          .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+      codeRows(path) shouldBe codeRows(ghost)
+      // ranked results over the survivors agree with the ghost too
+      val got = VectorIndex.topK(q3, path, "vec_id", "embedding", k = 5, nProbe = 2)
+        .select("query_id", "neighbor_id", "adist_e6", "rnk")
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+      val want = VectorIndex.topK(q3, ghost, "vec_id", "embedding", k = 5, nProbe = 2)
+        .select("query_id", "neighbor_id", "adist_e6", "rnk")
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+      got shouldBe want
+    } finally { cleanup(path); cleanup(ghost) }
+  }
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.scalatest.flatspec.AnyFlatSpec
 import org.scalatest.matchers.should.Matchers
 
@@ -212,6 +213,145 @@ class StreamingDecisionSpec extends AnyFlatSpec with Matchers with SparkFixture 
     decideC("b1", Seq((11L, textA, oneHot(2)), (21L, textBNear, oneHot(3))))
     graft.ext.ComponentStore.components(spark, cstore)
       .as[(Long, Long)].collect().toMap shouldBe stored
+  }
+
+  behavior of "StreamingDecision retraction (VERDICT r11 #1)"
+
+  it should "re-adjudicate a deleted owner's duplicates and transfer hash ownership" in {
+    import spark.implicits._
+    val store = tempDir("dec-retract")
+    // arrival history: 10 owns textA; 11 and 12 drop against it
+    decide(store, "b0", Seq((10L, textA, oneHot(0))))
+    decide(store, "b1", Seq((11L, textA, oneHot(1))))
+    decide(store, "b2", Seq((12L, textA, oneHot(2))))
+    // takedown of the owner
+    val affected = StreamingDecision.delete(spark, store, Seq(10L).toDF("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    affected shouldBe Map(11L -> "b1", 12L -> "b2")
+    StreamingDecision.tombstones(spark, store)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(10L)
+    // the owner is purged everywhere: stores and ledger (a table whose
+    // every row was deleted has no parquet files left — count as 0)
+    def cnt(dir: String, c: String): Long = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir)
+      val has = java.nio.file.Files.exists(root) &&
+        java.nio.file.Files.walk(root).iterator().asScala
+          .exists(_.toString.endsWith(".parquet"))
+      if (!has) 0L else spark.read.parquet(dir).filter(col(c) === 10L).count()
+    }
+    cnt(s"$store/hashes/data", "owner_id") shouldBe 0L
+    cnt(s"$store/bands/data", "doc_id") shouldBe 0L
+    cnt(s"$store/cells/data", "vec_id") shouldBe 0L
+    StreamingDecision.decisionsRaw(spark, store)
+      .filter(col("doc_id") === 10L).count() shouldBe 0L
+    // re-feed the invalidated docs with content, original batch order
+    val docs = Seq((11L, textA, Some(oneHot(1)), "b1"),
+        (12L, textA, Some(oneHot(2)), "b2"))
+      .toDF("doc_id", "text", "embedding", "batch")
+    StreamingDecision.readjudicate(docs, "doc_id", "text", Some("embedding"),
+      "batch", store, cents)
+    // the earliest surviving arrival now owns; the later one drops to IT
+    val dec = StreamingDecision.decisions(spark, store)
+      .select("doc_id", "decision", "keeper_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    dec shouldBe Map(11L -> ("keep", 11L), 12L -> ("drop_exact", 11L))
+    // ownership genuinely transferred in the STORE: a fresh arrival of
+    // the same content drops against the new owner
+    val b3 = decide(store, "b3", Seq((13L, textA, oneHot(3))))
+    b3(13L) shouldBe ("drop_exact", 11L)
+    // and the ledger kept its original batch partitions (patched in place)
+    StreamingDecision.decisionsRaw(spark, store)
+      .filter(col("doc_id") === 11L).select("batch")
+      .head().getString(0) shouldBe "b1"
+  }
+
+  it should "heal near/semantic verdicts whose keeper was deleted" in {
+    import spark.implicits._
+    val store = tempDir("dec-retract-near")
+    decide(store, "b0", Seq((20L, textB, oneHot(32))))
+    // 21 near-dups 20's text; 31 semantically matches 20's embedding
+    val b1 = decide(store, "b1",
+      Seq((21L, textBNear, oneHot(40)), (31L, textD, oneHot(32))))
+    b1(21L) shouldBe ("drop_near", 20L)
+    b1(31L) shouldBe ("drop_semantic", 20L)
+    val affected = StreamingDecision.delete(spark, store, Seq(20L).toDF("doc_id"))
+    affected.collect().map(_.getLong(0)).toSet shouldBe Set(21L, 31L)
+    val docs = Seq((21L, textBNear, Some(oneHot(40)), "b1"),
+        (31L, textD, Some(oneHot(32)), "b1"))
+      .toDF("doc_id", "text", "embedding", "batch")
+    StreamingDecision.readjudicate(docs, "doc_id", "text", Some("embedding"),
+      "batch", store, cents)
+    // nothing earlier matches either doc any more — both keep
+    val dec = StreamingDecision.decisions(spark, store)
+      .select("doc_id", "decision", "keeper_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    dec shouldBe Map(21L -> ("keep", 21L), 31L -> ("keep", 31L))
+    // their own stored rows survived the heal: a later near-dup of 21's
+    // text claims 21, a later embedding match claims the smaller
+    // surviving cell member
+    val b2 = decide(store, "b2",
+      Seq((22L, textB.replace("compaction", "cleanup"), oneHot(41)),
+        (32L, textE, oneHot(32))))
+    b2(22L) shouldBe ("drop_near", 21L)
+    b2(32L) shouldBe ("drop_semantic", 31L)
+  }
+
+  it should "let two re-fed docs claim each other in original arrival order" in {
+    import spark.implicits._
+    // 40 (b0) owns; 41 (b1) and a NEAR variant 42 (b2) both drop
+    // against 40. After deleting 40, the re-fed 41 must become the
+    // keeper and the re-fed 42 must drop against 41 — matched through
+    // 41's still-stored band rows plus the ledger's arrival epochs,
+    // never through same-or-later-batch members
+    val store = tempDir("dec-retract-chain")
+    decide(store, "b0", Seq((40L, textC, oneHot(7))))
+    decide(store, "b1", Seq((41L, textC, oneHot(8))))
+    val b2 = decide(store, "b2",
+      Seq((42L, textC.replace("anchor", "safety"), oneHot(9))))
+    b2(42L) shouldBe ("drop_near", 40L)
+    val affected = StreamingDecision.delete(spark, store, Seq(40L).toDF("doc_id"))
+    affected.collect().map(_.getLong(0)).toSet shouldBe Set(41L, 42L)
+    val docs = Seq((41L, textC, Some(oneHot(8)), "b1"),
+        (42L, textC.replace("anchor", "safety"), Some(oneHot(9)), "b2"))
+      .toDF("doc_id", "text", "embedding", "batch")
+    StreamingDecision.readjudicate(docs, "doc_id", "text", Some("embedding"),
+      "batch", store, cents)
+    val dec = StreamingDecision.decisions(spark, store)
+      .select("doc_id", "decision", "keeper_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    dec(41L) shouldBe ("keep", 41L)
+    dec(42L) shouldBe ("drop_near", 41L)
+  }
+
+  it should "heal the persisted cluster state after a retraction" in {
+    import spark.implicits._
+    val store = tempDir("dec-retract-cluster")
+    val cstore = s"$store/clusters"
+    def decideC(key: String, rows: Seq[(Long, String, Seq[Float])]) =
+      StreamingDecision.processBatch(df(rows), "doc_id", "text",
+        Some("embedding"), s"$store/decision", cents, key,
+        clusterPath = Some(cstore))
+    decideC("b0", Seq((50L, textA, oneHot(0))))
+    decideC("b1", Seq((51L, textA, oneHot(1))))
+    decideC("b2", Seq((52L, textA, oneHot(2))))
+    // cluster: {50,51,52} with root 50
+    graft.ext.ComponentStore.components(spark, cstore)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(50L -> 50L, 51L -> 50L, 52L -> 50L)
+    val affected = StreamingDecision.delete(spark, s"$store/decision",
+      Seq(50L).toDF("doc_id"))
+    val docs = Seq((51L, textA, Some(oneHot(1)), "b1"),
+        (52L, textA, Some(oneHot(2)), "b2"))
+      .toDF("doc_id", "text", "embedding", "batch")
+    StreamingDecision.readjudicate(docs, "doc_id", "text", Some("embedding"),
+      "batch", s"$store/decision", cents)
+    StreamingDecision.healCluster(spark, s"$store/decision", cstore,
+      Seq(50L).toDF("doc_id"))
+    affected.count() shouldBe 2L
+    graft.ext.ComponentStore.components(spark, cstore)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(51L -> 51L, 52L -> 51L)
   }
 
   it should "run end to end as a foreachBatch stream" in {
