@@ -1452,6 +1452,14 @@ object ExtQueries {
     BpeTrain.trainMerges(docs(spark, dir).select("text"), "text", BpeSteps)
       .orderBy("step")
 
+  /** The production-scale trainer (driver-side merge loop over the
+    * collected weighted vocab, VERDICT r11 #2) against the SAME DuckDB
+    * replay as `text_bpe_train` — step-for-step arithmetic equality of
+    * the two paths, hash-proven. */
+  def textBpeTrainFast(spark: SparkSession, dir: String): DataFrame =
+    BpeTrain.trainMergesFast(docs(spark, dir).select("text"), "text", BpeSteps)
+      .orderBy("step")
+
   private val textBpeTrainSql = {
     val steps = (1 to BpeSteps).map { i =>
       s"""p$i AS (SELECT cnt, unnest(generate_series(1, len(s) - 1)) AS j, s
@@ -3491,6 +3499,7 @@ object ExtQueries {
     "dedup_semantic_store" -> (dedupSemanticStore(_, _)),
     "text_bpe_tokens" -> (textBpeTokens(_, _)),
     "text_bpe_train" -> (textBpeTrain(_, _)),
+    "text_bpe_train_fast" -> (textBpeTrainFast(_, _)),
     "text_bpe_encode" -> (textBpeEncode(_, _)),
     "text_rolling_hash" -> (textRollingHash(_, _)),
     "source_blob_listing" -> (sourceBlobListing(_, _)),
@@ -3556,6 +3565,7 @@ object ExtQueries {
     "dedup_semantic_store" -> dedupSemanticStoreSql,
     "text_bpe_tokens" -> textBpeTokensSql,
     "text_bpe_train" -> textBpeTrainSql,
+    "text_bpe_train_fast" -> textBpeTrainSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "text_rolling_hash" -> textRollingHashSql,
     "source_blob_listing" -> sourceBlobListingSql,

@@ -48,4 +48,52 @@ class BpeTrainSpec extends AnyFlatSpec with Matchers with SparkFixture {
     got.length should be < 10
     got.last._1 shouldBe got.length.toLong
   }
+
+  behavior of "BpeTrain.trainMergesFast (VERDICT r11 #2)"
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+  it should "equal the per-step engine path on the hand-computed corpus" in {
+    import spark.implicits._
+    val docs = Seq("aaa aaa ab", "ab ab").toDF("text")
+    rows(BpeTrain.trainMergesFast(docs, "text", 4)) shouldBe
+      rows(BpeTrain.trainMerges(docs, "text", 4))
+    // greedy-leftmost + early-stop corpus too
+    val d2 = Seq("abab").toDF("text")
+    rows(BpeTrain.trainMergesFast(d2, "text", 10)) shouldBe
+      rows(BpeTrain.trainMerges(d2, "text", 10))
+  }
+
+  it should "equal the engine path on real documents" in {
+    val docs = graft.queries.QueryKit
+      .table(spark, "/root/testdata/sf0.001", "documents").select("text")
+    rows(BpeTrain.trainMergesFast(docs, "text", 8).orderBy("step")) shouldBe
+      rows(BpeTrain.trainMerges(docs, "text", 8).orderBy("step"))
+  }
+
+  it should "train 1000+ merges in seconds (the realistic-vocab path)" in {
+    import spark.implicits._
+    // the testdata documents' synthetic vocabulary exhausts after ~100
+    // merges; a realistic-vocab demonstration needs a bigger one —
+    // 2,000 distinct pseudo-words (deterministic hex), Zipf-ish weights
+    val docs = (0 until 2000).map { i =>
+      val w = f"${(i * 2654435761L) & 0xffffffffL}%08x"
+      (w + " ") * (i % 7 + 1)
+    }.toDF("text")
+    val t0 = System.nanoTime()
+    val got = rows(BpeTrain.trainMergesFast(docs, "text", 1200))
+    val sec = (System.nanoTime() - t0) / 1e9
+    got.length shouldBe 1200
+    got.map(_._1) shouldBe (1L to 1200L)
+    // every chosen pair had a positive weighted count, and the merge
+    // table never repeats a pair (an applied pair's adjacency count
+    // drops to zero and the adjacency can never re-form)
+    all(got.map(_._4)) should be > 0L
+    got.map(m => (m._2, m._3)).distinct.length shouldBe got.length
+    // the engine form pays one Spark job per step (~0.2 s each ≈ 4 min
+    // here); the collected-vocab loop must land orders of magnitude
+    // below — generous ceiling for a loaded CI box
+    sec should be < 60.0
+  }
 }
