@@ -2436,6 +2436,93 @@ object ExtQueries {
        |FROM em ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // text_html_extract: HTML → text with boilerplate removal (VERDICT
+  // r11 #3) — the first mile a web-scraped corpus runs BEFORE any
+  // other operator in this repo. The corpus is plain text, so both
+  // engines wrap each document in an identical synthetic page:
+  // head (title/style/script), a link-dense nav, a short h1, the
+  // document as one prose paragraph (with planted entities, and an
+  // inline anchor for ids ≡ 0 mod 5 — a long prose block must survive
+  // a small link), a promo div for ids ≡ 0 mod 3, and a footer. The
+  // extractor (TextOps.htmlExtract) drops invisible elements, splits
+  // on block boundaries, strips tags, decodes entities, and keeps
+  // blocks by the length + link-density rule — nav/promo/footer die,
+  // prose survives, and `extracted` round-trips the document text.
+  // Map-only, codegen'd; DuckDB replays the same regex pipeline.
+  // ------------------------------------------------------------------
+
+  private val HtmlMinLen = 40
+
+  private def htmlPage(docId: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("<html><head><title>Doc "), docId,
+      lit("</title><style>p{margin:0}</style><script>var t=\""), docId,
+      lit("\";</script></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/docs\">Docs</a> <a href=\"/blog\">Blog</a></nav>"),
+      lit("<h1>Entry "), docId, lit("</h1>"),
+      lit("<p>Fish &amp; chips &lt;tasty&gt;&nbsp;"), text,
+      when(pmod(docId, lit(5)) === 0,
+        lit(" see <a href=\"/ref\">reference</a>")).otherwise(lit("")),
+      lit("</p>"),
+      when(pmod(docId, lit(3)) === 0,
+        lit("<div><a href=\"/promo\">Click here</a> for <a href=\"/deal\">deals</a> now</div>"))
+        .otherwise(lit("")),
+      lit("<footer>Copyright 2026 <a href=\"/tos\">Terms</a> <a href=\"/privacy\">Privacy</a></footer></body></html>"))
+
+  def textHtmlExtract(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        TextOps.htmlExtract(htmlPage(col("doc_id"), col("text")), HtmlMinLen).as("x"))
+      .select(col("doc_id"), col("x.n_blocks").as("n_blocks"),
+        col("x.n_kept").as("n_kept"), col("x.extracted").as("extracted"))
+      .orderBy("doc_id")
+
+  private val textHtmlExtractSql =
+    s"""WITH pg AS (SELECT doc_id,
+       |    '<html><head><title>Doc ' || doc_id || '</title><style>p{margin:0}</style>' ||
+       |    '<script>var t="' || doc_id || '";</script></head><body>' ||
+       |    '<nav><a href="/">Home</a> <a href="/docs">Docs</a> <a href="/blog">Blog</a></nav>' ||
+       |    '<h1>Entry ' || doc_id || '</h1>' ||
+       |    '<p>Fish &amp; chips &lt;tasty&gt;&nbsp;' || text ||
+       |    CASE WHEN ((doc_id % 5) + 5) % 5 = 0
+       |      THEN ' see <a href="/ref">reference</a>' ELSE '' END ||
+       |    '</p>' ||
+       |    CASE WHEN ((doc_id % 3) + 3) % 3 = 0
+       |      THEN '<div><a href="/promo">Click here</a> for <a href="/deal">deals</a> now</div>'
+       |      ELSE '' END ||
+       |    '<footer>Copyright 2026 <a href="/tos">Terms</a> <a href="/privacy">Privacy</a></footer></body></html>'
+       |      AS html
+       |  FROM documents),
+       |vis AS (SELECT doc_id,
+       |    regexp_replace(regexp_replace(html,
+       |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+       |      '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS html
+       |  FROM pg),
+       |bl AS (SELECT doc_id,
+       |    list_filter(
+       |      list_transform(string_split_regex(html, '</p>|</div>|</nav>|</footer>|</li>|</h[1-6]>|<br[^>]*>'),
+       |        b -> struct_pack(
+       |          t := trim(regexp_replace(
+       |            replace(replace(replace(replace(replace(
+       |              regexp_replace(b, '<[^>]*>', ' ', 'g'),
+       |              '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+       |              '&quot;', '"'), '&amp;', '&'),
+       |            '\\s+', ' ', 'g')),
+       |          lc := coalesce(list_aggregate(list_transform(
+       |            regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1),
+       |            s -> len(s)), 'sum'), 0))),
+       |      s -> len(s.t) > 0) AS blocks
+       |  FROM vis),
+       |kp AS (SELECT doc_id, blocks,
+       |    list_filter(blocks,
+       |      s -> len(s.t) >= $HtmlMinLen AND s.lc * 2 < len(s.t)) AS kept
+       |  FROM bl)
+       |SELECT doc_id, len(blocks)::BIGINT AS n_blocks, len(kept)::BIGINT AS n_kept,
+       |  array_to_string(list_transform(kept, s -> s.t), ' ') AS extracted
+       |FROM kp ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // dedup_substring: exact-substring duplication profile (Lee et al.
   // 2022's suffix-array criterion, Spark-first) — any W-token window
   // shared by ≥2 docs marks an exactly-duplicated run; per doc, the
@@ -3481,6 +3568,7 @@ object ExtQueries {
     "dedup_cluster_incremental" -> (dedupClusterIncremental(_, _)),
     "text_heavy_hitters" -> (textHeavyHitters(_, _)),
     "text_pii_scrub" -> (textPiiScrub(_, _)),
+    "text_html_extract" -> (textHtmlExtract(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     "sim_hard_negatives" -> (simHardNegatives(_, _)),
     "sim_ann_lsh" -> (simAnnLsh(_, _)),
@@ -3547,6 +3635,7 @@ object ExtQueries {
     "dedup_cluster_incremental" -> dedupClusterSql,
     "text_heavy_hitters" -> textHeavyHittersSql,
     "text_pii_scrub" -> textPiiScrubSql,
+    "text_html_extract" -> textHtmlExtractSql,
     "sim_topk" -> simTopKSql,
     "sim_hard_negatives" -> simHardNegativesSql,
     "sim_ann_lsh" -> simAnnLshSql,

@@ -77,4 +77,61 @@ object TextOps {
     * collision ⇒ near-identical shingle sets (winnowing-style). */
   def bottomKFingerprint(shingles: Column, k: Int = 4): Column =
     md5(concat_ws("|", slice(array_sort(transform(array_distinct(shingles), s => md5(s))), 1, k)))
+
+  // ----------------------------------------------------------------
+  // HTML → text extraction (VERDICT r11 #3): the first mile of a
+  // web-scraped training pipeline. Pure regex/higher-order-function
+  // expressions — whole-stage-codegen'd, shuffle-free, and replayable
+  // verbatim in DuckDB (the `text_html_extract` oracle). The density
+  // rule is the classic boilerplate heuristic (Kohlschütter et al.,
+  // "Boilerplate Detection using Shallow Text Features", WSDM 2010):
+  // navigation/footer/promo blocks are short and link-dense, prose is
+  // long and link-sparse.
+  // ----------------------------------------------------------------
+
+  /** Block-level element boundaries the page is split on. */
+  val HtmlBlockSplitRe = "</p>|</div>|</nav>|</footer>|</li>|</h[1-6]>|<br[^>]*>"
+
+  /** Remove invisible content wholesale: script and style elements
+    * contribute code, not text. */
+  def htmlDropInvisible(html: Column): Column =
+    regexp_replace(
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+
+  /** One block's visible text: tags stripped, the common entities
+    * decoded (`&amp;` LAST so `&amp;lt;` decodes once, not twice),
+    * whitespace normalized. */
+  def htmlBlockText(raw: Column): Column = {
+    val noTags = regexp_replace(raw, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&nbsp;" -> " ",
+        "&quot;" -> "\"", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /** Characters of anchor text inside a block — the numerator of the
+    * link-density rule. */
+  def htmlLinkChars(raw: Column): Column =
+    aggregate(regexp_extract_all(raw, lit("<a[^>]*>([^<]*)</a>"), lit(1)),
+      lit(0), (acc, x) => acc + length(x))
+
+  /** Full extraction: page html → struct(n_blocks, n_kept, extracted).
+    * Blocks with no visible text are not counted; a block is KEPT when
+    * it is long enough (`minLen`) and its link density is below 1/2.
+    * Composes ahead of the corpus-clean/dedup pipeline: run this on
+    * scraped pages, then feed `extracted` where those operators take
+    * `text`. */
+  def htmlExtract(html: Column, minLen: Int = 40): Column = {
+    val blocks = filter(
+      transform(split(htmlDropInvisible(html), HtmlBlockSplitRe),
+        b => struct(htmlBlockText(b).as("t"), htmlLinkChars(b).as("lc"))),
+      s => length(s("t")) > 0)
+    val kept = filter(blocks,
+      s => length(s("t")) >= minLen && s("lc") * 2 < length(s("t")))
+    struct(
+      size(blocks).cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(transform(kept, s => s("t")), " ").as("extracted"))
+  }
 }
