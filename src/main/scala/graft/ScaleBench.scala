@@ -283,6 +283,23 @@ object ScaleBench {
       System.err.println(f"[scale] $label/semantic_store train=${trSec}%.2fs dedup=${secSS}%.2fs")
       sb.append(s""","semantic_store_scaled":{"n":$nVec,"k":$kSem,""" +
         s""""trainSec":${f"$trSec%.3f"},"dedupSec":${f"$secSS%.3f"},"shuffleWrite":$swSS}""")
+      // Hard-negative mining through the SAME persisted index (VERDICT
+      // r11 #5): probe-cells → label-filter → exact-rerank. With k ∝ n
+      // cells the probed membership per query is ~flat, so the row's
+      // slope must stay flat in corpus size — the composed form's
+      // at-scale claim, measured.
+      val embLbl = embDf.select(col("vec_id"), col("embedding"), col("label"))
+      tally.reset()
+      val t0hn = System.nanoTime()
+      graft.ext.VectorIndex.hardNegatives(
+          embLbl.filter(col("vec_id") < 10), embLbl, semIdxDir,
+          "vec_id", "embedding", "label", k = 5, nProbe = 2)
+        .write.format("noop").mode("overwrite").save()
+      val secHN = (System.nanoTime() - t0hn) / 1e9
+      val (_, swHN, _) = tally.settled()
+      System.err.println(f"[scale] $label/hard_negatives sec=$secHN%.2f")
+      sb.append(s""","hard_negatives_scaled":{"n":$nVec,"k":$kSem,""" +
+        s""""shuffleWrite":$swHN,"sec":${f"$secHN%.3f"}}""")
       graft.ext.SignatureStore.deleteStore(java.nio.file.Paths.get(semIdxDir))
       // Steady-state decision surface (VERDICT r10 #6): the stores are
       // seeded with 3 of the 5 corpus slices (decisionSteadyPrepare

@@ -1097,10 +1097,12 @@ object ExtQueries {
   // ("hard negatives": near in embedding space, wrong class — the
   // pairs that carry gradient when training embedding models). The
   // label predicate rides the candidate row, so it composes with every
-  // ANN tier unchanged: at 100 TB run it through the IVF index
-  // (probe cells, filter label, rerank) exactly as sim_topk scales to
-  // sim_ivfpq; here the oracle-scale form is the label-filtered exact
-  // cosine with the broadcast anchor side.
+  // ANN tier unchanged — the composed production form EXISTS and is
+  // oracled one query over (sim_hard_negatives_store:
+  // VectorIndex.hardNegatives, probe cells → filter label → exact
+  // rerank); here the oracle-scale form is the label-filtered exact
+  // cosine with the broadcast anchor side (the exact answer an ANN
+  // recall measurement needs).
   // ------------------------------------------------------------------
 
   def simHardNegatives(spark: SparkSession, dir: String): DataFrame = {
@@ -1132,6 +1134,48 @@ object ExtQueries {
        |    cast(round($DotSql / (q.nrm * n.nrm) * 10000) AS BIGINT) AS score_e4
        |  FROM e q JOIN e n ON n.vec_id != q.vec_id AND n.label != q.label
        |  WHERE q.vec_id < 10),
+       |r AS (SELECT query_id, neighbor_id, neighbor_label, score_e4,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score_e4 DESC, neighbor_id) AS rnk
+       |  FROM p)
+       |SELECT query_id, neighbor_id, neighbor_label, score_e4, rnk
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  // ------------------------------------------------------------------
+  // sim_hard_negatives_store: the COMPOSED production form (VERDICT
+  // r11 #5) — probe-cells → label-filter → exact-rerank over the
+  // persisted VectorIndex, the label predicate riding the candidate
+  // row. Candidates come from the probed cells' code files (partition
+  // pruned); the corpus is touched by ONE broadcast-hash-pruned scan
+  // that attaches label + rerank embedding to each candidate — no
+  // corpus-sided nested loop anywhere (PlanAuditSpec pins the plan).
+  // The oracle replays the same composition: IvfCtes' deterministic
+  // quantizer probes 2 cells per query, candidates label-filter, and
+  // the exact-cosine rerank ranks them — approximate to FIND, exact
+  // to RANK, verified end to end.
+  // ------------------------------------------------------------------
+
+  def simHardNegativesStore(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "embedding", "label")
+    VectorIndex.hardNegatives(e.filter(col("vec_id") < 10), e,
+        vindexFor(spark, dir), "vec_id", "embedding", "label",
+        k = 5, nProbe = 2)
+      .orderBy("query_id", "rnk")
+  }
+
+  // lazy: IvfCtes is declared further down the file (val-init order)
+  private lazy val simHardNegativesStoreSql =
+    s"""WITH $IvfCtes,
+       |el AS (SELECT vec_id, label FROM embeddings),
+       |cand AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+       |  FROM qsg q JOIN asg n ON n.cell = q.cell AND n.vec_id != q.vec_id),
+       |p AS (SELECT c.query_id, c.neighbor_id, nl.label AS neighbor_label,
+       |    cast(round($DotSql / (q.nrm * n.nrm) * 10000) AS BIGINT) AS score_e4
+       |  FROM cand c
+       |  JOIN e q ON q.vec_id = c.query_id
+       |  JOIN e n ON n.vec_id = c.neighbor_id
+       |  JOIN el ql ON ql.vec_id = c.query_id
+       |  JOIN el nl ON nl.vec_id = c.neighbor_id
+       |  WHERE ql.label != nl.label),
        |r AS (SELECT query_id, neighbor_id, neighbor_label, score_e4,
        |    row_number() OVER (PARTITION BY query_id ORDER BY score_e4 DESC, neighbor_id) AS rnk
        |  FROM p)
@@ -3612,6 +3656,7 @@ object ExtQueries {
     "text_html_extract" -> (textHtmlExtract(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     "sim_hard_negatives" -> (simHardNegatives(_, _)),
+    "sim_hard_negatives_store" -> (simHardNegativesStore(_, _)),
     "sim_ann_lsh" -> (simAnnLsh(_, _)),
     "sim_ivf" -> (simIvf(_, _)),
     "sim_pq" -> (simPq(_, _)),
@@ -3680,6 +3725,7 @@ object ExtQueries {
     "text_html_extract" -> textHtmlExtractSql,
     "sim_topk" -> simTopKSql,
     "sim_hard_negatives" -> simHardNegativesSql,
+    "sim_hard_negatives_store" -> simHardNegativesStoreSql,
     "sim_ann_lsh" -> simAnnLshSql,
     "sim_ivf" -> simIvfSql,
     "sim_pq" -> simPqSql,

@@ -411,6 +411,65 @@ object VectorIndex {
       .filter(col("rnk") <= k)
   }
 
+  /** HARD-NEGATIVE MINING at scale (VERDICT r11 #5): top-k most
+    * similar corpus vectors with a DIFFERENT label per query —
+    * probe-cells → label-filter → exact-rerank over the persisted
+    * index, the production replacement for the oracle-scale
+    * BroadcastNestedLoopJoin form ([[graft.ext.ExtQueries]]'
+    * `sim_hard_negatives`):
+    *
+    *  - queries coarse-assign against the stored centroids and the
+    *    probed cells' code FILES are the only index bytes read
+    *    ([[topK]]'s partition pruning);
+    *  - the label and the exact-rerank embedding RIDE THE CANDIDATE
+    *    ROW: one broadcast-hash join of the bounded candidate id set
+    *    against the corpus frame (a single candidate-pruned scan —
+    *    never a corpus-sided nested-loop, never an embedding shuffle),
+    *    so the label predicate composes with any ANN tier;
+    *  - scoring is EXACT cosine over the candidates (the rerank
+    *    discipline: approximate to find, exact to rank).
+    *
+    * Same recall envelope as [[topK]] (nProbe governs the cell-capture
+    * ceiling — raise it first). Output: (query_id, neighbor_id,
+    * neighbor_label, score_e4, rnk), oracle-pinned by
+    * `sim_hard_negatives_store` against a DuckDB replay of the same
+    * probe → filter → rerank composition. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, path: String,
+      idCol: String, embCol: String, labelCol: String,
+      k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val cents = coarse(spark, path, embCol)
+      .select(col("vi_cid").as(idCol), col(embCol))
+    val q = Similarity.assignCellsN(queries, cents, idCol, embCol, nProbe)
+      .select(col(idCol).as("query_id"), col("cell").as("qcell"))
+    val probed = q.select("qcell").distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val stored = spark.read.parquet(s"$path/codes/data")
+      .filter(col("cell").isin(probed: _*))
+    val cand = q.join(
+        stored.select(col("neighbor_id"), col("cell")).distinct(),
+        col("qcell") === col("cell") && col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val nside = corpus.select(col(idCol).as("neighbor_id"),
+        col(embCol).as("nemb"), col(labelCol).as("neighbor_label"))
+      .withColumn("nnrm", Similarity.l2Norm("nemb"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+    val qside = queries.select(col(idCol).as("query_id"),
+        col(embCol).as("qemb"), col(labelCol).as("qlab"))
+      .withColumn("qnrm", Similarity.l2Norm("qemb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_e4").desc, col("neighbor_id").asc)
+    nside.join(broadcast(qside), Seq("query_id"))
+      .filter(col("qlab") =!= col("neighbor_label"))
+      .withColumn("score_e4",
+        round(expr("graft_vector_dot(qemb, nemb)") / (col("qnrm") * col("nnrm"))
+          * 10000).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "neighbor_label", "score_e4", "rnk")
+  }
+
   /** Streaming INGEST into the persisted index: one idempotent
     * [[append]] per micro-batch, keyed by the stream's batch id — the
     * exactly-once composition the commit-marker discipline was built

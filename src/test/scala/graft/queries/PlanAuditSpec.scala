@@ -84,6 +84,37 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
     plan("sim_topk") should include("BroadcastNestedLoopJoin")
   }
 
+  it should "mine hard negatives through the index with no corpus-sided nested loop (VERDICT r11 #5)" in {
+    // the composed production form (unlike the oracle-scale
+    // sim_hard_negatives, whose corpus-sided BroadcastNestedLoopJoin
+    // is exactly what this replaces): candidates come from the probed
+    // cells' code files, and the corpus is touched only by a
+    // broadcast-hash-pruned scan that attaches label + rerank
+    // embedding to each candidate. The ONLY nested loop allowed is the
+    // query-side centroid assignment, whose build side is the index's
+    // metadata-sized coarse/ table — never a corpus scan.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val planTree = graft.SparkEntry.queries("sim_hard_negatives_store")(spark, dir)
+      .queryExecution.executedPlan
+    val p = planTree.toString
+    p should not include "CartesianProduct"
+    p should include("BroadcastHashJoin")
+    // the code-store read prunes to the probed cells at the file level
+    "PartitionFilters: \\[cell#\\d+ IN".r.findFirstIn(p) should not be empty
+    planTree.collect { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+      val build = if (j.buildSide.toString.contains("Right")) j.right else j.left
+      val corpusScans = build.collect {
+        case s: FileSourceScanExec
+            if s.toString.contains("embeddings.parquet") ||
+              s.toString.contains("documents.parquet") => s
+      }
+      withClue("nested-loop build side scans corpus: ") {
+        corpusScans shouldBe empty
+      }
+    }
+  }
+
   it should "scan the documents table at most twice in the corpus-clean pipeline" in {
     // VERDICT r2 #2: the quality gate, MinHash signatures and exact
     // verify must share ONE tokenized/shingled intermediate. The shared
