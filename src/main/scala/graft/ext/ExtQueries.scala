@@ -2521,6 +2521,120 @@ object ExtQueries {
        |FROM em ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // text_lm_score: N-GRAM LM QUALITY SCORING (VERDICT r11 #6) — the
+  // perplexity-style quality filter: train bigram counts on the corpus
+  // (one groupBy over exploded bigrams — the text_cooccurrence
+  // machinery, linear at any scale), then score every document (plus a
+  // planted-gibberish clone set: ids ≡ 0 mod 29 re-appear at +5000000
+  // with their text REVERSED — mostly-OOV vocabulary both engines
+  // construct identically) by its tokens' smoothed bigram
+  // improbability.
+  //
+  // The model is Jelinek-Mercer interpolation: p(b|a) = 0.9·c/cpn +
+  // 0.1·(cu(b)+1)/(N+V) — the unigram backoff makes an OOV token's
+  // improbability scale with the CORPUS size (N), not the vocabulary
+  // alone (pure Laplace floors at V, which a small-vocab corpus makes
+  // uselessly low).
+  //
+  // Fixed-point discipline: the per-token statistic is the INVERSE
+  // interpolated probability, e6-rounded per term — every operation
+  // in it (integer-cast divisions, two literal scalings, one add) is
+  // an IEEE-correctly-rounded primitive evaluated in the identical
+  // expression tree by Spark and DuckDB, so the doubles match BIT FOR
+  // BIT. A raw ln() would hash-diverge across libm implementations
+  // (ln is not a correctly-rounded IEEE primitive), so the oracle-able
+  // form keeps the monotone pre-log statistic: mean inverse
+  // probability ranks gibberish above prose exactly like mean
+  // log-inverse (perplexity) does, and a consumer wanting nats applies
+  // ln outside the oracle boundary. Scoring is a linear join of doc
+  // bigrams against the count tables (shuffle on the bigram key; no
+  // pair blowup, no collect anywhere).
+  // ------------------------------------------------------------------
+
+  private val LmGibberishMod = 29
+  private val LmGibberishOffset = 5000000L
+
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    def bigrams(src: DataFrame): DataFrame = src
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+    val trainBig = bigrams(d)
+    val cb = trainBig.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val cp = trainBig.groupBy("a").agg(count(lit(1)).as("cpn"))
+    val toks = d.select(explode(TextOps.tokens(col("text"))).as("t"))
+    val u = toks.groupBy("t").agg(count(lit(1)).as("cu"))
+      .withColumnRenamed("t", "b")
+    val v = toks.agg(countDistinct(col("t")).as("vn"),
+      count(lit(1)).as("nn"))
+    val scoreDocs = d.unionAll(
+      d.filter(pmod(col("doc_id"), lit(LmGibberishMod)) === 0)
+        .select((col("doc_id") + LmGibberishOffset).as("doc_id"),
+          reverse(col("text")).as("text")))
+    bigrams(scoreDocs)
+      .join(cb, Seq("a", "b"), "left")
+      .join(cp, Seq("a"), "left")
+      .join(u, Seq("b"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("pb",
+        when(col("c").isNotNull,
+          col("c").cast("double") / col("cpn").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("pu",
+        (coalesce(col("cu"), lit(0L)) + lit(1L)).cast("double")
+          / (col("nn") + col("vn")).cast("double"))
+      .withColumn("term",
+        round(lit(1000000.0) / (lit(0.9) * col("pb") + lit(0.1) * col("pu")))
+          .cast("long"))
+      .withColumn("oov", when(col("c").isNull, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("oov")).as("oov_bigrams"),
+        expr("sum(term) DIV count(1)").as("mean_surprise_e6"))
+      .orderBy("doc_id")
+  }
+
+  private val textLmScoreSql =
+    s"""WITH $TokCte,
+       |big AS (SELECT doc_id, toks[j] AS a, toks[j + 1] AS b
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS j
+       |    FROM tok WHERE len(toks) >= 2)),
+       |cb AS (SELECT a, b, count(*)::BIGINT AS c FROM big GROUP BY a, b),
+       |cp AS (SELECT a, count(*)::BIGINT AS cpn FROM big GROUP BY a),
+       |u AS (SELECT x AS t, count(*)::BIGINT AS cu
+       |  FROM (SELECT unnest(toks) AS x FROM tok) GROUP BY x),
+       |v AS (SELECT count(DISTINCT x)::BIGINT AS vn, count(*)::BIGINT AS nn
+       |  FROM (SELECT unnest(toks) AS x FROM tok)),
+       |sd AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $LmGibberishOffset, reverse(text)
+       |  FROM documents
+       |  WHERE ((doc_id % $LmGibberishMod) + $LmGibberishMod) % $LmGibberishMod = 0),
+       |st AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+       |    '[^a-z0-9]+'), x -> x <> '') AS toks FROM sd),
+       |sbig AS (SELECT doc_id, toks[j] AS a, toks[j + 1] AS b
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS j
+       |    FROM st WHERE len(toks) >= 2)),
+       |t AS (SELECT s.doc_id,
+       |    cast(round(1000000.0 / (0.9 *
+       |      (CASE WHEN cb.c IS NOT NULL
+       |            THEN cb.c::DOUBLE / cp.cpn::DOUBLE ELSE 0.0 END)
+       |      + 0.1 * ((coalesce(u.cu, 0) + 1)::DOUBLE / (v.nn + v.vn)::DOUBLE)))
+       |      AS BIGINT) AS term,
+       |    CASE WHEN cb.c IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM sbig s
+       |  LEFT JOIN cb ON cb.a = s.a AND cb.b = s.b
+       |  LEFT JOIN cp ON cp.a = s.a
+       |  LEFT JOIN u ON u.t = s.b
+       |  CROSS JOIN v)
+       |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |  sum(oov)::BIGINT AS oov_bigrams,
+       |  (sum(term)::BIGINT // count(*))::BIGINT AS mean_surprise_e6
+       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // text_html_extract: HTML → text with boilerplate removal (VERDICT
   // r11 #3) — the first mile a web-scraped corpus runs BEFORE any
   // other operator in this repo. The corpus is plain text, so both
@@ -3654,6 +3768,7 @@ object ExtQueries {
     "text_heavy_hitters" -> (textHeavyHitters(_, _)),
     "text_pii_scrub" -> (textPiiScrub(_, _)),
     "text_html_extract" -> (textHtmlExtract(_, _)),
+    "text_lm_score" -> (textLmScore(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     "sim_hard_negatives" -> (simHardNegatives(_, _)),
     "sim_hard_negatives_store" -> (simHardNegativesStore(_, _)),
@@ -3723,6 +3838,7 @@ object ExtQueries {
     "text_heavy_hitters" -> textHeavyHittersSql,
     "text_pii_scrub" -> textPiiScrubSql,
     "text_html_extract" -> textHtmlExtractSql,
+    "text_lm_score" -> textLmScoreSql,
     "sim_topk" -> simTopKSql,
     "sim_hard_negatives" -> simHardNegativesSql,
     "sim_hard_negatives_store" -> simHardNegativesStoreSql,

@@ -578,6 +578,31 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     out(1).isNullAt(2) shouldBe true
   }
 
+  behavior of "ExtQueries.textLmScore (VERDICT r11 #6)"
+
+  it should "score planted gibberish far above in-distribution prose" in {
+    // the query trains the bigram LM on the documents table and scores
+    // every doc PLUS reversed-text clones (ids + 5000000): reversed
+    // words are mostly-OOV vocabulary, so the clones must carry OOV
+    // bigrams and a much higher mean inverse probability, while
+    // in-corpus docs (their own training data) have zero OOV bigrams
+    val out = ExtQueries.queries("text_lm_score")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (gib, clean) = out.partition(_._1 >= 5000000L)
+    gib should not be empty
+    clean should not be empty
+    all(clean.map(_._3)) shouldBe 0L // every training bigram is known
+    // gibberish is mostly unseen: every clone has OOV bigrams, and the
+    // WORST-scoring clone still beats the BEST-scoring clean doc
+    all(gib.map(_._3)) should be > 0L
+    gib.map(_._4).min should be > clean.map(_._4).max
+    // the separation is large, not marginal — an order of magnitude
+    // between the means is what makes this a usable quality filter
+    val cleanMean = clean.map(_._4).sum / clean.length
+    val gibMean = gib.map(_._4).sum / gib.length
+    gibMean should be > cleanMean * 10
+  }
+
   behavior of "Dedup.connectedComponents"
 
   private def components(pairs: (Long, Long)*): Map[Long, Long] = {
