@@ -143,6 +143,9 @@ object ComponentStore {
     val fs = StoreMeta.fs(spark, path)
     val marker = new Path(s"$path/_commits/$batchKey")
     if (fs.exists(marker)) return
+    // single-writer contract: merges rewrite bucket partitions in
+    // place — see StoreMeta.withWriterLease
+    StoreMeta.withWriterLease(spark, path, "merge") {
 
     val e = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
@@ -191,6 +194,7 @@ object ComponentStore {
 
     fs.mkdirs(new Path(s"$path/_commits"))
     fs.create(marker, true).close()
+    }
   }
 
   /** The resolved component view — (id, comp) with comp = the min id
@@ -255,6 +259,7 @@ object ComponentStore {
   def delete(docIds: DataFrame, idColumn: String, survivingPairs: DataFrame,
       aCol: String, bCol: String, path: String): Long = {
     val spark = docIds.sparkSession
+    StoreMeta.withWriterLease(spark, path, "delete") {
     val b = buckets(spark, path)
     val store = parents(spark, path)
     val del = ckpt(docIds.select(col(idColumn).cast("long").as("id")).distinct())
@@ -344,6 +349,7 @@ object ComponentStore {
     }
     del.write.mode("append").parquet(s"$path/tombstones")
     del.count()
+    }
   }
 
   /** Ids ever retracted from this forest — [[delete]]'s audit trail. */
@@ -377,14 +383,15 @@ object ComponentStore {
   /** Maintenance: path-compress every parent pointer to its root (one
     * corpus-wide job), restoring single-hop [[resolve]] lookups. Run
     * on the [[SignatureStore.maybeCompact]] cadence. */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val b = buckets(spark, path)
-    val resolved = ckpt(components(spark, path)
-      .select(col("id"), col("comp").as("parent"))
-      .withColumn("bkt", bktOf(col("id"), b)))
-    if (!resolved.isEmpty)
-      resolved.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bkt").parquet(s"$path/parents")
-  }
+  def compact(spark: SparkSession, path: String): Unit =
+    StoreMeta.withWriterLease(spark, path, "compact") {
+      val b = buckets(spark, path)
+      val resolved = ckpt(components(spark, path)
+        .select(col("id"), col("comp").as("parent"))
+        .withColumn("bkt", bktOf(col("id"), b)))
+      if (!resolved.isEmpty)
+        resolved.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bkt").parquet(s"$path/parents")
+    }
 }

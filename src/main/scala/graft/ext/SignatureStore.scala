@@ -189,6 +189,9 @@ object SignatureStore {
     * Returns the number of distinct ids tombstoned. */
   def delete(docIds: DataFrame, idColumn: String, path: String): Long = {
     val spark = docIds.sparkSession
+    // single-writer contract for partition-rewriting passes — see
+    // StoreMeta.withWriterLease (appends stay lock-free)
+    StoreMeta.withWriterLease(spark, path, "delete") {
     val b = buckets(spark, path)
     val ids = docIds.select(col(idColumn).cast("long").as("doc_id")).distinct()
       .withColumn("bkt", bktCol(col("doc_id"), b))
@@ -212,6 +215,7 @@ object SignatureStore {
       ids.select("doc_id").write.mode("append").parquet(s"$path/tombstones")
       ids.count()
     } finally { ids.unpersist(); () }
+    }
   }
 
   /** Ids ever retracted from this store — the audit trail [[delete]]

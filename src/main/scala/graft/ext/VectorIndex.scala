@@ -296,6 +296,9 @@ object VectorIndex {
     * count tombstoned. */
   def delete(docIds: DataFrame, idColumn: String, path: String): Long = {
     val spark = docIds.sparkSession
+    // single-writer contract for partition-rewriting passes — see
+    // StoreMeta.withWriterLease (appends stay lock-free)
+    StoreMeta.withWriterLease(spark, path, "delete") {
     val ids = docIds.select(col(idColumn).cast("long").as("neighbor_id"))
       .distinct().persist()
     try {
@@ -318,6 +321,7 @@ object VectorIndex {
         .write.mode("append").parquet(s"$path/tombstones")
       ids.count()
     } finally { ids.unpersist(); () }
+    }
   }
 
   /** Ids ever retracted from this index — [[delete]]'s audit trail. */

@@ -189,6 +189,9 @@ object StreamingDecision {
     * staging discipline). Deleted ids land in `tombstones/`. */
   def delete(spark: SparkSession, path: String, docIds: DataFrame,
       idColumn: String = "doc_id"): DataFrame = {
+    // single-writer contract for partition-rewriting passes — see
+    // StoreMeta.withWriterLease
+    StoreMeta.withWriterLease(spark, path, "delete") {
     val b = buckets(spark, path)
     val ids = docIds.select(col(idColumn).cast("long").as("doc_id")).distinct()
       .localCheckpoint(true)
@@ -245,6 +248,7 @@ object StreamingDecision {
     }
     ids.write.mode("append").parquet(s"$path/tombstones")
     affected
+    }
   }
 
   /** Ids ever retracted from this store — [[delete]]'s audit trail. */
@@ -288,8 +292,9 @@ object StreamingDecision {
     val in = docs.select(baseCols: _*).dropDuplicates("doc_id").persist()
     try {
       if (in.isEmpty)
-        return in.select("doc_id").withColumn("decision", lit(""))
+        in.select("doc_id").withColumn("decision", lit(""))
           .withColumn("keeper_id", col("doc_id")).withColumn("batch", lit(""))
+      else StoreMeta.withWriterLease(spark, path, "readjudicate") {
       // first-arrival epoch per ledger doc — the member-ordering map
       val ledgerEp = decisionsRaw(spark, path)
         .select(col("doc_id").as("m_id"), epochOf(col("batch")).as("m_ep"))
@@ -401,6 +406,7 @@ object StreamingDecision {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch").parquet(s"$path/decisions")
       dec.select("doc_id", "decision", "keeper_id", "batch")
+      }
     } finally { in.unpersist(); () }
   }
 

@@ -157,6 +157,40 @@ class ComponentStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
     stored(store) shouldBe full(allPairs ++ Seq((100L, 101L)))
   }
 
+  behavior of "ComponentStore single-writer lease (VERDICT r11 #7)"
+
+  it should "refuse a second concurrent maintenance writer and recover a stale lease" in {
+    import spark.implicits._
+    val store = tempDir("graft-cs-lease")
+    ComponentStore.merge(pairsDf(batch0), "a", "b", store, "b0")
+    // another writer holds the lease (fresh timestamp, long TTL):
+    // merge, compact, and delete must all REFUSE rather than interleave
+    // partition rewrites
+    StoreMeta.writeJson(spark, store, "_lease/writer.json",
+      s"""{"owner":"other","acquiredAt":${System.currentTimeMillis()},"ttl":600000}""",
+      overwrite = false) shouldBe true
+    intercept[IllegalStateException] {
+      ComponentStore.merge(pairsDf(batch1), "a", "b", store, "b1")
+    }.getMessage should include("single-writer")
+    intercept[IllegalStateException] { ComponentStore.compact(spark, store) }
+    intercept[IllegalStateException] {
+      ComponentStore.delete(Seq(1L).toDF("x"), "x", pairsDf(Nil), "a", "b", store)
+    }
+    // the refused merge committed nothing
+    ComponentStore.committedBatches(spark, store) shouldBe Seq("b0")
+    stored(store) shouldBe full(batch0)
+    // a STALE lease (crashed holder, TTL long past) is broken and the
+    // pass proceeds; afterwards the lease is released again
+    StoreMeta.fs(spark, store)
+      .delete(new Path(s"$store/_lease/writer.json"), false)
+    StoreMeta.writeJson(spark, store, "_lease/writer.json",
+      """{"owner":"dead","acquiredAt":1000,"ttl":5}""", overwrite = false)
+    ComponentStore.merge(pairsDf(batch1), "a", "b", store, "b1")
+    stored(store) shouldBe full(batch0 ++ batch1)
+    StoreMeta.fs(spark, store)
+      .exists(new Path(s"$store/_lease/writer.json")) shouldBe false
+  }
+
   behavior of "ComponentStore retraction (VERDICT r11 #1)"
 
   it should "delete ids and rebuild the touched components to match a recompute" in {
