@@ -285,7 +285,8 @@ object Bench {
       "streaming_exact_ttl_golden", "streaming_semantic_golden",
       "streaming_semantic_ttl_golden", "streaming_ttl_golden",
       "streaming_decision_golden", "streaming_decision_cluster",
-      "streaming_decontam_golden", "dedup_retraction")
+      "streaming_decontam_golden", "dedup_retraction",
+      "dedup_retraction_cluster")
     val engineRows = withStreaming.filterNot { case (k, _) => HarnessRows(k) }
     val harnessRows = withStreaming.filter { case (k, _) => HarnessRows(k) }
     val sentinelJson = {

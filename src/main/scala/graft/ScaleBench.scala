@@ -95,7 +95,11 @@ object ScaleBench {
     // round 11
     "dedup_cluster_incremental", "streaming_decision_golden",
     "streaming_decontam_golden", "sim_ivfpq_residual", "multimodal_decode",
-    "streaming_decision_cluster", "text_bpe_train", "text_bpe_encode", "sim_hard_negatives")
+    "streaming_decision_cluster", "text_bpe_train", "text_bpe_encode", "sim_hard_negatives",
+    // round 12
+    "dedup_retraction", "dedup_retraction_cluster", "text_bpe_train_fast",
+    "text_html_extract", "multimodal_decode_jpeg", "sim_hard_negatives_store",
+    "text_lm_score")
 
   /** Queries whose first call per corpus dir pays a one-time persisted
     * store/index build (cached thereafter) — warmed before measuring. */
@@ -105,7 +109,10 @@ object ScaleBench {
       "streaming_exact_ttl_golden", "streaming_semantic_golden",
       "streaming_semantic_ttl_golden", "dedup_cluster_incremental",
       "streaming_decision_golden", "streaming_decontam_golden",
-      "streaming_decision_cluster", "text_bpe_train", "text_bpe_encode", "sim_hard_negatives")
+      "streaming_decision_cluster", "text_bpe_train", "text_bpe_encode", "sim_hard_negatives",
+      // round 12: retraction copies+heals a cached base store per call;
+      // the store-backed warm pass keeps the one-time build out of the row
+      "dedup_retraction", "dedup_retraction_cluster", "sim_hard_negatives_store")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)

@@ -3551,9 +3551,12 @@ object ExtQueries {
               org.apache.spark.sql.types.FloatType))))
         val src = s2.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(streamDir)
+        // cluster state rides the base run too, so the cluster-heal
+        // composition (dedup_retraction_cluster) shares this one build
         val q = graft.streaming.StreamingDecision.run(src, "doc_id", "text",
           Some("embedding"), store.toString, cents,
-          maxBucket = RetractCap.toInt, maxCell = RetractCap.toInt)
+          maxBucket = RetractCap.toInt, maxCell = RetractCap.toInt,
+          clusterPath = Some(s"$store/clusters"))
         try { q.processAllAvailable() } finally q.stop()
         store.toString
       })
@@ -3592,6 +3595,62 @@ object ExtQueries {
          "((doc_id % 13) + 13) % 13 <> 0",
          "((vec_id % 13) + 13) % 13 <> 0", RetractCap, RetractCap)}
        |SELECT doc_id, decision, keeper_id FROM dec ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // dedup_retraction_cluster: the FULL takedown composition through the
+  // persisted union-find state — stream builds decisions + cluster
+  // forest, delete() purges the doc set, readjudicate() heals the
+  // ledger, healCluster() tombstones the deleted ids and rebuilds ONLY
+  // the touched components (with pair-closure over re-adjudication
+  // links that bridge into untouched components). The oracle computes
+  // true connected components over the FROM-SCRATCH minus-D drop pairs
+  // with a recursive CTE — algorithm-independent ground truth, so the
+  // whole chain (delete → heal → incremental rebuild) is hash-proven
+  // equal to a world that never ingested the deleted docs.
+  // ------------------------------------------------------------------
+
+  def dedupRetractionCluster(spark: SparkSession, dir: String): DataFrame = {
+    val base = retractionBaseStore(spark, dir)
+    val streamDir = goldenDecStreamDir(spark, dir)
+    val cents = VectorIndex.coarse(spark, vindexFor(spark, dir), "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val work = java.nio.file.Files.createTempDirectory("graft-retract-cl")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(base), work.toFile)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val corpus = s2.read.parquet(streamDir)
+    val del = corpus.filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id")
+    val affected = graft.streaming.StreamingDecision.delete(
+      s2, work.toString, del)
+    val refed = affected.join(corpus, Seq("doc_id"))
+    graft.streaming.StreamingDecision.readjudicate(refed, "doc_id", "text",
+      Some("embedding"), "batch", work.toString, cents)
+    graft.streaming.StreamingDecision.healCluster(s2, work.toString,
+      s"$work/clusters", del)
+    val res = ComponentStore.components(s2, s"$work/clusters")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy("doc_id")
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
+    SignatureStore.deleteStore(work)
+    out.orderBy("doc_id")
+  }
+
+  private val dedupRetractionClusterSql =
+    s"""WITH RECURSIVE ${decisionVerdictCtesWith(
+         "((doc_id % 13) + 13) % 13 <> 0",
+         "((vec_id % 13) + 13) % 13 <> 0", RetractCap, RetractCap)},
+       |dp AS (SELECT doc_id, keeper_id FROM dec WHERE decision <> 'keep'),
+       |edges AS (SELECT doc_id AS s, keeper_id AS d FROM dp
+       |  UNION ALL SELECT keeper_id, doc_id FROM dp),
+       |nodes AS (SELECT DISTINCT s AS n FROM edges),
+       |reach(n, m) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
+       |comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+       |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // Steady-state decision bench support (VERDICT r10 #6): the
@@ -3757,6 +3816,7 @@ object ExtQueries {
     "streaming_decision_golden" -> (streamingDecisionGolden(_, _)),
     "streaming_decision_cluster" -> (streamingDecisionCluster(_, _)),
     "dedup_retraction" -> (dedupRetraction(_, _)),
+    "dedup_retraction_cluster" -> (dedupRetractionCluster(_, _)),
     "streaming_decontam_golden" -> (streamingDecontamGolden(_, _)),
     "dedup_substring" -> (dedupSubstring(_, _)),
     "pipeline_dedup_apply" -> (pipelineDedupApply(_, _)),
@@ -3827,6 +3887,7 @@ object ExtQueries {
     "streaming_decision_golden" -> streamingDecisionGoldenSql,
     "streaming_decision_cluster" -> streamingDecisionClusterSql,
     "dedup_retraction" -> dedupRetractionSql,
+    "dedup_retraction_cluster" -> dedupRetractionClusterSql,
     "streaming_decontam_golden" -> pipelineDecontaminateSql,
     "dedup_substring" -> dedupSubstringSql,
     "pipeline_dedup_apply" -> pipelineDedupApplySql,
