@@ -50,6 +50,11 @@ import graft.sinks.ArcaneLayout
   *    [[graft.ext.VectorIndex]] centroids, passed in as metadata)
   *    admitted in an earlier batch. Keeper = smallest matching id.
   *  - '''keep''' otherwise; keeper_id = doc_id.
+  *  - '''drop_tombstone''' (round 12, precedence above all tiers): the
+  *    id was RETRACTED by [[delete]] and re-arrived — rejected by
+  *    policy, admitted nowhere, keeper_id = itself (there is no
+  *    matched member). Id-scoped; disable via
+  *    `enforceTombstones = false` on [[processBatch]].
   *
   * Precedence is exact > near > semantic — the order a pipeline runs
   * the checks (hash compare < text Jaccard < embedding cosine), same
@@ -437,7 +442,8 @@ object StreamingDecision {
       minScoreE4: Long = 3000L, maxCell: Int = 64,
       k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3, shingleN: Int = 3,
       nBuckets: Int = 16, clusterPath: Option[String] = None,
-      clusterCompactEvery: Int = 64): DataFrame = {
+      clusterCompactEvery: Int = 64,
+      enforceTombstones: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     def phase[A](label: String)(f: => A): A =
       if (sys.props.contains("graft.timing") || sys.env.contains("GRAFT_TIMING")) {
@@ -453,7 +459,27 @@ object StreamingDecision {
       col(textCol).as("text")) ++ embCol.map(c => col(c).as("embedding"))
     // one slot per id within a batch (at-least-once replay guard — the
     // same in-batch dedup every stateful tier applies)
-    val in = batch.select(baseCols: _*).dropDuplicates("doc_id").persist()
+    val in0 = batch.select(baseCols: _*).dropDuplicates("doc_id")
+    // TOMBSTONE ENFORCEMENT (round 12): a RETRACTED id re-arriving
+    // after its takedown must not be silently re-admitted — it gets an
+    // explicit 'drop_tombstone' verdict (keeper = itself: there is no
+    // matched member, the drop is policy) and touches no store.
+    // Takedown is ID-scoped; a different id carrying the same content
+    // is a new document and is judged on its own merits. The check
+    // costs one exists() per batch and reads the (takedown-sized)
+    // tombstone table only when a delete() ever ran; pass
+    // `enforceTombstones = false` to restore admit-on-rearrival.
+    val tombDir = new Path(s"$path/tombstones")
+    val tombOn = enforceTombstones && StoreMeta.fs(spark, path).exists(tombDir)
+    val (in, tombRows) =
+      if (tombOn) {
+        val t = spark.read.parquet(s"$path/tombstones")
+          .select(col("doc_id")).distinct()
+        (in0.join(t, Seq("doc_id"), "left_anti").persist(),
+          in0.join(t, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), lit("drop_tombstone").as("decision"),
+              col("doc_id").as("keeper_id")))
+      } else (in0.persist(), null)
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame](in)
     try {
       val ids = in.select("doc_id")
@@ -541,8 +567,8 @@ object StreamingDecision {
         .filter(col("score_e4") >= minScoreE4)
         .groupBy("doc_id").agg(min("m_id").as("sem_keeper"))
 
-      // ---- verdict: exact > near > semantic > keep ------------------
-      val dec = in.select("doc_id")
+      // ---- verdict: tombstone > exact > near > semantic > keep ------
+      val decLive = in.select("doc_id")
         .join(broadcast(ex), Seq("doc_id"), "left")
         .join(broadcast(nearK), Seq("doc_id"), "left")
         .join(broadcast(semK), Seq("doc_id"), "left")
@@ -553,6 +579,7 @@ object StreamingDecision {
             .otherwise(lit("keep")).as("decision"),
           coalesce(col("ex_keeper"), col("near_keeper"), col("sem_keeper"),
             col("doc_id")).as("keeper_id"))
+      val dec = if (tombRows == null) decLive else decLive.unionByName(tombRows)
 
       // ---- admission (marker-guarded, insert-if-absent) -------------
       val fs = StoreMeta.fs(spark, path)

@@ -324,6 +324,31 @@ class StreamingDecisionSpec extends AnyFlatSpec with Matchers with SparkFixture 
     dec(42L) shouldBe ("drop_near", 41L)
   }
 
+  it should "reject a retracted id that re-arrives, touching no store" in {
+    import spark.implicits._
+    val store = tempDir("dec-tombstone")
+    decide(store, "b0", Seq((90L, textA, oneHot(0))))
+    StreamingDecision.delete(spark, store, Seq(90L).toDF("doc_id")).count() shouldBe 0L
+    // the taken-down id re-arrives (even with NEW content): policy drop,
+    // nothing admitted — its hash stays unowned for future arrivals
+    val b1 = decide(store, "b1", Seq((90L, textB, oneHot(1)), (91L, textC, oneHot(2))))
+    b1(90L) shouldBe ("drop_tombstone", 90L)
+    b1(91L) shouldBe ("keep", 91L)
+    spark.read.parquet(s"$store/bands/data")
+      .filter(col("doc_id") === 90L).count() shouldBe 0L
+    // a DIFFERENT id with the tombstoned doc's old content is a new
+    // document (takedown is id-scoped) — and the old owner is gone, so
+    // it keeps and owns the hash
+    val b2 = decide(store, "b2", Seq((92L, textA, oneHot(3))))
+    b2(92L) shouldBe ("keep", 92L)
+    // opt-out restores admit-on-rearrival
+    val b3 = StreamingDecision.processBatch(
+        df(Seq((90L, textD, oneHot(4)))), "doc_id", "text", Some("embedding"),
+        store, cents, "b3", enforceTombstones = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    b3(90L) shouldBe "keep"
+  }
+
   it should "heal the persisted cluster state after a retraction" in {
     import spark.implicits._
     val store = tempDir("dec-retract-cluster")
