@@ -144,8 +144,12 @@ object ComponentStore {
     val marker = new Path(s"$path/_commits/$batchKey")
     if (fs.exists(marker)) return
     // single-writer contract: merges rewrite bucket partitions in
-    // place — see StoreMeta.withWriterLease
-    StoreMeta.withWriterLease(spark, path, "merge") {
+    // place — see StoreMeta.withWriterLease. Merges are short per-
+    // micro-batch ops on the STREAMING hot path, so the lease TTL is
+    // seconds, not minutes: a hard-killed driver's leftover lease must
+    // not block the restarted stream's first merge for long (a normal
+    // failure releases in finally; only a JVM kill leaves the file).
+    StoreMeta.withWriterLease(spark, path, "merge", ttlMs = 60000L) {
 
     val e = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))

@@ -194,25 +194,35 @@ object SignatureStore {
     StoreMeta.withWriterLease(spark, path, "delete") {
     val b = buckets(spark, path)
     val ids = docIds.select(col(idColumn).cast("long").as("doc_id")).distinct()
-      .withColumn("bkt", bktCol(col("doc_id"), b))
       .persist()
     try {
-      // ≤ `buckets` values by construction — a bounded driver probe
-      val touched = ids.select("bkt").distinct()
-        .collect().map(_.getInt(0)).sorted
-      if (touched.nonEmpty) {
-        val clear = touched.map(v => s"bkt=$v").toSeq
-        Seq("signatures", "shingles", "hashes")
-          .filter(t => fsFor(spark, path).exists(new Path(s"$path/$t/data")))
-          .foreach { t =>
-          val slice = spark.read.parquet(s"$path/$t/data")
-            .filter(col("bkt").isin(touched.map(Integer.valueOf).toSeq: _*))
-          val kept = slice
-            .join(broadcast(ids.select("doc_id")), Seq("doc_id"), "left_anti")
-          ArcaneLayout.replacePartitions(kept, s"$path/$t", Seq("bkt"), clear): Unit
+      // candidate buckets from the ids (≤ `buckets` values, a bounded
+      // driver probe, prunes every store scan below to those files)
+      val candBkts = ids.select(bktCol(col("doc_id"), b).as("bkt"))
+        .distinct().collect().map(r => Integer.valueOf(r.getInt(0))).toSeq
+      Seq("signatures", "shingles", "hashes")
+        .filter(t => fsFor(spark, path).exists(new Path(s"$path/$t/data")))
+        .foreach { t =>
+          val all = spark.read.parquet(s"$path/$t/data")
+          // touched partitions come from the STORE side (which buckets
+          // actually hold deleted rows): ids never ingested, or already
+          // deleted by a crashed-and-re-run sweep, must not trigger a
+          // pointless full-partition rewrite
+          val touched = all
+            .filter(col("bkt").isin(candBkts: _*))
+            .join(broadcast(ids), Seq("doc_id"), "left_semi")
+            .select("bkt").distinct()
+            .collect().map(_.getInt(0)).sorted
+          if (touched.nonEmpty) {
+            val slice = all.filter(
+              col("bkt").isin(touched.map(Integer.valueOf).toSeq: _*))
+            val kept = slice
+              .join(broadcast(ids), Seq("doc_id"), "left_anti")
+            ArcaneLayout.replacePartitions(kept, s"$path/$t", Seq("bkt"),
+              touched.map(v => s"bkt=$v").toSeq): Unit
+          }
         }
-      }
-      ids.select("doc_id").write.mode("append").parquet(s"$path/tombstones")
+      ids.write.mode("append").parquet(s"$path/tombstones")
       ids.count()
     } finally { ids.unpersist(); () }
     }

@@ -144,7 +144,21 @@ object StoreMeta {
         now - at > ttl
       }
       if (stale) {
-        fs(spark, path).delete(new Path(s"$path/$rel"), false)
+        // ATOMIC STEAL: exactly one contender wins the rename of the
+        // stale file to a unique parking name (rename fails for every
+        // other breaker — the source is gone); the winner removes it
+        // and acquires, the losers fall through to a normal (failing)
+        // acquire against the winner's fresh lease. A naive
+        // delete-then-create here would let a second breaker delete
+        // the WINNER's fresh lease and double-acquire.
+        val f = fs(spark, path)
+        val src = new Path(s"$path/$rel")
+        val parked = new Path(src.getParent,
+          s".stale-${java.util.UUID.randomUUID()}")
+        val stole =
+          try f.rename(src, parked)
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (stole) f.delete(parked, false): Unit
         ok = tryAcquire()
       }
     }

@@ -84,8 +84,21 @@ object RetractionJob {
           .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
         case None => Seq.empty[(Long, Array[Double])]
       }
-      val refed: DataFrame = affected
-        .join(corpus.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"))
+      // LEFT join + hard failure on missing content: an inner join
+      // would silently skip an invalidated doc absent from the corpus
+      // path (stale corpus, or content purged before the job ran) and
+      // leave its ledger row pointing at the tombstoned keeper forever
+      // while the job reports success
+      val joined = affected
+        .join(corpus.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"), "left")
+        .localCheckpoint(true)
+      val missing = joined.filter(col(textCol).isNull).count()
+      if (missing > 0)
+        throw new IllegalStateException(
+          s"$missing invalidated doc(s) have no content under RETRACT_CORPUS_PATH — " +
+            "their verdicts cannot be healed; fix the corpus path (content must " +
+            "outlive the takedown at least until the sweep runs) and re-run")
+      val refed: DataFrame = joined
       readjudicated = graft.streaming.StreamingDecision.readjudicate(
         refed, "doc_id", textCol,
         embCol.filter(_ => cents.nonEmpty), "batch", store, cents).count()

@@ -39,6 +39,64 @@ object ArcaneLayout {
   private def fs(df: DataFrame, path: String): FileSystem =
     new Path(path).getFileSystem(df.sparkSession.sessionState.newHadoopConf())
 
+  private def listFilesRec(filesystem: FileSystem,
+      root: Path): Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+    val it = filesystem.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+
+  /** Map each staged data file under `tmpRoot` to its arcane-named
+    * destination relative to `data/`, preserving any partition
+    * (col=value) subdirectories. */
+  private def stagedMoves(filesystem: FileSystem, tmpRoot: Path,
+      schemaHash: String, ext: String): Seq[(Path, String)] = {
+    val tmpUri = filesystem.makeQualified(tmpRoot).toUri
+    listFilesRec(filesystem, tmpRoot)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map { s =>
+        val rel = tmpUri.relativize(filesystem.makeQualified(s.getPath).toUri).getPath
+        val sub = rel.lastIndexOf('/') match {
+          case -1 => ""
+          case i  => rel.substring(0, i + 1)
+        }
+        s.getPath -> s"${sub}part-${UUID.randomUUID()}-$schemaHash-chunk.$ext"
+      }
+  }
+
+  /** Commit staged files into `dataDir` on a bounded thread pool: a
+    * metadata no-op per file on HDFS-likes, but a copy on object
+    * stores — parallelism bounds the commit latency at O(files / 16)
+    * round-trips instead of O(files). ExecutionExceptions are
+    * unwrapped so Supervision.isTransient still sees the underlying
+    * IOException, not the pool's wrapper. */
+  private def parallelRename(filesystem: FileSystem, dataDir: String,
+      toMove: Seq[(Path, String)]): Seq[String] = {
+    toMove.map(_._2).map(n => new Path(s"$dataDir/$n").getParent).distinct
+      .foreach(filesystem.mkdirs(_): Unit)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, toMove.size)))
+    try {
+      val futures = toMove.map { case (src, name) =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          override def call(): String = {
+            if (!filesystem.rename(src, new Path(s"$dataDir/$name")))
+              throw new java.io.IOException(s"rename failed: $src -> $name")
+            name
+          }
+        })
+      }
+      futures.map(f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        })
+    } finally pool.shutdown()
+  }
+
   /** Write one batch of rows as `data/part-{uuid}-{hash}-chunk.{ext}`
     * files. `maxRecordsPerFile` plays the reference's `rowGroupsPerFile`
     * role (bounds file size without collecting to the driver).
@@ -71,54 +129,11 @@ object ArcaneLayout {
       .format(format).save(tmpDir)
 
     // rename staged spark part-files to the arcane naming scheme,
-    // preserving any partition (col=value) subdirectories. Renames run
-    // on a bounded thread pool: a metadata no-op per file on
-    // HDFS-likes, but a copy on object stores — parallelism bounds the
-    // commit latency at O(files / 16) round-trips instead of O(files)
+    // preserving any partition (col=value) subdirectories
     val filesystem = fs(df, targetPath)
-    val tmpRoot = new Path(tmpDir)
-    val tmpUri = filesystem.makeQualified(tmpRoot).toUri
-    val staged = {
-      val it = filesystem.listFiles(tmpRoot, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
-      while (it.hasNext) buf += it.next()
-      buf.toSeq
-    }
-    val toMove = staged
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .map { s =>
-        val rel = tmpUri.relativize(filesystem.makeQualified(s.getPath).toUri).getPath
-        val sub = rel.lastIndexOf('/') match {
-          case -1 => ""
-          case i  => rel.substring(0, i + 1)
-        }
-        s.getPath -> s"${sub}part-${UUID.randomUUID()}-$schemaHash-chunk.$ext"
-      }
-    toMove.map(_._2).map(n => new Path(s"$dataDir/$n").getParent).distinct
-      .foreach(filesystem.mkdirs(_): Unit)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, math.max(1, toMove.size)))
-    try {
-      val futures = toMove.map { case (src, name) =>
-        pool.submit(new java.util.concurrent.Callable[String] {
-          override def call(): String = {
-            if (!filesystem.rename(src, new Path(s"$dataDir/$name")))
-              throw new java.io.IOException(s"rename failed: $src -> $name")
-            name
-          }
-        })
-      }
-      // unwrap ExecutionException so Supervision.isTransient still sees
-      // the underlying IOException, not the pool's wrapper
-      futures.map(f =>
-        try f.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            throw Option(e.getCause).getOrElse(e)
-        })
-    } finally {
-      pool.shutdown()
+    try parallelRename(filesystem, dataDir,
+      stagedMoves(filesystem, new Path(tmpDir), schemaHash, ext))
+    finally {
       // staging must never outlive the batch: on a failed rename the
       // half-moved parts in data/ are deduped by consumers (the token is
       // suppressed), but an orphaned .staging dir would accumulate
@@ -157,25 +172,8 @@ object ArcaneLayout {
       .partitionBy(partitionColumns: _*).format(format).save(tmpDir)
     val filesystem = fs(replacement, targetPath)
     val tmpRoot = new Path(tmpDir)
-    val tmpUri = filesystem.makeQualified(tmpRoot).toUri
     try {
-      val staged = {
-        val it = filesystem.listFiles(tmpRoot, true)
-        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
-        while (it.hasNext) buf += it.next()
-        buf.toSeq
-      }
-      val toMove = staged
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-        .map { s =>
-          val rel = tmpUri.relativize(filesystem.makeQualified(s.getPath).toUri).getPath
-          val sub = rel.lastIndexOf('/') match {
-            case -1 => ""
-            case i  => rel.substring(0, i + 1)
-          }
-          s.getPath -> s"${sub}part-${UUID.randomUUID()}-$schemaHash-chunk.$ext"
-        }
+      val toMove = stagedMoves(filesystem, tmpRoot, schemaHash, ext)
       // staged rows may only land inside the declared clear scope —
       // otherwise an untouched partition would silently gain duplicates
       val scope = clearPartitions.map(_.stripSuffix("/") + "/")
@@ -188,13 +186,7 @@ object ArcaneLayout {
         val dir = new Path(s"$dataDir/$sub")
         if (filesystem.exists(dir)) filesystem.delete(dir, true): Unit
       }
-      toMove.map(_._2).map(n => new Path(s"$dataDir/$n").getParent).distinct
-        .foreach(filesystem.mkdirs(_): Unit)
-      toMove.map { case (src, name) =>
-        if (!filesystem.rename(src, new Path(s"$dataDir/$name")))
-          throw new java.io.IOException(s"rename failed: $src -> $name")
-        name
-      }
+      parallelRename(filesystem, dataDir, toMove)
     } finally {
       try filesystem.delete(tmpRoot, true)
       catch { case scala.util.control.NonFatal(_) => }

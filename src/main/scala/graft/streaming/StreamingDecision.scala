@@ -137,15 +137,22 @@ object StreamingDecision {
     * start, so a restart re-delivers every source file under new batch
     * keys and appends a second, verdict-identical decision row per doc
     * under the new `batch=` partitions. The raw table therefore may
-    * hold multiple rows per doc_id; this reader keeps only the LATEST
-    * batch's row per doc (batch keys sort by epoch within a namespace,
-    * and replayed verdicts are identical across namespaces, so any
-    * survivor is correct). Use [[decisionsRaw]] for the unfiltered
-    * per-arrival ledger. */
+    * hold multiple rows per doc_id; this reader keeps one row per doc,
+    * highest numeric epoch first. Note the replay runs against store
+    * state the original arrival had not seen, so the surfaced verdict
+    * can be the replay's (e.g. keep → drop_near against a member
+    * admitted after the original arrival) — honest at-least-once
+    * semantics; a CHECKPOINTED stream never duplicates (re-delivery
+    * reuses the same namespace + epoch and overwrites in place). Use
+    * [[decisionsRaw]] for the unfiltered per-arrival ledger. */
   def decisions(spark: SparkSession, path: String): DataFrame = {
     val raw = decisionsRaw(spark, path)
+    // 'latest' = highest NUMERIC epoch (trailing digits of the batch
+    // key — lexicographic order would misrank epoch 10 below 9), ties
+    // by key then decision for determinism
     val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("batch").desc, col("decision").asc)
+      .orderBy(epochOf(col("batch")).desc, col("batch").cast("string").desc,
+        col("decision").asc)
     raw.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -389,6 +396,7 @@ object StreamingDecision {
             col("doc_id")).as("keeper_id"),
           col("batch"))
         .localCheckpoint(true)
+      bandIn.unpersist() // dec is materialized; nothing reads it again
 
       // orphaned hashes get their earliest surviving arrival as owner
       val storedTouchedH = storedH
@@ -402,14 +410,31 @@ object StreamingDecision {
 
       val raw = decisionsRaw(spark, path)
         .withColumn("batch", col("batch").cast("string"))
-      val touchedB = dec.select("batch").distinct().collect().map(_.getString(0))
+      // touched partitions = every partition holding ANY row of a
+      // re-fed doc — not just the batches the new rows land in: an
+      // uncheckpointed restart can leave duplicate rows for the same
+      // doc in OTHER namespaces' partitions, and a stale duplicate
+      // still naming the tombstoned keeper must not survive the heal
+      val touchedB = raw
+        .join(broadcast(dec.select("doc_id")), Seq("doc_id"), "left_semi")
+        .select("batch").distinct().collect().map(_.getString(0))
       val kept = raw.filter(col("batch").isin(touchedB: _*))
         .join(broadcast(dec.select("doc_id")), Seq("doc_id"), "left_anti")
         .select("doc_id", "decision", "keeper_id", "batch")
-      kept.unionByName(dec).localCheckpoint(true)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch").parquet(s"$path/decisions")
+      val patched = kept.unionByName(dec).localCheckpoint(true)
+      if (!patched.isEmpty)
+        patched.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch").parquet(s"$path/decisions")
+      // a partition whose every row was a stale duplicate gets no
+      // rows back — dynamic overwrite can't clear it, delete explicitly
+      val nonEmpty = patched.select("batch").distinct()
+        .collect().map(_.getString(0)).toSet
+      val fsd = StoreMeta.fs(spark, path)
+      touchedB.filterNot(nonEmpty).foreach { bk =>
+        val dir = new Path(s"$path/decisions/batch=$bk")
+        if (fsd.exists(dir)) fsd.delete(dir, true): Unit
+      }
       dec.select("doc_id", "decision", "keeper_id", "batch")
       }
     } finally { in.unpersist(); () }
@@ -471,16 +496,20 @@ object StreamingDecision {
     // `enforceTombstones = false` to restore admit-on-rearrival.
     val tombDir = new Path(s"$path/tombstones")
     val tombOn = enforceTombstones && StoreMeta.fs(spark, path).exists(tombDir)
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val (in, tombRows) =
       if (tombOn) {
         val t = spark.read.parquet(s"$path/tombstones")
           .select(col("doc_id")).distinct()
-        (in0.join(t, Seq("doc_id"), "left_anti").persist(),
-          in0.join(t, Seq("doc_id"), "left_semi")
+        // both splits derive from ONE cached frame — the batch scan
+        // and the in-batch dedup shuffle must not run twice per trigger
+        val base = in0.persist(); cached += base
+        (base.join(t, Seq("doc_id"), "left_anti").persist(),
+          base.join(t, Seq("doc_id"), "left_semi")
             .select(col("doc_id"), lit("drop_tombstone").as("decision"),
               col("doc_id").as("keeper_id")))
       } else (in0.persist(), null)
-    val cached = scala.collection.mutable.ArrayBuffer[DataFrame](in)
+    cached += in
     try {
       val ids = in.select("doc_id")
 

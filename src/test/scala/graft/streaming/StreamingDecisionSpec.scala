@@ -349,6 +349,50 @@ class StreamingDecisionSpec extends AnyFlatSpec with Matchers with SparkFixture 
     b3(90L) shouldBe "keep"
   }
 
+  it should "order ledger epochs numerically in decisions(), not lexicographically" in {
+    // epoch 10 must beat epoch 9 even though "ns-9" > "ns-10" as strings
+    val store = tempDir("dec-epoch")
+    decide(store, "cp1-8", Seq((401L, textB, oneHot(32))))
+    decide(store, "cp1-9", Seq((400L, textA, oneHot(0))))
+    // the id re-arrives at epoch 10 with DIFFERENT content owned by 401
+    val b10 = decide(store, "cp1-10", Seq((400L, textB, oneHot(1))))
+    b10(400L) shouldBe ("drop_exact", 401L)
+    val dec = StreamingDecision.decisions(spark, store)
+      .filter(col("doc_id") === 400L)
+      .select("decision", "keeper_id").head()
+    (dec.getString(0), dec.getLong(1)) shouldBe ("drop_exact", 401L)
+  }
+
+  it should "heal stale duplicate ledger rows across namespaces on retraction" in {
+    import spark.implicits._
+    // an uncheckpointed restart duplicated the ledger under a second
+    // namespace BEFORE the takedown: both copies of the invalidated
+    // doc's verdict name the deleted keeper, and BOTH must be healed —
+    // a surviving stale row would violate the takedown guarantee
+    val store = tempDir("dec-retract-ns")
+    decide(store, "nsA-0", Seq((500L, textA, oneHot(0))))
+    decide(store, "nsA-1", Seq((501L, textA, oneHot(1))))
+    decide(store, "nsB-0", Seq((500L, textA, oneHot(0)))) // replayed files
+    decide(store, "nsB-1", Seq((501L, textA, oneHot(1))))
+    StreamingDecision.decisionsRaw(spark, store)
+      .filter(col("doc_id") === 501L).count() shouldBe 2L
+    val affected = StreamingDecision.delete(spark, store, Seq(500L).toDF("doc_id"))
+    affected.collect().map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      Set(501L -> "nsA-1", 501L -> "nsB-1")
+    val docs = Seq((501L, textA, Some(oneHot(1)), "nsA-1"))
+      .toDF("doc_id", "text", "embedding", "batch")
+    StreamingDecision.readjudicate(docs, "doc_id", "text", Some("embedding"),
+      "batch", store, cents)
+    // no row anywhere still names the tombstoned keeper, and exactly
+    // one verdict row remains for the healed doc
+    val raw = StreamingDecision.decisionsRaw(spark, store)
+    raw.filter(col("keeper_id") === 500L).count() shouldBe 0L
+    raw.filter(col("doc_id") === 501L).count() shouldBe 1L
+    StreamingDecision.decisions(spark, store)
+      .filter(col("doc_id") === 501L)
+      .select("decision").head().getString(0) shouldBe "keep"
+  }
+
   it should "heal the persisted cluster state after a retraction" in {
     import spark.implicits._
     val store = tempDir("dec-retract-cluster")
