@@ -144,12 +144,17 @@ object ComponentStore {
     val marker = new Path(s"$path/_commits/$batchKey")
     if (fs.exists(marker)) return
     // single-writer contract: merges rewrite bucket partitions in
-    // place — see StoreMeta.withWriterLease. Merges are short per-
-    // micro-batch ops on the STREAMING hot path, so the lease TTL is
-    // seconds, not minutes: a hard-killed driver's leftover lease must
-    // not block the restarted stream's first merge for long (a normal
-    // failure releases in finally; only a JVM kill leaves the file).
-    StoreMeta.withWriterLease(spark, path, "merge", ttlMs = 60000L) {
+    // place — see StoreMeta.withWriterLease. The TTL is deliberately
+    // the conservative default, NOT tuned down for the streaming hot
+    // path: the TTL is the steal threshold, and a live-but-slow merge
+    // (large batch, object-store latency, GC pause) whose lease gets
+    // stolen means two concurrent partition rewriters — the exact
+    // corruption the lease prevents. The cost is availability, not
+    // correctness: after a HARD driver kill (normal failures release
+    // in finally) the restarted stream's first merge waits out the
+    // remaining TTL; an operator who has confirmed the old driver is
+    // dead can delete _lease/writer.json to resume immediately.
+    StoreMeta.withWriterLease(spark, path, "merge") {
 
     val e = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))

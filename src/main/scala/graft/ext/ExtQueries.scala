@@ -3562,13 +3562,17 @@ object ExtQueries {
       })
     }
 
-  def dedupRetraction(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared takedown chain for the two retraction oracles: copy the
+    * cached base store (the takedown mutates it — every call pays the
+    * same real delete + heal), purge the mod-13 id set, re-adjudicate
+    * the invalidated docs. Returns (session, healed work store); the
+    * caller reads its table of interest and deletes the copy. */
+  private def retractionHealedStore(spark: SparkSession,
+      dir: String): (SparkSession, java.nio.file.Path) = {
     val base = retractionBaseStore(spark, dir)
     val streamDir = goldenDecStreamDir(spark, dir)
     val cents = VectorIndex.coarse(spark, vindexFor(spark, dir), "embedding")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-    // the takedown mutates its store — work on a copy so every call
-    // (bench reruns, verify) pays the same real delete + heal
     val work = java.nio.file.Files.createTempDirectory("graft-retract-run")
     org.apache.commons.io.FileUtils.copyDirectory(
       new java.io.File(base), work.toFile)
@@ -3581,6 +3585,11 @@ object ExtQueries {
     val refed = affected.join(corpus, Seq("doc_id"))
     graft.streaming.StreamingDecision.readjudicate(refed, "doc_id", "text",
       Some("embedding"), "batch", work.toString, cents)
+    (s2, work)
+  }
+
+  def dedupRetraction(spark: SparkSession, dir: String): DataFrame = {
+    val (s2, work) = retractionHealedStore(spark, dir)
     val res = graft.streaming.StreamingDecision.decisions(s2, work.toString)
       .select(col("doc_id"), col("decision"), col("keeper_id"))
       .orderBy("doc_id")
@@ -3610,22 +3619,9 @@ object ExtQueries {
   // ------------------------------------------------------------------
 
   def dedupRetractionCluster(spark: SparkSession, dir: String): DataFrame = {
-    val base = retractionBaseStore(spark, dir)
-    val streamDir = goldenDecStreamDir(spark, dir)
-    val cents = VectorIndex.coarse(spark, vindexFor(spark, dir), "embedding")
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-    val work = java.nio.file.Files.createTempDirectory("graft-retract-cl")
-    org.apache.commons.io.FileUtils.copyDirectory(
-      new java.io.File(base), work.toFile)
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
-    val corpus = s2.read.parquet(streamDir)
-    val del = corpus.filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id")
-    val affected = graft.streaming.StreamingDecision.delete(
-      s2, work.toString, del)
-    val refed = affected.join(corpus, Seq("doc_id"))
-    graft.streaming.StreamingDecision.readjudicate(refed, "doc_id", "text",
-      Some("embedding"), "batch", work.toString, cents)
+    val (s2, work) = retractionHealedStore(spark, dir)
+    val del = s2.read.parquet(goldenDecStreamDir(spark, dir))
+      .filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id")
     graft.streaming.StreamingDecision.healCluster(s2, work.toString,
       s"$work/clusters", del)
     val res = ComponentStore.components(s2, s"$work/clusters")

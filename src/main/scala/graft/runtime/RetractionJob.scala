@@ -68,6 +68,14 @@ object RetractionJob {
 
     var readjudicated = 0L
     val storePath = env.get("RETRACT_STORE_PATH")
+    // the decision-surface keys are meaningless without the store path —
+    // silently skipping them would exit 0 with the retracted ids still
+    // live in the cluster, so a lone key is a misconfiguration (Fatal)
+    val needsStore = Seq("RETRACT_CLUSTER_PATH", "RETRACT_CORPUS_PATH",
+      "RETRACT_QUANTIZER_INDEX_PATH").filter(env.contains)
+    if (storePath.isEmpty && needsStore.nonEmpty)
+      throw new IllegalArgumentException(
+        s"${needsStore.mkString(", ")} require RETRACT_STORE_PATH")
     storePath.foreach { store =>
       // same operator-typo guard as the hosted decision stream: a lone
       // embedding column (or lone quantizer) would silently re-verdict

@@ -92,6 +92,15 @@ object ArcaneLayout {
         try f.get()
         catch {
           case e: java.util.concurrent.ExecutionException =>
+            // drain in-flight siblings BEFORE rethrowing: the caller's
+            // finally deletes the staging dir (and a patch caller may
+            // retry the whole pass) — a straggler rename completing
+            // after the failure was observed could land a stale file
+            // next to the retry's output
+            pool.shutdownNow()
+            pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+            // unwrap so Supervision.isTransient sees the IOException,
+            // not the pool's wrapper
             throw Option(e.getCause).getOrElse(e)
         })
     } finally pool.shutdown()

@@ -301,7 +301,19 @@ object StreamingDecision {
     val baseCols = Seq(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"), col(batchCol).cast("string").as("batch"),
       epochOf(col(batchCol)).as("ep")) ++ embCol.map(c => col(c).as("embedding"))
-    val in = docs.select(baseCols: _*).dropDuplicates("doc_id").persist()
+    // one row per doc, keeping the MINIMUM-epoch (first-arrival) copy —
+    // delete() hands back one (doc, batch) row per duplicate namespace
+    // after an uncheckpointed restart, and an arbitrary dropDuplicates
+    // pick would make the healed verdict depend on which replica won
+    // (an epoch-0 replica sees no earlier members at all). Min-epoch is
+    // the same first-arrival discipline ledgerEp applies to members.
+    val inW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("ep").asc, col("batch").asc)
+    val in = docs.select(baseCols: _*)
+      .withColumn("__rn", row_number().over(inW))
+      .filter(col("__rn") === 1).drop("__rn")
+      .persist()
+    val extraCached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     try {
       if (in.isEmpty)
         in.select("doc_id").withColumn("decision", lit(""))
@@ -341,6 +353,7 @@ object StreamingDecision {
         .withColumn("bkt", bktOf(col("bk"), b))
         .join(in.select("doc_id", "ep"), Seq("doc_id"))
         .persist()
+      extraCached += bandIn // unpersisted in finally, failure paths included
       val storedB = readOrEmpty(spark, s"$path/bands/data", bandsSchema)
       val memberRows = storedB
         .join(broadcast(bandIn.select("bkt", "bk").distinct()), Seq("bkt", "bk"), "left_semi")
@@ -396,7 +409,6 @@ object StreamingDecision {
             col("doc_id")).as("keeper_id"),
           col("batch"))
         .localCheckpoint(true)
-      bandIn.unpersist() // dec is materialized; nothing reads it again
 
       // orphaned hashes get their earliest surviving arrival as owner
       val storedTouchedH = storedH
@@ -437,7 +449,7 @@ object StreamingDecision {
       }
       dec.select("doc_id", "decision", "keeper_id", "batch")
       }
-    } finally { in.unpersist(); () }
+    } finally { in.unpersist(); extraCached.foreach(_.unpersist()); () }
   }
 
   /** RETRACTION step 3 (optional cluster heal): rebuild the persisted

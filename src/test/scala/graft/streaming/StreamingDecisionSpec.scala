@@ -393,6 +393,32 @@ class StreamingDecisionSpec extends AnyFlatSpec with Matchers with SparkFixture 
       .select("decision").head().getString(0) shouldBe "keep"
   }
 
+  it should "re-adjudicate at the MINIMUM epoch when namespaces disagree" in {
+    import spark.implicits._
+    // the nondeterminism trap: delete() returns one (doc, batch) row
+    // per duplicate namespace, and the replicas can sit at DIFFERENT
+    // epochs (a restart with different trigger file-grouping). The
+    // heal must deterministically use the first-arrival (min-epoch)
+    // copy — the same discipline the member-ordering map applies —
+    // not whichever row an arbitrary dedup happened to keep.
+    val store = tempDir("dec-minepoch")
+    decide(store, "nsA-0", Seq((600L, textA, oneHot(0))))
+    decide(store, "nsA-1", Seq((601L, textA, oneHot(1))))
+    decide(store, "nsB-0", Seq((601L, textA, oneHot(1)))) // replica at epoch 0
+    val affected = StreamingDecision.delete(spark, store, Seq(600L).toDF("doc_id"))
+    affected.collect().map(r => (r.getLong(0), r.getString(1))).toSet shouldBe
+      Set(601L -> "nsA-1", 601L -> "nsB-0")
+    val corpus = Seq((601L, textA, Some(oneHot(1)))).toDF("doc_id", "text", "embedding")
+    StreamingDecision.readjudicate(affected.join(corpus, Seq("doc_id")),
+      "doc_id", "text", Some("embedding"), "batch", store, cents)
+    val rows = StreamingDecision.decisionsRaw(spark, store)
+      .filter(col("doc_id") === 601L)
+      .select("decision", "batch").collect()
+    rows.length shouldBe 1
+    rows.head.getString(0) shouldBe "keep"
+    rows.head.getString(1) shouldBe "nsB-0" // the min-epoch replica
+  }
+
   it should "heal the persisted cluster state after a retraction" in {
     import spark.implicits._
     val store = tempDir("dec-retract-cluster")
