@@ -154,7 +154,7 @@ object ComponentStore {
     // in finally) the restarted stream's first merge waits out the
     // remaining TTL; an operator who has confirmed the old driver is
     // dead can delete _lease/writer.json to resume immediately.
-    StoreMeta.withWriterLease(spark, path, "merge") {
+    StoreMeta.withWriterLeaseFenced(spark, path, "merge") { lease =>
 
     val e = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
@@ -268,7 +268,7 @@ object ComponentStore {
   def delete(docIds: DataFrame, idColumn: String, survivingPairs: DataFrame,
       aCol: String, bCol: String, path: String): Long = {
     val spark = docIds.sparkSession
-    StoreMeta.withWriterLease(spark, path, "delete") {
+    StoreMeta.withWriterLeaseFenced(spark, path, "delete") { lease =>
     val b = buckets(spark, path)
     val store = parents(spark, path)
     val del = ckpt(docIds.select(col(idColumn).cast("long").as("id")).distinct())
@@ -342,6 +342,7 @@ object ComponentStore {
         .select("id", "parent", "bkt")
       val patched = ckpt(kept.unionByName(
         rebuilt.withColumn("bkt", bktOf(col("id"), b))))
+      StoreMeta.verifyLease(spark, lease)
       if (!patched.isEmpty)
         patched.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -393,11 +394,12 @@ object ComponentStore {
     * corpus-wide job), restoring single-hop [[resolve]] lookups. Run
     * on the [[SignatureStore.maybeCompact]] cadence. */
   def compact(spark: SparkSession, path: String): Unit =
-    StoreMeta.withWriterLease(spark, path, "compact") {
+    StoreMeta.withWriterLeaseFenced(spark, path, "compact") { lease =>
       val b = buckets(spark, path)
       val resolved = ckpt(components(spark, path)
         .select(col("id"), col("comp").as("parent"))
         .withColumn("bkt", bktOf(col("id"), b)))
+      StoreMeta.verifyLease(spark, lease)
       if (!resolved.isEmpty)
         resolved.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -132,17 +132,34 @@ object SignatureStore {
     * token once (ArcaneLayout's layout contract). */
   def append(batch: DataFrame, idCol: String, textCol: String, path: String,
       k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3,
-      shingleN: Int = 3, nBuckets: Int = DefaultBuckets): String = {
+      shingleN: Int = 3, nBuckets: Int = DefaultBuckets,
+      admitTombstoned: Boolean = false): String = {
     val spark = batch.sparkSession
     writeMeta(spark, path, nBuckets)
     val b = buckets(spark, path)
-    val exd = Dedup.shingleRows(batch, idCol, textCol, shingleN)
+    // TOMBSTONE ENFORCEMENT AT INGEST (VERDICT r12 #1): a doc retracted
+    // by [[delete]] must not be silently re-admitted by a later append
+    // loop that never consults the decision surface — arrivals are
+    // filtered against `tombstones/` BY DEFAULT, mirroring the hosted
+    // stream's `drop_tombstone` contract. `admitTombstoned = true` is
+    // the explicit opt-out for deployments that manage re-admission
+    // (e.g. a takedown later reversed). The anti-join's batch side is
+    // bounded (one micro-batch); the tombstone ledger stays tiny
+    // relative to the corpus, so AQE broadcasts it at any corpus scale.
+    val admitted =
+      if (admitTombstoned || !fsFor(spark, path).exists(new Path(s"$path/tombstones")))
+        batch
+      else batch.join(
+        tombstones(spark, path)
+          .select(col("doc_id").cast("long").as("__tomb_id")).distinct(),
+        batch(idCol).cast("long") === col("__tomb_id"), "left_anti")
+    val exd = Dedup.shingleRows(admitted, idCol, textCol, shingleN)
       .withColumnRenamed(idCol, "doc_id")
     val proj = Dedup.minhashFromShingles(exd, "doc_id", k, bands, rowsPerBand)
     val tables = Seq(
       "signatures" -> proj,
       "shingles"   -> exd.select(col("doc_id"), Dedup.wideShingleKey(col("s")).as("x")),
-      "hashes"     -> batch.select(col(idCol).as("doc_id"),
+      "hashes"     -> admitted.select(col(idCol).as("doc_id"),
         Dedup.contentHash(col(textCol)).as("h")))
     tables.foreach { case (name, df) =>
       val target = s"$path/$name"
@@ -191,7 +208,7 @@ object SignatureStore {
     val spark = docIds.sparkSession
     // single-writer contract for partition-rewriting passes — see
     // StoreMeta.withWriterLease (appends stay lock-free)
-    StoreMeta.withWriterLease(spark, path, "delete") {
+    StoreMeta.withWriterLeaseFenced(spark, path, "delete") { lease =>
     val b = buckets(spark, path)
     val ids = docIds.select(col(idColumn).cast("long").as("doc_id")).distinct()
       .persist()
@@ -219,7 +236,7 @@ object SignatureStore {
             val kept = slice
               .join(broadcast(ids), Seq("doc_id"), "left_anti")
             ArcaneLayout.replacePartitions(kept, s"$path/$t", Seq("bkt"),
-              touched.map(v => s"bkt=$v").toSeq): Unit
+              touched.map(v => s"bkt=$v").toSeq, fence = Some(lease)): Unit
           }
         }
       ids.write.mode("append").parquet(s"$path/tombstones")

@@ -101,6 +101,14 @@ object StoreMeta {
       .toInt
   }
 
+  /** The token a held lease hands its body: `owner` is this holder's
+    * unique id, `epoch` the monotonically increasing acquire counter
+    * for the store — together the FENCING identity
+    * [[ArcaneLayout.replacePartitions]]-style swaps verify (via
+    * [[verifyLease]]) immediately before their point of no return
+    * (VERDICT r12 #4). */
+  final case class Lease(path: String, owner: String, epoch: Long)
+
   /** SINGLE-WRITER LEASE for the stores' MUTATING passes (VERDICT r11
     * #7). The append paths are concurrency-safe by construction (fresh
     * UUID files, insert-if-absent reads, commit markers) — but every
@@ -116,34 +124,73 @@ object StoreMeta {
     *  - acquire = create-no-overwrite of `_lease/writer.json` (the
     *    same atomic rename-refuses-existing protocol as the bucket
     *    metadata) — a second writer's acquire FAILS while the lease
-    *    file exists, and the loser throws rather than corrupting;
-    *  - release = delete the file (in `finally`, so a failed pass
-    *    frees the store);
+    *    file exists, and the loser throws rather than corrupting; each
+    *    acquire records a monotonically increasing `epoch` (tracked in
+    *    `_lease/epoch.json`, bumped under the won lease) so the
+    *    (owner, epoch) pair is a fencing token;
+    *  - release = delete the file in `finally` ONLY when it still
+    *    carries this holder's owner id (delete-if-owner, ADVICE r12):
+    *    a holder whose lease was stolen mid-pass must NOT delete the
+    *    stealer's fresh lease — that would open a third writer's
+    *    acquire while the second is mid-rewrite;
     *  - crash recovery: a holder that died leaves its file behind —
     *    past the recorded TTL the lease counts as abandoned and the
-    *    next writer breaks it (best-effort: the break window is not a
-    *    fencing token; a wedged-but-alive holder past its TTL is
-    *    operator error, the same assumption every TTL lock makes).
+    *    next writer breaks it. The break alone is not sufficient to
+    *    stop a wedged-but-alive holder — that is what the fencing
+    *    check closes: every partition swap re-reads the lease and
+    *    refuses to clear/rename when (owner, epoch) no longer match
+    *    ([[verifyLease]]), so a revenant holder fails its swap instead
+    *    of corrupting the new holder's rewrite.
     *
     * Deployments needing stronger guarantees put the store tables on a
     * transactional format; this file keeps the layout plain parquet
     * readable by everything. */
   def withWriterLease[A](spark: SparkSession, path: String, op: String,
-      ttlMs: Long = 600000L)(f: => A): A = {
+      ttlMs: Long = 600000L)(f: => A): A =
+    withWriterLeaseFenced(spark, path, op, ttlMs)(_ => f)
+
+  /** [[withWriterLease]] variant handing the body its [[Lease]] token,
+    * for passes that thread it to a fenced partition swap. */
+  def withWriterLeaseFenced[A](spark: SparkSession, path: String, op: String,
+      ttlMs: Long = 600000L)(body: Lease => A): A = {
     val rel = "_lease/writer.json"
     val owner = s"$op-${java.util.UUID.randomUUID()}"
     val now = System.currentTimeMillis()
-    def tryAcquire(): Boolean = writeJson(spark, path, rel,
-      s"""{"owner":"$owner","acquiredAt":$now,"ttl":$ttlMs}""",
-      overwrite = false)
-    var ok = tryAcquire()
-    if (!ok) {
-      val stale = readJson(spark, path, rel).forall { t =>
+    // next epoch: strictly above BOTH the recorded high-water mark and
+    // any epoch visible in a (possibly stale) current lease — a crash
+    // between winning writer.json and bumping epoch.json cannot reissue
+    // an epoch, because the stale writer.json still carries it
+    def nextEpoch(): Long = {
+      val highWater = readJson(spark, path, "_lease/epoch.json")
+        .flatMap(jsonLong(_, "epoch")).getOrElse(0L)
+      val inFlight = readJson(spark, path, rel)
+        .flatMap(jsonLong(_, "epoch")).getOrElse(0L)
+      math.max(highWater, inFlight) + 1
+    }
+    def tryAcquire(floor: Long): Option[Lease] = {
+      val e = math.max(nextEpoch(), floor + 1)
+      if (writeJson(spark, path, rel,
+        s"""{"owner":"$owner","epoch":$e,"acquiredAt":$now,"ttl":$ttlMs}""",
+        overwrite = false)) {
+        // bump the high-water mark under the won lease (single writer)
+        writeJson(spark, path, "_lease/epoch.json",
+          s"""{"epoch":$e}""", overwrite = true)
+        Some(Lease(path, owner, e))
+      } else None
+    }
+    var lease = tryAcquire(0L)
+    if (lease.isEmpty) {
+      val current = readJson(spark, path, rel)
+      val stale = current.forall { t =>
         val at = jsonLong(t, "acquiredAt").getOrElse(0L)
         val ttl = jsonLong(t, "ttl").getOrElse(ttlMs)
         now - at > ttl
       }
       if (stale) {
+        // the stale holder's epoch must stay a floor for ours even
+        // after its file is parked away below (nextEpoch can no longer
+        // see it) — otherwise a steal could REISSUE that epoch
+        val staleEpoch = current.flatMap(jsonLong(_, "epoch")).getOrElse(0L)
         // ATOMIC STEAL: exactly one contender wins the rename of the
         // stale file to a unique parking name (rename fails for every
         // other breaker — the source is gone); the winner removes it
@@ -159,20 +206,49 @@ object StoreMeta {
           try f.rename(src, parked)
           catch { case scala.util.control.NonFatal(_) => false }
         if (stole) f.delete(parked, false): Unit
-        ok = tryAcquire()
+        lease = tryAcquire(staleEpoch)
       }
     }
-    if (!ok) throw new IllegalStateException(
+    val token = lease.getOrElse(throw new IllegalStateException(
       s"store at $path is held by another maintenance writer " +
         s"(_lease/writer.json, op=$op): the partition-rewriting passes are " +
         "single-writer — wait for the holder to finish, or remove a stale " +
-        "lease left by a crashed writer")
-    try f
+        "lease left by a crashed writer"))
+    try body(token)
     finally {
-      try fs(spark, path).delete(new Path(s"$path/$rel"), false)
-      catch { case scala.util.control.NonFatal(_) => () }
+      // delete-if-owner (ADVICE r12): release only OUR lease; if it was
+      // stolen mid-pass, the file now belongs to the stealer — leave it
+      try {
+        val stillOurs = readJson(spark, path, rel)
+          .exists(t => jsonString(t, "owner").contains(owner))
+        if (stillOurs) fs(spark, path).delete(new Path(s"$path/$rel"), false): Unit
+        else System.err.println(
+          s"[store-lease] lease at $path no longer held by $owner " +
+            "(stolen past TTL?) — leaving the current holder's lease in place")
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
+
+  /** FENCING CHECK: throw unless `_lease/writer.json` still records
+    * exactly this holder's (owner, epoch). Called by the partition-swap
+    * primitives immediately before their point of no return, so a
+    * holder whose lease was broken mid-pass (TTL steal by a new
+    * writer) fails its swap instead of interleaving with the new
+    * holder's rewrite (VERDICT r12 #4). */
+  def verifyLease(spark: SparkSession, lease: Lease): Unit = {
+    val ok = readJson(spark, lease.path, "_lease/writer.json").exists { t =>
+      jsonString(t, "owner").contains(lease.owner) &&
+        jsonLong(t, "epoch").contains(lease.epoch)
+    }
+    if (!ok) throw new IllegalStateException(
+      s"writer lease for ${lease.path} lost (owner=${lease.owner}, " +
+        s"epoch=${lease.epoch}): the lease was broken or released while this " +
+        "pass ran — refusing the partition swap; re-run the pass under a " +
+        "fresh lease")
+  }
+
+  def jsonString(txt: String, k: String): Option[String] =
+    s""""$k"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
 
   def jsonLong(txt: String, k: String): Option[Long] =
     s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toLong)

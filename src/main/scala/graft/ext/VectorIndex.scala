@@ -183,7 +183,8 @@ object VectorIndex {
     * [[topK]] collapses on read. The returned drift ratio is the batch
     * vs build-time mean quantization error (see class doc). */
   def append(batch: DataFrame, idCol: String, embCol: String, path: String,
-      batchId: Option[String] = None): AppendResult = {
+      batchId: Option[String] = None,
+      admitTombstoned: Boolean = false): AppendResult = {
     val spark = batch.sparkSession
     val id = batchId.getOrElse(java.util.UUID.randomUUID().toString)
     if (committedBatches(spark, path).contains(id)) {
@@ -194,9 +195,20 @@ object VectorIndex {
       return AppendResult(id, q, ratio, replayed = true)
     }
     val (dim, m) = meta(spark, path)
+    // tombstone enforcement at ingest (VERDICT r12 #1) — same
+    // default-on contract as [[SignatureStore.append]]: a retracted
+    // vector re-arriving through a batch append loop is dropped unless
+    // the caller explicitly opts out
+    val admitted =
+      if (admitTombstoned || !fs(spark, path).exists(new Path(s"$path/tombstones")))
+        batch
+      else batch.join(
+        tombstones(spark, path)
+          .select(col("doc_id").cast("long").as("__tomb_id")).distinct(),
+        batch(idCol).cast("long") === col("__tomb_id"), "left_anti")
     val cents = coarse(spark, path, embCol)
       .select(col("vi_cid").as(idCol), col(embCol))
-    val cells = Similarity.assignCells(batch, cents, idCol, embCol)
+    val cells = Similarity.assignCells(admitted, cents, idCol, embCol)
       .select(col(idCol).as("neighbor_id"), col("cell"))
     // encode keeping the admitted code's squared distance: the drift
     // metric rides the SAME pass that produces the codes (no extra
@@ -204,7 +216,7 @@ object VectorIndex {
     graft.functions.GraftFunctions.register(spark)
     val w = Window.partitionBy(col("neighbor_id"), col("s"))
       .orderBy(col("dist").asc, col("cid").asc)
-    val assigned = Similarity.pqSubRows(batch, idCol, embCol, dim, m)
+    val assigned = Similarity.pqSubRows(admitted, idCol, embCol, dim, m)
       .withColumnRenamed(idCol, "neighbor_id")
       .join(broadcast(books(spark, path)), "s")
       .withColumn("dist", Similarity.sqDist("semb", "cemb"))
@@ -298,7 +310,7 @@ object VectorIndex {
     val spark = docIds.sparkSession
     // single-writer contract for partition-rewriting passes — see
     // StoreMeta.withWriterLease (appends stay lock-free)
-    StoreMeta.withWriterLease(spark, path, "delete") {
+    StoreMeta.withWriterLeaseFenced(spark, path, "delete") { lease =>
     val ids = docIds.select(col(idColumn).cast("long").as("neighbor_id"))
       .distinct().persist()
     try {
@@ -314,7 +326,7 @@ object VectorIndex {
             .filter(col("cell").isin(touched.map(Integer.valueOf).toSeq: _*))
             .join(broadcast(ids), Seq("neighbor_id"), "left_anti")
           ArcaneLayout.replacePartitions(kept, s"$path/codes", Seq("cell"),
-            touched.map(v => s"cell=$v").toSeq): Unit
+            touched.map(v => s"cell=$v").toSeq, fence = Some(lease)): Unit
         }
       }
       ids.select(col("neighbor_id").as("doc_id"))

@@ -1,7 +1,7 @@
 package graft.runtime
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.model.ExitCodes
 
@@ -96,17 +96,26 @@ object RetractionJob {
       // would silently skip an invalidated doc absent from the corpus
       // path (stale corpus, or content purged before the job ran) and
       // leave its ledger row pointing at the tombstoned keeper forever
-      // while the job reports success
+      // while the job reports success. The corpus side is trimmed to
+      // exactly the columns readjudicate consumes (a corpus carrying
+      // its own `batch` column must not collide with affected's), and
+      // row ABSENCE is detected by a marker column — a corpus row
+      // whose text is legitimately NULL is present, just empty
+      // (ADVICE r12)
+      val corpusSlim = corpus
+        .select((Seq(idCol, textCol) ++ embCol.toSeq).distinct.map(col): _*)
+        .withColumnRenamed(idCol, "doc_id")
+        .withColumn("__present", lit(true))
       val joined = affected
-        .join(corpus.withColumnRenamed(idCol, "doc_id"), Seq("doc_id"), "left")
+        .join(corpusSlim, Seq("doc_id"), "left")
         .localCheckpoint(true)
-      val missing = joined.filter(col(textCol).isNull).count()
+      val missing = joined.filter(col("__present").isNull).count()
       if (missing > 0)
         throw new IllegalStateException(
           s"$missing invalidated doc(s) have no content under RETRACT_CORPUS_PATH — " +
             "their verdicts cannot be healed; fix the corpus path (content must " +
             "outlive the takedown at least until the sweep runs) and re-run")
-      val refed: DataFrame = joined
+      val refed: DataFrame = joined.drop("__present")
       readjudicated = graft.streaming.StreamingDecision.readjudicate(
         refed, "doc_id", textCol,
         embCol.filter(_ => cents.nonEmpty), "batch", store, cents).count()

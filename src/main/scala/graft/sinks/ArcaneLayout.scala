@@ -168,10 +168,19 @@ object ArcaneLayout {
     * between the two can lose the cleared partitions' kept rows until
     * the patch is re-run. Deployments needing stronger guarantees put
     * the table on a transactional format; the single-writer contract
-    * for maintenance ops applies (see [[graft.ext.StoreMeta]]). */
+    * for maintenance ops applies (see [[graft.ext.StoreMeta]]).
+    *
+    * `fence`: the caller's writer-lease token — verified via
+    * [[graft.ext.StoreMeta.verifyLease]] immediately before the
+    * point of no return (old files cleared, staged files renamed in),
+    * so a holder whose lease was TTL-broken mid-pass REFUSES the swap
+    * instead of interleaving with the new holder's rewrite (VERDICT
+    * r12 #4). Staging happens before the check; a refused swap leaves
+    * the target untouched. */
   def replacePartitions(replacement: DataFrame, targetPath: String,
       partitionColumns: Seq[String], clearPartitions: Seq[String],
-      format: String = "parquet"): Seq[String] = {
+      format: String = "parquet",
+      fence: Option[graft.ext.StoreMeta.Lease] = None): Seq[String] = {
     require(partitionColumns.nonEmpty, "replacePartitions needs partition columns")
     val schemaHash = SchemaOps.shortFingerprint(replacement.schema)
     val dataDir = s"$targetPath/data"
@@ -190,6 +199,10 @@ object ArcaneLayout {
         require(scope.exists(n.startsWith),
           s"replacement row landed outside the declared partitions: $n")
       }
+      // fencing check LAST before the point of no return: a lease
+      // broken while we staged means another writer owns these
+      // partitions now — abort with the staged dir cleaned by finally
+      fence.foreach(graft.ext.StoreMeta.verifyLease(replacement.sparkSession, _))
       // point of no return: clear old files, then move staged ones in
       scope.foreach { sub =>
         val dir = new Path(s"$dataDir/$sub")

@@ -107,6 +107,9 @@ object StreamingDecision {
     StructField("vec_id", LongType), StructField("emb", ArrayType(FloatType)),
     StructField("nrm", DoubleType), StructField("rank", IntegerType),
     StructField("cell", LongType)))
+  private val decisionsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("decision", StringType),
+    StructField("keeper_id", LongType), StructField("batch", StringType)))
 
   private def bktOf(c: org.apache.spark.sql.Column, b: Int) =
     pmod(hash(c), lit(b))
@@ -158,9 +161,13 @@ object StreamingDecision {
   }
 
   /** The unfiltered per-arrival decision ledger — may carry duplicate
-    * doc_id rows after an uncheckpointed restart (see [[decisions]]). */
+    * doc_id rows after an uncheckpointed restart (see [[decisions]]).
+    * A store that has committed no batch yet (or a maintenance sweep
+    * pointed at a fresh path) reads as EMPTY rather than dying with
+    * PATH_NOT_FOUND inside the writer lease (ADVICE r12) — a
+    * retraction against a ledgerless store is then a clean no-op. */
   def decisionsRaw(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/decisions")
+    readOrEmpty(spark, s"$path/decisions", decisionsSchema)
 
   // ----------------------------------------------------------------
   // RETRACTION (VERDICT r11 #1): takedown support for the decision
@@ -203,7 +210,7 @@ object StreamingDecision {
       idColumn: String = "doc_id"): DataFrame = {
     // single-writer contract for partition-rewriting passes — see
     // StoreMeta.withWriterLease
-    StoreMeta.withWriterLease(spark, path, "delete") {
+    StoreMeta.withWriterLeaseFenced(spark, path, "delete") { lease =>
     val b = buckets(spark, path)
     val ids = docIds.select(col(idColumn).cast("long").as("doc_id")).distinct()
       .localCheckpoint(true)
@@ -232,7 +239,7 @@ object StreamingDecision {
           val kept = slice.join(broadcast(keyed), Seq(keyCol), "left_anti")
             .select(all.columns.map(col).toSeq: _*)
           ArcaneLayout.replacePartitions(kept, s"$path/$table", Seq(partCol),
-            touched.map(v => s"$partCol=$v").toSeq): Unit
+            touched.map(v => s"$partCol=$v").toSeq, fence = Some(lease)): Unit
         }
       }
     }
@@ -247,6 +254,7 @@ object StreamingDecision {
       val slice = raw.filter(col("batch").isin(touchedB: _*))
       val kept = slice.join(broadcast(ids), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
+      StoreMeta.verifyLease(spark, lease)
       if (!kept.isEmpty)
         kept.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -318,7 +326,7 @@ object StreamingDecision {
       if (in.isEmpty)
         in.select("doc_id").withColumn("decision", lit(""))
           .withColumn("keeper_id", col("doc_id")).withColumn("batch", lit(""))
-      else StoreMeta.withWriterLease(spark, path, "readjudicate") {
+      else StoreMeta.withWriterLeaseFenced(spark, path, "readjudicate") { lease =>
       // first-arrival epoch per ledger doc — the member-ordering map
       val ledgerEp = decisionsRaw(spark, path)
         .select(col("doc_id").as("m_id"), epochOf(col("batch")).as("m_ep"))
@@ -434,6 +442,7 @@ object StreamingDecision {
         .join(broadcast(dec.select("doc_id")), Seq("doc_id"), "left_anti")
         .select("doc_id", "decision", "keeper_id", "batch")
       val patched = kept.unionByName(dec).localCheckpoint(true)
+      StoreMeta.verifyLease(spark, lease)
       if (!patched.isEmpty)
         patched.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

@@ -191,6 +191,74 @@ class ComponentStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
       .exists(new Path(s"$store/_lease/writer.json")) shouldBe false
   }
 
+  behavior of "writer-lease fencing (VERDICT r12 #4)"
+
+  it should "issue monotonically increasing epochs across acquires and steals" in {
+    val store = tempDir("graft-lease-epoch")
+    val e1 = StoreMeta.withWriterLeaseFenced(spark, store, "a")(l => l.epoch)
+    val e2 = StoreMeta.withWriterLeaseFenced(spark, store, "a")(l => l.epoch)
+    e2 should be > e1
+    // normal release removes the lease file
+    StoreMeta.fs(spark, store)
+      .exists(new Path(s"$store/_lease/writer.json")) shouldBe false
+    // a stale-lease steal must bump PAST the stale holder's epoch even
+    // when it is ahead of the recorded high-water mark (crash between
+    // winning writer.json and bumping epoch.json)
+    StoreMeta.writeJson(spark, store, "_lease/writer.json",
+      s"""{"owner":"dead","epoch":${e2 + 5},"acquiredAt":1000,"ttl":5}""",
+      overwrite = false) shouldBe true
+    val e3 = StoreMeta.withWriterLeaseFenced(spark, store, "a")(l => l.epoch)
+    e3 should be > (e2 + 5)
+  }
+
+  it should "complete a fenced partition swap under an intact lease" in {
+    import spark.implicits._
+    val store = tempDir("graft-lease-swap-ok")
+    graft.sinks.ArcaneLayout.replacePartitions(
+      Seq((1L, 0), (2L, 1)).toDF("id", "bkt"), store, Seq("bkt"),
+      Seq("bkt=0", "bkt=1"))
+    StoreMeta.withWriterLeaseFenced(spark, store, "test") { lease =>
+      graft.sinks.ArcaneLayout.replacePartitions(
+        Seq((9L, 0)).toDF("id", "bkt"), store, Seq("bkt"), Seq("bkt=0"),
+        fence = Some(lease))
+    }
+    spark.read.parquet(s"$store/data").select("id").as[Long]
+      .collect().toSet shouldBe Set(9L, 2L)
+  }
+
+  it should "refuse the swap and keep the stealer's lease when broken mid-pass" in {
+    import spark.implicits._
+    val store = tempDir("graft-lease-fence")
+    graft.sinks.ArcaneLayout.replacePartitions(
+      Seq((1L, 0), (2L, 1)).toDF("id", "bkt"), store, Seq("bkt"),
+      Seq("bkt=0", "bkt=1"))
+    val before = spark.read.parquet(s"$store/data")
+      .collect().map(_.toString).toSet
+    val ex = intercept[IllegalStateException] {
+      StoreMeta.withWriterLeaseFenced(spark, store, "slow") { lease =>
+        // simulate a TTL break by a new writer while this pass stages:
+        // the stealer replaces the lease with its own (owner, epoch)
+        StoreMeta.fs(spark, store)
+          .delete(new Path(s"$store/_lease/writer.json"), false)
+        StoreMeta.writeJson(spark, store, "_lease/writer.json",
+          s"""{"owner":"thief","epoch":${lease.epoch + 1},""" +
+            s""""acquiredAt":${System.currentTimeMillis()},"ttl":600000}""",
+          overwrite = false) shouldBe true
+        graft.sinks.ArcaneLayout.replacePartitions(
+          Seq((9L, 0)).toDF("id", "bkt"), store, Seq("bkt"), Seq("bkt=0"),
+          fence = Some(lease))
+      }
+    }
+    ex.getMessage should include("lease")
+    // the revenant holder's swap landed NOTHING — target untouched
+    spark.read.parquet(s"$store/data")
+      .collect().map(_.toString).toSet shouldBe before
+    // delete-if-owner (ADVICE r12): the holder's release must NOT
+    // delete the stealer's fresh lease
+    StoreMeta.readJson(spark, store, "_lease/writer.json")
+      .exists(_.contains("thief")) shouldBe true
+  }
+
   behavior of "ComponentStore retraction (VERDICT r11 #1)"
 
   it should "delete ids and rebuild the touched components to match a recompute" in {

@@ -413,4 +413,36 @@ class SignatureStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
       .collect().head
     keep.getLong(1) shouldBe 1L
   }
+
+  it should "reject a re-arriving tombstoned doc at ingest by default (VERDICT r12 #1)" in {
+    import spark.implicits._
+    val store = tempDir("sigstore-tomb")
+    val ghost = tempDir("sigstore-tomb-ghost")
+    val fresh = base.replace("tonight", "tomorrow")
+    SignatureStore.append(docsDf(1L -> base, 2L -> other), "doc_id", "text", store)
+    SignatureStore.delete(Seq(2L).toDF("doc_id"), "doc_id", store) shouldBe 1L
+    // the tombstoned doc RE-ARRIVES in a later batch mixed with a new
+    // doc: the new doc is admitted, the retracted one silently dropped
+    SignatureStore.append(docsDf(2L -> other, 3L -> fresh), "doc_id", "text", store)
+    // ghost store: never saw doc 2 at all — every table must match
+    SignatureStore.append(docsDf(1L -> base), "doc_id", "text", ghost)
+    SignatureStore.append(docsDf(3L -> fresh), "doc_id", "text", ghost)
+    def rows(path: String, table: String): Set[String] =
+      spark.read.parquet(s"$path/$table/data").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+    Seq("hashes", "shingles", "signatures").foreach { t =>
+      withClue(s"table $t: ") { rows(store, t) shouldBe rows(ghost, t) }
+    }
+    // a clone of the tombstoned doc still matches nothing
+    val probe = SignatureStore.dedupBatch(docsDf(50L -> other), "doc_id", "text", store)
+      .collect().head
+    probe.getLong(1) shouldBe 0L
+    probe.getLong(3) shouldBe 0L
+    // explicit opt-out re-admits (a takedown later reversed)
+    SignatureStore.append(docsDf(2L -> other), "doc_id", "text", store,
+      admitTombstoned = true)
+    val readmitted = SignatureStore.dedupBatch(docsDf(50L -> other), "doc_id", "text", store)
+      .collect().head
+    readmitted.getLong(1) shouldBe 1L
+  }
 }

@@ -435,4 +435,30 @@ class VectorIndexSpec extends AnyFlatSpec with Matchers with SparkFixture {
       got shouldBe want
     } finally { cleanup(path); cleanup(ghost) }
   }
+
+  it should "reject a re-arriving tombstoned vector at append by default (VERDICT r12 #1)" in {
+    import spark.implicits._
+    val path = tempIndex("tomb")
+    try {
+      val e = corpus
+      VectorIndex.build(e.filter(col("vec_id") < 40), "vec_id", "embedding", path,
+        dim = 64, m = 8, codebookK = 16, coarseK = 4)
+      VectorIndex.delete(Seq(7L).toDF("vec_id"), "vec_id", path) shouldBe 1L
+      val before = spark.read.parquet(s"$path/codes/data").collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+      // re-arrival batch mixing the tombstoned vector with a new one:
+      // only the new vector's codes may land
+      VectorIndex.append(e.filter(col("vec_id") === 7 || col("vec_id") === 45),
+        "vec_id", "embedding", path)
+      val after = spark.read.parquet(s"$path/codes/data")
+      after.filter(col("neighbor_id") === 7L).count() shouldBe 0L
+      after.filter(col("neighbor_id") === 45L).count() should be > 0L
+      // explicit opt-out re-admits
+      VectorIndex.append(e.filter(col("vec_id") === 7), "vec_id", "embedding", path,
+        admitTombstoned = true)
+      spark.read.parquet(s"$path/codes/data")
+        .filter(col("neighbor_id") === 7L).count() should be > 0L
+      before should not be empty // sanity: the delete left survivors
+    } finally cleanup(path)
+  }
 }
