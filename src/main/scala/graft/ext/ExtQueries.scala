@@ -653,6 +653,83 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------------
+  // dedup_tombstone_ingest (VERDICT r12 #1): the takedown lifecycle
+  // run through the PRODUCTION batch path — evens are ingested, a
+  // deterministic subset (doc_id % 6 == 0) is retracted, and then the
+  // retracted docs RE-ARRIVE through SignatureStore.append, where the
+  // default-on tombstone filter must silently drop them. The odd batch
+  // is then deduped against the store: the oracle is the incremental
+  // contract computed over corpus = evens MINUS the retracted set — if
+  // a single re-arrival were re-admitted, its odd-side duplicates
+  // would match and the hash would diverge.
+  // ------------------------------------------------------------------
+
+  private val tombStoreCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def tombStoreFor(spark: SparkSession, dir: String): String =
+    tombStoreCache.synchronized {
+      tombStoreCache.getOrElseUpdate(dir, {
+        val store = java.nio.file.Files.createTempDirectory("graft-tombstore")
+        sys.addShutdownHook(SignatureStore.deleteStore(store))
+        val d = docs(spark, dir).select("doc_id", "text")
+        val evens = d.filter(pmod(col("doc_id"), lit(2)) === 0)
+        SignatureStore.append(evens, "doc_id", "text", store.toString)
+        SignatureStore.delete(
+          evens.filter(pmod(col("doc_id"), lit(6)) === 0).select("doc_id"),
+          "doc_id", store.toString)
+        // the planted re-arrival: every retracted doc comes back through
+        // the production append loop, mixed with nothing new — the
+        // ingest-side tombstone enforcement must admit zero rows
+        SignatureStore.append(
+          evens.filter(pmod(col("doc_id"), lit(6)) === 0),
+          "doc_id", "text", store.toString)
+        store.toString
+      })
+    }
+
+  def dedupTombstoneIngest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val store = tombStoreFor(spark, dir)
+    SignatureStore.dedupBatch(d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", store)
+      .orderBy("doc_id")
+  }
+
+  /** [[dedupIncrementalSql]] with the corpus (even) side restricted to
+    * the docs surviving the takedown: even-side docs with
+    * doc_id % 6 == 0 were deleted AND must stay out through the
+    * re-arrival append. */
+  private val dedupTombstoneIngestSql =
+    s"""WITH $TokCte, $ShCte,
+       |$SigCtes,
+       |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
+       |x AS (SELECT doc_a, doc_b FROM pairs
+       |  WHERE ((doc_a % 2) + 2) % 2 <> ((doc_b % 2) + 2) % 2
+       |    AND (((CASE WHEN ((doc_a % 2) + 2) % 2 = 0 THEN doc_a ELSE doc_b END) % 6) + 6) % 6 <> 0),
+       |ver AS (SELECT
+       |    CASE WHEN ((x.doc_a % 2) + 2) % 2 = 1 THEN x.doc_a ELSE x.doc_b END AS in_id,
+       |    (CASE WHEN 10 * len(list_intersect(a.shd, b.shd))
+       |               >= 8 * len(list_distinct(a.shd || b.shd))
+       |          THEN 1 ELSE 0 END)::BIGINT AS is_dup
+       |  FROM x JOIN shd a ON a.doc_id = x.doc_a JOIN shd b ON b.doc_id = x.doc_b),
+       |near AS (SELECT in_id, count(*)::BIGINT AS n_candidates,
+       |    max(is_dup)::BIGINT AS near_dup FROM ver GROUP BY in_id),
+       |hs AS (SELECT doc_id, sha256(array_to_string(toks, ' ')) AS h FROM tok),
+       |exk AS (SELECT DISTINCT i.doc_id AS in_id FROM hs i
+       |  WHERE ((i.doc_id % 2) + 2) % 2 = 1
+       |    AND EXISTS (SELECT 1 FROM hs e
+       |      WHERE ((e.doc_id % 2) + 2) % 2 = 0
+       |        AND ((e.doc_id % 6) + 6) % 6 <> 0 AND e.h = i.h))
+       |SELECT d.doc_id,
+       |  (CASE WHEN exk.in_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS exact_dup,
+       |  coalesce(near.n_candidates, 0)::BIGINT AS n_candidates,
+       |  coalesce(near.near_dup, 0)::BIGINT AS near_dup
+       |FROM (SELECT doc_id FROM documents WHERE ((doc_id % 2) + 2) % 2 = 1) d
+       |LEFT JOIN near ON near.in_id = d.doc_id
+       |LEFT JOIN exk ON exk.in_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   private val dedupIncrementalSql =
     s"""WITH $TokCte, $ShCte,
        |$SigCtes,
@@ -3803,6 +3880,7 @@ object ExtQueries {
     "pipeline_split_leakage" -> (pipelineSplitLeakage(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "dedup_incremental_store" -> (dedupIncrementalStore(_, _)),
+    "dedup_tombstone_ingest" -> (dedupTombstoneIngest(_, _)),
     "streaming_dedup_golden" -> (streamingDedupGolden(_, _)),
     "streaming_exact_golden" -> (streamingExactGolden(_, _)),
     "streaming_exact_ttl_golden" -> (streamingExactTtlGolden(_, _)),
@@ -3874,6 +3952,7 @@ object ExtQueries {
     "pipeline_split_leakage" -> pipelineSplitLeakageSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_incremental_store" -> dedupIncrementalSql,
+    "dedup_tombstone_ingest" -> dedupTombstoneIngestSql,
     "streaming_dedup_golden" -> streamingDedupGoldenSql,
     "streaming_exact_golden" -> streamingExactGoldenSql,
     "streaming_exact_ttl_golden" -> streamingExactTtlGoldenSql,
