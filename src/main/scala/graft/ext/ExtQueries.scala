@@ -2870,13 +2870,18 @@ object ExtQueries {
     * mtimes — FileStreamSource orders by mtime, so with
     * `maxFilesPerTrigger=1` the trigger order is deterministic. */
   private def writeGoldenStream(d: DataFrame,
-      sentinels: Seq[DataFrame] = Nil): String = {
+      sentinels: Seq[DataFrame] = Nil): String =
+    writeGoldenStreamSeq((0 until GoldenBatches).map(i =>
+      d.filter(pmod(col("doc_id"), lit(GoldenBatches)) === i)) ++ sentinels)
+
+  /** [[writeGoldenStream]] over an EXPLICIT ordered batch sequence —
+    * for harnesses that interleave control batches (retractions,
+    * re-arrivals) between the sliced data batches. */
+  private def writeGoldenStreamSeq(batches: Seq[DataFrame]): String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-golden")
     sys.addShutdownHook(SignatureStore.deleteStore(tmp))
     val streamDir = new java.io.File(tmp.toFile, "stream"); streamDir.mkdirs()
     val epoch = 1700000000000L // fixed base; only the relative order matters
-    val batches = (0 until GoldenBatches).map(i =>
-      d.filter(pmod(col("doc_id"), lit(GoldenBatches)) === i)) ++ sentinels
     batches.zipWithIndex.foreach { case (b, i) =>
       val part = s"$tmp/part$i"
       b.coalesce(1).write.mode("overwrite").parquet(part)
@@ -3098,6 +3103,104 @@ object ExtQueries {
     s2.catalog.dropTempView(name)
     out.orderBy("doc_id", "first_doc_id")
   }
+
+  // ------------------------------------------------------------------
+  // streaming_retraction_golden (VERDICT r12 #2): mid-stream takedown
+  // against a LIVE unbounded exact tier, oracle-checked. The clone
+  // corpus streams as 7 ordered micro-batches:
+  //   seq 0-1: data batches b0, b1 (b = pmod(doc_id, 5))
+  //   seq 2:   RETRACTION control batch — every b0/b1 doc with
+  //            pmod(doc_id, 37) == 0, as retract = true rows
+  //   seq 3:   RE-ARRIVAL batch — the same docs again as ordinary
+  //            arrivals, which the tombstones must drop outright (a
+  //            wrongly re-admitted doc would re-claim its ownerless
+  //            chain and visibly steal ownership from the b2+ clones)
+  //   seq 4-6: data batches b2, b3, b4
+  // DuckDB replays the ownership chains: phase-1 hits are the
+  // first-owner rule over b0/b1; a chain whose owner was retracted is
+  // ownerless afterwards, so the first SURVIVING arrival among b2-b4
+  // starts the healed chain and later arrivals name IT — never the
+  // tombstoned id, and never the dropped re-arrival.
+  // ------------------------------------------------------------------
+
+  private val goldenRetractDirCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def goldenRetractStreamDir(spark: SparkSession, dir: String): String =
+    goldenRetractDirCache.synchronized {
+      goldenRetractDirCache.getOrElseUpdate(dir, {
+        val c = exactCloneCorpus(docs(spark, dir).select("doc_id", "text"))
+        def flag(df: DataFrame, r: Boolean) =
+          df.select(col("doc_id"), col("text"), lit(r).as("retract"))
+        def b(i: Int) =
+          flag(c.filter(pmod(col("doc_id"), lit(GoldenBatches)) === i), r = false)
+        val rset = c.filter(pmod(col("doc_id"), lit(37)) === 0 &&
+          pmod(col("doc_id"), lit(GoldenBatches)) < 2)
+        writeGoldenStreamSeq(Seq(
+          b(0), b(1), flag(rset, r = true), flag(rset, r = false),
+          b(2), b(3), b(4)))
+      })
+    }
+
+  def streamingRetractionGolden(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = new java.io.File(goldenRetractStreamDir(spark, dir))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val name = s"streaming_retract_${goldenCounter.incrementAndGet()}"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("retract",
+        org.apache.spark.sql.types.BooleanType)))
+    val src = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val hits = graft.streaming.StreamingDedup
+      .exactDupStreamRetract(src, "doc_id", "text", "retract")
+    val q = hits.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val res = s2.table(name).select(
+        col("docId").as("doc_id"),
+        col("firstDocId").as("first_doc_id"))
+      .orderBy("doc_id", "first_doc_id")
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
+    s2.catalog.dropTempView(name)
+    out.orderBy("doc_id", "first_doc_id")
+  }
+
+  private val streamingRetractionGoldenSql =
+    s"""WITH $ExactCloneCte,
+       |tokb AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+       |    '[^a-z0-9]+'), x -> x <> '') AS toks FROM base),
+       |hs AS (SELECT doc_id, sha256(array_to_string(toks, ' ')) AS h FROM tokb),
+       |j AS (SELECT hs.doc_id, hs.h,
+       |    ((hs.doc_id % $GoldenBatches) + $GoldenBatches) % $GoldenBatches AS b
+       |  FROM hs),
+       |r AS (SELECT doc_id FROM j
+       |  WHERE ((doc_id % 37) + 37) % 37 = 0 AND b IN (0, 1)),
+       |p1 AS (SELECT * FROM j WHERE b IN (0, 1)),
+       |own1 AS (SELECT h, doc_id AS o1 FROM (
+       |    SELECT h, doc_id,
+       |      row_number() OVER (PARTITION BY h ORDER BY b, doc_id) AS rn
+       |    FROM p1) WHERE rn = 1),
+       |hits1 AS (SELECT p1.doc_id, own1.o1 AS first_doc_id
+       |  FROM p1 JOIN own1 ON own1.h = p1.h WHERE p1.doc_id <> own1.o1),
+       |surv AS (SELECT h, o1 FROM own1
+       |  WHERE o1 NOT IN (SELECT doc_id FROM r)),
+       |p2 AS (SELECT * FROM j WHERE b IN (2, 3, 4)),
+       |m2 AS (SELECT h, doc_id AS o2 FROM (
+       |    SELECT h, doc_id,
+       |      row_number() OVER (PARTITION BY h ORDER BY b, doc_id) AS rn
+       |    FROM p2) WHERE rn = 1),
+       |own2 AS (SELECT m2.h, coalesce(surv.o1, m2.o2) AS own
+       |  FROM m2 LEFT JOIN surv ON surv.h = m2.h),
+       |hits2 AS (SELECT p2.doc_id, own2.own AS first_doc_id
+       |  FROM p2 JOIN own2 ON own2.h = p2.h WHERE p2.doc_id <> own2.own)
+       |SELECT doc_id, first_doc_id FROM
+       |  (SELECT * FROM hits1 UNION ALL SELECT * FROM hits2)
+       |ORDER BY doc_id, first_doc_id""".stripMargin
 
   private val streamingExactGoldenSql =
     s"""WITH $ExactCloneCte,
@@ -3883,6 +3986,7 @@ object ExtQueries {
     "dedup_tombstone_ingest" -> (dedupTombstoneIngest(_, _)),
     "streaming_dedup_golden" -> (streamingDedupGolden(_, _)),
     "streaming_exact_golden" -> (streamingExactGolden(_, _)),
+    "streaming_retraction_golden" -> (streamingRetractionGolden(_, _)),
     "streaming_exact_ttl_golden" -> (streamingExactTtlGolden(_, _)),
     "streaming_semantic_golden" -> (streamingSemanticGolden(_, _)),
     "streaming_semantic_ttl_golden" -> (streamingSemanticTtlGolden(_, _)),
@@ -3955,6 +4059,7 @@ object ExtQueries {
     "dedup_tombstone_ingest" -> dedupTombstoneIngestSql,
     "streaming_dedup_golden" -> streamingDedupGoldenSql,
     "streaming_exact_golden" -> streamingExactGoldenSql,
+    "streaming_retraction_golden" -> streamingRetractionGoldenSql,
     "streaming_exact_ttl_golden" -> streamingExactTtlGoldenSql,
     "streaming_semantic_golden" -> streamingSemanticGoldenSql,
     "streaming_semantic_ttl_golden" -> streamingSemanticTtlGoldenSql,

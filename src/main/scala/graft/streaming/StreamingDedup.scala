@@ -28,6 +28,22 @@ case class SemDupHit(vecId: Long, matchedVecId: Long, scoreE4: Long)
 case class BandRowT(bandKey: String, docId: Long, sig: Seq[Long],
     ts: java.sql.Timestamp)
 
+/** One exploded LSH band row of the retraction-aware stream: `retract
+  * = true` rows are CONTROL rows — they purge their doc from the
+  * bucket's membership and tombstone its id instead of matching. */
+case class BandRowC(bandKey: String, docId: Long, sig: Seq[Long],
+    retract: Boolean)
+
+/** Per-band-bucket state of the retraction-aware near tier: admitted
+  * members plus the bucket's tombstoned ids (bounded by the takedowns
+  * that ever touched this bucket). */
+case class BucketState(members: Seq[DocSig], tombstoned: Seq[Long])
+
+/** Per-hash state of the retraction-aware exact tier: the current
+  * ownership chain (if any) plus tombstoned ids. */
+case class ExactOwnState(hasOwner: Boolean, owner: Long,
+    tombstoned: Seq[Long])
+
 /** A band-bucket member with the event time it was (last) seen at,
   * for the TTL-bounded store variant. */
 case class DocSigT(docId: Long, sig: Seq[Long], tsMs: Long)
@@ -126,6 +142,100 @@ object StreamingDedup {
             .map(r => DocSig(r.docId, r.sig))
             .filterNot(d => prior.exists(_.docId == d.docId))
           state.update(grown.take(maxBucket))
+          hits.iterator
+      }
+  }
+
+  // ----------------------------------------------------------------
+  // MID-STREAM RETRACTION for the UNBOUNDED tiers (VERDICT r12 #2).
+  //
+  // The unbounded tiers hold their corpus in Spark-managed state, so
+  // a takedown that only heals the PERSISTED stores leaves the
+  // retracted doc resident in a running query's state, suppressing
+  // its duplicates until a restart. The fix is Spark-first: the
+  // tombstone feed is UNIONED INTO the data stream as control rows
+  // (`retract = true`, carrying the doc's CONTENT so the row routes
+  // to exactly the state keys the doc occupies — the same
+  // content-must-outlive-the-takedown contract RetractionJob places
+  // on its corpus path). Control rows ride the same checkpointed
+  // shuffle as arrivals, so a replay from any checkpoint re-applies
+  // the retraction at exactly the same trigger — deterministic, no
+  // side channel, no restart.
+  //
+  // Per-bucket semantics (all three tiers, identical rules):
+  //  1. retractions in a micro-batch apply BEFORE its arrivals
+  //     (deterministic intra-batch order — a same-batch retract +
+  //     re-arrival rejects the re-arrival);
+  //  2. a retracted member is PURGED from membership at access: it
+  //     stops matching future arrivals immediately, and its freed
+  //     slot is available to the same batch's admissions;
+  //  3. the id is TOMBSTONED in the bucket's state: a later
+  //     re-arrival is dropped outright — no hits, no admission, no
+  //     ownership (the stream-side mirror of the stores'
+  //     ingest-time enforcement).
+  //
+  // The TTL tiers deliberately have NO retract variant: their state
+  // self-heals at the event-time horizon (a retracted doc's
+  // suppression ends when the watermark passes its expiry — pinned in
+  // StreamingRetractionSpec); a deployment needing faster takedown
+  // than its horizon runs the unbounded tier's control stream.
+  // ----------------------------------------------------------------
+
+  /** [[bandRows]] plus the per-row retract flag: the projection for
+    * [[nearDupStreamRetract]]. `retractCol` must be boolean-castable;
+    * retraction rows must carry the SAME text the original arrival
+    * carried (content-addressed routing to its band keys). */
+  def bandRowsCtl(docs: DataFrame, idCol: String, textCol: String,
+      retractCol: String, k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3,
+      shingleN: Int = 3): Dataset[BandRowC] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("docId"),
+        col(retractCol).cast("boolean").as("retract"),
+        TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleN)
+      .select(col("docId"), col("retract"),
+        Dedup.minhashSigOnce(TextOps.shingles(col("toks"), shingleN), k).as("sig"))
+      .select(
+        explode(Dedup.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bandKey"),
+        col("docId"), col("sig"), col("retract"))
+      .as[BandRowC]
+  }
+
+  /** [[nearDupStream]] with mid-stream retraction (see the section
+    * comment above): control rows purge + tombstone, arrivals match
+    * the PURGED prior membership. Inside a retraction-free stream the
+    * semantics are exactly [[nearDupStream]]'s. */
+  def nearDupStreamRetract(rows: Dataset[BandRowC], maxBucket: Int = 64,
+      minSigMatch: Int = 8): Dataset[NearDupHit] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.groupByKey(_.bandKey)
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, incoming: Iterator[BandRowC], state: GroupState[BucketState]) =>
+          val st0 = state.getOption.getOrElse(BucketState(Nil, Nil))
+          val batch = incoming.toVector
+          // 1. retractions first: purge membership, extend tombstones
+          val retracts = batch.filter(_.retract).map(_.docId).distinct
+          val tomb = (st0.tombstoned ++ retracts).distinct
+          val prior = st0.members.filterNot(m => tomb.contains(m.docId))
+          // 2./3. arrivals: tombstoned ids dropped outright, the rest
+          // match the purged prior membership (batch-vs-corpus rule)
+          val adds = batch.filterNot(_.retract).sortBy(_.docId)
+            .filterNot(r => tomb.contains(r.docId))
+          val hits = for {
+            in <- adds
+            m <- prior
+            if m.docId != in.docId
+            nm = in.sig.zip(m.sig).count { case (a, b) => a == b }
+            if nm >= minSigMatch
+          } yield NearDupHit(in.docId, m.docId, nm)
+          val grown = prior ++ adds
+            .map(r => DocSig(r.docId, r.sig))
+            .filterNot(d => prior.exists(_.docId == d.docId))
+          state.update(BucketState(grown.take(maxBucket), tomb))
           hits.iterator
       }
   }
@@ -272,6 +382,56 @@ object StreamingDedup {
           val owner = state.getOption.getOrElse(ids.head)
           if (!state.exists) state.update(owner)
           ids.filter(_ != owner).map(ExactDupHit(_, owner)).iterator
+      }
+  }
+
+  /** [[exactDupStream]] with mid-stream retraction (see the section
+    * comment above [[bandRowsCtl]]): a control row for the OWNER of a
+    * hash ends its ownership chain — the next surviving arrival starts
+    * a new chain (smallest id of its batch owns, the first-owner rule
+    * applied to the post-takedown corpus), so later duplicates name the
+    * HEALED owner, never the tombstoned one. A control row for a
+    * non-owner only tombstones the id. Tombstoned ids re-arriving are
+    * dropped: no hit, no admission, no ownership claim — even when the
+    * chain they once owned is currently ownerless. Retraction rows
+    * must carry the same text as the original arrival (the hash IS the
+    * state key). Inside a retraction-free stream the semantics are
+    * exactly [[exactDupStream]]'s. Oracle: `streaming_retraction_golden`
+    * replays batches → retract → re-arrival → batches in DuckDB. */
+  def exactDupStreamRetract(docs: DataFrame, idCol: String, textCol: String,
+      retractCol: String): Dataset[ExactDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(Dedup.contentHash(col(textCol)).as("h"),
+        col(idCol).cast("long").as("docId"),
+        col(retractCol).cast("boolean").as("retract"))
+      .as[(String, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ExactOwnState, ExactDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, Long, Boolean)],
+            state: GroupState[ExactOwnState]) =>
+          val batch = rows.toVector
+          val st0 = state.getOption.getOrElse(ExactOwnState(false, 0L, Nil))
+          // 1. retractions first: tombstone, and clear ownership when
+          // the owner itself is taken down
+          val retracts = batch.filter(_._3).map(_._2).distinct
+          val tomb = (st0.tombstoned ++ retracts).distinct
+          var hasOwner = st0.hasOwner && !retracts.contains(st0.owner)
+          var owner = st0.owner
+          // 2./3. arrivals in id order: tombstoned ids dropped; the
+          // first surviving arrival of an ownerless chain becomes the
+          // new owner, every other arrival emits per-arrival hits
+          val hits = Vector.newBuilder[ExactDupHit]
+          batch.filterNot(_._3).map(_._2).sorted
+            .filterNot(tomb.contains)
+            .foreach { id =>
+              if (!hasOwner) { hasOwner = true; owner = id }
+              else if (id != owner) hits += ExactDupHit(id, owner)
+            }
+          state.update(ExactOwnState(hasOwner, if (hasOwner) owner else 0L, tomb))
+          hits.result().iterator
       }
   }
 
@@ -436,6 +596,57 @@ object StreamingDedup {
             .take(math.max(0, maxCell - prior.size))
             .map { case (_, id, emb, nrm) => (id, emb, nrm) }
           if (admitted.nonEmpty) state.update(prior ++ admitted)
+          hits.result().iterator
+      }
+  }
+
+  /** [[semanticDupStream]] with mid-stream retraction (see the section
+    * comment above [[bandRowsCtl]]): control rows carry the vector
+    * (content-addressed routing to its coarse cell), purge the member
+    * — freeing its cap slot — and tombstone the id against
+    * re-admission. Inside a retraction-free stream the semantics are
+    * exactly [[semanticDupStream]]'s. */
+  def semanticDupStreamRetract(vecs: DataFrame, idCol: String, embCol: String,
+      retractCol: String, centroids: Seq[(Long, Array[Double])],
+      minScoreE4: Long, maxCell: Int = 64): Dataset[SemDupHit] = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    withSemCell(vecs, idCol, embCol, centroids)
+      .select(col("cell"), col("vecId"), col("emb"), col("nrm"),
+        col(retractCol).cast("boolean").as("retract"))
+      .as[(Long, Long, Array[Float], Double, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(List[(Long, Array[Float], Double)], Seq[Long]), SemDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Array[Float], Double, Boolean)],
+            state: GroupState[(List[(Long, Array[Float], Double)], Seq[Long])]) =>
+          val batch = rows.toVector
+          val (members0, tomb0) = state.getOption.getOrElse((Nil, Nil))
+          val retracts = batch.filter(_._5).map(_._2).distinct
+          val tomb = (tomb0 ++ retracts).distinct
+          val prior = members0.filterNot(m => tomb.contains(m._1))
+          val adds = batch.filterNot(_._5).sortBy(_._2)
+            .filterNot(r => tomb.contains(r._2))
+          val hits = Vector.newBuilder[SemDupHit]
+          adds.foreach { case (_, id, emb, nrm, _) =>
+            prior.foreach { case (mid, memb, mnrm) =>
+              if (mid != id) {
+                var dot = 0.0; var i = 0
+                while (i < emb.length) {
+                  dot += emb(i).toDouble * memb(i).toDouble; i += 1
+                }
+                val score = math.round(dot / (nrm * mnrm) * 10000.0)
+                if (score >= minScoreE4) hits += SemDupHit(id, mid, score)
+              }
+            }
+          }
+          val admitted = adds
+            .filterNot(r => prior.exists(_._1 == r._2))
+            .distinctBy(_._2)
+            .take(math.max(0, maxCell - prior.size))
+            .map { case (_, id, emb, nrm, _) => (id, emb, nrm) }
+          state.update((prior ++ admitted, tomb))
           hits.result().iterator
       }
   }
