@@ -1594,6 +1594,59 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // multimodal_decode_wav: REAL RIFF/WAVE header parse (VERDICT r12
+  // #3), the audio sibling of multimodal_decode_jpeg. Per doc a PCM
+  // WAV is encoded from doc_id-derived parameters (real RIFF bytes:
+  // chunk list, fmt , data) and AudioCodec.decodeWavMeta walks the
+  // chunks back — sample rate, channels, bit depth, sample count and
+  // integer-ms duration, never touching a sample. Corruption matrix:
+  // every 11th payload is cut to its first 8 bytes (inside the RIFF
+  // header), every 13th loses its last 10 bytes (the data chunk now
+  // overruns the payload) — both must fail into all-null rows, not
+  // throw. DuckDB predicts the planted values and nulls codec-free.
+  // ------------------------------------------------------------------
+
+  def multimodalDecodeWav(spark: SparkSession, dir: String): DataFrame = {
+    val params = docs(spark, dir).select("doc_id")
+      .filter(col("doc_id") >= 0 && col("doc_id") < DecodeCap)
+      .select(col("doc_id"),
+        ((pmod(col("doc_id"), lit(4)) + 1) * 8000).cast("int").as("sr"),
+        (lit(1) + pmod(col("doc_id"), lit(2))).cast("int").as("ch"),
+        ((lit(1) + pmod(col("doc_id"), lit(3))) * 8).cast("int").as("bps"),
+        (lit(100) + pmod(col("doc_id"), lit(900))).cast("int").as("n"))
+    import spark.implicits._
+    val payloads = params.as[(Long, Int, Int, Int, Int)]
+      .map { case (id, sr, ch, bps, n) =>
+        val bytes = Multimodal.AudioCodec.encodeWav(sr, ch, bps, n)
+        val cut =
+          if (id % 11 == 0) bytes.take(8)
+          else if (id % 13 == 0) bytes.dropRight(10)
+          else bytes
+        (id, cut)
+      }
+      .toDF("doc_id", "payload")
+    Multimodal.decodeAudioMeta(payloads, "doc_id", "payload")
+      .orderBy("doc_id")
+  }
+
+  private val multimodalDecodeWavSql =
+    s"""WITH p AS (SELECT doc_id,
+       |    ((((doc_id % 4) + 4) % 4 + 1) * 8000)::BIGINT AS sr,
+       |    (1 + ((doc_id % 2) + 2) % 2)::BIGINT AS ch,
+       |    ((1 + ((doc_id % 3) + 3) % 3) * 8)::BIGINT AS bps,
+       |    (100 + ((doc_id % 900) + 900) % 900)::BIGINT AS n,
+       |    (((doc_id % 11) + 11) % 11 = 0 OR ((doc_id % 13) + 13) % 13 = 0)
+       |      AS corrupt
+       |  FROM documents WHERE doc_id >= 0 AND doc_id < $DecodeCap)
+       |SELECT doc_id,
+       |  CASE WHEN corrupt THEN NULL ELSE sr END AS sample_rate,
+       |  CASE WHEN corrupt THEN NULL ELSE ch END AS channels,
+       |  CASE WHEN corrupt THEN NULL ELSE bps END AS bits_per_sample,
+       |  CASE WHEN corrupt THEN NULL ELSE n END AS n_samples,
+       |  CASE WHEN corrupt THEN NULL ELSE (n * 1000) // sr END AS duration_ms
+       |FROM p ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // text_bpe_train: DISTRIBUTED BPE TOKENIZER TRAINING (round 11) —
   // learn the merge table from the corpus, the artifact
   // text_bpe_tokens' fixed regex only approximates. The only
@@ -4033,7 +4086,8 @@ object ExtQueries {
     "multimodal_ingest" -> (multimodalIngest(_, _)),
     "multimodal_frames" -> (multimodalFrames(_, _)),
     "multimodal_decode" -> (multimodalDecode(_, _)),
-    "multimodal_decode_jpeg" -> (multimodalDecodeJpeg(_, _)))
+    "multimodal_decode_jpeg" -> (multimodalDecodeJpeg(_, _)),
+    "multimodal_decode_wav" -> (multimodalDecodeWav(_, _)))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
@@ -4106,5 +4160,6 @@ object ExtQueries {
     "multimodal_ingest" -> multimodalIngestSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_decode" -> multimodalDecodeSql,
-    "multimodal_decode_jpeg" -> multimodalDecodeJpegSql)
+    "multimodal_decode_jpeg" -> multimodalDecodeJpegSql,
+    "multimodal_decode_wav" -> multimodalDecodeWavSql)
 }

@@ -578,6 +578,40 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     out(1).isNullAt(2) shouldBe true
   }
 
+  it should "parse WAV metadata from the RIFF chunks and fail corrupt payloads into nulls (VERDICT r12 #3)" in {
+    import spark.implicits._
+    val wav = Multimodal.AudioCodec.encodeWav(16000, 2, 16, 250)
+    new String(wav.take(4), "US-ASCII") shouldBe "RIFF"
+    Multimodal.AudioCodec.decodeWavMeta(wav) shouldBe
+      Some(Multimodal.WavMeta(16000, 2, 16, 250L * 2 * 2))
+    // a foreign chunk BEFORE fmt /data must be walked over, not choke:
+    // splice a 6-byte JUNK chunk (padded to word alignment) after WAVE
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5, 6)
+    val spliced = wav.take(12) ++ junk ++ wav.drop(12)
+    // (RIFF size field now understates the content — readers ignore it)
+    Multimodal.AudioCodec.decodeWavMeta(spliced) shouldBe
+      Some(Multimodal.WavMeta(16000, 2, 16, 1000L))
+    // corruption matrix: header cut, data-chunk overrun, non-PCM
+    // format tag, garbage, null — all None, never a throw
+    Multimodal.AudioCodec.decodeWavMeta(wav.take(8)) shouldBe None
+    Multimodal.AudioCodec.decodeWavMeta(wav.dropRight(10)) shouldBe None
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // IEEE-float format tag
+    Multimodal.AudioCodec.decodeWavMeta(nonPcm) shouldBe None
+    Multimodal.AudioCodec.decodeWavMeta("not audio at all".getBytes) shouldBe None
+    Multimodal.AudioCodec.decodeWavMeta(null) shouldBe None
+    // and the column pass maps failures to null rows with exact
+    // integer n_samples / duration_ms
+    val rows = Seq((1L, wav), (2L, wav.take(8))).toDF("doc_id", "payload")
+    val out2 = Multimodal.decodeAudioMeta(rows).orderBy("doc_id").collect()
+    out2(0).getLong(1) shouldBe 16000L
+    out2(0).getLong(2) shouldBe 2L
+    out2(0).getLong(3) shouldBe 16L
+    out2(0).getLong(4) shouldBe 250L
+    out2(0).getLong(5) shouldBe 250L * 1000L / 16000L
+    (1 to 5).foreach(i => out2(1).isNullAt(i) shouldBe true)
+  }
+
   behavior of "ExtQueries.textLmScore (VERDICT r11 #6)"
 
   it should "score planted gibberish far above in-distribution prose" in {
