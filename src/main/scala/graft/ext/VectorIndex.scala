@@ -133,25 +133,42 @@ object VectorIndex {
   def build(corpus: DataFrame, idCol: String, embCol: String, path: String,
       dim: Int, m: Int, codebookK: Int, coarseK: Int,
       coarseIters: Int = 1, pqIters: Int = 1,
-      sampleFraction: Double = 1.0): AppendResult = {
+      sampleFraction: Double = 1.0,
+      admitTombstoned: Boolean = false): AppendResult = {
     val spark = corpus.sparkSession
     val f = fs(spark, path)
-    Seq("codes", "_commits", "metadata/drift", "metadata/v0/qerr.json")
+    // a REBUILD must not relearn what a takedown removed (VERDICT r12
+    // #5): the accumulated corpus is filtered against tombstones/
+    // BEFORE training, so neither the centroids/codebooks nor the
+    // fresh code store carry a retracted vector's influence
+    val trainable =
+      if (admitTombstoned || !f.exists(new Path(s"$path/tombstones"))) corpus
+      else corpus.join(
+        tombstones(spark, path)
+          .select(col("doc_id").cast("long").as("__tomb_id")).distinct(),
+        corpus(idCol).cast("long") === col("__tomb_id"), "left_anti")
+    Seq("codes", "_commits", "metadata/drift", "metadata/v0/qerr.json",
+        "metadata/deleted_cells", "metadata/build_cells")
       .foreach { rel =>
         val p = new Path(s"$path/$rel")
         if (f.exists(p)) f.delete(p, true)
       }
     writeJson(spark, path, "metadata/v0/index.json",
       s"""{"dim":$dim,"m":$m}""", overwrite = true)
-    Similarity.trainCentroids(corpus, idCol, embCol, coarseK, coarseIters, sampleFraction)
+    Similarity.trainCentroids(trainable, idCol, embCol, coarseK, coarseIters, sampleFraction)
       .select(col(idCol).as("cid"), col(embCol).as("emb"))
       .write.mode("overwrite").parquet(s"$path/coarse")
-    Similarity.trainPqCodebooks(corpus, idCol, embCol, dim, m, codebookK,
+    Similarity.trainPqCodebooks(trainable, idCol, embCol, dim, m, codebookK,
         pqIters, sampleFraction)
       .write.mode("overwrite").parquet(s"$path/books")
-    val r = append(corpus, idCol, embCol, path)
+    val r = append(trainable, idCol, embCol, path)
     writeJson(spark, path, "metadata/v0/qerr.json",
       s"""{"qerr_e6":${r.qerrE6}}""", overwrite = true)
+    // the TRAINED MASS per cell — the denominator of the deleted-mass
+    // drift signal (coarseK rows of metadata, written once per build)
+    spark.read.parquet(s"$path/codes/data")
+      .groupBy("cell").agg(countDistinct(col("neighbor_id")).as("n"))
+      .write.mode("overwrite").parquet(s"$path/metadata/build_cells")
     r
   }
 
@@ -274,14 +291,46 @@ object VectorIndex {
     }.sortBy(r => (r._1, r._2)).map(r => (r._2, r._3, r._4))
   }
 
-  /** The rebuild policy, one call: true when the most recent append's
-    * drift ratio exceeds `threshold` — appended vectors are being
-    * quantized ~threshold× coarser than the index was built for, the
-    * recall-degradation proxy. Schedule [[build]] over the accumulated
-    * corpus when this trips. */
+  /** Fraction of a cell's TRAINED membership that a takedown may
+    * remove before the index is flagged for rebuild: past this, the
+    * cell's centroid/codebook geometry was fit to a population that
+    * mostly no longer exists — the stale-geometry case a mass takedown
+    * creates with no quantization-error symptom (VERDICT r12 #5). */
+  val DeletedMassRebuildThreshold = 0.5
+
+  /** The rebuild policy, one call: true when EITHER
+    *  - the most recent append's drift ratio exceeds `threshold` —
+    *    appended vectors are being quantized ~threshold× coarser than
+    *    the index was built for (the recall-degradation proxy); or
+    *  - some cell has lost more than `deletedThreshold` of its
+    *    build-time members to [[delete]] — deletions don't move the
+    *    quantization error (surviving codes are unchanged), but the
+    *    trained geometry no longer matches the surviving population,
+    *    so a mass takedown must trip the rebuild on its own signal.
+    * Both signals read bounded metadata (drift records; cells × one
+    * long). Schedule [[build]] over the accumulated corpus when this
+    * trips — the rebuild excludes tombstoned ids and resets both
+    * signals. */
   def needsRebuild(spark: SparkSession, path: String,
-      threshold: Double = DriftRebuildThreshold): Boolean =
-    driftHistory(spark, path).lastOption.exists(_._3 > threshold)
+      threshold: Double = DriftRebuildThreshold,
+      deletedThreshold: Double = DeletedMassRebuildThreshold): Boolean = {
+    val qerrDrift = driftHistory(spark, path).lastOption.exists(_._3 > threshold)
+    qerrDrift || {
+      val f = fs(spark, path)
+      val built = new Path(s"$path/metadata/build_cells")
+      val deleted = new Path(s"$path/metadata/deleted_cells")
+      f.exists(built) && f.exists(deleted) && {
+        val b = spark.read.parquet(built.toString)
+          .select(col("cell"), col("n").as("n_built"))
+        val d = spark.read.parquet(deleted.toString)
+          .groupBy("cell").agg(sum(col("n")).as("n_deleted"))
+        // bounded join: both sides are <= coarseK rows of metadata
+        d.join(b, Seq("cell"))
+          .filter(col("n_deleted") > col("n_built") * deletedThreshold)
+          .limit(1).count() > 0
+      }
+    }
+  }
 
   /** RETRACTION (VERDICT r11 #1): remove every stored code row of
     * `docIds`, so [[topK]], [[semanticDedup]], and the streaming
@@ -317,16 +366,25 @@ object VectorIndex {
       val codesDir = s"$path/codes/data"
       if (fs(spark, path).exists(new Path(codesDir))) {
         val codes = spark.read.parquet(codesDir)
-        val touched = codes.select("neighbor_id", "cell")
+        // per-cell deleted DOC counts ride the same pruning scan that
+        // finds the touched partitions (bounded: cells x one long)
+        val touchedCounts = codes.select("neighbor_id", "cell")
           .join(broadcast(ids), Seq("neighbor_id"), "left_semi")
-          .select("cell").distinct()
-          .collect().map(_.getInt(0)).sorted
+          .groupBy("cell").agg(countDistinct(col("neighbor_id")).as("n"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val touched = touchedCounts.map(_._1)
         if (touched.nonEmpty) {
           val kept = codes
             .filter(col("cell").isin(touched.map(Integer.valueOf).toSeq: _*))
             .join(broadcast(ids), Seq("neighbor_id"), "left_anti")
           ArcaneLayout.replacePartitions(kept, s"$path/codes", Seq("cell"),
             touched.map(v => s"cell=$v").toSeq, fence = Some(lease)): Unit
+          // DELETED MASS becomes a monitored drift signal (VERDICT r12
+          // #5): cumulative per-cell tombstoned counts feed
+          // needsRebuild's deleted-mass check
+          import spark.implicits._
+          touchedCounts.toSeq.toDF("cell", "n")
+            .write.mode("append").parquet(s"$path/metadata/deleted_cells")
         }
       }
       ids.select(col("neighbor_id").as("doc_id"))

@@ -436,6 +436,41 @@ class VectorIndexSpec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally { cleanup(path); cleanup(ghost) }
   }
 
+  it should "count deletions toward drift: a mass takedown trips needsRebuild, the rebuild excludes tombstoned ids (VERDICT r12 #5)" in {
+    import spark.implicits._
+    val path = tempIndex("massdel")
+    try {
+      val e = corpus.filter(col("vec_id") < 60)
+      VectorIndex.build(e, "vec_id", "embedding", path,
+        dim = 64, m = 8, codebookK = 16, coarseK = 2)
+      VectorIndex.needsRebuild(spark, path) shouldBe false
+      // the most populated cell and its members
+      val byCell = spark.read.parquet(s"$path/codes/data")
+        .select("neighbor_id", "cell").distinct()
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+      val (_, members) = byCell.maxBy(_._2.size)
+      // a sub-majority deletion does NOT flag…
+      VectorIndex.delete(Seq(members.head).toDF("vec_id"), "vec_id", path)
+      VectorIndex.needsRebuild(spark, path) shouldBe false
+      // …but pushing the cell past the majority threshold does — with
+      // no quantization-error movement at all (surviving codes are
+      // untouched), the deleted-mass signal alone must trip
+      val more = members.tail.take(members.size / 2 + 1 - 1)
+      VectorIndex.delete(more.toDF("vec_id"), "vec_id", path)
+      VectorIndex.needsRebuild(spark, path) shouldBe true
+      // rebuild over the ORIGINAL corpus: tombstoned ids are excluded
+      // from training and from the fresh code store, and both drift
+      // signals reset
+      VectorIndex.build(e, "vec_id", "embedding", path,
+        dim = 64, m = 8, codebookK = 16, coarseK = 2)
+      val victims = (members.head +: more).map(java.lang.Long.valueOf)
+      spark.read.parquet(s"$path/codes/data")
+        .filter(col("neighbor_id").isin(victims: _*)).count() shouldBe 0L
+      VectorIndex.needsRebuild(spark, path) shouldBe false
+    } finally cleanup(path)
+  }
+
   it should "reject a re-arriving tombstoned vector at append by default (VERDICT r12 #1)" in {
     import spark.implicits._
     val path = tempIndex("tomb")
