@@ -2765,6 +2765,140 @@ object ExtQueries {
        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // text_quality_classifier (VERDICT r12 #7): the composite quality
+  // gate — a TRAINED linear keep/drop scorer over the engine's
+  // existing per-doc features, closed-form diagonal LDA (see
+  // QualityClassifier). Training set: every clean doc (label 1) plus
+  // two planted-junk families (label 0) both engines construct
+  // identically — REPETITION junk (the doc's first token repeated 80
+  // times, ids +7000000, doc_id % 9 == 0) and GIBBERISH junk
+  // (reversed text, ids +8000000, doc_id % 10 == 0). Features: token
+  // count, unique ratio e4, stopword ratio e4 (the language signal),
+  // duplicate-shingle ratio e4, capped LM mean-surprise — all exact
+  // longs; the fit and score are one pinned IEEE expression tree, so
+  // DuckDB reproduces weights and scores bit for bit. The oracle
+  // hash-verifies the WHOLE pipeline: features, aggregates, fitted
+  // weights, per-doc scores, keep verdicts.
+  // ------------------------------------------------------------------
+
+  def textQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val src = d.withColumn("__t", TextOps.tokens(col("text")))
+      .filter(size(col("__t")) >= ShingleN)
+    val junkRep = src.filter(pmod(col("doc_id"), lit(9)) === 0)
+      .select((col("doc_id") + 7000000L).as("doc_id"),
+        array_join(array_repeat(element_at(col("__t"), 1), 80), " ").as("text"))
+    val junkRev = src.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 8000000L).as("doc_id"),
+        reverse(col("text")).as("text"))
+    val scored = src.select(col("doc_id"), col("text"), lit(1L).as("label"))
+      .unionAll(junkRep.select(col("doc_id"), col("text"), lit(0L).as("label")))
+      .unionAll(junkRev.select(col("doc_id"), col("text"), lit(0L).as("label")))
+    val feats = QualityClassifier
+      .features(scored, d, "doc_id", "text", StopWords)
+      .select((Seq("doc_id", "label") ++ QualityClassifier.FeatureCols).map(col): _*)
+      .persist()
+    try {
+      val fits = QualityClassifier.fit(feats, "label")
+      QualityClassifier.score(feats, fits)
+        .select("doc_id", "label", "x1", "x2", "x3", "x4", "x5",
+          "score_e6", "keep")
+        .orderBy("doc_id")
+        .localCheckpoint(true) // materialize before unpersisting feats
+    } finally { feats.unpersist(); () }
+  }
+
+  private val textQualityClassifierSql = {
+    val stop = sqlList(StopWords)
+    // the pinned fit expressions, spelled per feature exactly as
+    // QualityClassifier.fit evaluates them
+    def fitExprs(i: Int): String = {
+      val (s, q) = (s"s$i", s"q$i")
+      s"""(k.$s::DOUBLE / k.n - j.$s::DOUBLE / j.n) /
+         |  (((k.$q::DOUBLE / k.n - (k.$s::DOUBLE / k.n) * (k.$s::DOUBLE / k.n)) * k.n
+         |    + (j.$q::DOUBLE / j.n - (j.$s::DOUBLE / j.n) * (j.$s::DOUBLE / j.n)) * j.n)
+         |   / (k.n + j.n) + 1.0) AS w$i,
+         |(k.$s::DOUBLE / k.n + j.$s::DOUBLE / j.n) / 2.0 AS m$i""".stripMargin
+    }
+    val aggCols = (1 to 5).map(i =>
+      s"sum(x$i)::BIGINT AS s$i, sum(x$i * x$i)::BIGINT AS q$i").mkString(",\n    ")
+    s"""WITH t0 AS (SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |src AS (SELECT * FROM t0 WHERE len(toks) >= $ShingleN),
+       |scored AS (
+       |  SELECT doc_id, text, 1::BIGINT AS label FROM src
+       |  UNION ALL SELECT doc_id + 7000000, trim(repeat(toks[1] || ' ', 80)), 0
+       |    FROM src WHERE ((doc_id % 9) + 9) % 9 = 0
+       |  UNION ALL SELECT doc_id + 8000000, reverse(text), 0
+       |    FROM src WHERE ((doc_id % 10) + 10) % 10 = 0),
+       |sf AS (SELECT doc_id, label,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM scored) ,
+       |sff AS (SELECT * FROM sf WHERE len(toks) >= $ShingleN),
+       |f13 AS (SELECT doc_id, label,
+       |    len(toks)::BIGINT AS x1,
+       |    ((len(list_distinct(toks)) * 10000) // len(toks))::BIGINT AS x2,
+       |    ((len(list_filter(toks, t -> list_contains($stop, t))) * 10000) // len(toks))::BIGINT AS x3
+       |  FROM sff),
+       |ssh AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - ${ShingleN - 1}),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM sff),
+       |sex AS (SELECT doc_id, unnest(sh) AS s FROM ssh),
+       |scnt AS (SELECT doc_id, s, count(*) AS c FROM sex GROUP BY doc_id, s),
+       |f4 AS (SELECT doc_id, (((sum(c) - count(*)) * 10000) // sum(c))::BIGINT AS x4
+       |  FROM scnt GROUP BY doc_id),
+       |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+       |    '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+       |big AS (SELECT doc_id, toks[j] AS a, toks[j + 1] AS b
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS j
+       |    FROM tok WHERE len(toks) >= 2)),
+       |cb AS (SELECT a, b, count(*)::BIGINT AS c FROM big GROUP BY a, b),
+       |cp AS (SELECT a, count(*)::BIGINT AS cpn FROM big GROUP BY a),
+       |u AS (SELECT x AS t, count(*)::BIGINT AS cu
+       |  FROM (SELECT unnest(toks) AS x FROM tok) GROUP BY x),
+       |v AS (SELECT count(DISTINCT x)::BIGINT AS vn, count(*)::BIGINT AS nn
+       |  FROM (SELECT unnest(toks) AS x FROM tok)),
+       |sbig AS (SELECT doc_id, toks[j] AS a, toks[j + 1] AS b
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS j
+       |    FROM sff)),
+       |lt AS (SELECT s.doc_id,
+       |    cast(round(1000000.0 / (0.9 *
+       |      (CASE WHEN cb.c IS NOT NULL
+       |            THEN cb.c::DOUBLE / cp.cpn::DOUBLE ELSE 0.0 END)
+       |      + 0.1 * ((coalesce(u.cu, 0) + 1)::DOUBLE / (v.nn + v.vn)::DOUBLE)))
+       |      AS BIGINT) AS term
+       |  FROM sbig s
+       |  LEFT JOIN cb ON cb.a = s.a AND cb.b = s.b
+       |  LEFT JOIN cp ON cp.a = s.a
+       |  LEFT JOIN u ON u.t = s.b
+       |  CROSS JOIN v),
+       |f5 AS (SELECT doc_id,
+       |    (least(sum(term)::BIGINT // count(*), ${QualityClassifier.LmSurpriseCap}) // 100000)::BIGINT AS x5
+       |  FROM lt GROUP BY doc_id),
+       |feats AS (SELECT f13.doc_id, f13.label, x1, x2, x3, f4.x4, f5.x5
+       |  FROM f13 JOIN f4 ON f4.doc_id = f13.doc_id
+       |  JOIN f5 ON f5.doc_id = f13.doc_id),
+       |agg AS (SELECT label, count(*)::BIGINT AS n,
+       |    $aggCols
+       |  FROM feats GROUP BY label),
+       |w AS (SELECT
+       |    ${(1 to 5).map(fitExprs).mkString(",\n    ")}
+       |  FROM (SELECT * FROM agg WHERE label = 1) k,
+       |       (SELECT * FROM agg WHERE label = 0) j)
+       |SELECT f.doc_id, f.label, f.x1, f.x2, f.x3, f.x4, f.x5,
+       |  cast(floor((
+       |    (f.x1::DOUBLE - w.m1) * w.w1 + (f.x2::DOUBLE - w.m2) * w.w2
+       |    + (f.x3::DOUBLE - w.m3) * w.w3 + (f.x4::DOUBLE - w.m4) * w.w4
+       |    + (f.x5::DOUBLE - w.m5) * w.w5) * 1000000.0) AS BIGINT) AS score_e6,
+       |  (CASE WHEN floor((
+       |    (f.x1::DOUBLE - w.m1) * w.w1 + (f.x2::DOUBLE - w.m2) * w.w2
+       |    + (f.x3::DOUBLE - w.m3) * w.w3 + (f.x4::DOUBLE - w.m4) * w.w4
+       |    + (f.x5::DOUBLE - w.m5) * w.w5) * 1000000.0) >= 0
+       |    THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM feats f CROSS JOIN w ORDER BY f.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // text_html_extract: HTML → text with boilerplate removal (VERDICT
   // r11 #3) — the first mile a web-scraped corpus runs BEFORE any
   // other operator in this repo. The corpus is plain text, so both
@@ -4060,6 +4194,7 @@ object ExtQueries {
     "text_pii_scrub" -> (textPiiScrub(_, _)),
     "text_html_extract" -> (textHtmlExtract(_, _)),
     "text_lm_score" -> (textLmScore(_, _)),
+    "text_quality_classifier" -> (textQualityClassifier(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     "sim_hard_negatives" -> (simHardNegatives(_, _)),
     "sim_hard_negatives_store" -> (simHardNegativesStore(_, _)),
@@ -4134,6 +4269,7 @@ object ExtQueries {
     "text_pii_scrub" -> textPiiScrubSql,
     "text_html_extract" -> textHtmlExtractSql,
     "text_lm_score" -> textLmScoreSql,
+    "text_quality_classifier" -> textQualityClassifierSql,
     "sim_topk" -> simTopKSql,
     "sim_hard_negatives" -> simHardNegativesSql,
     "sim_hard_negatives_store" -> simHardNegativesStoreSql,

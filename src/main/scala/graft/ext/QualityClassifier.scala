@@ -1,0 +1,166 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** COMPOSITE QUALITY CLASSIFIER (VERDICT r12 #7): one TRAINED linear
+  * keep/drop scorer over the per-doc quality features this engine
+  * already extracts — token stats, repetition, stopword (language)
+  * rate, n-gram LM surprise — the standard last gate before corpus
+  * sampling ([[ExtQueries.pipelineSampleMix]] composes after it).
+  *
+  * The fit is CLOSED-FORM diagonal LDA — no SGD, no iterations: per
+  * feature j and class c, the engine aggregates exact integer
+  * (count, sum, sum-of-squares); the weight is
+  * `w_j = (mean_keep − mean_drop) / (pooledVar + 1)` and the score is
+  * `Σ_j w_j · (x_j − midpoint_j)`, thresholded at 0. Everything before
+  * the division is exact long arithmetic; everything after is a FIXED
+  * expression tree of IEEE primitives (+,−,×,÷ are correctly rounded,
+  * so Spark and DuckDB produce bit-identical doubles given identical
+  * trees — the engine-wide oracle discipline, see `text_lm_score`).
+  * The final score is floored to e6 fixed point (floor, not round:
+  * scores are signed and round's half-up vs half-away differ below
+  * zero).
+  *
+  * Scale shape: feature extraction is the engine's existing linear
+  * passes (token explode, shingle groupBy, bigram join against the
+  * corpus-trained LM counts); the FIT reads one 2-row aggregate
+  * (bounded driver collect) and scoring is a map-only pass with
+  * literal weights — at 100 TB the only corpus-sized jobs are the
+  * feature passes themselves.
+  */
+object QualityClassifier {
+
+  /** The five feature columns, in the FIXED order both engines sum
+    * score terms in (left-associated — order is part of the bit
+    * contract). */
+  val FeatureCols: Seq[String] = Seq("x1", "x2", "x3", "x4", "x5")
+
+  /** Cap on the LM mean-surprise feature before the e5 downscale: an
+    * all-OOV doc's mean inverse probability is ~10·N·1e6 (corpus-
+    * sized — far past the cap, so gibberish saturates at x5 = 1e5),
+    * while ordinary prose stays well below it; and the capped value's
+    * SQUARE must stay inside exact long aggregation —
+    * `least(ms, 1e10) // 1e5` bounds x5 at 1e5, whose square times
+    * any realistic doc count fits comfortably. */
+  val LmSurpriseCap = 10000000000L
+
+  /** Per-feature fitted parameters: `w` the LDA weight, `mid` the
+    * class-midpoint the feature is centered on. */
+  final case class FeatureFit(w: Double, mid: Double)
+
+  /** Integer quality features for every `scored` doc, with the LM
+    * trained on `corpus` (the CLEAN reference text — junk being
+    * classified must not pollute the language model):
+    *  - x1 = n_tokens
+    *  - x2 = unique-token ratio (e4)
+    *  - x3 = stopword-hit ratio (e4) — the language-id family signal
+    *  - x4 = duplicate-shingle ratio (e4) — the repetition signal
+    *  - x5 = capped mean bigram surprise (e1 after the e5 downscale;
+    *    gibberish saturates at the cap, prose stays far below)
+    * Docs with fewer than 3 tokens are excluded (no shingle/bigram
+    * support — the pipeline drops them before this gate anyway).
+    * Carries through every non-feature column of `scored` (label,
+    * etc.). */
+  def features(scored: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, stopWords: Seq[String],
+      shingleN: Int = 3): DataFrame = {
+    val sf = scored
+      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .filter(size(col("__toks")) >= shingleN)
+    val f13 = sf
+      .withColumn("x1", size(col("__toks")).cast("long"))
+      .withColumn("x2",
+        expr("(size(array_distinct(__toks)) * 10000L) div size(__toks)"))
+      .withColumn("__hits", TextOps.wordListHits(col("__toks"), stopWords))
+      .withColumn("x3", expr("(__hits * 10000L) div size(__toks)"))
+      .drop("__hits")
+    // x4: duplicate-shingle ratio (text_repetition's integer form)
+    val sh = sf.select(col(idCol),
+        explode(TextOps.shingles(col("__toks"), shingleN)).as("s"))
+      .groupBy(idCol, "s").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum(col("c")).as("ns"), count(lit(1)).as("nd"))
+      .select(col(idCol),
+        expr("((ns - nd) * 10000) div ns").cast("long").as("x4"))
+    // x5: mean bigram surprise under a Jelinek-Mercer bigram LM
+    // trained on the clean corpus (text_lm_score's arithmetic)
+    def bigrams(src: DataFrame, id: Column, toks: Column): DataFrame = src
+      .select(id.as("__bid"), toks.as("__btoks"))
+      .filter(size(col("__btoks")) >= 2)
+      .select(col("__bid"), explode(expr(
+        "transform(sequence(1, size(__btoks) - 1), i -> struct(element_at(__btoks, i) AS a, element_at(__btoks, i + 1) AS b))"))
+        .as("p"))
+      .select(col("__bid"), col("p.a").as("a"), col("p.b").as("b"))
+    val ctoks = corpus.select(col(idCol), TextOps.tokens(col(textCol)).as("__ctoks"))
+    val trainBig = bigrams(ctoks, col(idCol), col("__ctoks"))
+    val cb = trainBig.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val cp = trainBig.groupBy("a").agg(count(lit(1)).as("cpn"))
+    val unis = ctoks.select(explode(col("__ctoks")).as("t"))
+    val u = unis.groupBy("t").agg(count(lit(1)).as("cu"))
+      .withColumnRenamed("t", "b")
+    val v = unis.agg(countDistinct(col("t")).as("vn"), count(lit(1)).as("nn"))
+    val lm = bigrams(sf, col(idCol), col("__toks"))
+      .join(cb, Seq("a", "b"), "left")
+      .join(cp, Seq("a"), "left")
+      .join(u, Seq("b"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("pb",
+        when(col("c").isNotNull,
+          col("c").cast("double") / col("cpn").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("pu",
+        (coalesce(col("cu"), lit(0L)) + lit(1L)).cast("double")
+          / (col("nn") + col("vn")).cast("double"))
+      .withColumn("term",
+        round(lit(1000000.0) / (lit(0.9) * col("pb") + lit(0.1) * col("pu")))
+          .cast("long"))
+      .groupBy("__bid")
+      .agg(expr(s"least(sum(term) DIV count(1), ${LmSurpriseCap}L) DIV 100000").as("x5"))
+      .withColumnRenamed("__bid", idCol)
+    f13.drop("__toks").join(sh, Seq(idCol)).join(lm, Seq(idCol))
+  }
+
+  /** Closed-form diagonal-LDA fit from ONE bounded aggregate: per
+    * class, (count, Σx_j, Σx_j²) for each feature — exact longs — then
+    * the pinned double expression tree per feature. `keepLabel` rows
+    * are the positive class. */
+  def fit(feats: DataFrame, labelCol: String,
+      keepLabel: Long = 1L): Seq[FeatureFit] = {
+    val aggCols = FeatureCols.flatMap(c =>
+      Seq(sum(col(c)).as(s"s_$c"), sum(col(c) * col(c)).as(s"q_$c")))
+    val rows = feats.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n"), aggCols: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    require(rows.size == 2, s"fit needs exactly 2 classes, got ${rows.keySet}")
+    val k = rows(keepLabel)
+    val j = rows.collect { case (l, r) if l != keepLabel => r }.head
+    val nK = k.getAs[Long]("n"); val nJ = j.getAs[Long]("n")
+    FeatureCols.map { c =>
+      val sK = k.getAs[Long](s"s_$c"); val qK = k.getAs[Long](s"q_$c")
+      val sJ = j.getAs[Long](s"s_$c"); val qJ = j.getAs[Long](s"q_$c")
+      // the PINNED expression tree — DuckDB mirrors it token for token
+      val mK = sK.toDouble / nK
+      val mJ = sJ.toDouble / nJ
+      val vK = qK.toDouble / nK - mK * mK
+      val vJ = qJ.toDouble / nJ - mJ * mJ
+      val pooled = (vK * nK + vJ * nJ) / (nK + nJ)
+      FeatureFit((mK - mJ) / (pooled + 1.0), (mK + mJ) / 2.0)
+    }
+  }
+
+  /** Score with literal fitted weights — map-only:
+    * `score_e6 = floor(Σ_j w_j · (x_j − mid_j) · 1e6)` (terms summed
+    * left-associated in [[FeatureCols]] order), `keep = score ≥ 0`. */
+  def score(feats: DataFrame, fits: Seq[FeatureFit]): DataFrame = {
+    require(fits.size == FeatureCols.size, "one fit per feature")
+    val terms = FeatureCols.zip(fits).map { case (c, f) =>
+      (col(c).cast("double") - lit(f.mid)) * lit(f.w)
+    }
+    val s = terms.reduceLeft(_ + _)
+    feats
+      .withColumn("score_e6", floor(s * lit(1000000.0)).cast("long"))
+      .withColumn("keep",
+        when(col("score_e6") >= 0L, 1L).otherwise(0L))
+  }
+}
