@@ -2899,6 +2899,61 @@ object ExtQueries {
   }
 
   // ------------------------------------------------------------------
+  // text_normalize (VERDICT r12 #8): unicode/mojibake normalization —
+  // the web-scrape mile between text_html_extract and everything
+  // downstream. Input: every corpus doc plus a planted DIRTY clone set
+  // (ids +9000000, doc_id % 8 == 0) both engines construct
+  // identically: cp1252 mojibake, a C0 control, a decomposed e+U+0301
+  // (NFC must compose it), an NBSP, CRLF, doubled spaces. The oracle
+  // replays the exact chain — the literal repair table (generated from
+  // the ONE Scala source of truth), nfc_normalize, and the same RE2
+  // regex patterns — and hash-compares the normalized strings
+  // themselves.
+  // ------------------------------------------------------------------
+
+  private def dirtyPrefix = "Ã©tÃ© â€œx â€” y "
+  private def dirtySuffix = "  é nd\r\nok "
+
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = docs(spark, dir).select("doc_id", "text")
+    val dirty = d.filter(pmod(col("doc_id"), lit(8)) === 0)
+      .select((col("doc_id") + 9000000L).as("doc_id"),
+        concat(lit(dirtyPrefix), col("text"), lit(dirtySuffix)).as("text"))
+    d.unionAll(dirty)
+      .select(col("doc_id"), TextOps.normalizeText(col("text")).as("norm_text"))
+      .withColumn("norm_len", length(col("norm_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val textNormalizeSql = {
+    // the repair chain, generated from the SAME table the engine uses
+    val repaired = TextOps.MojibakeRepairs.foldLeft("text") {
+      case (inner, (bad, good)) => s"replace($inner, '$bad', '$good')"
+    }
+    // dirty literals, spelled with chr() for the non-printing parts
+    val prefix = "'Ã©tÃ© â€œx â€” y' || chr(1) || ' '"
+    val suffix = "'  e' || chr(769) || chr(160) || 'nd' || chr(13) || chr(10) || 'ok '"
+    s"""WITH src AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 9000000,
+       |    $prefix || text || $suffix
+       |  FROM documents WHERE ((doc_id % 8) + 8) % 8 = 0),
+       |n AS (SELECT doc_id,
+       |  trim(regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          nfc_normalize($repaired),
+       |          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+       |        '\\r\\n|\\r', chr(10), 'g'),
+       |      '[\\x{00A0}\\x{2007}\\x{202F}]', ' ', 'g'),
+       |    '[ \\t]+', ' ', 'g')) AS norm_text
+       |  FROM src)
+       |SELECT doc_id, norm_text, length(norm_text)::BIGINT AS norm_len
+       |FROM n ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // text_html_extract: HTML → text with boilerplate removal (VERDICT
   // r11 #3) — the first mile a web-scraped corpus runs BEFORE any
   // other operator in this repo. The corpus is plain text, so both
@@ -4195,6 +4250,7 @@ object ExtQueries {
     "text_html_extract" -> (textHtmlExtract(_, _)),
     "text_lm_score" -> (textLmScore(_, _)),
     "text_quality_classifier" -> (textQualityClassifier(_, _)),
+    "text_normalize" -> (textNormalize(_, _)),
     "sim_topk" -> (simTopK(_, _)),
     "sim_hard_negatives" -> (simHardNegatives(_, _)),
     "sim_hard_negatives_store" -> (simHardNegativesStore(_, _)),
@@ -4270,6 +4326,7 @@ object ExtQueries {
     "text_html_extract" -> textHtmlExtractSql,
     "text_lm_score" -> textLmScoreSql,
     "text_quality_classifier" -> textQualityClassifierSql,
+    "text_normalize" -> textNormalizeSql,
     "sim_topk" -> simTopKSql,
     "sim_hard_negatives" -> simHardNegativesSql,
     "sim_hard_negatives_store" -> simHardNegativesStoreSql,

@@ -24,6 +24,55 @@ object TextOps {
     * whitespace/punctuation/case-insensitive content identity. */
   def normalized(text: Column): Column = concat_ws(" ", tokens(text))
 
+  /** Mojibake repair table (VERDICT r12 #8): the common UTF-8-read-as-
+    * cp1252/Latin-1 double encodings, each repaired to the character
+    * the original bytes meant: e.g. U+2019 (right quote) encodes as
+    * E2 80 99, which cp1252 renders as U+00E2 U+20AC U+2122 ("â€™").
+    * Repair outputs never contain the â/Ã/Â lead bytes, so one pass is
+    * idempotent over DOUBLE encodings (a triple-encoded corpus needs
+    * the pass run to fixpoint — the known bound of literal repair). */
+  val MojibakeRepairs: Seq[(String, String)] = Seq(
+    "â€™" -> "’", // right single quote
+    "â€˜" -> "‘", // left single quote
+    "â€œ" -> "“", // left double quote
+    "â€”" -> "—", // em dash
+    "â€“" -> "–", // en dash
+    "â€¦" -> "…", // ellipsis
+    "Ã©" -> "é", // é
+    "Ã¨" -> "è", // è
+    "Ã¡" -> "á", // á
+    "Ã¤" -> "ä", // ä
+    "Ã¶" -> "ö", // ö
+    "Ã¼" -> "ü", // ü
+    "Ã±" -> "ñ", // ñ
+    "Ã§" -> "ç", // ç
+    "Â " -> " ") // nbsp (mapped to space below)
+
+  /** UNICODE/MOJIBAKE NORMALIZATION (VERDICT r12 #8) — the web-scrape
+    * mile between [[htmlExtract]] and everything downstream, as one
+    * chain of codegen'd column expressions (idempotent end to end —
+    * spec-pinned normalize ∘ normalize = normalize):
+    *  1. mojibake repair ([[MojibakeRepairs]], literal replaces);
+    *  2. Unicode NFC ([[graft.functions.NfcNormalize]] — native
+    *     Catalyst expression; DuckDB's `nfc_normalize` replays it);
+    *  3. control-char strip (C0 except \\t \\n \\r, plus DEL);
+    *  4. CRLF / lone CR → LF;
+    *  5. exotic spaces (NBSP, figure, narrow NBSP) → space;
+    *  6. space/tab runs → one space; trim.
+    * Every regex is RE2-compatible (`\\x{...}` classes, no lookarounds)
+    * so the oracle replays the identical patterns. */
+  def normalizeText(text: Column): Column = {
+    val repaired = MojibakeRepairs.foldLeft(text) { case (c, (bad, good)) =>
+      call_function("replace", c, lit(bad), lit(good))
+    }
+    val nfc = call_function("graft_nfc", repaired)
+    val noCtl = regexp_replace(nfc,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val lf = regexp_replace(noCtl, "\\r\\n|\\r", "\n")
+    val sp = regexp_replace(lf, "[\\x{00A0}\\x{2007}\\x{202F}]", " ")
+    trim(regexp_replace(sp, "[ \\t]+", " "))
+  }
+
   /** Word n-gram shingles over a token array. Callers must filter
     * `size(toks) >= n` first (Spark's `sequence` runs descending when
     * stop < start; the oracle engine's is empty — keep both off that

@@ -69,5 +69,7 @@ object GraftFunctions {
       "graft_vector_dot", exprs => VectorDot(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction(
       "graft_vector_sqdist", exprs => VectorSqDist(exprs(0), exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs.head), "scala_udf")
   }
 }

@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+
+/** Unicode/mojibake normalization (VERDICT r12 #8): stage-by-stage
+  * behavior plus the contract that makes the operator safe to run at
+  * any point in a pipeline — idempotence (normalize ∘ normalize =
+  * normalize). Exact cross-engine equality of the full chain is the
+  * `text_normalize` CORRECTNESS entry. */
+class TextNormalizeSpec extends AnyFlatSpec with Matchers with SparkFixture {
+
+  private def norm(ss: String*): Seq[String] = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    ss.zipWithIndex.map(_.swap).toDF("i", "t")
+      .select(col("i"), TextOps.normalizeText(col("t")).as("n"))
+      .orderBy("i").as[(Int, String)].collect().map(_._2).toSeq
+  }
+
+  behavior of "TextOps.normalizeText"
+
+  it should "repair cp1252 mojibake to the characters the bytes meant" in {
+    norm("cafÃ© â€™tis â€œqâ€¦") shouldBe
+      Seq("café ’tis “q…")
+  }
+
+  it should "compose decomposed accents to NFC" in {
+    // e + combining acute (U+0301) composes to é (U+00E9)
+    norm("café") shouldBe Seq("café")
+    // already-NFC text is untouched
+    norm("café") shouldBe Seq("café")
+  }
+
+  it should "strip C0 controls and DEL but keep tab/newline semantics" in {
+    norm("abcd") shouldBe Seq("abcd")
+    norm("line1\r\nline2\rline3") shouldBe Seq("line1\nline2\nline3")
+    norm("a\tb") shouldBe Seq("a b") // tab folds into the space collapse
+  }
+
+  it should "fold exotic spaces and collapse runs" in {
+    norm("a b", "a    b", "  a   b  ") shouldBe
+      Seq("a b", "a b", "a b")
+  }
+
+  it should "be idempotent over the planted-dirty oracle corpus" in {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val once = ExtQueries.textNormalize(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "norm_text")
+    val twice = once
+      .select(col("doc_id"), TextOps.normalizeText(col("norm_text")).as("renorm"))
+    val diff = once.join(twice, "doc_id")
+      .filter(col("norm_text") =!= col("renorm"))
+    diff.count() shouldBe 0L
+  }
+}
