@@ -315,11 +315,18 @@ object Bench {
         s""","streaming":{"docs":$n,"rows_per_sec":${fmt(n / math.max(sec, 1e-9))},"state_rows":$state}"""
       }.filter(_ => !minimal).getOrElse("")
       val sentJson = if (minimal) "" else sentinelJson
+      val phasesJson = {
+        import scala.jdk.CollectionConverters._
+        val ph = graft.ext.ExtQueries.retractionPhases.asScala.toSeq.sortBy(_._1)
+        if (minimal || ph.isEmpty) ""
+        else ph.map { case (k, v) => s"\"$k\":${fmt(v)}" }
+          .mkString(""","retraction_phases":{""", ",", "}")
+      }
       val splitJson =
         s""","engine_total":${fmt(engineRows.map(_._2).sum)}""" +
           s""","harness_n":${harnessRows.size}""" +
           s""","harness_total":${fmt(harnessRows.map(_._2).sum)}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf$splitJson$otherJson$failedJson$streamJson$sentJson}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sf$splitJson$otherJson$failedJson$streamJson$sentJson$phasesJson}"""
     }
     // stdout gets a COMPACT line: the driver captures a ~2000-char tail
     // of stdout (a 1,906-char line parsed in round 6; 2,036 clipped in

@@ -3984,6 +3984,20 @@ object ExtQueries {
       })
     }
 
+  /** Wall time of the last run of each retraction-chain phase, keyed
+    * `copy` / `delete` / `readjudicate` / `heal_cluster` — the bench
+    * ledger publishes this split so the two retraction rows' cost is
+    * attributable to snapshot harness overhead vs the actual sweep
+    * (VERDICT r12 #6). */
+  val retractionPhases = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  private def retractPhase[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    retractionPhases.put(name, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
   /** Shared takedown chain for the two retraction oracles: copy the
     * cached base store (the takedown mutates it — every call pays the
     * same real delete + heal), purge the mod-13 id set, re-adjudicate
@@ -3996,17 +4010,22 @@ object ExtQueries {
     val cents = VectorIndex.coarse(spark, vindexFor(spark, dir), "embedding")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     val work = java.nio.file.Files.createTempDirectory("graft-retract-run")
-    org.apache.commons.io.FileUtils.copyDirectory(
-      new java.io.File(base), work.toFile)
+    retractPhase("copy") {
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(base), work.toFile)
+    }
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "8")
     val corpus = s2.read.parquet(streamDir)
     val del = corpus.filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id")
-    val affected = graft.streaming.StreamingDecision.delete(
-      s2, work.toString, del)
+    val affected = retractPhase("delete") {
+      graft.streaming.StreamingDecision.delete(s2, work.toString, del)
+    }
     val refed = affected.join(corpus, Seq("doc_id"))
-    graft.streaming.StreamingDecision.readjudicate(refed, "doc_id", "text",
-      Some("embedding"), "batch", work.toString, cents)
+    retractPhase("readjudicate") {
+      graft.streaming.StreamingDecision.readjudicate(refed, "doc_id", "text",
+        Some("embedding"), "batch", work.toString, cents): Unit
+    }
     (s2, work)
   }
 
@@ -4044,8 +4063,10 @@ object ExtQueries {
     val (s2, work) = retractionHealedStore(spark, dir)
     val del = s2.read.parquet(goldenDecStreamDir(spark, dir))
       .filter(pmod(col("doc_id"), lit(13)) === 0).select("doc_id")
-    graft.streaming.StreamingDecision.healCluster(s2, work.toString,
-      s"$work/clusters", del)
+    retractPhase("heal_cluster") {
+      graft.streaming.StreamingDecision.healCluster(s2, work.toString,
+        s"$work/clusters", del)
+    }
     val res = ComponentStore.components(s2, s"$work/clusters")
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy("doc_id")
