@@ -99,7 +99,10 @@ object ScaleBench {
     // round 12
     "dedup_retraction", "dedup_retraction_cluster", "text_bpe_train_fast",
     "text_html_extract", "multimodal_decode_jpeg", "sim_hard_negatives_store",
-    "text_lm_score")
+    "text_lm_score",
+    // round 13
+    "dedup_tombstone_ingest", "streaming_retraction_golden",
+    "multimodal_decode_wav", "text_quality_classifier", "text_normalize")
 
   /** Queries whose first call per corpus dir pays a one-time persisted
     * store/index build (cached thereafter) — warmed before measuring. */
@@ -112,7 +115,10 @@ object ScaleBench {
       "streaming_decision_cluster", "text_bpe_train", "text_bpe_encode", "sim_hard_negatives",
       // round 12: retraction copies+heals a cached base store per call;
       // the store-backed warm pass keeps the one-time build out of the row
-      "dedup_retraction", "dedup_retraction_cluster", "sim_hard_negatives_store")
+      "dedup_retraction", "dedup_retraction_cluster", "sim_hard_negatives_store",
+      // round 13: tombstone-ingest builds+retracts its store once per
+      // dir; the streaming retraction golden writes its stream dir once
+      "dedup_tombstone_ingest", "streaming_retraction_golden")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)
