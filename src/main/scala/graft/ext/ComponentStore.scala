@@ -196,6 +196,10 @@ object ComponentStore {
       .join(broadcast(upserts.select("id")), Seq("id"), "left_anti")
       .select("id", "parent", "bkt")
     val patched = ckpt(kept.unionByName(upserts.select("id", "parent", "bkt")))
+    // fencing check LAST before the partition overwrite: a merge that
+    // wedged past its TTL and lost the lease to a new writer must NOT
+    // interleave with that writer's rewrite (VERDICT r12 #4)
+    StoreMeta.verifyLease(spark, lease)
     if (!patched.isEmpty)
       patched.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -696,17 +696,23 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
-  /** [[dedupIncrementalSql]] with the corpus (even) side restricted to
-    * the docs surviving the takedown: even-side docs with
-    * doc_id % 6 == 0 were deleted AND must stay out through the
-    * re-arrival append. */
+  /** The incremental contract over the post-takedown corpus: even-side
+    * docs with doc_id % 6 == 0 were deleted AND must stay out through
+    * the re-arrival append. */
   private val dedupTombstoneIngestSql =
+    incrementalContractSql(id => s"(($id % 6) + 6) % 6 <> 0")
+
+  /** The incremental batch-vs-corpus contract, parameterized by the
+    * corpus (even) side's SURVIVOR predicate — `1 = 1` for the plain
+    * form, the minus-retracted predicate for `dedup_tombstone_ingest`:
+    * one template, so the two oracles cannot silently diverge. */
+  private def incrementalContractSql(evenSurvives: String => String): String =
     s"""WITH $TokCte, $ShCte,
        |$SigCtes,
        |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
        |x AS (SELECT doc_a, doc_b FROM pairs
        |  WHERE ((doc_a % 2) + 2) % 2 <> ((doc_b % 2) + 2) % 2
-       |    AND (((CASE WHEN ((doc_a % 2) + 2) % 2 = 0 THEN doc_a ELSE doc_b END) % 6) + 6) % 6 <> 0),
+       |    AND ${evenSurvives("(CASE WHEN ((doc_a % 2) + 2) % 2 = 0 THEN doc_a ELSE doc_b END)")}),
        |ver AS (SELECT
        |    CASE WHEN ((x.doc_a % 2) + 2) % 2 = 1 THEN x.doc_a ELSE x.doc_b END AS in_id,
        |    (CASE WHEN 10 * len(list_intersect(a.shd, b.shd))
@@ -720,7 +726,7 @@ object ExtQueries {
        |  WHERE ((i.doc_id % 2) + 2) % 2 = 1
        |    AND EXISTS (SELECT 1 FROM hs e
        |      WHERE ((e.doc_id % 2) + 2) % 2 = 0
-       |        AND ((e.doc_id % 6) + 6) % 6 <> 0 AND e.h = i.h))
+       |        AND ${evenSurvives("e.doc_id")} AND e.h = i.h))
        |SELECT d.doc_id,
        |  (CASE WHEN exk.in_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS exact_dup,
        |  coalesce(near.n_candidates, 0)::BIGINT AS n_candidates,
@@ -730,33 +736,7 @@ object ExtQueries {
        |LEFT JOIN exk ON exk.in_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
-  private val dedupIncrementalSql =
-    s"""WITH $TokCte, $ShCte,
-       |$SigCtes,
-       |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
-       |x AS (SELECT doc_a, doc_b FROM pairs
-       |  WHERE ((doc_a % 2) + 2) % 2 <> ((doc_b % 2) + 2) % 2),
-       |ver AS (SELECT
-       |    CASE WHEN ((x.doc_a % 2) + 2) % 2 = 1 THEN x.doc_a ELSE x.doc_b END AS in_id,
-       |    (CASE WHEN 10 * len(list_intersect(a.shd, b.shd))
-       |               >= 8 * len(list_distinct(a.shd || b.shd))
-       |          THEN 1 ELSE 0 END)::BIGINT AS is_dup
-       |  FROM x JOIN shd a ON a.doc_id = x.doc_a JOIN shd b ON b.doc_id = x.doc_b),
-       |near AS (SELECT in_id, count(*)::BIGINT AS n_candidates,
-       |    max(is_dup)::BIGINT AS near_dup FROM ver GROUP BY in_id),
-       |hs AS (SELECT doc_id, sha256(array_to_string(toks, ' ')) AS h FROM tok),
-       |exk AS (SELECT DISTINCT i.doc_id AS in_id FROM hs i
-       |  WHERE ((i.doc_id % 2) + 2) % 2 = 1
-       |    AND EXISTS (SELECT 1 FROM hs e
-       |      WHERE ((e.doc_id % 2) + 2) % 2 = 0 AND e.h = i.h))
-       |SELECT d.doc_id,
-       |  (CASE WHEN exk.in_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS exact_dup,
-       |  coalesce(near.n_candidates, 0)::BIGINT AS n_candidates,
-       |  coalesce(near.near_dup, 0)::BIGINT AS near_dup
-       |FROM (SELECT doc_id FROM documents WHERE ((doc_id % 2) + 2) % 2 = 1) d
-       |LEFT JOIN near ON near.in_id = d.doc_id
-       |LEFT JOIN exk ON exk.in_id = d.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+  private val dedupIncrementalSql = incrementalContractSql(_ => "1 = 1")
 
   // ------------------------------------------------------------------
   // pipeline_split_leakage: train/eval contamination check — docs are

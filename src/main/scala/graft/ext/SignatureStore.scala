@@ -137,22 +137,10 @@ object SignatureStore {
     val spark = batch.sparkSession
     writeMeta(spark, path, nBuckets)
     val b = buckets(spark, path)
-    // TOMBSTONE ENFORCEMENT AT INGEST (VERDICT r12 #1): a doc retracted
-    // by [[delete]] must not be silently re-admitted by a later append
-    // loop that never consults the decision surface — arrivals are
-    // filtered against `tombstones/` BY DEFAULT, mirroring the hosted
-    // stream's `drop_tombstone` contract. `admitTombstoned = true` is
-    // the explicit opt-out for deployments that manage re-admission
-    // (e.g. a takedown later reversed). The anti-join's batch side is
-    // bounded (one micro-batch); the tombstone ledger stays tiny
-    // relative to the corpus, so AQE broadcasts it at any corpus scale.
-    val admitted =
-      if (admitTombstoned || !fsFor(spark, path).exists(new Path(s"$path/tombstones")))
-        batch
-      else batch.join(
-        tombstones(spark, path)
-          .select(col("doc_id").cast("long").as("__tomb_id")).distinct(),
-        batch(idCol).cast("long") === col("__tomb_id"), "left_anti")
+    // tombstone enforcement at ingest — the shared default-on rule
+    // (StoreMeta.filterTombstoned, VERDICT r12 #1): a doc retracted by
+    // [[delete]] is not silently re-admitted by a later append loop
+    val admitted = StoreMeta.filterTombstoned(batch, idCol, path, admitTombstoned)
     val exd = Dedup.shingleRows(admitted, idCol, textCol, shingleN)
       .withColumnRenamed(idCol, "doc_id")
     val proj = Dedup.minhashFromShingles(exd, "doc_id", k, bands, rowsPerBand)

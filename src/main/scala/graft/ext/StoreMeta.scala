@@ -1,7 +1,8 @@
 package graft.ext
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** The ONE single-writer JSON metadata protocol shared by the
   * persisted stores ([[SignatureStore]] `metadata/v0/store.json`,
@@ -245,6 +246,28 @@ object StoreMeta {
         s"epoch=${lease.epoch}): the lease was broken or released while this " +
         "pass ran — refusing the partition swap; re-run the pass under a " +
         "fresh lease")
+  }
+
+  /** TOMBSTONE ENFORCEMENT AT INGEST (VERDICT r12 #1) — the ONE
+    * admission rule every store's append path applies: arrivals are
+    * anti-joined against `path/tombstones`'s `doc_id` ledger BY
+    * DEFAULT, so a retracted doc re-arriving through a batch loop that
+    * never consults the decision surface is dropped at the store.
+    * `admitTombstoned = true` is the explicit opt-out (a takedown
+    * later reversed). The batch side is bounded (one micro-batch); the
+    * tombstone ledger stays tiny relative to the corpus, so AQE
+    * broadcasts it at any corpus scale. Shared by
+    * [[SignatureStore.append]], [[VectorIndex.append]] and
+    * [[VectorIndex.build]] so the contract cannot silently diverge. */
+  def filterTombstoned(df: DataFrame, idCol: String, path: String,
+      admitTombstoned: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    if (admitTombstoned || !fs(spark, path).exists(new Path(s"$path/tombstones")))
+      df
+    else df.join(
+      spark.read.parquet(s"$path/tombstones")
+        .select(col("doc_id").cast("long").as("__tomb_id")).distinct(),
+      df(idCol).cast("long") === col("__tomb_id"), "left_anti")
   }
 
   def jsonString(txt: String, k: String): Option[String] =

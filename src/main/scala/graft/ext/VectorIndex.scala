@@ -141,12 +141,7 @@ object VectorIndex {
     // #5): the accumulated corpus is filtered against tombstones/
     // BEFORE training, so neither the centroids/codebooks nor the
     // fresh code store carry a retracted vector's influence
-    val trainable =
-      if (admitTombstoned || !f.exists(new Path(s"$path/tombstones"))) corpus
-      else corpus.join(
-        tombstones(spark, path)
-          .select(col("doc_id").cast("long").as("__tomb_id")).distinct(),
-        corpus(idCol).cast("long") === col("__tomb_id"), "left_anti")
+    val trainable = StoreMeta.filterTombstoned(corpus, idCol, path, admitTombstoned)
     Seq("codes", "_commits", "metadata/drift", "metadata/v0/qerr.json",
         "metadata/deleted_cells", "metadata/build_cells")
       .foreach { rel =>
@@ -161,14 +156,9 @@ object VectorIndex {
     Similarity.trainPqCodebooks(trainable, idCol, embCol, dim, m, codebookK,
         pqIters, sampleFraction)
       .write.mode("overwrite").parquet(s"$path/books")
-    val r = append(trainable, idCol, embCol, path)
+    val r = append(trainable, idCol, embCol, path, recordBuildCells = true)
     writeJson(spark, path, "metadata/v0/qerr.json",
       s"""{"qerr_e6":${r.qerrE6}}""", overwrite = true)
-    // the TRAINED MASS per cell — the denominator of the deleted-mass
-    // drift signal (coarseK rows of metadata, written once per build)
-    spark.read.parquet(s"$path/codes/data")
-      .groupBy("cell").agg(countDistinct(col("neighbor_id")).as("n"))
-      .write.mode("overwrite").parquet(s"$path/metadata/build_cells")
     r
   }
 
@@ -201,7 +191,8 @@ object VectorIndex {
     * vs build-time mean quantization error (see class doc). */
   def append(batch: DataFrame, idCol: String, embCol: String, path: String,
       batchId: Option[String] = None,
-      admitTombstoned: Boolean = false): AppendResult = {
+      admitTombstoned: Boolean = false,
+      recordBuildCells: Boolean = false): AppendResult = {
     val spark = batch.sparkSession
     val id = batchId.getOrElse(java.util.UUID.randomUUID().toString)
     if (committedBatches(spark, path).contains(id)) {
@@ -212,17 +203,9 @@ object VectorIndex {
       return AppendResult(id, q, ratio, replayed = true)
     }
     val (dim, m) = meta(spark, path)
-    // tombstone enforcement at ingest (VERDICT r12 #1) — same
-    // default-on contract as [[SignatureStore.append]]: a retracted
-    // vector re-arriving through a batch append loop is dropped unless
-    // the caller explicitly opts out
-    val admitted =
-      if (admitTombstoned || !fs(spark, path).exists(new Path(s"$path/tombstones")))
-        batch
-      else batch.join(
-        tombstones(spark, path)
-          .select(col("doc_id").cast("long").as("__tomb_id")).distinct(),
-        batch(idCol).cast("long") === col("__tomb_id"), "left_anti")
+    // tombstone enforcement at ingest — the shared default-on rule
+    // (StoreMeta.filterTombstoned, VERDICT r12 #1)
+    val admitted = StoreMeta.filterTombstoned(batch, idCol, path, admitTombstoned)
     val cents = coarse(spark, path, embCol)
       .select(col("vi_cid").as(idCol), col(embCol))
     val cells = Similarity.assignCells(admitted, cents, idCol, embCol)
@@ -244,6 +227,13 @@ object VectorIndex {
     try {
       val qerrE6 = Option(rows.agg(avg(col("dist"))).head.get(0))
         .map(v => math.round(v.asInstanceOf[Double] * 1e6)).getOrElse(0L)
+      // the TRAINED MASS per cell, for build(): rides the already-
+      // cached rows (no re-read of the code store; an empty build
+      // writes an empty-but-schema’d table) — the denominator of the
+      // deleted-mass drift signal (VERDICT r12 #5)
+      if (recordBuildCells)
+        rows.groupBy("cell").agg(countDistinct(col("neighbor_id")).as("n"))
+          .write.mode("overwrite").parquet(s"$path/metadata/build_cells")
       val out = rows.select(col("neighbor_id"), col("s"), col("code"), col("cell"))
       ArcaneLayout.writeDataBatch(out, s"$path/codes", partitionColumns = Seq("cell"))
       val hash = graft.schema.SchemaOps.shortFingerprint(out.schema)

@@ -259,7 +259,15 @@ object StreamingDecision {
           })
         }
         .foreach(_.get())
-    } finally patchPool.shutdown()
+    } finally {
+      // a failed patch must NOT leak straggler siblings past this
+      // method: the enclosing lease releases on exit, and a task still
+      // between its verifyLease and rename when a new holder acquires
+      // would interleave rewrites — interrupt and DRAIN before the
+      // lease can be released (the jobs-pool pattern below)
+      patchPool.shutdownNow()
+      patchPool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS): Unit
+    }
 
     // ledger purge: patch the touched batch partitions in place
     val touchedB = raw.join(broadcast(ids), Seq("doc_id"), "left_semi")
