@@ -452,6 +452,24 @@ object VectorIndex {
     // collected to drive FILE-level pruning of the code store
     val probed = q.select(col("qcell")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
+    // an index whose every admitted vector was taken down (or that was
+    // rebuilt over a fully-tombstoned corpus) has NO code files —
+    // serve the empty result with the contract schema instead of
+    // dying on the missing path
+    if (!fs(spark, path).exists(new Path(s"$path/codes/data")))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("query_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("neighbor_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("adist_e6",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rnk",
+            org.apache.spark.sql.types.LongType))))
     val stored = spark.read.parquet(s"$path/codes/data")
       .filter(col("cell").isin(probed: _*))
     val cand = q.join(

@@ -471,6 +471,26 @@ class VectorIndexSpec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally cleanup(path)
   }
 
+  it should "survive a rebuild whose corpus is entirely tombstoned" in {
+    import spark.implicits._
+    val path = tempIndex("empty-rebuild")
+    try {
+      val e = corpus.filter(col("vec_id") < 20)
+      VectorIndex.build(e, "vec_id", "embedding", path,
+        dim = 64, m = 8, codebookK = 8, coarseK = 2)
+      VectorIndex.delete(e.select("vec_id"), "vec_id", path) shouldBe 20L
+      // the total takedown: every accumulated id is tombstoned, so the
+      // rebuild trains and encodes NOTHING — it must complete (not
+      // crash on a missing code path) and leave a clean empty index
+      VectorIndex.build(e, "vec_id", "embedding", path,
+        dim = 64, m = 8, codebookK = 8, coarseK = 2)
+      val probe = e.filter(col("vec_id") === 3)
+      VectorIndex.topK(probe, path, "vec_id", "embedding", k = 5, nProbe = 2)
+        .count() shouldBe 0L
+      VectorIndex.needsRebuild(spark, path) shouldBe false
+    } finally cleanup(path)
+  }
+
   it should "reject a re-arriving tombstoned vector at append by default (VERDICT r12 #1)" in {
     import spark.implicits._
     val path = tempIndex("tomb")
