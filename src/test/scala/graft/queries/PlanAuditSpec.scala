@@ -414,4 +414,39 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+  it should "normalize text map-only: no joins, no hash shuffle, codegen'd NFC (round 13)" in {
+    // codegen spans only materialize on the adaptive FINAL plan
+    val df = graft.SparkEntry.queries("text_normalize")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // two scans of documents (the base slice + the planted dirty
+    // clones), nothing else — the normalization chain itself is one
+    // narrow projection with no exchange beyond the ORDER BY's range
+    // partitioning
+    "FileScan parquet".r.findAllIn(p).size shouldBe 2
+    p should not include "Join"
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
+    // the native NFC expression participates in whole-stage codegen:
+    // the Project carrying graft_nfc is inside a starred (codegen'd)
+    // span — a fallback would strand it in an unstarred Project
+    p should include regex "\\*\\(\\d+\\) Project .*graft_nfc"
+  }
+
+  it should "keep the quality-classifier features cartesian-free with the LM corpus stats broadcast (round 13)" in {
+    // the query's final frame is localCheckpoint-materialized (opaque
+    // plan), so audit the feature-extraction plan the fit/score read
+    import org.apache.spark.sql.functions.lit
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").withColumn("label", lit(1L))
+    val p = graft.ext.QualityClassifier
+      .features(d, d, "doc_id", "text", Seq("the", "a", "of"))
+      .queryExecution.executedPlan.toString
+    p should not include "CartesianProduct"
+    // the one-row (vn, nn) corpus aggregate rides a broadcast nested
+    // loop (metadata-sized by construction); every bigram-keyed LM
+    // join is an equi-join
+    p should include("BroadcastNestedLoopJoin")
+  }
+
 }
