@@ -2511,8 +2511,11 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
-  private val pipelineDedupApplySql =
-    s"""WITH RECURSIVE $TokCte, $ShCte,
+  /** The three-tier decision CTE chain shared by pipeline_dedup_apply
+    * and dedup_keep_best: everything through `exh`, closing with `dec`
+    * — the per-doc (decision, keeper_id) verdict. */
+  private val dedupDecisionCtes =
+    s"""$TokCte, $ShCte,
        |$SigCtes,
        |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
        |dup AS (SELECT p.doc_a, p.doc_b
@@ -2545,8 +2548,8 @@ object ExtQueries {
        |  SELECT r.n, e2.d FROM sreach r JOIN sedges e2 ON r.m = e2.s),
        |scomp AS (SELECT n AS doc_id, min(m) AS scluster FROM sreach GROUP BY n),
        |exh AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(array_to_string(toks, ' '))) AS ex_keeper
-       |  FROM tok)
-       |SELECT exh.doc_id,
+       |  FROM tok),
+       |dec AS (SELECT exh.doc_id,
        |  CASE WHEN exh.ex_keeper <> exh.doc_id THEN 'drop_exact'
        |       WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> exh.doc_id THEN 'drop_near'
        |       WHEN sc.scluster IS NOT NULL AND sc.scluster <> exh.doc_id THEN 'drop_semantic'
@@ -2557,8 +2560,11 @@ object ExtQueries {
        |       ELSE exh.doc_id END AS keeper_id
        |FROM exh
        |LEFT JOIN comp c ON c.doc_id = exh.doc_id
-       |LEFT JOIN scomp sc ON sc.doc_id = exh.doc_id
-       |ORDER BY exh.doc_id""".stripMargin
+       |LEFT JOIN scomp sc ON sc.doc_id = exh.doc_id)""".stripMargin
+
+  private val pipelineDedupApplySql =
+    s"""WITH RECURSIVE $dedupDecisionCtes
+       |SELECT doc_id, decision, keeper_id FROM dec ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // text_heavy_hitters: corpus-wide top-20 shingles (total occurrences
@@ -2788,7 +2794,7 @@ object ExtQueries {
     } finally { feats.unpersist(); () }
   }
 
-  private val textQualityClassifierSql = {
+  private def qualityClassifierCtes(includeTok: Boolean): String = {
     val stop = sqlList(StopWords)
     // the pinned fit expressions, spelled per feature exactly as
     // QualityClassifier.fit evaluates them
@@ -2802,7 +2808,15 @@ object ExtQueries {
     }
     val aggCols = (1 to 5).map(i =>
       s"sum(x$i)::BIGINT AS s$i, sum(x$i * x$i)::BIGINT AS q$i").mkString(",\n    ")
-    s"""WITH t0 AS (SELECT doc_id, text,
+    // `tok` is the shared TokCte shape; dedup_keep_best's composed
+    // oracle already defines it up front, so composition omits the
+    // duplicate definition (SQL forbids two CTEs with one name)
+    val tokPart = if (includeTok)
+      """tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+        |    '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
+        |""".stripMargin
+    else ""
+    s"""t0 AS (SELECT doc_id, text,
        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
        |  FROM documents),
        |src AS (SELECT * FROM t0 WHERE len(toks) >= $ShingleN),
@@ -2827,9 +2841,7 @@ object ExtQueries {
        |scnt AS (SELECT doc_id, s, count(*) AS c FROM sex GROUP BY doc_id, s),
        |f4 AS (SELECT doc_id, (((sum(c) - count(*)) * 10000) // sum(c))::BIGINT AS x4
        |  FROM scnt GROUP BY doc_id),
-       |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
-       |    '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents),
-       |big AS (SELECT doc_id, toks[j] AS a, toks[j + 1] AS b
+       |${tokPart}big AS (SELECT doc_id, toks[j] AS a, toks[j + 1] AS b
        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS j
        |    FROM tok WHERE len(toks) >= 2)),
        |cb AS (SELECT a, b, count(*)::BIGINT AS c FROM big GROUP BY a, b),
@@ -2864,19 +2876,25 @@ object ExtQueries {
        |w AS (SELECT
        |    ${(1 to 5).map(fitExprs).mkString(",\n    ")}
        |  FROM (SELECT * FROM agg WHERE label = 1) k,
-       |       (SELECT * FROM agg WHERE label = 0) j)
+       |       (SELECT * FROM agg WHERE label = 0) j)""".stripMargin
+  }
+
+  /** The pinned linear form, spelled exactly as QualityClassifier.score
+    * evaluates it (shared by the standalone and composed oracles). */
+  private val qualityScoreLin =
+    """(f.x1::DOUBLE - w.m1) * w.w1 + (f.x2::DOUBLE - w.m2) * w.w2
+      |    + (f.x3::DOUBLE - w.m3) * w.w3 + (f.x4::DOUBLE - w.m4) * w.w4
+      |    + (f.x5::DOUBLE - w.m5) * w.w5""".stripMargin
+
+  private val textQualityClassifierSql =
+    s"""WITH ${qualityClassifierCtes(includeTok = true)}
        |SELECT f.doc_id, f.label, f.x1, f.x2, f.x3, f.x4, f.x5,
        |  cast(floor((
-       |    (f.x1::DOUBLE - w.m1) * w.w1 + (f.x2::DOUBLE - w.m2) * w.w2
-       |    + (f.x3::DOUBLE - w.m3) * w.w3 + (f.x4::DOUBLE - w.m4) * w.w4
-       |    + (f.x5::DOUBLE - w.m5) * w.w5) * 1000000.0) AS BIGINT) AS score_e6,
+       |    $qualityScoreLin) * 1000000.0) AS BIGINT) AS score_e6,
        |  (CASE WHEN floor((
-       |    (f.x1::DOUBLE - w.m1) * w.w1 + (f.x2::DOUBLE - w.m2) * w.w2
-       |    + (f.x3::DOUBLE - w.m3) * w.w3 + (f.x4::DOUBLE - w.m4) * w.w4
-       |    + (f.x5::DOUBLE - w.m5) * w.w5) * 1000000.0) >= 0
+       |    $qualityScoreLin) * 1000000.0) >= 0
        |    THEN 1 ELSE 0 END)::BIGINT AS keep
        |FROM feats f CROSS JOIN w ORDER BY f.doc_id""".stripMargin
-  }
 
   // ------------------------------------------------------------------
   // text_normalize (VERDICT r12 #8): unicode/mojibake normalization —
