@@ -2758,7 +2758,9 @@ object ExtQueries {
   // two planted-junk families (label 0) both engines construct
   // identically — REPETITION junk (the doc's first token repeated 80
   // times, ids +7000000, doc_id % 9 == 0) and GIBBERISH junk
-  // (reversed text, ids +8000000, doc_id % 10 == 0). Features: token
+  // (token array AND each ASCII token's characters reversed —
+  // engine-identical, unlike raw string reverse — ids +8000000,
+  // doc_id % 10 == 0). Features: token
   // count, unique ratio e4, stopword ratio e4 (the language signal),
   // duplicate-shingle ratio e4, capped LM mean-surprise — all exact
   // longs; the fit and score are one pinned IEEE expression tree, so
@@ -2774,9 +2776,17 @@ object ExtQueries {
     val junkRep = src.filter(pmod(col("doc_id"), lit(9)) === 0)
       .select((col("doc_id") + 7000000L).as("doc_id"),
         array_join(array_repeat(element_at(col("__t"), 1), 80), " ").as("text"))
+    // gibberish clone built ASCII-SAFE, not reverse(text): Spark
+    // reverses strings by code point while DuckDB reverses by grapheme
+    // cluster, so combining sequences in raw text would diverge
+    // between engines. Reversing the TOKEN array and each token's
+    // characters is the same transform restricted to [a-z0-9]+ tokens
+    // — pure ASCII, where the two reversal semantics coincide
+    // (ADVICE r13); the per-token reverse keeps the junk family
+    // character-level gibberish (OOV unigrams), not just reordered
     val junkRev = src.filter(pmod(col("doc_id"), lit(10)) === 0)
       .select((col("doc_id") + 8000000L).as("doc_id"),
-        reverse(col("text")).as("text"))
+        array_join(expr("transform(reverse(__t), t -> reverse(t))"), " ").as("text"))
     val scored = src.select(col("doc_id"), col("text"), lit(1L).as("label"))
       .unionAll(junkRep.select(col("doc_id"), col("text"), lit(0L).as("label")))
       .unionAll(junkRev.select(col("doc_id"), col("text"), lit(0L).as("label")))
@@ -2824,7 +2834,8 @@ object ExtQueries {
        |  SELECT doc_id, text, 1::BIGINT AS label FROM src
        |  UNION ALL SELECT doc_id + 7000000, trim(repeat(toks[1] || ' ', 80)), 0
        |    FROM src WHERE ((doc_id % 9) + 9) % 9 = 0
-       |  UNION ALL SELECT doc_id + 8000000, reverse(text), 0
+       |  UNION ALL SELECT doc_id + 8000000,
+       |      array_to_string(list_transform(list_reverse(toks), t -> reverse(t)), ' '), 0
        |    FROM src WHERE ((doc_id % 10) + 10) % 10 = 0),
        |sf AS (SELECT doc_id, label,
        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
@@ -2854,10 +2865,11 @@ object ExtQueries {
        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS j
        |    FROM sff)),
        |lt AS (SELECT s.doc_id,
-       |    cast(round(1000000.0 / (0.9 *
+       |    cast(least(round(1000000.0 / (0.9 *
        |      (CASE WHEN cb.c IS NOT NULL
        |            THEN cb.c::DOUBLE / cp.cpn::DOUBLE ELSE 0.0 END)
-       |      + 0.1 * ((coalesce(u.cu, 0) + 1)::DOUBLE / (v.nn + v.vn)::DOUBLE)))
+       |      + 0.1 * ((coalesce(u.cu, 0) + 1)::DOUBLE / (v.nn + v.vn)::DOUBLE))),
+       |      ${QualityClassifier.LmSurpriseCap}.0)
        |      AS BIGINT) AS term
        |  FROM sbig s
        |  LEFT JOIN cb ON cb.a = s.a AND cb.b = s.b

@@ -112,8 +112,17 @@ object QualityClassifier {
       .withColumn("pu",
         (coalesce(col("cu"), lit(0L)) + lit(1L)).cast("double")
           / (col("nn") + col("vn")).cast("double"))
+      // the cap applies PER TERM before the long cast (ADVICE r13): an
+      // OOV bigram's surprise is ~1e7·(nn+vn), which past ~1e12 corpus
+      // tokens exceeds Long.MaxValue as a double — where Spark's cast
+      // saturates but DuckDB's errors. Capping the double first keeps
+      // the arithmetic exact-long on both engines at any corpus scale
+      // (and makes the per-doc mean cap a no-op, kept for the pinned
+      // oracle shape).
       .withColumn("term",
-        round(lit(1000000.0) / (lit(0.9) * col("pb") + lit(0.1) * col("pu")))
+        least(
+          round(lit(1000000.0) / (lit(0.9) * col("pb") + lit(0.1) * col("pu"))),
+          lit(LmSurpriseCap.toDouble))
           .cast("long"))
       .groupBy("__bid")
       .agg(expr(s"least(sum(term) DIV count(1), ${LmSurpriseCap}L) DIV 100000").as("x5"))

@@ -110,6 +110,14 @@ object StoreMeta {
     * (VERDICT r12 #4). */
   final case class Lease(path: String, owner: String, epoch: Long)
 
+  /** Thrown by a lease body to signal the pass failed in a state where
+    * BACKGROUND WORK MAY STILL TOUCH THE STORE (e.g. a patch pool that
+    * would not drain after interrupt, ADVICE r13): the lease is left
+    * in place to TTL-expire instead of being released, so the next
+    * writer waits out the TTL rather than racing a wedged straggler. */
+  final class LeasePoisonedException(msg: String)
+    extends IllegalStateException(msg)
+
   /** SINGLE-WRITER LEASE for the stores' MUTATING passes (VERDICT r11
     * #7). The append paths are concurrency-safe by construction (fresh
     * UUID files, insert-if-absent reads, commit markers) — but every
@@ -138,14 +146,21 @@ object StoreMeta {
     *    past the recorded TTL the lease counts as abandoned and the
     *    next writer breaks it. The break alone is not sufficient to
     *    stop a wedged-but-alive holder — that is what the fencing
-    *    check closes: every partition swap re-reads the lease and
+    *    check NARROWS: every partition swap re-reads the lease and
     *    refuses to clear/rename when (owner, epoch) no longer match
-    *    ([[verifyLease]]), so a revenant holder fails its swap instead
-    *    of corrupting the new holder's rewrite.
+    *    ([[verifyLease]]), so a revenant holder almost always fails
+    *    its swap before touching the store. The check is
+    *    check-then-act: a steal landing in the window between
+    *    [[verifyLease]] and the subsequent clear/rename (or between
+    *    the release path's owner read and its delete) can still
+    *    interleave with the new holder. Plain-file fencing cannot
+    *    close that window — only a storage layer that validates the
+    *    fencing token on every mutation can — so treat the lease as a
+    *    strong narrowing, not an absolute guarantee (ADVICE r13).
     *
-    * Deployments needing stronger guarantees put the store tables on a
-    * transactional format; this file keeps the layout plain parquet
-    * readable by everything. */
+    * Deployments needing the absolute guarantee put the store tables
+    * on a transactional format that checks the token server-side; this
+    * file keeps the layout plain parquet readable by everything. */
   def withWriterLease[A](spark: SparkSession, path: String, op: String,
       ttlMs: Long = 600000L)(f: => A): A =
     withWriterLeaseFenced(spark, path, op, ttlMs)(_ => f)
@@ -215,10 +230,9 @@ object StoreMeta {
         s"(_lease/writer.json, op=$op): the partition-rewriting passes are " +
         "single-writer — wait for the holder to finish, or remove a stale " +
         "lease left by a crashed writer"))
-    try body(token)
-    finally {
-      // delete-if-owner (ADVICE r12): release only OUR lease; if it was
-      // stolen mid-pass, the file now belongs to the stealer — leave it
+    // delete-if-owner (ADVICE r12): release only OUR lease; if it was
+    // stolen mid-pass, the file now belongs to the stealer — leave it
+    def release(): Unit =
       try {
         val stillOurs = readJson(spark, path, rel)
           .exists(t => jsonString(t, "owner").contains(owner))
@@ -227,6 +241,22 @@ object StoreMeta {
           s"[store-lease] lease at $path no longer held by $owner " +
             "(stolen past TTL?) — leaving the current holder's lease in place")
       } catch { case scala.util.control.NonFatal(_) => () }
+    try {
+      val r = body(token)
+      release()
+      r
+    } catch {
+      // a POISONED pass may still have background work touching the
+      // store — do NOT release; the lease TTL-expires, making the next
+      // writer wait out the straggler instead of racing it (ADVICE r13)
+      case e: LeasePoisonedException =>
+        System.err.println(
+          s"[store-lease] lease at $path (owner=$owner) left to TTL-expire " +
+            s"after a poisoned pass: ${e.getMessage}")
+        throw e
+      case e: Throwable =>
+        release()
+        throw e
     }
   }
 
@@ -234,8 +264,12 @@ object StoreMeta {
     * exactly this holder's (owner, epoch). Called by the partition-swap
     * primitives immediately before their point of no return, so a
     * holder whose lease was broken mid-pass (TTL steal by a new
-    * writer) fails its swap instead of interleaving with the new
-    * holder's rewrite (VERDICT r12 #4). */
+    * writer) fails its swap rather than interleaving with the new
+    * holder's rewrite (VERDICT r12 #4). Residual window (ADVICE r13):
+    * the check is check-then-act — a steal landing between this read
+    * and the caller's clear/rename still interleaves; see the
+    * [[withWriterLease]] doc for why plain-file fencing cannot close
+    * it. */
   def verifyLease(spark: SparkSession, lease: Lease): Unit = {
     val ok = readJson(spark, lease.path, "_lease/writer.json").exists { t =>
       jsonString(t, "owner").contains(lease.owner) &&

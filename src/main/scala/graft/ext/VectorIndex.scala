@@ -354,7 +354,7 @@ object VectorIndex {
       .distinct().persist()
     try {
       val codesDir = s"$path/codes/data"
-      if (fs(spark, path).exists(new Path(codesDir))) {
+      if (hasCodeFiles(spark, path)) {
         val codes = spark.read.parquet(codesDir)
         // per-cell deleted DOC counts ride the same pruning scan that
         // finds the touched partitions (bounded: cells x one long)
@@ -382,6 +382,28 @@ object VectorIndex {
       ids.count()
     } finally { ids.unpersist(); () }
     }
+  }
+
+  /** True iff the code store has at least one data file to read. A
+    * missing `codes/data` AND an existing-but-fileless one (a total
+    * takedown rewrote every `cell=` partition empty, leaving the
+    * directory skeleton) both mean CODELESS — `spark.read.parquet`
+    * would fail schema inference on the latter, so every code-store
+    * read site guards with this instead of a bare `exists` (ADVICE
+    * r13). The recursive listing short-circuits at the first real
+    * file, so a populated index pays one-file's worth of listing. */
+  private[graft] def hasCodeFiles(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/codes/data")
+    if (!f.exists(dir)) return false
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val n = s.getPath.getName
+      if (s.isFile && s.getLen > 0 && !n.startsWith("_") && !n.startsWith("."))
+        return true
+    }
+    false
   }
 
   /** Ids ever retracted from this index — [[delete]]'s audit trail. */
@@ -453,10 +475,12 @@ object VectorIndex {
     val probed = q.select(col("qcell")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     // an index whose every admitted vector was taken down (or that was
-    // rebuilt over a fully-tombstoned corpus) has NO code files —
-    // serve the empty result with the contract schema instead of
-    // dying on the missing path
-    if (!fs(spark, path).exists(new Path(s"$path/codes/data")))
+    // rebuilt over a fully-tombstoned corpus) is CODELESS — either the
+    // codes/data path is missing, or a total takedown cleared every
+    // cell= partition and left the directory present but fileless
+    // (schema inference would die on it). Serve the empty result with
+    // the contract schema in both shapes.
+    if (!hasCodeFiles(spark, path))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -521,6 +545,17 @@ object VectorIndex {
       k: Int, nProbe: Int = 2): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    // codeless index (total takedown / fully-tombstoned rebuild): no
+    // candidates exist — serve empty with the contract schema, with
+    // the label column typed from the corpus frame
+    if (!hasCodeFiles(spark, path))
+      return queries.limit(0)
+        .select(col(idCol).cast("long").as("query_id"))
+        .crossJoin(corpus.limit(0).select(
+          col(idCol).cast("long").as("neighbor_id"),
+          col(labelCol).as("neighbor_label")))
+        .withColumn("score_e4", lit(0L))
+        .withColumn("rnk", lit(0L))
     val cents = coarse(spark, path, embCol)
       .select(col("vi_cid").as(idCol), col(embCol))
     val q = Similarity.assignCellsN(queries, cents, idCol, embCol, nProbe)

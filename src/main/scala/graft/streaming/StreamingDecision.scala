@@ -264,9 +264,19 @@ object StreamingDecision {
       // method: the enclosing lease releases on exit, and a task still
       // between its verifyLease and rename when a new holder acquires
       // would interleave rewrites — interrupt and DRAIN before the
-      // lease can be released (the jobs-pool pattern below)
+      // lease can be released. A drain TIMEOUT means a straggler may
+      // still be renaming staged files: surface it as an operator
+      // error instead of silently racing the next writer —
+      // LeasePoisonedException makes withWriterLeaseFenced LEAVE the
+      // lease to TTL-expire, so the next writer waits out the
+      // straggler rather than acquiring into it (ADVICE r13)
       patchPool.shutdownNow()
-      patchPool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS): Unit
+      if (!patchPool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+        throw new StoreMeta.LeasePoisonedException(
+          s"decision-store patch pool for $path failed to drain within 120s " +
+            "after interrupt: a wedged patch task may still be writing — " +
+            "leaving the writer lease to TTL-expire; resolve the wedged job " +
+            "and re-run the takedown under a fresh lease")
     }
 
     // ledger purge: patch the touched batch partitions in place

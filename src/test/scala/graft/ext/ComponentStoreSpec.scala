@@ -259,6 +259,35 @@ class ComponentStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
       .exists(_.contains("thief")) shouldBe true
   }
 
+  it should "leave a poisoned pass's lease in place to TTL-expire (ADVICE r13)" in {
+    val store = tempDir("graft-lease-poison")
+    // a body that fails in a state where background work may still
+    // touch the store signals it with LeasePoisonedException — the
+    // lease must NOT be released, so the next writer waits out the TTL
+    val ex = intercept[StoreMeta.LeasePoisonedException] {
+      StoreMeta.withWriterLeaseFenced(spark, store, "wedged", ttlMs = 600000L) { _ =>
+        throw new StoreMeta.LeasePoisonedException("patch pool failed to drain")
+      }
+    }
+    ex.getMessage should include("drain")
+    StoreMeta.fs(spark, store)
+      .exists(new Path(s"$store/_lease/writer.json")) shouldBe true
+    // a second writer inside the TTL refuses (the lease is live)
+    intercept[IllegalStateException] {
+      StoreMeta.withWriterLeaseFenced(spark, store, "next")(_ => ())
+    }
+    // an ORDINARY failure still releases normally
+    StoreMeta.fs(spark, store)
+      .delete(new Path(s"$store/_lease/writer.json"), false)
+    intercept[RuntimeException] {
+      StoreMeta.withWriterLeaseFenced(spark, store, "plain") { _ =>
+        throw new RuntimeException("ordinary failure")
+      }
+    }
+    StoreMeta.fs(spark, store)
+      .exists(new Path(s"$store/_lease/writer.json")) shouldBe false
+  }
+
   behavior of "ComponentStore retraction (VERDICT r11 #1)"
 
   it should "delete ids and rebuild the touched components to match a recompute" in {

@@ -491,6 +491,37 @@ class VectorIndexSpec extends AnyFlatSpec with Matchers with SparkFixture {
     } finally cleanup(path)
   }
 
+  it should "serve and re-delete a codeless index whose takedown left a fileless code dir (ADVICE r13)" in {
+    import spark.implicits._
+    val path = tempIndex("codeless")
+    try {
+      val e = corpus.filter(col("vec_id") < 20)
+      VectorIndex.build(e, "vec_id", "embedding", path,
+        dim = 64, m = 8, codebookK = 8, coarseK = 2)
+      // TOTAL takedown WITHOUT a rebuild: every cell= partition is
+      // rewritten empty, but codes/data stays on disk as a directory
+      // skeleton — bare schema inference would die on it
+      VectorIndex.delete(e.select("vec_id"), "vec_id", path) shouldBe 20L
+      // topK must serve the empty contract, not crash
+      val probe = e.filter(col("vec_id") === 3)
+      val got = VectorIndex.topK(probe, path, "vec_id", "embedding", k = 5, nProbe = 2)
+      got.count() shouldBe 0L
+      got.columns.toSeq shouldBe Seq("query_id", "neighbor_id", "cell", "adist_e6", "rnk")
+      // a SECOND delete (late takedown arriving after the store is
+      // already empty) must append its tombstones, not crash
+      VectorIndex.delete(Seq(3L).toDF("vec_id"), "vec_id", path) shouldBe 1L
+      VectorIndex.tombstones(spark, path).count() shouldBe 21L
+      // the hard-negative composition over the codeless index serves
+      // empty with the corpus-typed label column
+      val lab = e.withColumn("label", (col("vec_id") % 3).cast("long"))
+      val hn = VectorIndex.hardNegatives(lab.filter(col("vec_id") === 3), lab,
+        path, "vec_id", "embedding", "label", k = 3, nProbe = 2)
+      hn.count() shouldBe 0L
+      hn.columns.toSeq shouldBe
+        Seq("query_id", "neighbor_id", "neighbor_label", "score_e4", "rnk")
+    } finally cleanup(path)
+  }
+
   it should "reject a re-arriving tombstoned vector at append by default (VERDICT r12 #1)" in {
     import spark.implicits._
     val path = tempIndex("tomb")
