@@ -1440,7 +1440,8 @@ object ExtQueries {
   // payloads — the video-pipeline plumbing (frame count from payload
   // size, strided sample capped at MaxFrames, per-frame content hash)
   // with the documents table standing in for the media bytes (the
-  // sandbox has no codecs — Multimodal.FakeCodec is the decode seam).
+  // sandbox has no FRAME codecs — container metadata decodes for real
+  // via Multimodal.VideoCodec, see multimodal_decode_mp4).
   // Offsets/stride/hash are pure functions of the payload, so both
   // engines derive identical samples. Explode-generator shape: narrow,
   // no shuffle beyond the oracle sort.
@@ -1625,6 +1626,71 @@ object ExtQueries {
        |  CASE WHEN corrupt THEN NULL ELSE n END AS n_samples,
        |  CASE WHEN corrupt THEN NULL ELSE (n * 1000) // sr END AS duration_ms
        |FROM p ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // multimodal_decode_mp4: REAL ISO-BMFF/MP4 box walk (VERDICT r13 #1
+  // — retires the last fake seam). Per doc a structurally genuine MP4
+  // is encoded from doc_id-derived parameters (ftyp, skippable
+  // free/foreign boxes at top level AND inside moov, full-size
+  // mvhd/tkhd, stsd VisualSampleEntry, byte-ramp mdat) and
+  // VideoCodec.decodeMp4Meta walks the nested boxes back — movie
+  // timescale, exact integer-ms duration, 16.16 track dims, codec
+  // fourcc — never touching a sample. Corruption matrix: every 11th
+  // payload is cut to its first 7 bytes (truncated before one full box
+  // header), every 13th loses its mdat plus 10 bytes of moov's tail
+  // (moov's declared size now OVERRUNS the payload) — both must fail
+  // into all-null rows, not throw or over-read. DuckDB predicts the
+  // planted values and nulls codec-free.
+  // ------------------------------------------------------------------
+
+  private val Mp4MdatLen = 64
+  private val Mp4Fourccs = Seq("avc1", "hvc1", "vp09", "av01")
+
+  def multimodalDecodeMp4(spark: SparkSession, dir: String): DataFrame = {
+    val params = docs(spark, dir).select("doc_id")
+      .filter(col("doc_id") >= 0 && col("doc_id") < DecodeCap)
+      .select(col("doc_id"),
+        ((pmod(col("doc_id"), lit(3)) + 1) * 600).cast("int").as("ts"),
+        (lit(1000) + pmod(col("doc_id"), lit(5000)) * 3).cast("int").as("du"),
+        (lit(160) + pmod(col("doc_id"), lit(8)) * 16).cast("int").as("w"),
+        (lit(120) + pmod(col("doc_id"), lit(6)) * 24).cast("int").as("h"),
+        pmod(col("doc_id"), lit(4)).cast("int").as("fci"))
+    import spark.implicits._
+    val payloads = params.as[(Long, Int, Int, Int, Int, Int)]
+      .map { case (id, ts, du, w, h, fci) =>
+        val bytes = Multimodal.VideoCodec.encodeMp4(ts, du.toLong, w, h,
+          Mp4Fourccs(fci), Mp4MdatLen)
+        val cut =
+          if (id % 11 == 0) bytes.take(7)
+          else if (id % 13 == 0) bytes.dropRight(8 + Mp4MdatLen + 10)
+          else bytes
+        (id, cut)
+      }
+      .toDF("doc_id", "payload")
+    Multimodal.decodeVideoMeta(payloads, "doc_id", "payload")
+      .orderBy("doc_id")
+  }
+
+  private val multimodalDecodeMp4Sql = {
+    val fcCase = Mp4Fourccs.zipWithIndex
+      .map { case (fc, i) => s"WHEN $i THEN '$fc'" }.mkString(" ")
+    s"""WITH p AS (SELECT doc_id,
+       |    ((((doc_id % 3) + 3) % 3 + 1) * 600)::BIGINT AS ts,
+       |    (1000 + ((doc_id % 5000) + 5000) % 5000 * 3)::BIGINT AS du,
+       |    (160 + ((doc_id % 8) + 8) % 8 * 16)::BIGINT AS w,
+       |    (120 + ((doc_id % 6) + 6) % 6 * 24)::BIGINT AS h,
+       |    (CASE ((doc_id % 4) + 4) % 4 $fcCase END) AS fc,
+       |    (((doc_id % 11) + 11) % 11 = 0 OR ((doc_id % 13) + 13) % 13 = 0)
+       |      AS corrupt
+       |  FROM documents WHERE doc_id >= 0 AND doc_id < $DecodeCap)
+       |SELECT doc_id,
+       |  CASE WHEN corrupt THEN NULL ELSE ts END AS timescale,
+       |  CASE WHEN corrupt THEN NULL ELSE (du * 1000) // ts END AS duration_ms,
+       |  CASE WHEN corrupt THEN NULL ELSE w END AS width,
+       |  CASE WHEN corrupt THEN NULL ELSE h END AS height,
+       |  CASE WHEN corrupt THEN NULL ELSE fc END AS fourcc
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // text_bpe_train: DISTRIBUTED BPE TOKENIZER TRAINING (round 11) —
@@ -4309,7 +4375,8 @@ object ExtQueries {
     "multimodal_frames" -> (multimodalFrames(_, _)),
     "multimodal_decode" -> (multimodalDecode(_, _)),
     "multimodal_decode_jpeg" -> (multimodalDecodeJpeg(_, _)),
-    "multimodal_decode_wav" -> (multimodalDecodeWav(_, _)))
+    "multimodal_decode_wav" -> (multimodalDecodeWav(_, _)),
+    "multimodal_decode_mp4" -> (multimodalDecodeMp4(_, _)))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
@@ -4385,5 +4452,6 @@ object ExtQueries {
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_decode_jpeg" -> multimodalDecodeJpegSql,
-    "multimodal_decode_wav" -> multimodalDecodeWavSql)
+    "multimodal_decode_wav" -> multimodalDecodeWavSql,
+    "multimodal_decode_mp4" -> multimodalDecodeMp4Sql)
 }
