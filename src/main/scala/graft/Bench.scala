@@ -286,7 +286,8 @@ object Bench {
       "streaming_semantic_ttl_golden", "streaming_ttl_golden",
       "streaming_decision_golden", "streaming_decision_cluster",
       "streaming_decontam_golden", "dedup_retraction",
-      "dedup_retraction_cluster", "streaming_retraction_golden")
+      "dedup_retraction_cluster", "streaming_retraction_golden",
+      "streaming_quality_golden")
     val engineRows = withStreaming.filterNot { case (k, _) => HarnessRows(k) }
     val harnessRows = withStreaming.filter { case (k, _) => HarnessRows(k) }
     val sentinelJson = {

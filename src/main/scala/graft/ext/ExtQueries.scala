@@ -3878,6 +3878,171 @@ object ExtQueries {
     out.orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------------
+  // streaming_quality_golden (VERDICT r13 #2): the QUALITY TIER on the
+  // arrival-time decision surface. Weights are FIT offline (the batch
+  // classifier's closed-form diagonal LDA over the four per-doc
+  // map-only features x1..x4 — token count, unique ratio, stopword
+  // ratio, duplicate-shingle ratio; x5's corpus-sized LM tables stay
+  // batch-only) on a labeled planted set: clean docs vs the repetition
+  // and gibberish junk families text_quality_classifier plants. The
+  // STREAM then judges the corpus + junk + an exact CLONE of junk docs
+  // in 5 micro-batches with the weights as literals: tombstone > exact
+  // > near > quality precedence means a clone of a junk doc is
+  // drop_exact (its keeper edge reaches the cluster state), junk that
+  // duplicates nothing is drop_quality (keeper = itself, a policy
+  // drop), and clean unique docs keep. The oracle replays the ENTIRE
+  // composition — fit arithmetic, hash ownership by arrival order,
+  // capped prior-batch band membership, the floor-e6 score — from the
+  // parquet corpus alone.
+  // ------------------------------------------------------------------
+
+  private val QualityGoldenCap = 600
+
+  private def qualityGoldenParts(d: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val src = d
+      .filter(col("doc_id") >= 0 && col("doc_id") < QualityGoldenCap)
+      .withColumn("__t", TextOps.tokens(col("text")))
+      .filter(size(col("__t")) >= ShingleN)
+    val junkRep = src.filter(pmod(col("doc_id"), lit(9)) === 0)
+      .select((col("doc_id") + 7000000L).as("doc_id"),
+        array_join(array_repeat(element_at(col("__t"), 1), 80), " ").as("text"))
+    val junkRev = src.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 8000000L).as("doc_id"),
+        array_join(expr("transform(reverse(__t), t -> reverse(t))"), " ").as("text"))
+    // exact clone OF a junk doc (+9000000 total): must verdict as
+    // drop_exact, never drop_quality — the precedence under test
+    val junkClone = junkRep.filter(pmod(col("doc_id") - 7000000L, lit(18)) === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    (src.select("doc_id", "text"), junkRep, junkRev, junkClone)
+  }
+
+  private val qualityDecDirCache = scala.collection.mutable.Map.empty[String, String]
+
+  def streamingQualityGolden(spark: SparkSession, dir: String): DataFrame = {
+    val (clean, junkRep, junkRev, junkClone) =
+      qualityGoldenParts(docs(spark, dir).select("doc_id", "text"))
+    // offline fit: 4-feature diagonal LDA on the labeled planted set
+    val labeled = clean.withColumn("label", lit(1L))
+      .unionAll(junkRep.withColumn("label", lit(0L)))
+      .unionAll(junkRev.withColumn("label", lit(0L)))
+    val fits = QualityClassifier.fit(
+      QualityClassifier.withLocalFeatures(labeled, "text", StopWords, ShingleN)
+        .filter(col("__q_has")),
+      "label", 1L, QualityClassifier.LocalFeatureCols)
+    val streamDir = qualityDecDirCache.synchronized {
+      qualityDecDirCache.getOrElseUpdate(dir, writeGoldenStream(
+        clean.unionAll(junkRep).unionAll(junkRev).unionAll(junkClone)))
+    }
+    val store = java.nio.file.Files.createTempDirectory("graft-qdecision")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = graft.streaming.StreamingDecision.run(src, "doc_id", "text",
+      None, store.toString, Nil,
+      qualityFits = fits, qualityStop = StopWords)
+    try { q.processAllAvailable() } finally q.stop()
+    val res = graft.streaming.StreamingDecision.decisions(s2, store.toString)
+      .select(col("doc_id"), col("decision"), col("keeper_id"))
+      .orderBy("doc_id")
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
+    SignatureStore.deleteStore(store)
+    out.orderBy("doc_id")
+  }
+
+  private val streamingQualityGoldenSql = {
+    val stop = sqlList(StopWords)
+    def fitExprs(i: Int): String = {
+      val (s, q) = (s"s$i", s"q$i")
+      s"""(k.$s::DOUBLE / k.n - j.$s::DOUBLE / j.n) /
+         |  (((k.$q::DOUBLE / k.n - (k.$s::DOUBLE / k.n) * (k.$s::DOUBLE / k.n)) * k.n
+         |    + (j.$q::DOUBLE / j.n - (j.$s::DOUBLE / j.n) * (j.$s::DOUBLE / j.n)) * j.n)
+         |   / (k.n + j.n) + 1.0) AS w$i,
+         |(k.$s::DOUBLE / k.n + j.$s::DOUBLE / j.n) / 2.0 AS m$i""".stripMargin
+    }
+    val aggCols = (1 to 4).map(i =>
+      s"sum(x$i)::BIGINT AS s$i, sum(x$i * x$i)::BIGINT AS q$i").mkString(",\n    ")
+    val scoreLin =
+      """(bf.x1::DOUBLE - w.m1) * w.w1 + (bf.x2::DOUBLE - w.m2) * w.w2
+        |      + (bf.x3::DOUBLE - w.m3) * w.w3 + (bf.x4::DOUBLE - w.m4) * w.w4""".stripMargin
+    s"""WITH t0 AS (SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents WHERE doc_id >= 0 AND doc_id < $QualityGoldenCap),
+       |src AS (SELECT * FROM t0 WHERE len(toks) >= $ShingleN),
+       |jrep AS (SELECT doc_id + 7000000 AS doc_id, trim(repeat(toks[1] || ' ', 80)) AS text
+       |  FROM src WHERE ((doc_id % 9) + 9) % 9 = 0),
+       |jrev AS (SELECT doc_id + 8000000 AS doc_id,
+       |    array_to_string(list_transform(list_reverse(toks), t -> reverse(t)), ' ') AS text
+       |  FROM src WHERE ((doc_id % 10) + 10) % 10 = 0),
+       |jclone AS (SELECT doc_id + 2000000 AS doc_id, text FROM jrep
+       |  WHERE (((doc_id - 7000000) % 18) + 18) % 18 = 0),
+       |base AS (SELECT doc_id, text FROM src
+       |  UNION ALL SELECT doc_id, text FROM jrep
+       |  UNION ALL SELECT doc_id, text FROM jrev
+       |  UNION ALL SELECT doc_id, text FROM jclone),
+       |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+       |    '[^a-z0-9]+'), x -> x <> '') AS toks FROM base),
+       |$ShCte,
+       |$SigCtes,
+       |bf AS (SELECT tok.doc_id,
+       |    len(toks)::BIGINT AS x1,
+       |    ((len(list_distinct(toks)) * 10000) // len(toks))::BIGINT AS x2,
+       |    ((len(list_filter(toks, t -> list_contains($stop, t))) * 10000) // len(toks))::BIGINT AS x3,
+       |    (((len(sh.sh) - len(list_distinct(sh.sh))) * 10000) // len(sh.sh))::BIGINT AS x4
+       |  FROM tok JOIN sh ON sh.doc_id = tok.doc_id),
+       |fl AS (SELECT doc_id, 1::BIGINT AS label FROM src
+       |  UNION ALL SELECT doc_id, 0 FROM jrep
+       |  UNION ALL SELECT doc_id, 0 FROM jrev),
+       |agg AS (SELECT fl.label, count(*)::BIGINT AS n,
+       |    $aggCols
+       |  FROM bf JOIN fl ON fl.doc_id = bf.doc_id GROUP BY fl.label),
+       |w AS (SELECT
+       |    ${(1 to 4).map(fitExprs).mkString(",\n    ")}
+       |  FROM (SELECT * FROM agg WHERE label = 1) k,
+       |       (SELECT * FROM agg WHERE label = 0) j),
+       |bat AS (SELECT doc_id,
+       |    ((doc_id % $GoldenBatches) + $GoldenBatches) % $GoldenBatches AS b
+       |  FROM base),
+       |hs AS (SELECT doc_id, sha256(array_to_string(toks, ' ')) AS h FROM tok),
+       |hj AS (SELECT hs.doc_id, hs.h, bat.b FROM hs JOIN bat USING (doc_id)),
+       |own AS (SELECT h, doc_id AS owner FROM (
+       |    SELECT h, doc_id,
+       |      row_number() OVER (PARTITION BY h ORDER BY b, doc_id) AS rn
+       |    FROM hj) WHERE rn = 1),
+       |exk AS (SELECT hj.doc_id, own.owner AS ex_keeper
+       |  FROM hj JOIN own ON own.h = hj.h WHERE hj.doc_id <> own.owner),
+       |exb AS (SELECT e.doc_id, e.bk, bat.b,
+       |    row_number() OVER (PARTITION BY e.bk ORDER BY bat.b, e.doc_id) AS r
+       |  FROM ex e JOIN bat ON bat.doc_id = e.doc_id),
+       |nearh AS (SELECT a.doc_id, min(m.doc_id) AS near_keeper
+       |  FROM exb a JOIN exb m ON a.bk = m.bk AND m.b < a.b AND m.r <= 64
+       |  JOIN sig sa ON sa.doc_id = a.doc_id
+       |  JOIN sig sb ON sb.doc_id = m.doc_id
+       |  WHERE len(list_filter(generate_series(1, $MinhashK), i -> sa.sig[i] = sb.sig[i])) >= 8
+       |  GROUP BY a.doc_id),
+       |qf AS (SELECT bf.doc_id FROM bf CROSS JOIN w
+       |  WHERE floor(($scoreLin) * 1000000.0)::BIGINT < 0),
+       |dec AS (SELECT bat.doc_id,
+       |  CASE WHEN exk.ex_keeper IS NOT NULL THEN 'drop_exact'
+       |       WHEN nearh.near_keeper IS NOT NULL THEN 'drop_near'
+       |       WHEN qf.doc_id IS NOT NULL THEN 'drop_quality'
+       |       ELSE 'keep' END AS decision,
+       |  coalesce(exk.ex_keeper, nearh.near_keeper, bat.doc_id) AS keeper_id
+       |FROM bat
+       |LEFT JOIN exk ON exk.doc_id = bat.doc_id
+       |LEFT JOIN nearh ON nearh.doc_id = bat.doc_id
+       |LEFT JOIN qf ON qf.doc_id = bat.doc_id)
+       |SELECT doc_id, decision, keeper_id FROM dec ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared verdict-derivation CTE chain ending in
     * `dec(doc_id, decision, keeper_id)` — the golden query selects it
     * directly; the cluster query runs connected components over its
@@ -4331,6 +4496,7 @@ object ExtQueries {
     "streaming_semantic_ttl_golden" -> (streamingSemanticTtlGolden(_, _)),
     "streaming_ttl_golden" -> (streamingTtlGolden(_, _)),
     "streaming_decision_golden" -> (streamingDecisionGolden(_, _)),
+    "streaming_quality_golden" -> (streamingQualityGolden(_, _)),
     "streaming_decision_cluster" -> (streamingDecisionCluster(_, _)),
     "dedup_retraction" -> (dedupRetraction(_, _)),
     "dedup_retraction_cluster" -> (dedupRetractionCluster(_, _)),
@@ -4408,6 +4574,7 @@ object ExtQueries {
     "streaming_semantic_ttl_golden" -> streamingSemanticTtlGoldenSql,
     "streaming_ttl_golden" -> streamingTtlGoldenSql,
     "streaming_decision_golden" -> streamingDecisionGoldenSql,
+    "streaming_quality_golden" -> streamingQualityGoldenSql,
     "streaming_decision_cluster" -> streamingDecisionClusterSql,
     "dedup_retraction" -> dedupRetractionSql,
     "dedup_retraction_cluster" -> dedupRetractionClusterSql,

@@ -49,6 +49,38 @@ object QualityClassifier {
     * class-midpoint the feature is centered on. */
   final case class FeatureFit(w: Double, mid: Double)
 
+  /** The four PER-DOC feature columns (x1..x4) — computable from the
+    * document text alone as pure column expressions, no corpus-trained
+    * LM tables: the feature set the STREAMING quality tier scores
+    * arrivals with ([[graft.streaming.StreamingDecision]]'s
+    * `drop_quality`, VERDICT r13 #2). x5 (LM surprise) needs the
+    * corpus-sized bigram tables and stays batch-only. */
+  val LocalFeatureCols: Seq[String] = Seq("x1", "x2", "x3", "x4")
+
+  /** Append x1..x4 ([[LocalFeatureCols]]) plus a `__q_has` support
+    * flag as MAP-ONLY expressions — no explode, no groupBy: x4's
+    * shingle counts come from array length vs distinct length, the
+    * same integer arithmetic as [[features]]' grouped form. Docs
+    * without shingle support (`size(toks) < shingleN` — the exclusion
+    * rule [[features]] applies by filter) get `__q_has = false` and
+    * null ratio features; callers gate the verdict on `__q_has`. */
+  def withLocalFeatures(df: DataFrame, textCol: String,
+      stopWords: Seq[String], shingleN: Int = 3): DataFrame =
+    df.withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__q_has", size(col("__toks")) >= shingleN)
+      // shingles() must not see < shingleN tokens (descending-sequence
+      // trap) — null toks short-circuit the whole chain to null
+      .withColumn("__sh",
+        when(col("__q_has"), TextOps.shingles(col("__toks"), shingleN)))
+      .withColumn("x1", size(col("__toks")).cast("long"))
+      .withColumn("x2",
+        expr("(size(array_distinct(__toks)) * 10000L) div size(__toks)"))
+      .withColumn("__hits", TextOps.wordListHits(col("__toks"), stopWords))
+      .withColumn("x3", expr("(__hits * 10000L) div size(__toks)"))
+      .withColumn("x4",
+        expr("((size(__sh) - size(array_distinct(__sh))) * 10000L) div size(__sh)"))
+      .drop("__hits")
+
   /** Integer quality features for every `scored` doc, with the LM
     * trained on `corpus` (the CLEAN reference text — junk being
     * classified must not pollute the language model):
@@ -135,8 +167,9 @@ object QualityClassifier {
     * the pinned double expression tree per feature. `keepLabel` rows
     * are the positive class. */
   def fit(feats: DataFrame, labelCol: String,
-      keepLabel: Long = 1L): Seq[FeatureFit] = {
-    val aggCols = FeatureCols.flatMap(c =>
+      keepLabel: Long = 1L,
+      cols: Seq[String] = FeatureCols): Seq[FeatureFit] = {
+    val aggCols = cols.flatMap(c =>
       Seq(sum(col(c)).as(s"s_$c"), sum(col(c) * col(c)).as(s"q_$c")))
     val rows = feats.groupBy(col(labelCol))
       .agg(count(lit(1)).as("n"), aggCols: _*)
@@ -145,7 +178,7 @@ object QualityClassifier {
     val k = rows(keepLabel)
     val j = rows.collect { case (l, r) if l != keepLabel => r }.head
     val nK = k.getAs[Long]("n"); val nJ = j.getAs[Long]("n")
-    FeatureCols.map { c =>
+    cols.map { c =>
       val sK = k.getAs[Long](s"s_$c"); val qK = k.getAs[Long](s"q_$c")
       val sJ = j.getAs[Long](s"s_$c"); val qJ = j.getAs[Long](s"q_$c")
       // the PINNED expression tree — DuckDB mirrors it token for token
@@ -161,9 +194,10 @@ object QualityClassifier {
   /** Score with literal fitted weights — map-only:
     * `score_e6 = floor(Σ_j w_j · (x_j − mid_j) · 1e6)` (terms summed
     * left-associated in [[FeatureCols]] order), `keep = score ≥ 0`. */
-  def score(feats: DataFrame, fits: Seq[FeatureFit]): DataFrame = {
-    require(fits.size == FeatureCols.size, "one fit per feature")
-    val terms = FeatureCols.zip(fits).map { case (c, f) =>
+  def score(feats: DataFrame, fits: Seq[FeatureFit],
+      cols: Seq[String] = FeatureCols): DataFrame = {
+    require(fits.size == cols.size, "one fit per feature")
+    val terms = cols.zip(fits).map { case (c, f) =>
       (col(c).cast("double") - lit(f.mid)) * lit(f.w)
     }
     val s = terms.reduceLeft(_ + _)

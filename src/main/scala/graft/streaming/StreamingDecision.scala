@@ -49,6 +49,16 @@ import graft.sinks.ArcaneLayout
   *    member of the doc's coarse cell (quantizer = the PERSISTED
   *    [[graft.ext.VectorIndex]] centroids, passed in as metadata)
   *    admitted in an earlier batch. Keeper = smallest matching id.
+  *  - '''drop_quality''' (round 14, precedence BELOW every duplicate
+  *    tier — a duplicate of a low-quality doc is still a duplicate,
+  *    and its keeper edge must reach the cluster state): the doc's
+  *    fitted linear quality score
+  *    ([[graft.ext.QualityClassifier.score]] over the four per-doc
+  *    [[graft.ext.QualityClassifier.LocalFeatureCols]], MAP-ONLY with
+  *    literal weights) lands below 0. Keeper = itself (a policy drop,
+  *    not a match). Enabled by passing `qualityFits` (weights fitted
+  *    offline, e.g. by the batch classifier); stores still admit the
+  *    doc — quality gates the consumer, not the corpus memory.
   *  - '''keep''' otherwise; keeper_id = doc_id.
   *  - '''drop_tombstone''' (round 12, precedence above all tiers): the
   *    id was RETRACTED by [[delete]] and re-arrived — rejected by
@@ -56,7 +66,8 @@ import graft.sinks.ArcaneLayout
   *    matched member). Id-scoped; disable via
   *    `enforceTombstones = false` on [[processBatch]].
   *
-  * Precedence is exact > near > semantic — the order a pipeline runs
+  * Precedence is exact > near > semantic > quality — the order a
+  * pipeline runs
   * the checks (hash compare < text Jaccard < embedding cosine), same
   * as the batch surface. The arrival-time keeper names the MATCHED
   * member, not a transitive component label: canonicalization across
@@ -333,7 +344,9 @@ object StreamingDecision {
       centroids: Seq[(Long, Array[Double])],
       minSigMatch: Int = 8, minScoreE4: Long = 3000L,
       k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      qualityFits: Seq[graft.ext.QualityClassifier.FeatureFit] = Nil,
+      qualityStop: Seq[String] = Nil): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val b = buckets(spark, path)
@@ -436,14 +449,33 @@ object StreamingDecision {
               StructField("sem_keeper", LongType))))
 
       // ---- verdict + hash-ownership transfer + ledger patch ------
+      // quality tier for healed verdicts (round 14): the same map-only
+      // scoring processBatch applies — a re-fed junk doc whose keeper
+      // was taken down must heal to drop_quality, not keep, under a
+      // quality-gated deployment
+      val qFailR: DataFrame =
+        if (qualityFits.nonEmpty) {
+          import graft.ext.QualityClassifier
+          QualityClassifier.score(
+              QualityClassifier.withLocalFeatures(
+                in.select("doc_id", "text"), "text", qualityStop, shingleN),
+              qualityFits, QualityClassifier.LocalFeatureCols)
+            .filter(col("__q_has") && col("score_e6") < 0L)
+            .select(col("doc_id"), lit(1).as("q_fail"))
+        } else
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            StructType(Seq(StructField("doc_id", LongType),
+              StructField("q_fail", IntegerType))))
       val dec = in.select("doc_id", "batch")
         .join(broadcast(ex), Seq("doc_id"), "left")
         .join(broadcast(nearK), Seq("doc_id"), "left")
         .join(broadcast(semK), Seq("doc_id"), "left")
+        .join(broadcast(qFailR), Seq("doc_id"), "left")
         .select(col("doc_id"),
           when(col("ex_keeper").isNotNull, lit("drop_exact"))
             .when(col("near_keeper").isNotNull, lit("drop_near"))
             .when(col("sem_keeper").isNotNull, lit("drop_semantic"))
+            .when(col("q_fail").isNotNull, lit("drop_quality"))
             .otherwise(lit("keep")).as("decision"),
           coalesce(col("ex_keeper"), col("near_keeper"), col("sem_keeper"),
             col("doc_id")).as("keeper_id"),
@@ -521,7 +553,9 @@ object StreamingDecision {
       k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3, shingleN: Int = 3,
       nBuckets: Int = 16, clusterPath: Option[String] = None,
       clusterCompactEvery: Int = 64,
-      enforceTombstones: Boolean = true): DataFrame = {
+      enforceTombstones: Boolean = true,
+      qualityFits: Seq[graft.ext.QualityClassifier.FeatureFit] = Nil,
+      qualityStop: Seq[String] = Nil): DataFrame = {
     val spark = batch.sparkSession
     def phase[A](label: String)(f: => A): A =
       if (sys.props.contains("graft.timing") || sys.env.contains("GRAFT_TIMING")) {
@@ -565,6 +599,29 @@ object StreamingDecision {
     cached += in
     try {
       val ids = in.select("doc_id")
+
+      // ---- quality tier (VERDICT r13 #2): MAP-ONLY scoring with the
+      // caller's FITTED literal weights over the four per-doc features
+      // (QualityClassifier.LocalFeatureCols — no corpus-trained LM
+      // tables in the per-batch plan). Ranked BELOW every duplicate
+      // tier: a duplicate of a low-quality doc is still a duplicate,
+      // and its keeper edge must reach the cluster state. Docs without
+      // shingle support are not scored (the batch gate's exclusion
+      // rule). Admission is UNAFFECTED — stores record what the stream
+      // has seen; a quality-dropped doc is still a valid dedup member.
+      val qFail: DataFrame =
+        if (qualityFits.nonEmpty) {
+          import graft.ext.QualityClassifier
+          QualityClassifier.score(
+              QualityClassifier.withLocalFeatures(
+                in.select("doc_id", "text"), "text", qualityStop, shingleN),
+              qualityFits, QualityClassifier.LocalFeatureCols)
+            .filter(col("__q_has") && col("score_e6") < 0L)
+            .select(col("doc_id"), lit(1).as("q_fail"))
+        } else
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            StructType(Seq(StructField("doc_id", LongType),
+              StructField("q_fail", IntegerType))))
 
       // ---- exact tier: stored owner, else smallest same-batch id ----
       val bh = in.select(col("doc_id"), Dedup.contentHash(col("text")).as("h"))
@@ -649,15 +706,18 @@ object StreamingDecision {
         .filter(col("score_e4") >= minScoreE4)
         .groupBy("doc_id").agg(min("m_id").as("sem_keeper"))
 
-      // ---- verdict: tombstone > exact > near > semantic > keep ------
+      // ---- verdict: tombstone > exact > near > semantic > quality
+      //      > keep ------------------------------------------------
       val decLive = in.select("doc_id")
         .join(broadcast(ex), Seq("doc_id"), "left")
         .join(broadcast(nearK), Seq("doc_id"), "left")
         .join(broadcast(semK), Seq("doc_id"), "left")
+        .join(broadcast(qFail), Seq("doc_id"), "left")
         .select(col("doc_id"),
           when(col("ex_keeper").isNotNull, lit("drop_exact"))
             .when(col("near_keeper").isNotNull, lit("drop_near"))
             .when(col("sem_keeper").isNotNull, lit("drop_semantic"))
+            .when(col("q_fail").isNotNull, lit("drop_quality"))
             .otherwise(lit("keep")).as("decision"),
           coalesce(col("ex_keeper"), col("near_keeper"), col("sem_keeper"),
             col("doc_id")).as("keeper_id"))
@@ -777,8 +837,12 @@ object StreamingDecision {
       // (a replayed batch re-writes identical decisions, and re-merged
       // pairs contract to (root, root)).
       clusterPath.foreach { cp =>
+        // self-keeper verdicts (drop_tombstone, drop_quality) are
+        // policy drops, not duplicate EDGES — a (doc, doc) pair
+        // carries no cluster information
         val pairs = spark.read.parquet(s"$path/decisions/batch=$batchKey")
-          .filter(col("decision") =!= "keep")
+          .filter(col("decision") =!= "keep" &&
+            col("doc_id") =!= col("keeper_id"))
           .select(col("doc_id"), col("keeper_id"))
         graft.ext.ComponentStore.merge(pairs, "doc_id", "keeper_id", cp, batchKey)
         graft.ext.ComponentStore.maybeCompact(spark, cp, clusterCompactEvery): Unit
@@ -819,7 +883,9 @@ object StreamingDecision {
       minSigMatch: Int = 8, maxBucket: Int = 64,
       minScoreE4: Long = 3000L, maxCell: Int = 64,
       nBuckets: Int = 16, clusterPath: Option[String] = None,
-      trigger: Option[Trigger] = None): StreamingQuery = {
+      trigger: Option[Trigger] = None,
+      qualityFits: Seq[graft.ext.QualityClassifier.FeatureFit] = Nil,
+      qualityStop: Seq[String] = Nil): StreamingQuery = {
     // Marker NAMESPACING (the VectorIndex.appendStream lesson, ADVICE
     // r10): epoch ids restart at 0 for a stream started without a
     // checkpoint and are shared by independent streams on one store
@@ -842,7 +908,8 @@ object StreamingDecision {
           batchKey = s"$ns-$epoch", minSigMatch = minSigMatch,
           maxBucket = maxBucket, minScoreE4 = minScoreE4,
           maxCell = maxCell, nBuckets = nBuckets,
-          clusterPath = clusterPath): Unit
+          clusterPath = clusterPath,
+          qualityFits = qualityFits, qualityStop = qualityStop): Unit
       }
     val w1 = trigger.fold(w0)(t => w0.trigger(t))
     checkpointLocation.fold(w1)(cp => w1.option("checkpointLocation", cp))

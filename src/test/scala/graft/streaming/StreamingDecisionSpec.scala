@@ -86,6 +86,63 @@ class StreamingDecisionSpec extends AnyFlatSpec with Matchers with SparkFixture 
     b1(41L) shouldBe ("keep", 41L)
   }
 
+  it should "rank drop_quality below every duplicate tier and above keep (VERDICT r13 #2)" in {
+    import spark.implicits._
+    import graft.ext.QualityClassifier.FeatureFit
+    val store = tempDir("dec-quality")
+    // hand weights isolate the tier: score = -(x1 - 30), so any doc
+    // longer than 30 tokens fails quality; the other three features
+    // carry zero weight
+    val fits = Seq(FeatureFit(-1.0, 30.0), FeatureFit(0.0, 0.0),
+      FeatureFit(0.0, 0.0), FeatureFit(0.0, 0.0))
+    val shortText = "five small words sit here now"
+    def decideQ(batchKey: String, rows: Seq[(Long, String, Seq[Float])],
+        enforce: Boolean = true): Map[Long, (String, Long)] =
+      StreamingDecision.processBatch(df(rows), "doc_id", "text",
+          Some("embedding"), store, cents, batchKey,
+          enforceTombstones = enforce,
+          qualityFits = fits, qualityStop = Seq("the", "a", "of"))
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val b0 = decideQ("0", Seq(
+      (10L, textA, oneHot(0)),
+      (20L, shortText, oneHot(45)),
+      (99L, textC, oneHot(7))))
+    b0(10L) shouldBe ("drop_quality", 10L) // long, duplicates nothing
+    b0(20L) shouldBe ("keep", 20L) // short doc passes the gate
+    b0(99L) shouldBe ("drop_quality", 99L)
+    // quality-dropped docs are still ADMITTED — the store records what
+    // the stream has seen, so later duplicates of junk stay duplicates
+    spark.read.parquet(s"$store/hashes/data")
+      .filter(col("owner_id") === 10L).count() shouldBe 1L
+    StreamingDecision.delete(spark, store, Seq(99L).toDF("doc_id")).count() should be >= 0L
+    val b1 = decideQ("1", Seq(
+      // exact clone of the quality-dropped 10: exact beats quality —
+      // the keeper EDGE must exist even though both docs are junk
+      (11L, textA, oneHot(50)),
+      // near-dup of 10 (one token changed, still >30 tokens)
+      (21L, textA.replace("quick", "swift"), oneHot(51)),
+      // 10's embedding under unrelated long text: semantic beats quality
+      (31L, textD, oneHot(0)),
+      // long unique: quality claims it
+      (41L, textB, oneHot(60)),
+      // short unique: keep
+      (51L, "quiet harbors shelter wooden boats", oneHot(61)),
+      // tombstoned id re-arriving as long junk: tombstone beats quality
+      (99L, textE, oneHot(62))))
+    b1(11L) shouldBe ("drop_exact", 10L)
+    b1(21L) shouldBe ("drop_near", 10L)
+    b1(31L) shouldBe ("drop_semantic", 10L)
+    b1(41L) shouldBe ("drop_quality", 41L)
+    b1(51L) shouldBe ("keep", 51L)
+    b1(99L) shouldBe ("drop_tombstone", 99L)
+    // without qualityFits the same surface never emits drop_quality
+    val b2 = StreamingDecision.processBatch(
+        df(Seq((61L, textB.replace("database", "warehouse") + " extra", oneHot(63)))),
+        "doc_id", "text", Some("embedding"), store, cents, "2")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    b2(61L) should not be "drop_quality"
+  }
+
   it should "let the first arrival own a hash regardless of id order" in {
     val store = tempDir("dec-own")
     decide(store, "0", Seq((50L, textD, oneHot(32))))
