@@ -35,8 +35,9 @@ case class BandRowC(bandKey: String, docId: Long, sig: Seq[Long],
     retract: Boolean)
 
 /** Per-band-bucket state of the retraction-aware near tier: admitted
-  * members plus the bucket's tombstoned ids (bounded by the takedowns
-  * that ever touched this bucket). */
+  * members (capped at maxBucket) plus the bucket's tombstoned ids
+  * (capped at maxTombstones, newest kept — overflow delegates to the
+  * persisted stores' ingest-time filter, VERDICT r13 #3). */
 case class BucketState(members: Seq[DocSig], tombstoned: Seq[Long])
 
 /** Per-hash state of the retraction-aware exact tier: the current
@@ -174,12 +175,35 @@ object StreamingDedup {
   //     ownership (the stream-side mirror of the stores'
   //     ingest-time enforcement).
   //
+  // TOMBSTONE STATE IS BOUNDED (VERDICT r13 #3): members are capped
+  // by maxBucket/maxCell, and the tombstone lists are capped too
+  // (`maxTombstones` per state key, newest kept) — without the cap,
+  // years of takedowns against a long-lived stream accumulate
+  // unbounded per-bucket lists. Overflow is DELEGATED to the durable
+  // guard: ingest-time tombstone enforcement at the persisted stores
+  // (StoreMeta.filterTombstoned, default-on since round 13) drops an
+  // anciently-tombstoned id at admission regardless of what the
+  // stream state still remembers, so evicting the oldest stream-side
+  // tombstones trades only the in-flight hit suppression of ids
+  // retracted more than maxTombstones takedowns ago in one bucket —
+  // the corpus stores never re-admit them. Eviction cannot resurrect
+  // members: a purge removes the member row at retract time; the
+  // tombstone only guards RE-arrivals.
+  //
   // The TTL tiers deliberately have NO retract variant: their state
   // self-heals at the event-time horizon (a retracted doc's
   // suppression ends when the watermark passes its expiry — pinned in
   // StreamingRetractionSpec); a deployment needing faster takedown
   // than its horizon runs the unbounded tier's control stream.
   // ----------------------------------------------------------------
+
+  /** Append-ordered tombstone update, bounded: distinct keeps the
+    * FIRST occurrence (oldest-first order), takeRight keeps the
+    * NEWEST `cap` ids — overflow falls through to the store-side
+    * ingest filter (see the section comment). */
+  private def boundedTomb(prior: Seq[Long], retracts: Seq[Long],
+      cap: Int): Seq[Long] =
+    (prior ++ retracts).distinct.takeRight(cap)
 
   /** [[bandRows]] plus the per-row retract flag: the projection for
     * [[nearDupStreamRetract]]. `retractCol` must be boolean-castable;
@@ -208,7 +232,7 @@ object StreamingDedup {
     * the PURGED prior membership. Inside a retraction-free stream the
     * semantics are exactly [[nearDupStream]]'s. */
   def nearDupStreamRetract(rows: Dataset[BandRowC], maxBucket: Int = 64,
-      minSigMatch: Int = 8): Dataset[NearDupHit] = {
+      minSigMatch: Int = 8, maxTombstones: Int = 1024): Dataset[NearDupHit] = {
     val spark = rows.sparkSession
     import spark.implicits._
     rows.groupByKey(_.bandKey)
@@ -218,8 +242,9 @@ object StreamingDedup {
           val st0 = state.getOption.getOrElse(BucketState(Nil, Nil))
           val batch = incoming.toVector
           // 1. retractions first: purge membership, extend tombstones
+          // (bounded — overflow delegates to the store-side filter)
           val retracts = batch.filter(_.retract).map(_.docId).distinct
-          val tomb = (st0.tombstoned ++ retracts).distinct
+          val tomb = boundedTomb(st0.tombstoned, retracts, maxTombstones)
           val prior = st0.members.filterNot(m => tomb.contains(m.docId))
           // 2./3. arrivals: tombstoned ids dropped outright, the rest
           // match the purged prior membership (batch-vs-corpus rule)
@@ -399,7 +424,7 @@ object StreamingDedup {
     * exactly [[exactDupStream]]'s. Oracle: `streaming_retraction_golden`
     * replays batches → retract → re-arrival → batches in DuckDB. */
   def exactDupStreamRetract(docs: DataFrame, idCol: String, textCol: String,
-      retractCol: String): Dataset[ExactDupHit] = {
+      retractCol: String, maxTombstones: Int = 1024): Dataset[ExactDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -417,7 +442,7 @@ object StreamingDedup {
           // 1. retractions first: tombstone, and clear ownership when
           // the owner itself is taken down
           val retracts = batch.filter(_._3).map(_._2).distinct
-          val tomb = (st0.tombstoned ++ retracts).distinct
+          val tomb = boundedTomb(st0.tombstoned, retracts, maxTombstones)
           var hasOwner = st0.hasOwner && !retracts.contains(st0.owner)
           var owner = st0.owner
           // 2./3. arrivals in id order: tombstoned ids dropped; the
@@ -608,7 +633,8 @@ object StreamingDedup {
     * exactly [[semanticDupStream]]'s. */
   def semanticDupStreamRetract(vecs: DataFrame, idCol: String, embCol: String,
       retractCol: String, centroids: Seq[(Long, Array[Double])],
-      minScoreE4: Long, maxCell: Int = 64): Dataset[SemDupHit] = {
+      minScoreE4: Long, maxCell: Int = 64,
+      maxTombstones: Int = 1024): Dataset[SemDupHit] = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     val spark = vecs.sparkSession
     import spark.implicits._
@@ -624,7 +650,7 @@ object StreamingDedup {
           val batch = rows.toVector
           val (members0, tomb0) = state.getOption.getOrElse((Nil, Nil))
           val retracts = batch.filter(_._5).map(_._2).distinct
-          val tomb = (tomb0 ++ retracts).distinct
+          val tomb = boundedTomb(tomb0, retracts, maxTombstones)
           val prior = members0.filterNot(m => tomb.contains(m._1))
           val adds = batch.filterNot(_._5).sortBy(_._2)
             .filterNot(r => tomb.contains(r._2))
