@@ -2979,7 +2979,8 @@ object ExtQueries {
   // the web-scrape mile between text_html_extract and everything
   // downstream. Input: every corpus doc plus a planted DIRTY clone set
   // (ids +9000000, doc_id % 8 == 0) both engines construct
-  // identically: cp1252 mojibake, a C0 control, a decomposed e+U+0301
+  // identically: cp1252 mojibake (incl. a TRIPLE-encoded U+2019 the
+  // two-pass repair must reduce), a C0 control, a decomposed e+U+0301
   // (NFC must compose it), an NBSP, CRLF, doubled spaces. The oracle
   // replays the exact chain — the literal repair table (generated from
   // the ONE Scala source of truth), nfc_normalize, and the same RE2
@@ -2987,7 +2988,7 @@ object ExtQueries {
   // themselves.
   // ------------------------------------------------------------------
 
-  private def dirtyPrefix = "Ã©tÃ© â€œx â€” y "
+  private def dirtyPrefix = "Ã©tÃ© â€œx â€” y Ã¢â‚¬â„¢z "
   private def dirtySuffix = "  é nd\r\nok "
 
   def textNormalize(spark: SparkSession, dir: String): DataFrame = {
@@ -3004,11 +3005,15 @@ object ExtQueries {
 
   private val textNormalizeSql = {
     // the repair chain, generated from the SAME table the engine uses
-    val repaired = TextOps.MojibakeRepairs.foldLeft("text") {
-      case (inner, (bad, good)) => s"replace($inner, '$bad', '$good')"
-    }
+    // — TWO passes, mirroring TextOps.normalizeText's triple-encoding
+    // bound (VERDICT r13 #5)
+    def repairSql(inner0: String): String =
+      TextOps.MojibakeRepairs.foldLeft(inner0) {
+        case (inner, (bad, good)) => s"replace($inner, '$bad', '$good')"
+      }
+    val repaired = repairSql(repairSql("text"))
     // dirty literals, spelled with chr() for the non-printing parts
-    val prefix = "'Ã©tÃ© â€œx â€” y' || chr(1) || ' '"
+    val prefix = "'Ã©tÃ© â€œx â€” y Ã¢â‚¬â„¢z' || chr(1) || ' '"
     val suffix = "'  e' || chr(769) || chr(160) || 'nd' || chr(13) || chr(10) || 'ok '"
     s"""WITH src AS (SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id + 9000000,

@@ -28,9 +28,13 @@ object TextOps {
     * cp1252/Latin-1 double encodings, each repaired to the character
     * the original bytes meant: e.g. U+2019 (right quote) encodes as
     * E2 80 99, which cp1252 renders as U+00E2 U+20AC U+2122 ("â€™").
-    * Repair outputs never contain the â/Ã/Â lead bytes, so one pass is
-    * idempotent over DOUBLE encodings (a triple-encoded corpus needs
-    * the pass run to fixpoint — the known bound of literal repair). */
+    * The chain runs TWO passes (VERDICT r13 #5): a triple-encoded
+    * sequence (e.g. U+2019 whose double encoding was itself re-read as
+    * cp1252) reduces to the double-encoded form in pass one and to the
+    * intended character in pass two; anything beyond triple encoding
+    * — unseen in practice — remains the known bound of literal repair.
+    * Normalized output is stable under further passes for inputs of
+    * at most triple encoding (idempotence spec-pinned). */
   val MojibakeRepairs: Seq[(String, String)] = Seq(
     "â€™" -> "’", // right single quote
     "â€˜" -> "‘", // left single quote
@@ -46,6 +50,9 @@ object TextOps {
     "Ã¼" -> "ü", // ü
     "Ã±" -> "ñ", // ñ
     "Ã§" -> "ç", // ç
+    "Ã¢" -> "â", // â (also the triple-encoding intermediate lead)
+    "â‚¬" -> "€", // €
+    "â„¢" -> "™", // ™
     "Â " -> " ") // nbsp (mapped to space below)
 
   /** UNICODE/MOJIBAKE NORMALIZATION (VERDICT r12 #8) — the web-scrape
@@ -62,9 +69,12 @@ object TextOps {
     * Every regex is RE2-compatible (`\\x{...}` classes, no lookarounds)
     * so the oracle replays the identical patterns. */
   def normalizeText(text: Column): Column = {
-    val repaired = MojibakeRepairs.foldLeft(text) { case (c, (bad, good)) =>
-      call_function("replace", c, lit(bad), lit(good))
-    }
+    def repairOnce(c0: Column): Column =
+      MojibakeRepairs.foldLeft(c0) { case (c, (bad, good)) =>
+        call_function("replace", c, lit(bad), lit(good))
+      }
+    // bounded SECOND pass: repairs triple encodings (VERDICT r13 #5)
+    val repaired = repairOnce(repairOnce(text))
     val nfc = call_function("graft_nfc", repaired)
     val noCtl = regexp_replace(nfc,
       "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")

@@ -71,5 +71,7 @@ object GraftFunctions {
       "graft_vector_sqdist", exprs => VectorSqDist(exprs(0), exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction(
       "graft_nfc", exprs => NfcNormalize(exprs.head), "scala_udf")
+    registry.createOrReplaceTempFunction(
+      "graft_nfkc", exprs => NfkcNormalize(exprs.head), "scala_udf")
   }
 }

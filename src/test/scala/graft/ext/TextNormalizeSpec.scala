@@ -46,6 +46,41 @@ class TextNormalizeSpec extends AnyFlatSpec with Matchers with SparkFixture {
       Seq("a b", "a b", "a b")
   }
 
+  it should "repair a TRIPLE-encoded sequence via the bounded second pass (VERDICT r13 #5)" in {
+    // U+2019 (’) double-encodes to "â€™"; re-reading THOSE bytes as
+    // cp1252 gives the triple-encoded "Ã¢â‚¬â„¢" — pass one reduces it
+    // to the double form, pass two to the intended character
+    val triple = "Ã¢â‚¬â„¢"
+    norm(s"it${triple}s done") shouldBe Seq("it’s done")
+    // the double-encoded form still repairs (pass two is a no-op)
+    norm("itâ€™s done") shouldBe Seq("it’s done")
+    // and the repaired output is STABLE under another full normalize
+    norm(norm(s"it${triple}s done").head) shouldBe Seq("it’s done")
+  }
+
+  behavior of "NfkcNormalize (graft_nfkc)"
+
+  it should "fold compatibility variants that NFC preserves" in {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    def nfkc(ss: String*): Seq[String] =
+      ss.zipWithIndex.map(_.swap).toDF("i", "t")
+        .select(col("i"), call_function("graft_nfkc", col("t")).as("n"))
+        .orderBy("i").as[(Int, String)].collect().map(_._2).toSeq
+    // ﬁ ligature → fi, superscript ² → 2, full-width Ａ → A — all
+    // NFC-invariant, all folded by NFKC
+    nfkc("ﬁle", "x²", "ＡB") shouldBe Seq("file", "x2", "AB")
+    // canonical composition still happens (e + U+0301 → é)
+    nfkc("café") shouldBe Seq("café")
+    // idempotent, and identity on ASCII (the fast path)
+    nfkc(nfkc("ﬁle x²").head) shouldBe Seq("file x2")
+    nfkc("plain ascii") shouldBe Seq("plain ascii")
+    // null-safe
+    Seq((1, null: String)).toDF("i", "t")
+      .select(call_function("graft_nfkc", col("t")))
+      .collect().head.isNullAt(0) shouldBe true
+  }
+
   it should "be idempotent over the planted-dirty oracle corpus" in {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
