@@ -29,10 +29,33 @@ object BenchAB {
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    def run(name: String): Double = time {
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
+    // decision_steady is not a SparkEntry query — it is Bench's
+    // prepare-then-batch special (seed stores untimed, time ONE fresh
+    // batch against them). Each prepare yields TWO genuinely fresh
+    // slices, so a prepare is amortized over two timed samples; a
+    // replayed batch would append nothing and bias the number low
+    // (the same discipline as Bench.decisionSteady). VERDICT r13 #4
+    // asks for exactly this row interleaved with the probes.
+    var steadyState: (String, Seq[(Long, Array[Double])], Iterator[org.apache.spark.sql.DataFrame]) = null
+    var steadyPass = 0
+    def runDecisionSteady(): Double = {
+      if (steadyState == null || !steadyState._3.hasNext) {
+        if (steadyState != null)
+          graft.ext.SignatureStore.deleteStore(java.nio.file.Paths.get(steadyState._1))
+        val (store, cents, lasts) = graft.ext.ExtQueries.decisionSteadyPrepare(spark, sfDir)
+        steadyState = (store, cents, lasts.iterator)
+      }
+      val batch = steadyState._3.next()
+      steadyPass += 1
+      time { graft.ext.ExtQueries.decisionSteadyBatch(
+        steadyState._1, steadyState._2, batch, s"ab-steady-$steadyPass"): Unit }
     }
+    def run(name: String): Double =
+      if (name == "decision_steady") runDecisionSteady()
+      else time {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
     def cpuProbe(): Double = time {
       spark.range(0, 1500000000L, 1, 32)
         .select(pmod(xxhash64(col("id")), lit(1000L)).as("h"))

@@ -40,9 +40,15 @@ object ExtQueries {
   private def toksDf(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
 
+  /** DuckDB fragment producing the identical token arrays —
+    * parameterized by source relation so composite pipelines
+    * (pipeline_corpus_build) can tokenize a CLEANED intermediate with
+    * the same expression the standalone queries apply to `documents`. */
+  private def tokCteFrom(rel: String, name: String = "tok"): String =
+    s"$name AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM $rel)"
+
   /** DuckDB fragment producing the identical token arrays. */
-  private val TokCte =
-    "tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM documents)"
+  private val TokCte = tokCteFrom("documents")
 
   /** DuckDB fragment producing the identical shingle arrays. */
   private val ShCte =
@@ -1847,11 +1853,16 @@ object ExtQueries {
     * c1, corpus assignment (asg, one cell each) and nProbe=2 query
     * assignment (qsg). Shared verbatim by sim_ivf and sim_ivfpq so the
     * two oracles verify the SAME trained structure. */
-  private val IvfCtes =
+  /** The seeded-IVF CTE chain parameterized by the embedding relation
+    * — `embeddings` for the standalone queries, a survivor-filtered
+    * CTE for pipeline_corpus_build (the seeds are the first 8 vec_ids
+    * OF THE GIVEN relation, exactly like the Spark side trains on the
+    * frame it is handed). */
+  private def ivfCtesFrom(embRel: String): String =
     s"""c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS cemb
-       |  FROM embeddings
-       |  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
-       |e AS (SELECT vec_id, embedding, $NormSql AS nrm FROM embeddings),
+       |  FROM $embRel
+       |  WHERE vec_id IN (SELECT vec_id FROM $embRel ORDER BY vec_id LIMIT 8)),
+       |e AS (SELECT vec_id, embedding, $NormSql AS nrm FROM $embRel),
        |a0 AS (${ivfAssignSql("e", "c0", "rn = 1")}),
        |cs AS (SELECT cell, pos,
        |    sum(CAST(round(embedding[pos + 1]::DOUBLE * 1000000.0) AS BIGINT)) AS s,
@@ -1862,6 +1873,8 @@ object ExtQueries {
        |  FROM cs GROUP BY cell),
        |asg AS (${ivfAssignSql("e", "c1", "rn = 1")}),
        |qsg AS (${ivfAssignSql("(SELECT * FROM e WHERE vec_id < 10)", "c1", "rn <= 2")})""".stripMargin
+
+  private val IvfCtes = ivfCtesFrom("embeddings")
 
   private val simIvfSql =
     s"""WITH $IvfCtes,
@@ -2579,10 +2592,13 @@ object ExtQueries {
 
   /** The three-tier decision CTE chain shared by pipeline_dedup_apply
     * and dedup_keep_best: everything through `exh`, closing with `dec`
-    * — the per-doc (decision, keeper_id) verdict. */
-  private val dedupDecisionCtes =
-    s"""$TokCte, $ShCte,
-       |$SigCtes,
+    * — the per-doc (decision, keeper_id) verdict. The chain reads the
+    * upstream `tok`/`sh` CTEs (tokens/shingles of whatever corpus the
+    * caller defined them over) and the given embedding relation, so
+    * pipeline_corpus_build can run the identical decision over its
+    * CLEANED, quality-gated intermediate. */
+  private def dedupDecisionChainFrom(embRel: String): String =
+    s"""$SigCtes,
        |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
        |dup AS (SELECT p.doc_a, p.doc_b
        |  FROM pairs p
@@ -2597,7 +2613,7 @@ object ExtQueries {
        |  UNION
        |  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
        |comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
-       |$IvfCtes,
+       |${ivfCtesFrom(embRel)},
        |scz AS (SELECT cell, count(*) AS cn FROM asg GROUP BY cell),
        |sasg AS (SELECT g.vec_id, g.embedding, g.nrm, g.cell,
        |    g.vec_id % greatest(1, CAST(ceil(z.cn / $SemStoreCellCap.0) AS BIGINT)) AS sub
@@ -2627,6 +2643,10 @@ object ExtQueries {
        |FROM exh
        |LEFT JOIN comp c ON c.doc_id = exh.doc_id
        |LEFT JOIN scomp sc ON sc.doc_id = exh.doc_id)""".stripMargin
+
+  private val dedupDecisionCtes =
+    s"""$TokCte, $ShCte,
+       |${dedupDecisionChainFrom("embeddings")}""".stripMargin
 
   private val pipelineDedupApplySql =
     s"""WITH RECURSIVE $dedupDecisionCtes
@@ -3003,15 +3023,29 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
-  private val textNormalizeSql = {
-    // the repair chain, generated from the SAME table the engine uses
-    // — TWO passes, mirroring TextOps.normalizeText's triple-encoding
-    // bound (VERDICT r13 #5)
-    def repairSql(inner0: String): String =
-      TextOps.MojibakeRepairs.foldLeft(inner0) {
+  /** DuckDB mirror of [[TextOps.normalizeText]] over an arbitrary
+    * string expression — the repair chain is generated from the SAME
+    * table the engine uses, run TWO passes (the triple-encoding bound,
+    * VERDICT r13 #5), then nfc + control-strip + newline/space
+    * canonicalization. Shared by text_normalize and
+    * pipeline_corpus_build. */
+  private def normalizeSqlExpr(inner0: String): String = {
+    def repairSql(i: String): String =
+      TextOps.MojibakeRepairs.foldLeft(i) {
         case (inner, (bad, good)) => s"replace($inner, '$bad', '$good')"
       }
-    val repaired = repairSql(repairSql("text"))
+    s"""trim(regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          nfc_normalize(${repairSql(repairSql(inner0))}),
+       |          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+       |        '\\r\\n|\\r', chr(10), 'g'),
+       |      '[\\x{00A0}\\x{2007}\\x{202F}]', ' ', 'g'),
+       |    '[ \\t]+', ' ', 'g'))""".stripMargin
+  }
+
+  private val textNormalizeSql = {
     // dirty literals, spelled with chr() for the non-printing parts
     val prefix = "'Ã©tÃ© â€œx â€” y Ã¢â‚¬â„¢z' || chr(1) || ' '"
     val suffix = "'  e' || chr(769) || chr(160) || 'nd' || chr(13) || chr(10) || 'ok '"
@@ -3020,15 +3054,7 @@ object ExtQueries {
        |    $prefix || text || $suffix
        |  FROM documents WHERE ((doc_id % 8) + 8) % 8 = 0),
        |n AS (SELECT doc_id,
-       |  trim(regexp_replace(
-       |    regexp_replace(
-       |      regexp_replace(
-       |        regexp_replace(
-       |          nfc_normalize($repaired),
-       |          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
-       |        '\\r\\n|\\r', chr(10), 'g'),
-       |      '[\\x{00A0}\\x{2007}\\x{202F}]', ' ', 'g'),
-       |    '[ \\t]+', ' ', 'g')) AS norm_text
+       |  ${normalizeSqlExpr("text")} AS norm_text
        |  FROM src)
        |SELECT doc_id, norm_text, length(norm_text)::BIGINT AS norm_len
        |FROM n ORDER BY doc_id""".stripMargin
@@ -3077,8 +3103,11 @@ object ExtQueries {
         col("x.n_kept").as("n_kept"), col("x.extracted").as("extracted"))
       .orderBy("doc_id")
 
-  private val textHtmlExtractSql =
-    s"""WITH pg AS (SELECT doc_id,
+  /** The html-extract CTE chain (pg → vis → bl → kp) parameterized by
+    * source relation, so pipeline_corpus_build can run the identical
+    * extraction as its first stage. */
+  private def htmlCtesFrom(rel: String): String =
+    s"""pg AS (SELECT doc_id,
        |    '<html><head><title>Doc ' || doc_id || '</title><style>p{margin:0}</style>' ||
        |    '<script>var t="' || doc_id || '";</script></head><body>' ||
        |    '<nav><a href="/">Home</a> <a href="/docs">Docs</a> <a href="/blog">Blog</a></nav>' ||
@@ -3092,7 +3121,7 @@ object ExtQueries {
        |      ELSE '' END ||
        |    '<footer>Copyright 2026 <a href="/tos">Terms</a> <a href="/privacy">Privacy</a></footer></body></html>'
        |      AS html
-       |  FROM documents),
+       |  FROM $rel),
        |vis AS (SELECT doc_id,
        |    regexp_replace(regexp_replace(html,
        |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
@@ -3116,9 +3145,16 @@ object ExtQueries {
        |kp AS (SELECT doc_id, blocks,
        |    list_filter(blocks,
        |      s -> len(s.t) >= $HtmlMinLen AND s.lc * 2 < len(s.t)) AS kept
-       |  FROM bl)
+       |  FROM bl)""".stripMargin
+
+  /** Extracted-text expression over a `kp` row. */
+  private val HtmlExtractedSql =
+    "array_to_string(list_transform(kept, s -> s.t), ' ')"
+
+  private val textHtmlExtractSql =
+    s"""WITH ${htmlCtesFrom("documents")}
        |SELECT doc_id, len(blocks)::BIGINT AS n_blocks, len(kept)::BIGINT AS n_kept,
-       |  array_to_string(list_transform(kept, s -> s.t), ' ') AS extracted
+       |  $HtmlExtractedSql AS extracted
        |FROM kp ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
