@@ -2653,6 +2653,235 @@ object ExtQueries {
        |SELECT doc_id, decision, keeper_id FROM dec ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // pipeline_corpus_build: the END-TO-END corpus build (VERDICT r13 #6)
+  // — ONE composed run of the full training-data chain over the raw
+  // corpus: unicode/mojibake normalize → html-extract → rule quality
+  // gate → three-tier dedup decision → benchmark decontamination →
+  // mixture sampling → sequence packing → reproducible shard shuffle →
+  // per-source manifest. Output is the per-doc LEDGER: every corpus
+  // doc (ids < BenchmarkDocs are the held-out benchmark slice, never
+  // corpus) with the stage verdict that removed it — or, when it
+  // survived, its packing stats, (shard, pos) placement and its
+  // source's final-manifest columns. Stage ORDER is the batch
+  // cheap-first order (gate BEFORE dedup: a junk doc never pays
+  // candidate generation, and each duplicate cluster elects its keeper
+  // among QUALITY SURVIVORS — keep-best, not keep-min-id-of-junk).
+  // The streaming decision surface keeps the opposite precedence
+  // (duplicate verdicts above drop_quality) because its output is an
+  // audit taxonomy, not corpus content — both orders are deliberate;
+  // see StreamingDecision.scala:52.
+  // Scale: every stage is its proven standalone plan (no new shuffle
+  // shapes — the LSH/IVF candidate generation stays bucketed, the
+  // pack/shard windows stay per-source/per-shard); the composition
+  // itself adds only narrow doc_id-keyed joins, and the benchmark
+  // shingle set stays an explicit broadcast (eval suites are small
+  // by construction even when the corpus is 100 TB).
+  // ------------------------------------------------------------------
+
+  def pipelineCorpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    corpusBuildLedger(
+      docs(spark, dir).select("doc_id", "source", "text"),
+      emb(spark, dir).select("vec_id", "embedding"))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  /** The composed chain on explicit frames — the hosted
+    * [[graft.runtime.CorpusBuildJob]] writes the `keep` slice (with
+    * `text`, which this retains and the oracle query drops) and the
+    * manifest from the same ledger the CORRECTNESS entry hashes.
+    *
+    * `phase` is the hosting seam: it is handed each stage's frame as
+    * it is composed (identity by default, so the oracle query's plan
+    * is the pure composition). The hosted job passes a hook that
+    * eagerly materializes each stage — a per-phase wall-time/row
+    * ledger for operators, and lineage truncation so the three final
+    * writes don't recompute the decision chain. */
+  private[graft] def corpusBuildLedger(d0: DataFrame, e: DataFrame,
+      phase: (String, DataFrame) => DataFrame = (_, df) => df): DataFrame = {
+    graft.functions.GraftFunctions.register(d0.sparkSession)
+    // 1+2: normalize, wrap in the synthetic page, extract prose blocks
+    val ext0 = phase("normalize_extract", d0.select(col("doc_id"), col("source"),
+      TextOps.htmlExtract(
+        htmlPage(col("doc_id"), TextOps.normalizeText(col("text"))), HtmlMinLen)
+        .getField("extracted").as("text")))
+    val bench = Dedup.shingleRows(
+      ext0.filter(col("doc_id") < BenchmarkDocs), "doc_id", "text", ShingleN)
+      .select("s").distinct()
+    val corp = ext0.filter(col("doc_id") >= BenchmarkDocs)
+    // 3: rule quality gate (pipeline_corpus_clean's gate, post-extract)
+    val stats = phase("token_stats", corp
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_unique", size(array_distinct(col("toks"))).cast("long")))
+    val gated = phase("quality_gate", stats.filter(col("n_tokens").between(10, 5000) &&
+      col("n_unique") * 4 >= col("n_tokens")))
+    // 4: three-tier decision over quality survivors; the semantic
+    // tier's quantizer trains on the RESTRICTED embedding set (the
+    // frame it is handed), mirrored seed-for-seed by the oracle
+    val ge = e.join(gated.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    val dec = phase("dedup_decision", dedupDecision(gated.select("doc_id", "text"), ge))
+    val keepers1 = dec.filter(col("decision") === "keep").select("doc_id")
+    // 5: benchmark decontamination over dedup keepers (distinct
+    // matched shingles vs the broadcast benchmark set)
+    val kex = Dedup.shingleRows(
+      gated.join(keepers1, Seq("doc_id")).select("doc_id", "text"),
+      "doc_id", "text", ShingleN)
+    val hits = kex.join(broadcast(bench), "s")
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_hits"))
+    val dq = phase("decontaminate", keepers1.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits")))
+    val keepers2 = dq.filter(col("n_hits") < DecontamHits).select("doc_id")
+    // 6: mixture sampling (hash-bucket, pure function of the row)
+    val mixPct = when(
+      expr("cast(substring(source, 4) as int) % 2 = 0"), lit(MixPctEven))
+      .otherwise(lit(MixPctOdd))
+    val mixBucket = Dedup.shingleKey(col("doc_id").cast("string")) % 100
+    val keep3 = phase("sample_mix", stats.join(keepers2, Seq("doc_id"))
+      .filter(mixBucket < mixPct)
+      .select("doc_id", "source", "text", "toks"))
+    // 7: sequence packing over the final corpus (per-doc chunk count +
+    // first packed sequence; per-source running-sum window)
+    val chunks = keep3
+      .withColumn("n", size(col("toks")))
+      .withColumn("start", explode(sequence(lit(1), col("n"), lit(ChunkS))))
+      .select(col("source"), col("doc_id"),
+        expr(s"cast((start - 1) div $ChunkS as bigint)").as("chunk_idx"),
+        least(lit(ChunkW), col("n") - col("start") + 1).cast("long").as("chunk_tokens"))
+    val wPack = Window.partitionBy("source").orderBy("doc_id", "chunk_idx")
+    val packed = phase("pack", chunks
+      .withColumn("cum", sum(col("chunk_tokens")).over(wPack))
+      .withColumn("seq_id", expr(s"(cum - chunk_tokens) div $PackLen"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        min(col("seq_id")).cast("long").as("seq_first")))
+    // 8: reproducible shard shuffle of the final corpus
+    val hk = md5(concat_ws(":", lit(ShuffleSeed), col("doc_id")))
+    val wShard = Window.partitionBy(col("shard")).orderBy(col("hk"), col("doc_id"))
+    val sharded = phase("shard", keep3.select(col("doc_id"), hk.as("hk"))
+      .withColumn("shard",
+        conv(substring(col("hk"), 1, 7), 16, 10).cast("long") % NShards)
+      .withColumn("pos", row_number().over(wShard).cast("long"))
+      .select("doc_id", "shard", "pos"))
+    // 9: per-source manifest of the final corpus (same bucketed
+    // order-insensitive hash chain as pipeline_manifest, over the
+    // BUILT text)
+    val man = phase("manifest", keep3
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("h"),
+        expr(s"doc_id div $ManifestBucketW").as("b"))
+      .groupBy("source", "b")
+      .agg(count(lit(1)).as("bn"), sum(col("n_chars")).as("bchars"),
+        md5(concat_ws("", expr(
+          "transform(array_sort(collect_list(named_struct('i', doc_id, 'h', h))), x -> x.h)")))
+          .as("bh"))
+      .groupBy("source")
+      .agg(sum(col("bn")).cast("long").as("m_docs"),
+        sum(col("bchars")).cast("long").as("m_chars"),
+        md5(concat_ws("", expr(
+          "transform(array_sort(collect_list(named_struct('i', b, 'h', bh))), x -> x.h)")))
+          .as("content_version")))
+    // ledger assembly: verdict = the FIRST stage that dropped the doc
+    stats
+      .join(dec, Seq("doc_id"), "left")
+      .join(dq, Seq("doc_id"), "left")
+      .join(packed, Seq("doc_id"), "left")
+      .join(sharded, Seq("doc_id"), "left")
+      .join(man, Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("text"), col("n_tokens"),
+        when(col("decision").isNull, lit("drop_quality"))
+          .when(col("decision") =!= "keep", col("decision"))
+          .when(col("n_hits") >= DecontamHits, lit("drop_contaminated"))
+          .when(mixBucket >= mixPct, lit("drop_mix"))
+          .otherwise(lit("keep")).as("verdict"),
+        when(col("decision").isNotNull && col("decision") =!= "keep",
+          col("keeper_id")).as("keeper_id"),
+        col("n_hits"), col("n_chunks"), col("seq_first"),
+        col("shard"), col("pos"),
+        col("m_docs"), col("m_chars"), col("content_version"))
+  }
+
+  // lazy: htmlCtesFrom/HtmlExtractedSql read vals declared LATER in
+  // this object (HtmlMinLen); eager init here would fold their
+  // defaults (0/null) into the SQL
+  private lazy val pipelineCorpusBuildSql = {
+    val mixKey = hexPrefixKeySql("md5(doc_id::VARCHAR)")
+    val mixPctSql =
+      s"CASE WHEN substr(source, 4)::INT % 2 = 0 THEN $MixPctEven ELSE $MixPctOdd END"
+    s"""WITH RECURSIVE
+       |nrm AS (SELECT doc_id, source, ${normalizeSqlExpr("text")} AS text FROM documents),
+       |${htmlCtesFrom("nrm")},
+       |ext0 AS (SELECT k.doc_id, n.source, $HtmlExtractedSql AS text
+       |  FROM kp k JOIN nrm n ON n.doc_id = k.doc_id),
+       |btok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM ext0 WHERE doc_id < $BenchmarkDocs),
+       |bsh AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - ${ShingleN - 1}),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+       |  FROM btok WHERE len(toks) >= $ShingleN),
+       |bench AS (SELECT DISTINCT s FROM (SELECT unnest(sh) AS s FROM bsh)),
+       |corp AS (SELECT * FROM ext0 WHERE doc_id >= $BenchmarkDocs),
+       |${tokCteFrom("corp", "tok0")},
+       |stats AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens,
+       |    len(list_distinct(toks))::BIGINT AS n_unique FROM tok0),
+       |tok AS (SELECT doc_id, toks FROM stats
+       |  WHERE n_tokens BETWEEN 10 AND 5000 AND 4 * n_unique >= n_tokens),
+       |$ShCte,
+       |gemb AS (SELECT e0.* FROM embeddings e0 JOIN tok t ON t.doc_id = e0.vec_id),
+       |${dedupDecisionChainFrom("gemb")},
+       |keep1 AS (SELECT doc_id FROM dec WHERE decision = 'keep'),
+       |kex AS (SELECT DISTINCT doc_id, s FROM
+       |  (SELECT s2.doc_id, unnest(s2.sh) AS s FROM sh s2 JOIN keep1 k1 ON k1.doc_id = s2.doc_id)),
+       |hits AS (SELECT doc_id, count(*)::BIGINT AS n_hits
+       |  FROM kex JOIN bench USING (s) GROUP BY doc_id),
+       |dq AS (SELECT k.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits
+       |  FROM keep1 k LEFT JOIN hits h ON h.doc_id = k.doc_id),
+       |keep2 AS (SELECT doc_id FROM dq WHERE n_hits < $DecontamHits),
+       |keep3 AS (SELECT c.doc_id, c.source, c.text FROM corp c JOIN keep2 USING (doc_id)
+       |  WHERE $mixKey % 100 < $mixPctSql),
+       |chk AS (SELECT doc_id, source, ((s - 1) // $ChunkS)::BIGINT AS chunk_idx,
+       |    least($ChunkW, n - s + 1)::BIGINT AS chunk_tokens
+       |  FROM (SELECT k3.doc_id, k3.source, t2.toks, len(t2.toks) AS n,
+       |          unnest(generate_series(1, len(t2.toks), $ChunkS)) AS s
+       |        FROM tok t2 JOIN keep3 k3 ON k3.doc_id = t2.doc_id)),
+       |cum2 AS (SELECT *, sum(chunk_tokens)
+       |    OVER (PARTITION BY source ORDER BY doc_id, chunk_idx) AS cum FROM chk),
+       |pck AS (SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       |    min((cum - chunk_tokens) // $PackLen)::BIGINT AS seq_first
+       |  FROM cum2 GROUP BY doc_id),
+       |shr AS (SELECT doc_id, shard::BIGINT AS shard,
+       |    (row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id))::BIGINT AS pos
+       |  FROM (SELECT doc_id, hk, ${hexPrefixKeySql("hk")} % $NShards AS shard
+       |        FROM (SELECT doc_id, md5('$ShuffleSeed' || ':' || doc_id::VARCHAR) AS hk FROM keep3))),
+       |mh AS (SELECT source, doc_id, length(text)::BIGINT AS n_chars, md5(text) AS h,
+       |    doc_id // $ManifestBucketW AS b FROM keep3),
+       |mb AS (SELECT source, b, count(*)::BIGINT AS bn, sum(n_chars)::BIGINT AS bchars,
+       |    md5(string_agg(h, '' ORDER BY doc_id)) AS bh FROM mh GROUP BY source, b),
+       |man AS (SELECT source, sum(bn)::BIGINT AS m_docs, sum(bchars)::BIGINT AS m_chars,
+       |    md5(string_agg(bh, '' ORDER BY b)) AS content_version FROM mb GROUP BY source)
+       |SELECT st.doc_id, c.source, st.n_tokens,
+       |  CASE WHEN d.decision IS NULL THEN 'drop_quality'
+       |       WHEN d.decision <> 'keep' THEN d.decision
+       |       WHEN q.n_hits >= $DecontamHits THEN 'drop_contaminated'
+       |       WHEN NOT (${hexPrefixKeySql("md5(c.doc_id::VARCHAR)")} % 100 <
+       |         CASE WHEN substr(c.source, 4)::INT % 2 = 0 THEN $MixPctEven ELSE $MixPctOdd END)
+       |         THEN 'drop_mix'
+       |       ELSE 'keep' END AS verdict,
+       |  CASE WHEN d.decision IS NOT NULL AND d.decision <> 'keep' THEN d.keeper_id END AS keeper_id,
+       |  q.n_hits, p.n_chunks, p.seq_first, s.shard, s.pos,
+       |  m.m_docs, m.m_chars, m.content_version
+       |FROM stats st
+       |JOIN corp c ON c.doc_id = st.doc_id
+       |LEFT JOIN dec d ON d.doc_id = st.doc_id
+       |LEFT JOIN dq q ON q.doc_id = st.doc_id
+       |LEFT JOIN pck p ON p.doc_id = st.doc_id
+       |LEFT JOIN shr s ON s.doc_id = st.doc_id
+       |LEFT JOIN man m ON m.source = c.source
+       |ORDER BY st.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // text_heavy_hitters: corpus-wide top-20 shingles (total occurrences
   // + document frequency). TakeOrderedAndProject after one partial
   // aggregate — each executor contributes its local top candidates, so
@@ -4567,6 +4796,7 @@ object ExtQueries {
     "sim_index_store" -> (simIndexStore(_, _)),
     "source_similarity" -> (sourceSimilarity(_, _)),
     "pipeline_corpus_clean" -> (pipelineCorpusClean(_, _)),
+    "pipeline_corpus_build" -> (pipelineCorpusBuild(_, _)),
     "embed_quantize" -> (embedQuantize(_, _)),
     "source_sketch" -> (sourceSketch(_, _)),
     "dedup_embed_cosine" -> (dedupEmbedCosine(_, _)),
@@ -4645,6 +4875,7 @@ object ExtQueries {
     "sim_index_store" -> simIvfPqSql,
     "source_similarity" -> sourceSimilaritySql,
     "pipeline_corpus_clean" -> pipelineCorpusCleanSql,
+    "pipeline_corpus_build" -> pipelineCorpusBuildSql,
     "embed_quantize" -> embedQuantizeSql,
     "source_sketch" -> sourceSketchSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql,

@@ -1,0 +1,91 @@
+package graft.runtime
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+import graft.model.ExitCodes
+
+/** The hosted corpus-build job (round 14): the full training-data
+  * chain — normalize → extract → quality gate → three-tier dedup →
+  * decontaminate → mix → pack → shard → manifest — as one env-driven
+  * entry point with a per-phase ledger, verified against the same
+  * composition the `pipeline_corpus_build` oracle hashes. */
+class CorpusBuildJobSpec extends AnyFlatSpec with Matchers with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  behavior of "CorpusBuildJob"
+
+  it should "build ledger, corpus and manifest from env config" in {
+    val out = tempDir("corpus-build")
+    val statuses = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = CorpusBuildJob.run(spark, Map(
+      "CORPUS_BUILD_DOCS_PATH" -> s"$dir/documents.parquet",
+      "CORPUS_BUILD_EMBEDDINGS_PATH" -> s"$dir/embeddings.parquet",
+      "CORPUS_BUILD_OUTPUT_PATH" -> out), statuses += _)
+    code shouldBe ExitCodes.Success
+
+    // every phase of the chain reported wall time + rows
+    Seq("normalize_extract", "token_stats", "quality_gate", "dedup_decision",
+      "decontaminate", "sample_mix", "pack", "shard", "manifest", "ledger",
+      "write_outputs").foreach { p =>
+      withClue(s"phase $p: ") {
+        statuses.exists(_.startsWith(s"phase $p:")) shouldBe true
+      }
+    }
+
+    // the written ledger IS the oracle composition (text dropped there too)
+    val expected = graft.ext.ExtQueries.pipelineCorpusBuild(spark, dir)
+    val written = spark.read.parquet(s"$out/ledger")
+    written.columns.sorted shouldBe expected.columns.sorted
+    val cols = expected.columns.sorted.map(col)
+    written.select(cols: _*).collect().map(_.toString).sorted shouldBe
+      expected.select(cols: _*).collect().map(_.toString).sorted
+
+    val keeps = expected.filter(col("verdict") === "keep")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // corpus slice: exactly the kept docs, WITH text, hive-partitioned
+    // by shard with contiguous pos inside each shard
+    val corpus = spark.read.parquet(s"$out/corpus")
+    corpus.collect().map(_.getAs[Long]("doc_id")).toSet shouldBe keeps
+    corpus.filter(col("text").isNull).count() shouldBe 0L
+    new java.io.File(s"$out/corpus").listFiles()
+      .exists(_.getName.startsWith("shard=")) shouldBe true
+    corpus.groupBy("shard")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max("pos").as("mx"),
+        org.apache.spark.sql.functions.min("pos").as("mn"))
+      .collect().foreach { r =>
+        r.getAs[Long]("mn") shouldBe 1L
+        r.getAs[Long]("mx") shouldBe r.getAs[Long]("n")
+      }
+
+    // manifest: one row per kept source, matching the ledger's columns
+    val man = spark.read.parquet(s"$out/manifest")
+    val fromLedger = expected.filter(col("verdict") === "keep")
+      .select("source", "m_docs", "m_chars", "content_version")
+      .distinct().collect().map(_.toString).sorted
+    man.collect().map(_.toString).sorted shouldBe fromLedger
+    man.count() shouldBe man.select("source").distinct().count()
+  }
+
+  it should "exit Fatal on misconfiguration" in {
+    CorpusBuildJob.run(spark, Map(
+      "CORPUS_BUILD_DOCS_PATH" -> s"$dir/documents.parquet"),
+      _ => ()) shouldBe ExitCodes.Fatal
+  }
+
+  it should "refuse to run against a root another writer holds" in {
+    val out = tempDir("corpus-build-leased")
+    val code = graft.ext.StoreMeta.withWriterLease(spark, out, "other-writer") {
+      CorpusBuildJob.run(spark, Map(
+        "CORPUS_BUILD_DOCS_PATH" -> s"$dir/documents.parquet",
+        "CORPUS_BUILD_EMBEDDINGS_PATH" -> s"$dir/embeddings.parquet",
+        "CORPUS_BUILD_OUTPUT_PATH" -> out), _ => ())
+    }
+    code shouldBe ExitCodes.Fatal
+  }
+}
