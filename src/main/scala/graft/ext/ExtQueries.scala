@@ -1489,8 +1489,9 @@ object ExtQueries {
 
   // ------------------------------------------------------------------
   // multimodal_decode: a REAL image codec behind the multimodal seam
-  // (VERDICT r10 #4 — FakeCodec stays only for formats the sandbox
-  // cannot decode). Per doc a solid-color PNG is ENCODED from
+  // (VERDICT r10 #4; since r14 every media family — PNG, JPEG, WAV,
+  // MP4 — parses its real container format). Per doc a solid-color
+  // PNG is ENCODED from
   // doc_id-derived parameters (real PNG bytes: signature, IHDR,
   // zlib IDAT) and then DECODED back through javax.imageio
   // (Multimodal.ImageCodec) — dims and exact per-channel pixel sums.

@@ -73,8 +73,8 @@ object Multimodal {
     df.withColumn(Constants.MergeKeyColumn, sha2(col(binCol), 256))
 
   /** Per-format REAL feature dispatch — the [[extractFeatures]] body.
-    * Every family now parses its actual container format (FakeCodec is
-    * gone, VERDICT r13 #1): PNG/JPEG dims via [[ImageCodec.decodeDims]],
+    * Every family parses its actual container format (VERDICT r13 #1):
+    * PNG/JPEG dims via [[ImageCodec.decodeDims]],
     * WAV via [[AudioCodec.decodeWavMeta]] (no spatial dims — 0×0), MP4
     * track dims via [[VideoCodec.decodeMp4Meta]]. Undecodable or
     * unrecognized payloads classify as `application/octet-stream` with
