@@ -287,7 +287,11 @@ object Bench {
       "streaming_decision_golden", "streaming_decision_cluster",
       "streaming_decontam_golden", "dedup_retraction",
       "dedup_retraction_cluster", "streaming_retraction_golden",
-      "streaming_quality_golden")
+      "streaming_quality_golden", "streaming_quality_lm_golden",
+      // full-chain build compositions (VERDICT r14 called these
+      // harness-class: fit collects + IVF training + every stage
+      // materialized; the per-stage plans are audited individually)
+      "pipeline_corpus_build", "pipeline_corpus_build_clf")
     val engineRows = withStreaming.filterNot { case (k, _) => HarnessRows(k) }
     val harnessRows = withStreaming.filter { case (k, _) => HarnessRows(k) }
     val sentinelJson = {

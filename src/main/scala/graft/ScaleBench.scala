@@ -102,7 +102,11 @@ object ScaleBench {
     "text_lm_score",
     // round 13
     "dedup_tombstone_ingest", "streaming_retraction_golden",
-    "multimodal_decode_wav", "text_quality_classifier", "text_normalize")
+    "multimodal_decode_wav", "text_quality_classifier", "text_normalize",
+    // rounds 14-15
+    "multimodal_decode_mp4", "streaming_quality_golden",
+    "streaming_quality_lm_golden", "pipeline_corpus_build",
+    "pipeline_corpus_build_clf")
 
   /** Queries whose first call per corpus dir pays a one-time persisted
     * store/index build (cached thereafter) — warmed before measuring. */
@@ -118,13 +122,24 @@ object ScaleBench {
       "dedup_retraction", "dedup_retraction_cluster", "sim_hard_negatives_store",
       // round 13: tombstone-ingest builds+retracts its store once per
       // dir; the streaming retraction golden writes its stream dir once
-      "dedup_tombstone_ingest", "streaming_retraction_golden")
+      "dedup_tombstone_ingest", "streaming_retraction_golden",
+      // rounds 14-15: the quality goldens write their stream dir once
+      "streaming_quality_golden", "streaming_quality_lm_golden")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)
-    case Some("run") => run(args(1), args.drop(2))
+    case Some("run") =>
+      // optional --only=q1,q2 restricts the per-query rows (the
+      // tier-wide special rows — lsh occupancy, embed/semantic/decision
+      // steady-state, ivfpq pruning, store layout — always run):
+      // targeted re-records for new operators without paying the full
+      // suite per tier
+      val (onlyArgs, rest) = args.drop(2).partition(_.startsWith("--only="))
+      val only = onlyArgs.lastOption
+        .map(_.stripPrefix("--only=").split(',').toSet)
+      run(args(1), rest, only)
     case _ =>
-      System.err.println("usage: ScaleBench gen <srcSfDir> <dstDir> <factor> | run <outJson> <label>=<dir>[:corpus] ...")
+      System.err.println("usage: ScaleBench gen <srcSfDir> <dstDir> <factor> | run <outJson> [--only=q1,q2] <label>=<dir>[:corpus] ...")
       sys.exit(2)
   }
 
@@ -182,7 +197,8 @@ object ScaleBench {
     spark.stop()
   }
 
-  private def run(outJson: String, tierArgs: Array[String]): Unit = {
+  private def run(outJson: String, tierArgs: Array[String],
+      only: Option[Set[String]] = None): Unit = {
     val spark = session()
     val tally = new ByteTally
     spark.sparkContext.addSparkListener(tally)
@@ -197,6 +213,7 @@ object ScaleBench {
     tiers.zipWithIndex.foreach { case ((label, dir, corpusOnly), ti) =>
       val queries = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => !corpusOnly || CorpusQueries(n) }
+        .filter { case (n, _) => only.forall(_(n)) }
       // store-backed queries build their persisted store/index ONCE per
       // corpus dir (cached); run them unmeasured first so their
       // recorded rows are the steady-state query — otherwise the

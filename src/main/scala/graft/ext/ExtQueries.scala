@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -273,23 +273,42 @@ object ExtQueries {
   private val MixPctEven = 100
   private val MixPctOdd = 20
 
+  /** Sources whose name does NOT end in a parseable index keep 100%:
+    * an unrecognized source must never be silently downweighted
+    * (ADVICE r14 — the old parse-failure path fell into the 20%
+    * branch and dropped ~80% of any source not named `src<N>`). */
+  private val MixPctDefault = 100
+
+  /** The fixture mixture policy over a source-name column: `src<N>`
+    * keeps [[MixPctEven]]/[[MixPctOdd]] by index parity; names that
+    * don't parse keep [[MixPctDefault]]. try_cast on the Spark side ≡
+    * TRY_CAST in DuckDB — null on failure on BOTH engines (ANSI cast
+    * would throw here, DuckDB's plain :: would error — ADVICE r14). */
+  private def mixPctCol: Column = {
+    val idx = expr("try_cast(substring(source, 4) as int)")
+    when(idx % 2 === 0, lit(MixPctEven))
+      .when(idx.isNotNull, lit(MixPctOdd))
+      .otherwise(lit(MixPctDefault))
+  }
+
+  private def mixPctSqlOf(src: String): String =
+    s"CASE WHEN TRY_CAST(substr($src, 4) AS INT) % 2 = 0 THEN $MixPctEven " +
+      s"WHEN TRY_CAST(substr($src, 4) AS INT) IS NOT NULL THEN $MixPctOdd " +
+      s"ELSE $MixPctDefault END"
+
   def pipelineSampleMix(spark: SparkSession, dir: String): DataFrame = {
     val bucket = Dedup.shingleKey(col("doc_id").cast("string")) % 100
-    val pct = when(
-      expr("cast(substring(source, 4) as int) % 2 = 0"), lit(MixPctEven))
-      .otherwise(lit(MixPctOdd))
     docs(spark, dir)
       .select(col("doc_id"), col("source"))
       .withColumn("bucket", bucket)
-      .filter(col("bucket") < pct)
+      .filter(col("bucket") < mixPctCol)
       .orderBy("doc_id")
   }
 
   private val pipelineSampleMixSql = {
     val key = hexPrefixKeySql("md5(doc_id::VARCHAR)")
     s"""SELECT doc_id, source, ($key % 100) AS bucket FROM documents
-       |WHERE ($key % 100) <
-       |  CASE WHEN substr(source, 4)::INT % 2 = 0 THEN $MixPctEven ELSE $MixPctOdd END
+       |WHERE ($key % 100) < ${mixPctSqlOf("source")}
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -2688,6 +2707,18 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** The classifier-gated build (VERDICT r14 #4): same chain, the
+    * bootstrapped 5-feature LDA as the quality gate. */
+  def pipelineCorpusBuildClf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    corpusBuildLedger(
+      docs(spark, dir).select("doc_id", "source", "text"),
+      emb(spark, dir).select("vec_id", "embedding"),
+      qualityMode = "classifier")
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
   /** The composed chain on explicit frames — the hosted
     * [[graft.runtime.CorpusBuildJob]] writes the `keep` slice (with
     * `text`, which this retains and the oracle query drops) and the
@@ -2696,11 +2727,37 @@ object ExtQueries {
     * `phase` is the hosting seam: it is handed each stage's frame as
     * it is composed (identity by default, so the oracle query's plan
     * is the pure composition). The hosted job passes a hook that
-    * eagerly materializes each stage — a per-phase wall-time/row
-    * ledger for operators, and lineage truncation so the three final
-    * writes don't recompute the decision chain. */
+    * materializes each stage — a per-phase wall-time/row ledger for
+    * operators, and lineage truncation so the three final writes
+    * don't recompute the decision chain.
+    *
+    * `benchmarkMaxId` bounds the held-out benchmark slice (ids below
+    * it are eval, never corpus) — the fixture default is
+    * [[BenchmarkDocs]]; a real deployment passes its own threshold or
+    * pre-extracted eval set boundary (ADVICE r14: the fixture
+    * convention must be a knob, not a silent constant).
+    *
+    * `qualityMode` picks the gate:
+    *  - `"rule"` — the round-2 rule gate
+    *    (`n_tokens ∈ [10, 5000] ∧ 4·unique ≥ tokens`);
+    *  - `"classifier"` — the fitted diagonal-LDA 5-feature classifier
+    *    ([[QualityClassifier]]), BOOTSTRAPPED on this corpus: rule
+    *    survivors are the clean class and train the bigram LM; the
+    *    junk class is PLANTED from survivor text (the
+    *    text_quality_classifier repetition + gibberish families), so
+    *    the fit is well-posed even when every corpus doc passes the
+    *    rule gate; every corpus doc is then scored and kept iff the
+    *    fitted score ≥ 0 — the classifier replaces the rule as the
+    *    decision boundary (a repetitive doc that sneaks past the
+    *    unique-ratio threshold still scores badly on x4/x5, and a
+    *    rule-failing doc that looks clean on the manifold is
+    *    re-admitted). Docs without shingle support (< 3 tokens) are
+    *    dropped by both modes. The fit is one bounded 2-row collect;
+    *    scoring is map-only with literal weights. */
   private[graft] def corpusBuildLedger(d0: DataFrame, e: DataFrame,
-      phase: (String, DataFrame) => DataFrame = (_, df) => df): DataFrame = {
+      phase: (String, DataFrame) => DataFrame = (_, df) => df,
+      benchmarkMaxId: Long = BenchmarkDocs,
+      qualityMode: String = "rule"): DataFrame = {
     graft.functions.GraftFunctions.register(d0.sparkSession)
     // 1+2: normalize, wrap in the synthetic page, extract prose blocks
     val ext0 = phase("normalize_extract", d0.select(col("doc_id"), col("source"),
@@ -2708,16 +2765,56 @@ object ExtQueries {
         htmlPage(col("doc_id"), TextOps.normalizeText(col("text"))), HtmlMinLen)
         .getField("extracted").as("text")))
     val bench = Dedup.shingleRows(
-      ext0.filter(col("doc_id") < BenchmarkDocs), "doc_id", "text", ShingleN)
+      ext0.filter(col("doc_id") < benchmarkMaxId), "doc_id", "text", ShingleN)
       .select("s").distinct()
-    val corp = ext0.filter(col("doc_id") >= BenchmarkDocs)
-    // 3: rule quality gate (pipeline_corpus_clean's gate, post-extract)
+    val corp = ext0.filter(col("doc_id") >= benchmarkMaxId)
+    // 3: quality gate (rule or bootstrapped classifier), post-extract
     val stats = phase("token_stats", corp
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_unique", size(array_distinct(col("toks"))).cast("long")))
-    val gated = phase("quality_gate", stats.filter(col("n_tokens").between(10, 5000) &&
-      col("n_unique") * 4 >= col("n_tokens")))
+    val ruleCond = col("n_tokens").between(10, 5000) &&
+      col("n_unique") * 4 >= col("n_tokens")
+    val gated = qualityMode match {
+      case "rule" => phase("quality_gate", stats.filter(ruleCond))
+      case "classifier" =>
+        // bootstrap fit: rule SURVIVORS are the clean class and train
+        // the LM; the junk class is PLANTED from survivor text (the
+        // text_quality_classifier repetition + gibberish families), so
+        // the fit is well-posed even on a corpus where every doc
+        // passes the rule gate. Every corpus doc (rule-passing or not)
+        // is then scored with the fitted literal weights — the
+        // classifier replaces the rule as the decision boundary.
+        val srcQ = stats.filter(ruleCond)
+        val junkRep = srcQ.filter(pmod(col("doc_id"), lit(9)) === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            array_join(array_repeat(element_at(col("toks"), 1), 80), " ").as("text"),
+            lit(0L).as("label"))
+        val junkRev = srcQ.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 8000000L).as("doc_id"),
+            array_join(expr("transform(reverse(toks), t -> reverse(t))"), " ").as("text"),
+            lit(0L).as("label"))
+        val scored = stats.select(col("doc_id"), col("text"),
+            when(ruleCond, lit(1L)).otherwise(lit(-1L)).as("label"))
+          .unionAll(junkRep).unionAll(junkRev)
+        val feats = QualityClassifier
+          .features(scored, srcQ.select("doc_id", "text"),
+            "doc_id", "text", StopWords)
+          .select((Seq("doc_id", "label") ++ QualityClassifier.FeatureCols).map(col): _*)
+          .persist()
+        val keepIds =
+          try {
+            val fits = QualityClassifier.fit(
+              feats.filter(col("label") >= 0L), "label")
+            QualityClassifier.score(feats.filter(col("label") =!= 0L), fits)
+              .filter(col("keep") === 1L).select("doc_id")
+              .localCheckpoint(true) // bounded: doc ids only
+          } finally { feats.unpersist(); () }
+        phase("quality_gate", stats.join(keepIds, Seq("doc_id")))
+      case other =>
+        throw new IllegalArgumentException(
+          s"qualityMode must be 'rule' or 'classifier', got '$other'")
+    }
     // 4: three-tier decision over quality survivors; the semantic
     // tier's quantizer trains on the RESTRICTED embedding set (the
     // frame it is handed), mirrored seed-for-seed by the oracle
@@ -2734,10 +2831,9 @@ object ExtQueries {
     val dq = phase("decontaminate", keepers1.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits")))
     val keepers2 = dq.filter(col("n_hits") < DecontamHits).select("doc_id")
-    // 6: mixture sampling (hash-bucket, pure function of the row)
-    val mixPct = when(
-      expr("cast(substring(source, 4) as int) % 2 = 0"), lit(MixPctEven))
-      .otherwise(lit(MixPctOdd))
+    // 6: mixture sampling (hash-bucket, pure function of the row;
+    // the shared fixture policy — unparseable source names keep 100%)
+    val mixPct = mixPctCol
     val mixBucket = Dedup.shingleKey(col("doc_id").cast("string")) % 100
     val keep3 = phase("sample_mix", stats.join(keepers2, Seq("doc_id"))
       .filter(mixBucket < mixPct)
@@ -2784,7 +2880,12 @@ object ExtQueries {
         md5(concat_ws("", expr(
           "transform(array_sort(collect_list(named_struct('i', b, 'h', bh))), x -> x.h)")))
           .as("content_version")))
-    // ledger assembly: verdict = the FIRST stage that dropped the doc
+    // ledger assembly: verdict = the FIRST stage that dropped the doc.
+    // Manifest columns describe the source's FINAL built corpus, so
+    // they accompany only kept rows (a dropped doc contributed nothing
+    // to m_docs/m_chars/content_version — ADVICE r14: carrying them on
+    // every row of a surviving source contradicted the documented
+    // contract).
     stats
       .join(dec, Seq("doc_id"), "left")
       .join(dq, Seq("doc_id"), "left")
@@ -2802,16 +2903,118 @@ object ExtQueries {
         col("n_hits"), col("n_chunks"), col("seq_first"),
         col("shard"), col("pos"),
         col("m_docs"), col("m_chars"), col("content_version"))
+      .withColumn("m_docs", when(col("verdict") === "keep", col("m_docs")))
+      .withColumn("m_chars", when(col("verdict") === "keep", col("m_chars")))
+      .withColumn("content_version",
+        when(col("verdict") === "keep", col("content_version")))
+  }
+
+  /** The classifier-gate CTE chain over the corpus-build `stats`
+    * relation (doc_id, toks, n_tokens, n_unique) — the DuckDB replay
+    * of [[corpusBuildLedger]]'s `qualityMode = "classifier"` bootstrap:
+    * rule survivors are the clean class and train the LM; the junk
+    * class is planted from survivor tokens (repetition + gibberish);
+    * every corpus doc is scored by the fitted 5-feature LDA. Ends in
+    * `qgkeep` (the kept doc ids). The planted token arrays are built
+    * DIRECTLY (the engine re-tokenizes its planted text, but survivor
+    * tokens are already lowercase [a-z0-9]+ so the round trip is the
+    * identity). CTE names are qg-prefixed to avoid colliding with the
+    * build chain's. */
+  private def classifierGateCtes: String = {
+    val stop = sqlList(StopWords)
+    s"""qgsrc AS (SELECT doc_id, toks FROM stats
+       |  WHERE n_tokens BETWEEN 10 AND 5000 AND 4 * n_unique >= n_tokens),
+       |qgall AS (SELECT doc_id, toks,
+       |    CASE WHEN n_tokens BETWEEN 10 AND 5000 AND 4 * n_unique >= n_tokens
+       |         THEN 1::BIGINT ELSE (-1)::BIGINT END AS label
+       |  FROM stats
+       |  UNION ALL SELECT doc_id + 7000000,
+       |    list_transform(generate_series(1, 80), i -> toks[1]), 0
+       |  FROM qgsrc WHERE ((doc_id % 9) + 9) % 9 = 0
+       |  UNION ALL SELECT doc_id + 8000000,
+       |    list_transform(list_reverse(toks), t -> reverse(t)), 0
+       |  FROM qgsrc WHERE ((doc_id % 10) + 10) % 10 = 0),
+       |qgsff AS (SELECT doc_id, toks, label FROM qgall
+       |  WHERE len(toks) >= $ShingleN),
+       |qgf13 AS (SELECT doc_id, label,
+       |    len(toks)::BIGINT AS x1,
+       |    ((len(list_distinct(toks)) * 10000) // len(toks))::BIGINT AS x2,
+       |    ((len(list_filter(toks, t -> list_contains($stop, t))) * 10000) // len(toks))::BIGINT AS x3
+       |  FROM qgsff),
+       |qgssh AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - ${ShingleN - 1}),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM qgsff),
+       |qgsex AS (SELECT doc_id, unnest(sh) AS s FROM qgssh),
+       |qgscnt AS (SELECT doc_id, s, count(*) AS c FROM qgsex GROUP BY doc_id, s),
+       |qgf4 AS (SELECT doc_id, (((sum(c) - count(*)) * 10000) // sum(c))::BIGINT AS x4
+       |  FROM qgscnt GROUP BY doc_id),
+       |qgbig AS (SELECT doc_id, toks[j] AS a, toks[j + 1] AS b
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS j
+       |    FROM qgsrc WHERE len(toks) >= 2)),
+       |qgcb AS (SELECT a, b, count(*)::BIGINT AS c FROM qgbig GROUP BY a, b),
+       |qgcp AS (SELECT a, count(*)::BIGINT AS cpn FROM qgbig GROUP BY a),
+       |qgu AS (SELECT x AS t, count(*)::BIGINT AS cu
+       |  FROM (SELECT unnest(toks) AS x FROM qgsrc) GROUP BY x),
+       |qgv AS (SELECT count(DISTINCT x)::BIGINT AS vn, count(*)::BIGINT AS nn
+       |  FROM (SELECT unnest(toks) AS x FROM qgsrc)),
+       |qgsbig AS (SELECT doc_id, toks[j] AS a, toks[j + 1] AS b
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS j
+       |    FROM qgsff)),
+       |qglt AS (SELECT s.doc_id,
+       |    cast(least(round(1000000.0 / (0.9 *
+       |      (CASE WHEN cb.c IS NOT NULL
+       |            THEN cb.c::DOUBLE / cp.cpn::DOUBLE ELSE 0.0 END)
+       |      + 0.1 * ((coalesce(u.cu, 0) + 1)::DOUBLE / (v.nn + v.vn)::DOUBLE))),
+       |      ${QualityClassifier.LmSurpriseCap}.0)
+       |      AS BIGINT) AS term
+       |  FROM qgsbig s
+       |  LEFT JOIN qgcb cb ON cb.a = s.a AND cb.b = s.b
+       |  LEFT JOIN qgcp cp ON cp.a = s.a
+       |  LEFT JOIN qgu u ON u.t = s.b
+       |  CROSS JOIN qgv v),
+       |qgf5 AS (SELECT doc_id,
+       |    (least(sum(term)::BIGINT // count(*), ${QualityClassifier.LmSurpriseCap}) // 100000)::BIGINT AS x5
+       |  FROM qglt GROUP BY doc_id),
+       |qgfeats AS (SELECT f13.doc_id, f13.label, x1, x2, x3, f4.x4, f5.x5
+       |  FROM qgf13 f13 JOIN qgf4 f4 ON f4.doc_id = f13.doc_id
+       |  JOIN qgf5 f5 ON f5.doc_id = f13.doc_id),
+       |qgagg AS (SELECT label, count(*)::BIGINT AS n,
+       |    $ldaAggColsSql
+       |  FROM qgfeats WHERE label >= 0 GROUP BY label),
+       |qgw AS (SELECT
+       |    ${(1 to 5).map(ldaFitExprSql).mkString(",\n    ")}
+       |  FROM (SELECT * FROM qgagg WHERE label = 1) k,
+       |       (SELECT * FROM qgagg WHERE label = 0) j),
+       |qgkeep AS (SELECT f.doc_id FROM qgfeats f CROSS JOIN qgw w
+       |  WHERE f.label <> 0 AND floor((
+       |    $qualityScoreLin) * 1000000.0) >= 0)""".stripMargin
   }
 
   // lazy: htmlCtesFrom/HtmlExtractedSql read vals declared LATER in
   // this object (HtmlMinLen); eager init here would fold their
-  // defaults (0/null) into the SQL
-  private lazy val pipelineCorpusBuildSql = {
+  // defaults (0/null) into the SQL. Parameterized by the quality gate
+  // (rule vs bootstrapped classifier — corpusBuildLedger's qualityMode)
+  private def corpusBuildSql(classifierGate: Boolean): String = {
     val mixKey = hexPrefixKeySql("md5(doc_id::VARCHAR)")
-    val mixPctSql =
-      s"CASE WHEN substr(source, 4)::INT % 2 = 0 THEN $MixPctEven ELSE $MixPctOdd END"
-    s"""WITH RECURSIVE
+    val mixPctSql = mixPctSqlOf("source")
+    // DuckDB INLINES multiply-referenced CTEs, re-evaluating each
+    // reference — on this composition (and especially the classifier
+    // variant, which re-reads `stats` from four more chains) the scan
+    // fan-out exhausts the harness's file-descriptor limit before it
+    // exhausts time. Materializing the shared spines evaluates each
+    // once; results are unchanged.
+    def materialize(sql: String): String =
+      Seq("nrm", "ext0", "corp", "stats", "tok", "sh", "bench",
+        "qgsrc", "qgall", "qgsff", "qgfeats", "qgw", "qgkeep")
+        .foldLeft(sql)((s, c) =>
+          s.replaceAll(s"(?m)^($c AS) \\(", "$1 MATERIALIZED ("))
+    val gateCtes =
+      if (classifierGate)
+        s"""$classifierGateCtes,
+           |tok AS (SELECT s.doc_id, s.toks FROM stats s JOIN qgkeep USING (doc_id)),""".stripMargin
+      else
+        """tok AS (SELECT doc_id, toks FROM stats
+          |  WHERE n_tokens BETWEEN 10 AND 5000 AND 4 * n_unique >= n_tokens),""".stripMargin
+    materialize(s"""WITH RECURSIVE
        |nrm AS (SELECT doc_id, source, ${normalizeSqlExpr("text")} AS text FROM documents),
        |${htmlCtesFrom("nrm")},
        |ext0 AS (SELECT k.doc_id, n.source, $HtmlExtractedSql AS text
@@ -2826,8 +3029,7 @@ object ExtQueries {
        |${tokCteFrom("corp", "tok0")},
        |stats AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens,
        |    len(list_distinct(toks))::BIGINT AS n_unique FROM tok0),
-       |tok AS (SELECT doc_id, toks FROM stats
-       |  WHERE n_tokens BETWEEN 10 AND 5000 AND 4 * n_unique >= n_tokens),
+       |$gateCtes
        |$ShCte,
        |gemb AS (SELECT e0.* FROM embeddings e0 JOIN tok t ON t.doc_id = e0.vec_id),
        |${dedupDecisionChainFrom("gemb")},
@@ -2860,13 +3062,13 @@ object ExtQueries {
        |mb AS (SELECT source, b, count(*)::BIGINT AS bn, sum(n_chars)::BIGINT AS bchars,
        |    md5(string_agg(h, '' ORDER BY doc_id)) AS bh FROM mh GROUP BY source, b),
        |man AS (SELECT source, sum(bn)::BIGINT AS m_docs, sum(bchars)::BIGINT AS m_chars,
-       |    md5(string_agg(bh, '' ORDER BY b)) AS content_version FROM mb GROUP BY source)
-       |SELECT st.doc_id, c.source, st.n_tokens,
+       |    md5(string_agg(bh, '' ORDER BY b)) AS content_version FROM mb GROUP BY source),
+       |lgr AS (SELECT st.doc_id, c.source, st.n_tokens,
        |  CASE WHEN d.decision IS NULL THEN 'drop_quality'
        |       WHEN d.decision <> 'keep' THEN d.decision
        |       WHEN q.n_hits >= $DecontamHits THEN 'drop_contaminated'
        |       WHEN NOT (${hexPrefixKeySql("md5(c.doc_id::VARCHAR)")} % 100 <
-       |         CASE WHEN substr(c.source, 4)::INT % 2 = 0 THEN $MixPctEven ELSE $MixPctOdd END)
+       |         ${mixPctSqlOf("c.source")})
        |         THEN 'drop_mix'
        |       ELSE 'keep' END AS verdict,
        |  CASE WHEN d.decision IS NOT NULL AND d.decision <> 'keep' THEN d.keeper_id END AS keeper_id,
@@ -2878,8 +3080,13 @@ object ExtQueries {
        |LEFT JOIN dq q ON q.doc_id = st.doc_id
        |LEFT JOIN pck p ON p.doc_id = st.doc_id
        |LEFT JOIN shr s ON s.doc_id = st.doc_id
-       |LEFT JOIN man m ON m.source = c.source
-       |ORDER BY st.doc_id""".stripMargin
+       |LEFT JOIN man m ON m.source = c.source)
+       |SELECT doc_id, source, n_tokens, verdict, keeper_id,
+       |  n_hits, n_chunks, seq_first, shard, pos,
+       |  CASE WHEN verdict = 'keep' THEN m_docs END AS m_docs,
+       |  CASE WHEN verdict = 'keep' THEN m_chars END AS m_chars,
+       |  CASE WHEN verdict = 'keep' THEN content_version END AS content_version
+       |FROM lgr ORDER BY doc_id""".stripMargin)
   }
 
   // ------------------------------------------------------------------
@@ -3120,20 +3327,25 @@ object ExtQueries {
     } finally { feats.unpersist(); () }
   }
 
+  // the pinned LDA fit expressions, spelled per feature exactly as
+  // QualityClassifier.fit evaluates them — shared by the standalone
+  // classifier oracle and the classifier-gated corpus-build oracle
+  private def ldaFitExprSql(i: Int): String = {
+    val (s, q) = (s"s$i", s"q$i")
+    s"""(k.$s::DOUBLE / k.n - j.$s::DOUBLE / j.n) /
+       |  (((k.$q::DOUBLE / k.n - (k.$s::DOUBLE / k.n) * (k.$s::DOUBLE / k.n)) * k.n
+       |    + (j.$q::DOUBLE / j.n - (j.$s::DOUBLE / j.n) * (j.$s::DOUBLE / j.n)) * j.n)
+       |   / (k.n + j.n) + 1.0) AS w$i,
+       |(k.$s::DOUBLE / k.n + j.$s::DOUBLE / j.n) / 2.0 AS m$i""".stripMargin
+  }
+
+  private def ldaAggColsSql: String = (1 to 5).map(i =>
+    s"sum(x$i)::BIGINT AS s$i, sum(x$i * x$i)::BIGINT AS q$i").mkString(",\n    ")
+
   private def qualityClassifierCtes(includeTok: Boolean): String = {
     val stop = sqlList(StopWords)
-    // the pinned fit expressions, spelled per feature exactly as
-    // QualityClassifier.fit evaluates them
-    def fitExprs(i: Int): String = {
-      val (s, q) = (s"s$i", s"q$i")
-      s"""(k.$s::DOUBLE / k.n - j.$s::DOUBLE / j.n) /
-         |  (((k.$q::DOUBLE / k.n - (k.$s::DOUBLE / k.n) * (k.$s::DOUBLE / k.n)) * k.n
-         |    + (j.$q::DOUBLE / j.n - (j.$s::DOUBLE / j.n) * (j.$s::DOUBLE / j.n)) * j.n)
-         |   / (k.n + j.n) + 1.0) AS w$i,
-         |(k.$s::DOUBLE / k.n + j.$s::DOUBLE / j.n) / 2.0 AS m$i""".stripMargin
-    }
-    val aggCols = (1 to 5).map(i =>
-      s"sum(x$i)::BIGINT AS s$i, sum(x$i * x$i)::BIGINT AS q$i").mkString(",\n    ")
+    def fitExprs(i: Int): String = ldaFitExprSql(i)
+    val aggCols = ldaAggColsSql
     // `tok` is the shared TokCte shape; dedup_keep_best's composed
     // oracle already defines it up front, so composition omits the
     // duplicate definition (SQL forbids two CTEs with one name)
@@ -4314,6 +4526,174 @@ object ExtQueries {
        |SELECT doc_id, decision, keeper_id FROM dec ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // streaming_quality_lm_golden (VERDICT r14 #5): the FULL 5-feature
+  // quality tier on the arrival-time decision surface — the
+  // stream/batch gate divergence CLOSED, not pinned. Offline, the
+  // bigram LM is trained on the clean slice and the 5-feature LDA is
+  // fit on the planted labeled set; the stream then scores every
+  // arrival with the weights as literals AND x5 joined from the
+  // broadcast LM count tables inside each micro-batch plan
+  // (QualityClassifier.withLmFeature) — verdicts now match what the
+  // batch classifier would rule bit for bit, gibberish junk saturating
+  // at the surprise cap instead of hiding behind its healthy x1..x4.
+  // The oracle replays everything — LM counts, per-term capped
+  // surprise, 5-feature fit arithmetic, precedence against hash/band
+  // ownership by arrival order — from the parquet corpus alone.
+  // ------------------------------------------------------------------
+
+  def streamingQualityLmGolden(spark: SparkSession, dir: String): DataFrame = {
+    val (clean, junkRep, junkRev, junkClone) =
+      qualityGoldenParts(docs(spark, dir).select("doc_id", "text"))
+    val labeled = clean.withColumn("label", lit(1L))
+      .unionAll(junkRep.withColumn("label", lit(0L)))
+      .unionAll(junkRev.withColumn("label", lit(0L)))
+    // offline: LM on the clean slice, 5-feature fit on the labeled set
+    // — features computed EXACTLY as the stream computes them
+    // (withLocalFeatures + withLmFeature), so fit and serve agree
+    val lm = QualityClassifier.trainLm(clean, "doc_id", "text")
+    val base4 = QualityClassifier
+      .withLocalFeatures(labeled, "text", StopWords, ShingleN)
+      .filter(col("__q_has"))
+    val feats = base4.join(
+      QualityClassifier.withLmFeature(base4, "doc_id", "__toks", lm),
+      Seq("doc_id"))
+    val fits = QualityClassifier.fit(feats, "label", 1L,
+      QualityClassifier.FeatureCols)
+    val streamDir = qualityDecDirCache.synchronized {
+      qualityDecDirCache.getOrElseUpdate(dir, writeGoldenStream(
+        clean.unionAll(junkRep).unionAll(junkRev).unionAll(junkClone)))
+    }
+    val store = java.nio.file.Files.createTempDirectory("graft-qlmdecision")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = graft.streaming.StreamingDecision.run(src, "doc_id", "text",
+      None, store.toString, Nil,
+      qualityFits = fits, qualityStop = StopWords, qualityLm = Some(lm))
+    try { q.processAllAvailable() } finally q.stop()
+    val res = graft.streaming.StreamingDecision.decisions(s2, store.toString)
+      .select(col("doc_id"), col("decision"), col("keeper_id"))
+      .orderBy("doc_id")
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(res.collect().toSeq.asJava, res.schema)
+    SignatureStore.deleteStore(store)
+    out.orderBy("doc_id")
+  }
+
+  private val streamingQualityLmGoldenSql = {
+    val stop = sqlList(StopWords)
+    val aggCols = (1 to 5).map(i =>
+      s"sum(x$i)::BIGINT AS s$i, sum(x$i * x$i)::BIGINT AS q$i").mkString(",\n    ")
+    val scoreLin =
+      """(bf.x1::DOUBLE - w.m1) * w.w1 + (bf.x2::DOUBLE - w.m2) * w.w2
+        |      + (bf.x3::DOUBLE - w.m3) * w.w3 + (bf.x4::DOUBLE - w.m4) * w.w4
+        |      + (bf.x5::DOUBLE - w.m5) * w.w5""".stripMargin
+    s"""WITH t0 AS (SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents WHERE doc_id >= 0 AND doc_id < $QualityGoldenCap),
+       |src AS (SELECT * FROM t0 WHERE len(toks) >= $ShingleN),
+       |jrep AS (SELECT doc_id + 7000000 AS doc_id, trim(repeat(toks[1] || ' ', 80)) AS text
+       |  FROM src WHERE ((doc_id % 9) + 9) % 9 = 0),
+       |jrev AS (SELECT doc_id + 8000000 AS doc_id,
+       |    array_to_string(list_transform(list_reverse(toks), t -> reverse(t)), ' ') AS text
+       |  FROM src WHERE ((doc_id % 10) + 10) % 10 = 0),
+       |jclone AS (SELECT doc_id + 2000000 AS doc_id, text FROM jrep
+       |  WHERE (((doc_id - 7000000) % 18) + 18) % 18 = 0),
+       |base AS (SELECT doc_id, text FROM src
+       |  UNION ALL SELECT doc_id, text FROM jrep
+       |  UNION ALL SELECT doc_id, text FROM jrev
+       |  UNION ALL SELECT doc_id, text FROM jclone),
+       |tok AS (SELECT doc_id, list_filter(string_split_regex(lower(text),
+       |    '[^a-z0-9]+'), x -> x <> '') AS toks FROM base),
+       |$ShCte,
+       |$SigCtes,
+       |qgbig AS (SELECT doc_id, toks[j] AS a, toks[j + 1] AS b
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS j
+       |    FROM src WHERE len(toks) >= 2)),
+       |qgcb AS (SELECT a, b, count(*)::BIGINT AS c FROM qgbig GROUP BY a, b),
+       |qgcp AS (SELECT a, count(*)::BIGINT AS cpn FROM qgbig GROUP BY a),
+       |qgu AS (SELECT x AS t, count(*)::BIGINT AS cu
+       |  FROM (SELECT unnest(toks) AS x FROM src) GROUP BY x),
+       |qgv AS (SELECT count(DISTINCT x)::BIGINT AS vn, count(*)::BIGINT AS nn
+       |  FROM (SELECT unnest(toks) AS x FROM src)),
+       |qgsbig AS (SELECT doc_id, toks[j] AS a, toks[j + 1] AS b
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS j
+       |    FROM tok WHERE len(toks) >= 2)),
+       |qglt AS (SELECT s.doc_id,
+       |    cast(least(round(1000000.0 / (0.9 *
+       |      (CASE WHEN cb.c IS NOT NULL
+       |            THEN cb.c::DOUBLE / cp.cpn::DOUBLE ELSE 0.0 END)
+       |      + 0.1 * ((coalesce(u.cu, 0) + 1)::DOUBLE / (v.nn + v.vn)::DOUBLE))),
+       |      ${QualityClassifier.LmSurpriseCap}.0)
+       |      AS BIGINT) AS term
+       |  FROM qgsbig s
+       |  LEFT JOIN qgcb cb ON cb.a = s.a AND cb.b = s.b
+       |  LEFT JOIN qgcp cp ON cp.a = s.a
+       |  LEFT JOIN qgu u ON u.t = s.b
+       |  CROSS JOIN qgv v),
+       |qgf5 AS (SELECT doc_id,
+       |    (least(sum(term)::BIGINT // count(*), ${QualityClassifier.LmSurpriseCap}) // 100000)::BIGINT AS x5
+       |  FROM qglt GROUP BY doc_id),
+       |bf AS (SELECT tok.doc_id,
+       |    len(toks)::BIGINT AS x1,
+       |    ((len(list_distinct(toks)) * 10000) // len(toks))::BIGINT AS x2,
+       |    ((len(list_filter(toks, t -> list_contains($stop, t))) * 10000) // len(toks))::BIGINT AS x3,
+       |    (((len(sh.sh) - len(list_distinct(sh.sh))) * 10000) // len(sh.sh))::BIGINT AS x4,
+       |    qgf5.x5 AS x5
+       |  FROM tok JOIN sh ON sh.doc_id = tok.doc_id
+       |  JOIN qgf5 ON qgf5.doc_id = tok.doc_id),
+       |fl AS (SELECT doc_id, 1::BIGINT AS label FROM src
+       |  UNION ALL SELECT doc_id, 0 FROM jrep
+       |  UNION ALL SELECT doc_id, 0 FROM jrev),
+       |agg AS (SELECT fl.label, count(*)::BIGINT AS n,
+       |    $aggCols
+       |  FROM bf JOIN fl ON fl.doc_id = bf.doc_id GROUP BY fl.label),
+       |w AS (SELECT
+       |    ${(1 to 5).map(ldaFitExprSql).mkString(",\n    ")}
+       |  FROM (SELECT * FROM agg WHERE label = 1) k,
+       |       (SELECT * FROM agg WHERE label = 0) j),
+       |bat AS (SELECT doc_id,
+       |    ((doc_id % $GoldenBatches) + $GoldenBatches) % $GoldenBatches AS b
+       |  FROM base),
+       |hs AS (SELECT doc_id, sha256(array_to_string(toks, ' ')) AS h FROM tok),
+       |hj AS (SELECT hs.doc_id, hs.h, bat.b FROM hs JOIN bat USING (doc_id)),
+       |own AS (SELECT h, doc_id AS owner FROM (
+       |    SELECT h, doc_id,
+       |      row_number() OVER (PARTITION BY h ORDER BY b, doc_id) AS rn
+       |    FROM hj) WHERE rn = 1),
+       |exk AS (SELECT hj.doc_id, own.owner AS ex_keeper
+       |  FROM hj JOIN own ON own.h = hj.h WHERE hj.doc_id <> own.owner),
+       |exb AS (SELECT e.doc_id, e.bk, bat.b,
+       |    row_number() OVER (PARTITION BY e.bk ORDER BY bat.b, e.doc_id) AS r
+       |  FROM ex e JOIN bat ON bat.doc_id = e.doc_id),
+       |nearh AS (SELECT a.doc_id, min(m.doc_id) AS near_keeper
+       |  FROM exb a JOIN exb m ON a.bk = m.bk AND m.b < a.b AND m.r <= 64
+       |  JOIN sig sa ON sa.doc_id = a.doc_id
+       |  JOIN sig sb ON sb.doc_id = m.doc_id
+       |  WHERE len(list_filter(generate_series(1, $MinhashK), i -> sa.sig[i] = sb.sig[i])) >= 8
+       |  GROUP BY a.doc_id),
+       |qf AS (SELECT bf.doc_id FROM bf CROSS JOIN w
+       |  WHERE floor(($scoreLin) * 1000000.0)::BIGINT < 0),
+       |dec AS (SELECT bat.doc_id,
+       |  CASE WHEN exk.ex_keeper IS NOT NULL THEN 'drop_exact'
+       |       WHEN nearh.near_keeper IS NOT NULL THEN 'drop_near'
+       |       WHEN qf.doc_id IS NOT NULL THEN 'drop_quality'
+       |       ELSE 'keep' END AS decision,
+       |  coalesce(exk.ex_keeper, nearh.near_keeper, bat.doc_id) AS keeper_id
+       |FROM bat
+       |LEFT JOIN exk ON exk.doc_id = bat.doc_id
+       |LEFT JOIN nearh ON nearh.doc_id = bat.doc_id
+       |LEFT JOIN qf ON qf.doc_id = bat.doc_id)
+       |SELECT doc_id, decision, keeper_id FROM dec ORDER BY doc_id""".stripMargin
+  }
+
   /** Shared verdict-derivation CTE chain ending in
     * `dec(doc_id, decision, keeper_id)` — the golden query selects it
     * directly; the cluster query runs connected components over its
@@ -4768,6 +5148,7 @@ object ExtQueries {
     "streaming_ttl_golden" -> (streamingTtlGolden(_, _)),
     "streaming_decision_golden" -> (streamingDecisionGolden(_, _)),
     "streaming_quality_golden" -> (streamingQualityGolden(_, _)),
+    "streaming_quality_lm_golden" -> (streamingQualityLmGolden(_, _)),
     "streaming_decision_cluster" -> (streamingDecisionCluster(_, _)),
     "dedup_retraction" -> (dedupRetraction(_, _)),
     "dedup_retraction_cluster" -> (dedupRetractionCluster(_, _)),
@@ -4798,6 +5179,7 @@ object ExtQueries {
     "source_similarity" -> (sourceSimilarity(_, _)),
     "pipeline_corpus_clean" -> (pipelineCorpusClean(_, _)),
     "pipeline_corpus_build" -> (pipelineCorpusBuild(_, _)),
+    "pipeline_corpus_build_clf" -> (pipelineCorpusBuildClf(_, _)),
     "embed_quantize" -> (embedQuantize(_, _)),
     "source_sketch" -> (sourceSketch(_, _)),
     "dedup_embed_cosine" -> (dedupEmbedCosine(_, _)),
@@ -4847,6 +5229,7 @@ object ExtQueries {
     "streaming_ttl_golden" -> streamingTtlGoldenSql,
     "streaming_decision_golden" -> streamingDecisionGoldenSql,
     "streaming_quality_golden" -> streamingQualityGoldenSql,
+    "streaming_quality_lm_golden" -> streamingQualityLmGoldenSql,
     "streaming_decision_cluster" -> streamingDecisionClusterSql,
     "dedup_retraction" -> dedupRetractionSql,
     "dedup_retraction_cluster" -> dedupRetractionClusterSql,
@@ -4876,7 +5259,8 @@ object ExtQueries {
     "sim_index_store" -> simIvfPqSql,
     "source_similarity" -> sourceSimilaritySql,
     "pipeline_corpus_clean" -> pipelineCorpusCleanSql,
-    "pipeline_corpus_build" -> pipelineCorpusBuildSql,
+    "pipeline_corpus_build" -> corpusBuildSql(classifierGate = false),
+    "pipeline_corpus_build_clf" -> corpusBuildSql(classifierGate = true),
     "embed_quantize" -> embedQuantizeSql,
     "source_sketch" -> sourceSketchSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql,

@@ -81,6 +81,81 @@ object QualityClassifier {
         expr("((size(__sh) - size(array_distinct(__sh))) * 10000L) div size(__sh)"))
       .drop("__hits")
 
+  /** The corpus-trained Jelinek-Mercer bigram LM the x5 feature scores
+    * against, as three count tables plus the two vocabulary scalars.
+    * The tables are VOCABULARY-sized (bigram/unigram types, not corpus
+    * tokens) — bounded by language, not data, so a streaming deployment
+    * broadcasts them into every micro-batch plan
+    * ([[graft.streaming.StreamingDecision]]'s 5-feature quality tier)
+    * while the batch path shuffle-joins them (at 100 TB the bigram-type
+    * table can exceed broadcast thresholds). */
+  final case class LmModel(cb: DataFrame, cp: DataFrame, u: DataFrame,
+      vn: Long, nn: Long)
+
+  /** Bigram pairs (a, b) of each row's token array — the shared
+    * explode both LM training and scoring use. */
+  private def bigramPairs(src: DataFrame, id: Column, toks: Column): DataFrame = src
+    .select(id.as("__bid"), toks.as("__btoks"))
+    .filter(size(col("__btoks")) >= 2)
+    .select(col("__bid"), explode(expr(
+      "transform(sequence(1, size(__btoks) - 1), i -> struct(element_at(__btoks, i) AS a, element_at(__btoks, i + 1) AS b))"))
+      .as("p"))
+    .select(col("__bid"), col("p.a").as("a"), col("p.b").as("b"))
+
+  /** Train the bigram LM on `corpus` (the CLEAN reference text — junk
+    * being classified must not pollute the language model). Eager in
+    * the two scalars (one bounded 1-row collect); the count tables
+    * stay lazy frames the caller may cache. */
+  def trainLm(corpus: DataFrame, idCol: String, textCol: String): LmModel = {
+    val ctoks = corpus.select(col(idCol), TextOps.tokens(col(textCol)).as("__ctoks"))
+    val trainBig = bigramPairs(ctoks, col(idCol), col("__ctoks"))
+    val cb = trainBig.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val cp = trainBig.groupBy("a").agg(count(lit(1)).as("cpn"))
+    val unis = ctoks.select(explode(col("__ctoks")).as("t"))
+    val u = unis.groupBy("t").agg(count(lit(1)).as("cu"))
+      .withColumnRenamed("t", "b")
+    val vRow = unis.agg(countDistinct(col("t")).as("vn"), count(lit(1)).as("nn")).head()
+    LmModel(cb, cp, u, vRow.getAs[Long]("vn"), vRow.getAs[Long]("nn"))
+  }
+
+  /** x5 (capped mean bigram surprise, e1 after the e5 downscale) for
+    * every row of `sf` that has ≥ 2 tokens in `toksCol` — THE pinned
+    * arithmetic both engines and both deployment shapes (batch
+    * shuffle-join, streaming broadcast-join) share. `broadcastLm`
+    * plants broadcast hints on the three count tables — correct when
+    * they are vocabulary-sized (a micro-batch plan); leave false for
+    * corpus-scale batch training passes and let AQE pick. */
+  def withLmFeature(sf: DataFrame, idCol: String, toksCol: String,
+      lm: LmModel, broadcastLm: Boolean = false): DataFrame = {
+    def side(df: DataFrame): DataFrame = if (broadcastLm) broadcast(df) else df
+    bigramPairs(sf, col(idCol), col(toksCol))
+      .join(side(lm.cb), Seq("a", "b"), "left")
+      .join(side(lm.cp), Seq("a"), "left")
+      .join(side(lm.u), Seq("b"), "left")
+      .withColumn("pb",
+        when(col("c").isNotNull,
+          col("c").cast("double") / col("cpn").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("pu",
+        (coalesce(col("cu"), lit(0L)) + lit(1L)).cast("double")
+          / lit(lm.nn + lm.vn).cast("double"))
+      // the cap applies PER TERM before the long cast (ADVICE r13): an
+      // OOV bigram's surprise is ~1e7·(nn+vn), which past ~1e12 corpus
+      // tokens exceeds Long.MaxValue as a double — where Spark's cast
+      // saturates but DuckDB's errors. Capping the double first keeps
+      // the arithmetic exact-long on both engines at any corpus scale
+      // (and makes the per-doc mean cap a no-op, kept for the pinned
+      // oracle shape).
+      .withColumn("term",
+        least(
+          round(lit(1000000.0) / (lit(0.9) * col("pb") + lit(0.1) * col("pu"))),
+          lit(LmSurpriseCap.toDouble))
+          .cast("long"))
+      .groupBy("__bid")
+      .agg(expr(s"least(sum(term) DIV count(1), ${LmSurpriseCap}L) DIV 100000").as("x5"))
+      .withColumnRenamed("__bid", idCol)
+  }
+
   /** Integer quality features for every `scored` doc, with the LM
     * trained on `corpus` (the CLEAN reference text — junk being
     * classified must not pollute the language model):
@@ -116,49 +191,12 @@ object QualityClassifier {
       .select(col(idCol),
         expr("((ns - nd) * 10000) div ns").cast("long").as("x4"))
     // x5: mean bigram surprise under a Jelinek-Mercer bigram LM
-    // trained on the clean corpus (text_lm_score's arithmetic)
-    def bigrams(src: DataFrame, id: Column, toks: Column): DataFrame = src
-      .select(id.as("__bid"), toks.as("__btoks"))
-      .filter(size(col("__btoks")) >= 2)
-      .select(col("__bid"), explode(expr(
-        "transform(sequence(1, size(__btoks) - 1), i -> struct(element_at(__btoks, i) AS a, element_at(__btoks, i + 1) AS b))"))
-        .as("p"))
-      .select(col("__bid"), col("p.a").as("a"), col("p.b").as("b"))
-    val ctoks = corpus.select(col(idCol), TextOps.tokens(col(textCol)).as("__ctoks"))
-    val trainBig = bigrams(ctoks, col(idCol), col("__ctoks"))
-    val cb = trainBig.groupBy("a", "b").agg(count(lit(1)).as("c"))
-    val cp = trainBig.groupBy("a").agg(count(lit(1)).as("cpn"))
-    val unis = ctoks.select(explode(col("__ctoks")).as("t"))
-    val u = unis.groupBy("t").agg(count(lit(1)).as("cu"))
-      .withColumnRenamed("t", "b")
-    val v = unis.agg(countDistinct(col("t")).as("vn"), count(lit(1)).as("nn"))
-    val lm = bigrams(sf, col(idCol), col("__toks"))
-      .join(cb, Seq("a", "b"), "left")
-      .join(cp, Seq("a"), "left")
-      .join(u, Seq("b"), "left")
-      .crossJoin(broadcast(v))
-      .withColumn("pb",
-        when(col("c").isNotNull,
-          col("c").cast("double") / col("cpn").cast("double"))
-          .otherwise(lit(0.0)))
-      .withColumn("pu",
-        (coalesce(col("cu"), lit(0L)) + lit(1L)).cast("double")
-          / (col("nn") + col("vn")).cast("double"))
-      // the cap applies PER TERM before the long cast (ADVICE r13): an
-      // OOV bigram's surprise is ~1e7·(nn+vn), which past ~1e12 corpus
-      // tokens exceeds Long.MaxValue as a double — where Spark's cast
-      // saturates but DuckDB's errors. Capping the double first keeps
-      // the arithmetic exact-long on both engines at any corpus scale
-      // (and makes the per-doc mean cap a no-op, kept for the pinned
-      // oracle shape).
-      .withColumn("term",
-        least(
-          round(lit(1000000.0) / (lit(0.9) * col("pb") + lit(0.1) * col("pu"))),
-          lit(LmSurpriseCap.toDouble))
-          .cast("long"))
-      .groupBy("__bid")
-      .agg(expr(s"least(sum(term) DIV count(1), ${LmSurpriseCap}L) DIV 100000").as("x5"))
-      .withColumnRenamed("__bid", idCol)
+    // trained on the clean corpus (text_lm_score's arithmetic) — the
+    // shared trainLm/withLmFeature pieces, shuffle-join shape (the
+    // (nn + vn) scalar sum is exact long arithmetic either way, so the
+    // literal form produces the bit-identical double the old
+    // crossJoin(v) column form did)
+    val lm = withLmFeature(sf, idCol, "__toks", trainLm(corpus, idCol, textCol))
     f13.drop("__toks").join(sh, Seq(idCol)).join(lm, Seq(idCol))
   }
 

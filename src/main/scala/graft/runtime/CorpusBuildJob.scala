@@ -12,18 +12,20 @@ import graft.model.ExitCodes
   * [[RetractionJob]], hosted under the same env-contract/exit-code
   * discipline as [[GraftMain]]'s stream kinds. One run takes a raw
   * document corpus (plus its embeddings) through the full proven
-  * chain — unicode/mojibake normalize → html extract → rule quality
-  * gate → three-tier dedup decision (exact/near/semantic) → benchmark
-  * decontamination → mixture sampling → sequence packing →
-  * reproducible shard shuffle → per-source manifest — and lands three
-  * artifacts under the output root:
+  * chain — unicode/mojibake normalize → html extract → quality gate
+  * (rule or fitted classifier) → three-tier dedup decision
+  * (exact/near/semantic) → benchmark decontamination → mixture
+  * sampling → sequence packing → reproducible shard shuffle →
+  * per-source manifest — and lands three artifacts under the output
+  * root:
   *
   *  - `ledger/`  one row per corpus doc: the stage verdict that
   *    removed it (`drop_quality` / `drop_exact` / `drop_near` /
   *    `drop_semantic` / `drop_contaminated` / `drop_mix`) or its
   *    packing stats, (shard, pos) placement and source-manifest
-  *    columns when kept — the audit trail a takedown or re-run diffs
-  *    against;
+  *    columns when kept (manifest columns are NULL on dropped rows —
+  *    they describe the source's final BUILT corpus) — the audit
+  *    trail a takedown or re-run diffs against;
   *  - `corpus/`  the kept slice WITH text, hive-partitioned by
   *    `shard` and written in (shard, pos) order — the layout a
   *    training loader consumes directly;
@@ -31,9 +33,10 @@ import graft.model.ExitCodes
   *    order-insensitive `content_version` hash.
   *
   * The chain is [[graft.ext.ExtQueries.corpusBuildLedger]] — the
-  * exact composition the `pipeline_corpus_build` CORRECTNESS entry
-  * hashes against DuckDB — with the job's phase hook threaded in:
-  * each stage is eagerly materialized (`localCheckpoint`), timed and
+  * exact composition the `pipeline_corpus_build` /
+  * `pipeline_corpus_build_clf` CORRECTNESS entries hash against
+  * DuckDB — with the job's phase hook threaded in: each stage is
+  * materialized (see `CORPUS_BUILD_MATERIALIZE` below), timed and
   * counted, yielding the per-phase operator ledger and truncating
   * lineage so the three final writes reuse stage results instead of
   * recomputing the decision chain. Stage plans are unchanged from
@@ -41,11 +44,33 @@ import graft.model.ExitCodes
   * per-source/per-shard windows, broadcast benchmark shingles), so
   * the 100 TB scale posture is inherited, not re-derived.
   *
+  * '''Stage materialization''' (`CORPUS_BUILD_MATERIALIZE`,
+  * VERDICT r14 #4 / ADVICE r14):
+  *  - `stage` (default) — each stage is written as parquet under
+  *    `<output>/stages/<name>` and read back: RELIABLE storage (an
+  *    executor loss recomputes from the stage file, not from raw
+  *    input lineage) and the unit of crash resumption. With
+  *    `CORPUS_BUILD_RESUME=true`, a re-run over the same root reuses
+  *    every stage that finished (`_SUCCESS` present) and recomputes
+  *    only what's missing — valid ONLY when the inputs and build
+  *    configuration are unchanged since the crashed run (stage files
+  *    carry no input fingerprint; changing inputs without clearing
+  *    `stages/` builds from stale frames).
+  *  - `local` — `localCheckpoint(true)`: fastest, but pins every
+  *    stage (including full-text frames) in executor block storage,
+  *    and a lost executor kills the job (lineage truncated,
+  *    non-replicated blocks) — the single-box harness shape, not the
+  *    100 TB posture.
+  *  - `none` — stages are timed via `count()` but not materialized:
+  *    minimal storage, the final writes recompute the chain (~2× the
+  *    compute; still correct — every stage plan is deterministic).
+  *
   * The output root is guarded by the single-writer lease
   * ([[graft.ext.StoreMeta.withWriterLease]]): a concurrent build or
   * maintenance pass against the same root refuses instead of
   * interleaving writes. Re-running after a crash is safe — every
-  * write is an idempotent overwrite under a fresh lease epoch.
+  * write is an idempotent overwrite under a fresh lease epoch, and
+  * `stages/` turns the re-run incremental.
   *
   * Environment contract (mirrors [[RetractionJob]]):
   * {{{
@@ -56,11 +81,30 @@ import graft.model.ExitCodes
   *                                 optional  (doc_id / source / text)
   *   CORPUS_BUILD_EMBEDDING_ID_COLUMN / _EMBEDDING_COLUMN
   *                                 optional  (vec_id / embedding)
+  *   CORPUS_BUILD_BENCHMARK_MAX_ID optional  held-out eval boundary:
+  *       ids BELOW it are the decontamination benchmark slice, never
+  *       corpus. Default 20 — the FIXTURE convention (documents.parquet
+  *       reserves ids 0-19); a real deployment MUST set its own
+  *       boundary or pre-split its eval set (ADVICE r14).
+  *   CORPUS_BUILD_QUALITY          optional  rule | classifier
+  *       (default rule). classifier = the diagonal-LDA 5-feature gate
+  *       bootstrapped from rule verdicts (see corpusBuildLedger) —
+  *       fails fast if either label class is empty.
+  *   CORPUS_BUILD_MATERIALIZE      optional  stage | local | none
+  *       (default stage — see above)
+  *   CORPUS_BUILD_RESUME           optional  true | false (default
+  *       false): with `stage`, reuse finished stage files
   * }}}
+  * Mixture policy note (ADVICE r14): the sampling stage keeps 100% of
+  * even-indexed `src<N>` sources, 20% of odd-indexed ones, and 100%
+  * of any source whose name does not parse — an unrecognized source
+  * is never silently downweighted.
+  *
   * Exit code 0 on success, 1 (Fatal) on misconfiguration or failure. */
 object CorpusBuildJob {
 
-  final case class Phase(name: String, rows: Long, millis: Long)
+  final case class Phase(name: String, rows: Long, millis: Long,
+      resumed: Boolean = false)
 
   final case class Report(total: Long, kept: Long,
       verdicts: Map[String, Long], phases: Seq[Phase])
@@ -70,6 +114,12 @@ object CorpusBuildJob {
     def req(k: String): String = env.getOrElse(k,
       throw new IllegalArgumentException(s"env '$k' is required"))
     val out = req("CORPUS_BUILD_OUTPUT_PATH")
+    val materialize = env.getOrElse("CORPUS_BUILD_MATERIALIZE", "stage")
+    require(Set("stage", "local", "none")(materialize),
+      s"CORPUS_BUILD_MATERIALIZE must be stage|local|none, got '$materialize'")
+    val resume = env.getOrElse("CORPUS_BUILD_RESUME", "false").toBoolean
+    val qualityMode = env.getOrElse("CORPUS_BUILD_QUALITY", "rule")
+    val benchMaxId = env.getOrElse("CORPUS_BUILD_BENCHMARK_MAX_ID", "20").toLong
     val d0 = spark.read.parquet(req("CORPUS_BUILD_DOCS_PATH")).select(
       col(env.getOrElse("CORPUS_BUILD_ID_COLUMN", "doc_id")).cast("long").as("doc_id"),
       col(env.getOrElse("CORPUS_BUILD_SOURCE_COLUMN", "source")).as("source"),
@@ -81,17 +131,33 @@ object CorpusBuildJob {
     val phases = ArrayBuffer.empty[Phase]
     def timed(name: String, df: DataFrame): DataFrame = {
       val t0 = System.nanoTime()
-      val mat = df.localCheckpoint(true)
-      val n = mat.count()
-      val ms = (System.nanoTime() - t0) / 1000000L
-      phases += Phase(name, n, ms)
-      status(s"phase $name: $n rows in $ms ms")
-      mat
+      def done(mat: DataFrame, n: Long, resumed: Boolean): DataFrame = {
+        val ms = (System.nanoTime() - t0) / 1000000L
+        phases += Phase(name, n, ms, resumed)
+        status(s"phase $name: $n rows in $ms ms" +
+          (if (resumed) " (resumed from stage file)" else ""))
+        mat
+      }
+      materialize match {
+        case "none" => done(df, df.count(), resumed = false)
+        case "local" =>
+          val mat = df.localCheckpoint(true)
+          done(mat, mat.count(), resumed = false)
+        case "stage" =>
+          val p = s"$out/stages/$name"
+          val fs = graft.ext.StoreMeta.fs(spark, p)
+          val finished = resume && fs.exists(
+            new org.apache.hadoop.fs.Path(s"$p/_SUCCESS"))
+          if (!finished) df.write.mode("overwrite").parquet(p)
+          val mat = spark.read.parquet(p)
+          done(mat, mat.count(), resumed = finished)
+      }
     }
 
     graft.ext.StoreMeta.withWriterLease(spark, out, "corpus-build") {
       val ledger = timed("ledger",
-        graft.ext.ExtQueries.corpusBuildLedger(d0, e, timed))
+        graft.ext.ExtQueries.corpusBuildLedger(d0, e, timed,
+          benchmarkMaxId = benchMaxId, qualityMode = qualityMode))
       val kept = ledger.filter(col("verdict") === "keep")
 
       val t0 = System.nanoTime()

@@ -346,7 +346,8 @@ object StreamingDecision {
       k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3,
       shingleN: Int = 3,
       qualityFits: Seq[graft.ext.QualityClassifier.FeatureFit] = Nil,
-      qualityStop: Seq[String] = Nil): DataFrame = {
+      qualityStop: Seq[String] = Nil,
+      qualityLm: Option[graft.ext.QualityClassifier.LmModel] = None): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val b = buckets(spark, path)
@@ -454,18 +455,8 @@ object StreamingDecision {
       // was taken down must heal to drop_quality, not keep, under a
       // quality-gated deployment
       val qFailR: DataFrame =
-        if (qualityFits.nonEmpty) {
-          import graft.ext.QualityClassifier
-          QualityClassifier.score(
-              QualityClassifier.withLocalFeatures(
-                in.select("doc_id", "text"), "text", qualityStop, shingleN),
-              qualityFits, QualityClassifier.LocalFeatureCols)
-            .filter(col("__q_has") && col("score_e6") < 0L)
-            .select(col("doc_id"), lit(1).as("q_fail"))
-        } else
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-            StructType(Seq(StructField("doc_id", LongType),
-              StructField("q_fail", IntegerType))))
+        qualityFailSet(in.select("doc_id", "text"), qualityFits, qualityStop,
+          shingleN, qualityLm)
       val dec = in.select("doc_id", "batch")
         .join(broadcast(ex), Seq("doc_id"), "left")
         .join(broadcast(nearK), Seq("doc_id"), "left")
@@ -545,6 +536,45 @@ object StreamingDecision {
     * FIXED quantizer (the persisted VectorIndex coarse centroids —
     * coarseK × dim doubles of metadata); pass `embCol = None` (or an
     * empty centroid set) to run a text-only two-tier surface. */
+  /** The quality-tier fail set over arrivals (doc_id, q_fail=1):
+    * map-only scoring of the four per-doc features with the caller's
+    * fitted literal weights — or, when `qualityLm` is given, the FULL
+    * 5-feature batch score: x5 joins the BROADCAST vocabulary-sized
+    * bigram LM count tables into the per-batch plan
+    * ([[graft.ext.QualityClassifier.withLmFeature]]), so streaming
+    * verdicts match the batch classifier bit for bit (VERDICT r14 #5 —
+    * the stream/batch gate divergence closed instead of pinned). Docs
+    * without shingle support are never scored. Empty `qualityFits`
+    * disables the tier. */
+  private def qualityFailSet(in: DataFrame,
+      qualityFits: Seq[graft.ext.QualityClassifier.FeatureFit],
+      qualityStop: Seq[String], shingleN: Int,
+      qualityLm: Option[graft.ext.QualityClassifier.LmModel]): DataFrame = {
+    val spark = in.sparkSession
+    if (qualityFits.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("q_fail", IntegerType))))
+    else {
+      import graft.ext.QualityClassifier
+      val base = QualityClassifier.withLocalFeatures(
+        in.select("doc_id", "text"), "text", qualityStop, shingleN)
+      val (feats, cols) = qualityLm match {
+        case Some(lm) =>
+          require(qualityFits.size == QualityClassifier.FeatureCols.size,
+            s"qualityLm requires ${QualityClassifier.FeatureCols.size} fitted features (x1..x5)")
+          (base.join(
+            QualityClassifier.withLmFeature(base.filter(col("__q_has")),
+              "doc_id", "__toks", lm, broadcastLm = true),
+            Seq("doc_id"), "left"), QualityClassifier.FeatureCols)
+        case None => (base, QualityClassifier.LocalFeatureCols)
+      }
+      QualityClassifier.score(feats, qualityFits, cols)
+        .filter(col("__q_has") && col("score_e6") < 0L)
+        .select(col("doc_id"), lit(1).as("q_fail"))
+    }
+  }
+
   def processBatch(batch: DataFrame, idCol: String, textCol: String,
       embCol: Option[String], path: String,
       centroids: Seq[(Long, Array[Double])], batchKey: String,
@@ -555,7 +585,8 @@ object StreamingDecision {
       clusterCompactEvery: Int = 64,
       enforceTombstones: Boolean = true,
       qualityFits: Seq[graft.ext.QualityClassifier.FeatureFit] = Nil,
-      qualityStop: Seq[String] = Nil): DataFrame = {
+      qualityStop: Seq[String] = Nil,
+      qualityLm: Option[graft.ext.QualityClassifier.LmModel] = None): DataFrame = {
     val spark = batch.sparkSession
     def phase[A](label: String)(f: => A): A =
       if (sys.props.contains("graft.timing") || sys.env.contains("GRAFT_TIMING")) {
@@ -610,18 +641,7 @@ object StreamingDecision {
       // rule). Admission is UNAFFECTED — stores record what the stream
       // has seen; a quality-dropped doc is still a valid dedup member.
       val qFail: DataFrame =
-        if (qualityFits.nonEmpty) {
-          import graft.ext.QualityClassifier
-          QualityClassifier.score(
-              QualityClassifier.withLocalFeatures(
-                in.select("doc_id", "text"), "text", qualityStop, shingleN),
-              qualityFits, QualityClassifier.LocalFeatureCols)
-            .filter(col("__q_has") && col("score_e6") < 0L)
-            .select(col("doc_id"), lit(1).as("q_fail"))
-        } else
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-            StructType(Seq(StructField("doc_id", LongType),
-              StructField("q_fail", IntegerType))))
+        qualityFailSet(in, qualityFits, qualityStop, shingleN, qualityLm)
 
       // ---- exact tier: stored owner, else smallest same-batch id ----
       val bh = in.select(col("doc_id"), Dedup.contentHash(col("text")).as("h"))
@@ -885,7 +905,8 @@ object StreamingDecision {
       nBuckets: Int = 16, clusterPath: Option[String] = None,
       trigger: Option[Trigger] = None,
       qualityFits: Seq[graft.ext.QualityClassifier.FeatureFit] = Nil,
-      qualityStop: Seq[String] = Nil): StreamingQuery = {
+      qualityStop: Seq[String] = Nil,
+      qualityLm: Option[graft.ext.QualityClassifier.LmModel] = None): StreamingQuery = {
     // Marker NAMESPACING (the VectorIndex.appendStream lesson, ADVICE
     // r10): epoch ids restart at 0 for a stream started without a
     // checkpoint and are shared by independent streams on one store
@@ -909,7 +930,8 @@ object StreamingDecision {
           maxBucket = maxBucket, minScoreE4 = minScoreE4,
           maxCell = maxCell, nBuckets = nBuckets,
           clusterPath = clusterPath,
-          qualityFits = qualityFits, qualityStop = qualityStop): Unit
+          qualityFits = qualityFits, qualityStop = qualityStop,
+          qualityLm = qualityLm): Unit
       }
     val w1 = trigger.fold(w0)(t => w0.trigger(t))
     checkpointLocation.fold(w1)(cp => w1.option("checkpointLocation", cp))

@@ -59,4 +59,51 @@ class QualityClassifierSpec extends AnyFlatSpec with Matchers with SparkFixture 
     cleanThrough should be > 10L
     junkThrough.toDouble / (junkThrough + cleanThrough) should be <= 0.05
   }
+
+  it should "score bit-identically through the streaming shape and the batch features() pass" in {
+    // VERDICT r14 #5: the streaming deployment computes x1..x4 map-only
+    // (withLocalFeatures) and x5 from the BROADCAST LM tables
+    // (withLmFeature); the batch classifier computes the same five via
+    // grouped passes inside features(). Same docs, same LM corpus →
+    // the per-doc feature vectors and e6 scores must be IDENTICAL (not
+    // approximately — the score is a pinned IEEE tree over integer
+    // features), or a doc could pass the stream gate and fail batch.
+    val stop = TextOps.LangMarkers.head._2
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val src = d.withColumn("__t", TextOps.tokens(col("text")))
+      .filter(org.apache.spark.sql.functions.size(col("__t")) >= 3).drop("__t")
+    val labeled = src.withColumn("label",
+      when(pmod(col("doc_id"), lit(2)) === 0, lit(1L)).otherwise(lit(0L)))
+
+    val batchFeats = QualityClassifier
+      .features(labeled, src, "doc_id", "text", stop)
+      .select((Seq("doc_id", "label") ++ QualityClassifier.FeatureCols).map(col): _*)
+
+    val lm = QualityClassifier.trainLm(src, "doc_id", "text")
+    val base = QualityClassifier
+      .withLocalFeatures(labeled, "text", stop, 3)
+      .filter(col("__q_has"))
+    val streamFeats = base.join(
+      QualityClassifier.withLmFeature(base, "doc_id", "__toks", lm,
+        broadcastLm = true),
+      Seq("doc_id"))
+      .select((Seq("doc_id", "label") ++ QualityClassifier.FeatureCols).map(col): _*)
+
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        QualityClassifier.FeatureCols.map(c => r.getAs[Long](c))).toMap
+    val bm = collect(batchFeats)
+    val sm = collect(streamFeats)
+    bm.size should be > 20
+    sm should equal(bm)
+
+    // and the scores from one shared fit are equal long-for-long
+    val fits = QualityClassifier.fit(batchFeats, "label")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      QualityClassifier.score(df, fits)
+        .select("doc_id", "score_e6")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    scores(streamFeats) should equal(scores(batchFeats))
+  }
 }

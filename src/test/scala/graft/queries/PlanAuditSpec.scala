@@ -443,10 +443,12 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
       .features(d, d, "doc_id", "text", Seq("the", "a", "of"))
       .queryExecution.executedPlan.toString
     p should not include "CartesianProduct"
-    // the one-row (vn, nn) corpus aggregate rides a broadcast nested
-    // loop (metadata-sized by construction); every bigram-keyed LM
-    // join is an equi-join
-    p should include("BroadcastNestedLoopJoin")
+    // the (vn, nn) corpus scalars are collected ONCE at trainLm time
+    // and inlined as literals (round 15: the shared LmModel the
+    // streaming tier broadcasts) — the per-row plan carries no joint
+    // join for them at all, and every bigram-keyed LM join is an
+    // equi-join
+    p should not include "BroadcastNestedLoopJoin"
   }
 
 }

@@ -72,9 +72,93 @@ class CorpusBuildJobSpec extends AnyFlatSpec with Matchers with SparkFixture {
     man.count() shouldBe man.select("source").distinct().count()
   }
 
+  private def baseEnv(out: String): Map[String, String] = Map(
+    "CORPUS_BUILD_DOCS_PATH" -> s"$dir/documents.parquet",
+    "CORPUS_BUILD_EMBEDDINGS_PATH" -> s"$dir/embeddings.parquet",
+    "CORPUS_BUILD_OUTPUT_PATH" -> out)
+
+  private def ledgerRows(path: String): Array[String] = {
+    val df = spark.read.parquet(path)
+    val cols = df.columns.sorted.map(col)
+    df.select(cols: _*).collect().map(_.toString).sorted
+  }
+
+  it should "gate with the bootstrapped classifier when CORPUS_BUILD_QUALITY=classifier" in {
+    val out = tempDir("corpus-build-clf")
+    CorpusBuildJob.run(spark,
+      baseEnv(out) + ("CORPUS_BUILD_QUALITY" -> "classifier"),
+      _ => ()) shouldBe ExitCodes.Success
+    val expected = graft.ext.ExtQueries.pipelineCorpusBuildClf(spark, dir)
+    val cols = expected.columns.sorted.map(col)
+    ledgerRows(s"$out/ledger") shouldBe
+      expected.select(cols: _*).collect().map(_.toString).sorted
+  }
+
+  it should "produce the same ledger under every materializer mode" in {
+    val ledgers = Seq("stage", "local", "none").map { m =>
+      val out = tempDir(s"corpus-build-$m")
+      CorpusBuildJob.run(spark,
+        baseEnv(out) + ("CORPUS_BUILD_MATERIALIZE" -> m),
+        _ => ()) shouldBe ExitCodes.Success
+      m -> ledgerRows(s"$out/ledger")
+    }
+    for (Seq((ma, a), (mb, b)) <- ledgers.combinations(2)) {
+      val (sa, sb) = (a.toSet, b.toSet)
+      withClue(s"$ma vs $mb: only-$ma=${sa.diff(sb).take(2).mkString("; ")} " +
+          s"only-$mb=${sb.diff(sa).take(2).mkString("; ")}: ") {
+        a shouldBe b
+      }
+    }
+  }
+
+  it should "resume from finished stage files after a simulated crash" in {
+    val out = tempDir("corpus-build-resume")
+    CorpusBuildJob.run(spark, baseEnv(out), _ => ()) shouldBe ExitCodes.Success
+    val expected = ledgerRows(s"$out/ledger")
+
+    // simulate a crash after the early stages: final outputs and the
+    // late stages are gone, early stage files survive
+    for (p <- Seq("ledger", "corpus", "manifest", "stages/ledger", "stages/shard"))
+      graft.ext.SignatureStore.deleteStore(java.nio.file.Paths.get(s"$out/$p"))
+
+    val statuses = scala.collection.mutable.ArrayBuffer.empty[String]
+    CorpusBuildJob.run(spark,
+      baseEnv(out) + ("CORPUS_BUILD_RESUME" -> "true"),
+      statuses += _) shouldBe ExitCodes.Success
+
+    // surviving stages are reused, deleted ones recomputed
+    statuses.exists(s => s.startsWith("phase normalize_extract:") &&
+      s.contains("(resumed")) shouldBe true
+    statuses.exists(s => s.startsWith("phase dedup_decision:") &&
+      s.contains("(resumed")) shouldBe true
+    statuses.exists(s => s.startsWith("phase shard:") &&
+      s.contains("(resumed")) shouldBe false
+    statuses.exists(s => s.startsWith("phase ledger:") &&
+      s.contains("(resumed")) shouldBe false
+
+    ledgerRows(s"$out/ledger") shouldBe expected
+  }
+
+  it should "honor the benchmark boundary knob" in {
+    val out = tempDir("corpus-build-bench40")
+    CorpusBuildJob.run(spark,
+      baseEnv(out) + ("CORPUS_BUILD_BENCHMARK_MAX_ID" -> "40"),
+      _ => ()) shouldBe ExitCodes.Success
+    val ids = spark.read.parquet(s"$out/ledger")
+      .select("doc_id").collect().map(_.getLong(0))
+    ids.min should be >= 40L
+  }
+
   it should "exit Fatal on misconfiguration" in {
     CorpusBuildJob.run(spark, Map(
       "CORPUS_BUILD_DOCS_PATH" -> s"$dir/documents.parquet"),
+      _ => ()) shouldBe ExitCodes.Fatal
+    val out = tempDir("corpus-build-badmode")
+    CorpusBuildJob.run(spark,
+      baseEnv(out) + ("CORPUS_BUILD_MATERIALIZE" -> "bogus"),
+      _ => ()) shouldBe ExitCodes.Fatal
+    CorpusBuildJob.run(spark,
+      baseEnv(out) + ("CORPUS_BUILD_QUALITY" -> "bogus"),
       _ => ()) shouldBe ExitCodes.Fatal
   }
 
