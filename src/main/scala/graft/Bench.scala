@@ -288,6 +288,7 @@ object Bench {
       "streaming_decontam_golden", "dedup_retraction",
       "dedup_retraction_cluster", "streaming_retraction_golden",
       "streaming_quality_golden", "streaming_quality_lm_golden",
+      "streaming_corpus_build_golden",
       // full-chain build compositions (VERDICT r14 called these
       // harness-class: fit collects + IVF training + every stage
       // materialized; the per-stage plans are audited individually)

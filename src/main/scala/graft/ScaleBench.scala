@@ -106,7 +106,7 @@ object ScaleBench {
     // rounds 14-15
     "multimodal_decode_mp4", "streaming_quality_golden",
     "streaming_quality_lm_golden", "pipeline_corpus_build",
-    "pipeline_corpus_build_clf")
+    "pipeline_corpus_build_clf", "streaming_corpus_build_golden")
 
   /** Queries whose first call per corpus dir pays a one-time persisted
     * store/index build (cached thereafter) — warmed before measuring. */
@@ -124,7 +124,8 @@ object ScaleBench {
       // dir; the streaming retraction golden writes its stream dir once
       "dedup_tombstone_ingest", "streaming_retraction_golden",
       // rounds 14-15: the quality goldens write their stream dir once
-      "streaming_quality_golden", "streaming_quality_lm_golden")
+      "streaming_quality_golden", "streaming_quality_lm_golden",
+      "streaming_corpus_build_golden")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)

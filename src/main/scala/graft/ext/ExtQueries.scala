@@ -4694,6 +4694,199 @@ object ExtQueries {
        |SELECT doc_id, decision, keeper_id FROM dec ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // streaming_corpus_build_golden (VERDICT r14 #7, the north star):
+  // the WHOLE corpus-build pipeline on the arrival-time surface — the
+  // streaming sibling of pipeline_corpus_build_clf. Offline (arrival-
+  // independent, exactly what a deployment precomputes): normalize +
+  // html-extract, benchmark shingles, and the classifier-gate
+  // bootstrap fit (rule survivors clean + planted junk, LM on
+  // survivors — the SAME fit pipeline_corpus_build_clf derives, via
+  // the stream-shape feature path the bit-equality spec pins to
+  // features()). The extracted corpus then arrives in 5 micro-batches
+  // through the decision surface — exact + near tiers against
+  // accumulated stores, quality scored on all FIVE features with the
+  // broadcast LM — and the accumulated ledger is overlaid with the
+  // PURE per-doc gates (decontamination hits against the broadcast
+  // benchmark set, mixture bucket), which commute with arrival time.
+  // The oracle replays everything from the parquet corpus: extraction,
+  // LM counts, fit arithmetic, hash/band ownership by arrival order,
+  // 5-feature scores, hits, mix — one hash over the full composition.
+  // DELIBERATE divergences from the batch build (not defects): verdict
+  // precedence is dedup > quality (the stream's audit taxonomy; batch
+  // gates quality first so keeper election runs among quality
+  // survivors), and near-dup keeper election is first-stored-match by
+  // arrival rather than global connected-component minimum.
+  // ------------------------------------------------------------------
+
+  private val corpusBuildStreamDirCache = scala.collection.mutable.Map.empty[String, String]
+
+  def streamingCorpusBuildGolden(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d0 = docs(spark, dir).select("doc_id", "source", "text")
+    val ext0 = d0.select(col("doc_id"), col("source"),
+      TextOps.htmlExtract(
+        htmlPage(col("doc_id"), TextOps.normalizeText(col("text"))), HtmlMinLen)
+        .getField("extracted").as("text"))
+    val bench = Dedup.shingleRows(
+      ext0.filter(col("doc_id") < BenchmarkDocs), "doc_id", "text", ShingleN)
+      .select("s").distinct()
+    val corp = ext0.filter(col("doc_id") >= BenchmarkDocs)
+      .localCheckpoint(true) // reused by fit, stream slicing, hits, ledger
+    // offline classifier-gate bootstrap (pipeline_corpus_build_clf's
+    // fit): rule survivors = clean class + LM corpus; planted junk
+    val stats = corp
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_unique", size(array_distinct(col("toks"))).cast("long"))
+    val srcQ = stats.filter(col("n_tokens").between(10, 5000) &&
+      col("n_unique") * 4 >= col("n_tokens"))
+    val junkRep = srcQ.filter(pmod(col("doc_id"), lit(9)) === 0)
+      .select((col("doc_id") + 7000000L).as("doc_id"),
+        array_join(array_repeat(element_at(col("toks"), 1), 80), " ").as("text"),
+        lit(0L).as("label"))
+    val junkRev = srcQ.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 8000000L).as("doc_id"),
+        array_join(expr("transform(reverse(toks), t -> reverse(t))"), " ").as("text"),
+        lit(0L).as("label"))
+    val labeled = srcQ.select(col("doc_id"), col("text"), lit(1L).as("label"))
+      .unionAll(junkRep).unionAll(junkRev)
+    val lm = QualityClassifier.trainLm(
+      srcQ.select("doc_id", "text"), "doc_id", "text")
+    val base4 = QualityClassifier
+      .withLocalFeatures(labeled, "text", StopWords, ShingleN)
+      .filter(col("__q_has"))
+    val feats = base4.join(
+      QualityClassifier.withLmFeature(base4, "doc_id", "__toks", lm),
+      Seq("doc_id"))
+    val fits = QualityClassifier.fit(feats, "label", 1L,
+      QualityClassifier.FeatureCols)
+
+    // the stream: extracted corpus in 5 arrival-order micro-batches
+    val streamDir = corpusBuildStreamDirCache.synchronized {
+      corpusBuildStreamDirCache.getOrElseUpdate(dir,
+        writeGoldenStream(corp.select("doc_id", "text")))
+    }
+    val store = java.nio.file.Files.createTempDirectory("graft-cbuild-stream")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val src = s2.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val q = graft.streaming.StreamingDecision.run(src, "doc_id", "text",
+      None, store.toString, Nil,
+      qualityFits = fits, qualityStop = StopWords, qualityLm = Some(lm))
+    try { q.processAllAvailable() } finally q.stop()
+    val dec = graft.streaming.StreamingDecision.decisions(s2, store.toString)
+      .select(col("doc_id"), col("decision"), col("keeper_id"))
+
+    // pure per-doc overlays (arrival-independent): benchmark hits + mix
+    val kex = Dedup.shingleRows(corp.select("doc_id", "text"),
+      "doc_id", "text", ShingleN)
+    val hits = kex.join(broadcast(bench), "s")
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_hits"))
+    val mixBucket = Dedup.shingleKey(col("doc_id").cast("string")) % 100
+    val ledger = dec
+      .join(corp.select("doc_id", "source"), Seq("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("decision") =!= "keep", col("decision"))
+          .when(coalesce(col("n_hits"), lit(0L)) >= DecontamHits,
+            lit("drop_contaminated"))
+          .when(mixBucket >= mixPctCol, lit("drop_mix"))
+          .otherwise(lit("keep")).as("verdict"),
+        col("keeper_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .orderBy("doc_id")
+    import scala.jdk.CollectionConverters._
+    val out = spark.createDataFrame(ledger.collect().toSeq.asJava, ledger.schema)
+    SignatureStore.deleteStore(store)
+    out.orderBy("doc_id")
+  }
+
+  private lazy val streamingCorpusBuildGoldenSql = {
+    val scoreLin =
+      """(bf.x1::DOUBLE - w.m1) * w.w1 + (bf.x2::DOUBLE - w.m2) * w.w2
+        |      + (bf.x3::DOUBLE - w.m3) * w.w3 + (bf.x4::DOUBLE - w.m4) * w.w4
+        |      + (bf.x5::DOUBLE - w.m5) * w.w5""".stripMargin
+      .replace("bf.", "f.") // qgfeats carries the scores — reuse its alias
+    val matNames = Seq("nrm", "ext0", "corp", "stats", "tok", "sh", "bench",
+      "qgsrc", "qgall", "qgsff", "qgfeats", "qgw")
+    val raw = s"""WITH RECURSIVE
+       |nrm AS (SELECT doc_id, source, ${normalizeSqlExpr("text")} AS text FROM documents),
+       |${htmlCtesFrom("nrm")},
+       |ext0 AS (SELECT k.doc_id, n.source, $HtmlExtractedSql AS text
+       |  FROM kp k JOIN nrm n ON n.doc_id = k.doc_id),
+       |btok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM ext0 WHERE doc_id < $BenchmarkDocs),
+       |bsh AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - ${ShingleN - 1}),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+       |  FROM btok WHERE len(toks) >= $ShingleN),
+       |bench AS (SELECT DISTINCT s FROM (SELECT unnest(sh) AS s FROM bsh)),
+       |corp AS (SELECT * FROM ext0 WHERE doc_id >= $BenchmarkDocs),
+       |${tokCteFrom("corp", "tok0")},
+       |stats AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens,
+       |    len(list_distinct(toks))::BIGINT AS n_unique FROM tok0),
+       |$classifierGateCtes,
+       |tok AS (SELECT doc_id, toks FROM stats),
+       |$ShCte,
+       |$SigCtes,
+       |bat AS (SELECT doc_id,
+       |    ((doc_id % $GoldenBatches) + $GoldenBatches) % $GoldenBatches AS b
+       |  FROM corp),
+       |hs AS (SELECT doc_id, sha256(array_to_string(toks, ' ')) AS h FROM tok),
+       |hj AS (SELECT hs.doc_id, hs.h, bat.b FROM hs JOIN bat USING (doc_id)),
+       |own AS (SELECT h, doc_id AS owner FROM (
+       |    SELECT h, doc_id,
+       |      row_number() OVER (PARTITION BY h ORDER BY b, doc_id) AS rn
+       |    FROM hj) WHERE rn = 1),
+       |exk AS (SELECT hj.doc_id, own.owner AS ex_keeper
+       |  FROM hj JOIN own ON own.h = hj.h WHERE hj.doc_id <> own.owner),
+       |exb AS (SELECT e.doc_id, e.bk, bat.b,
+       |    row_number() OVER (PARTITION BY e.bk ORDER BY bat.b, e.doc_id) AS r
+       |  FROM ex e JOIN bat ON bat.doc_id = e.doc_id),
+       |nearh AS (SELECT a.doc_id, min(m.doc_id) AS near_keeper
+       |  FROM exb a JOIN exb m ON a.bk = m.bk AND m.b < a.b AND m.r <= 64
+       |  JOIN sig sa ON sa.doc_id = a.doc_id
+       |  JOIN sig sb ON sb.doc_id = m.doc_id
+       |  WHERE len(list_filter(generate_series(1, $MinhashK), i -> sa.sig[i] = sb.sig[i])) >= 8
+       |  GROUP BY a.doc_id),
+       |qf AS (SELECT f.doc_id FROM qgfeats f CROSS JOIN qgw w
+       |  WHERE f.label <> 0 AND floor((
+       |    $scoreLin) * 1000000.0)::BIGINT < 0),
+       |sdec AS (SELECT bat.doc_id,
+       |  CASE WHEN exk.ex_keeper IS NOT NULL THEN 'drop_exact'
+       |       WHEN nearh.near_keeper IS NOT NULL THEN 'drop_near'
+       |       WHEN qf.doc_id IS NOT NULL THEN 'drop_quality'
+       |       ELSE 'keep' END AS decision,
+       |  coalesce(exk.ex_keeper, nearh.near_keeper, bat.doc_id) AS keeper_id
+       |FROM bat
+       |LEFT JOIN exk ON exk.doc_id = bat.doc_id
+       |LEFT JOIN nearh ON nearh.doc_id = bat.doc_id
+       |LEFT JOIN qf ON qf.doc_id = bat.doc_id),
+       |kex2 AS (SELECT DISTINCT doc_id, s FROM
+       |  (SELECT doc_id, unnest(sh) AS s FROM sh)),
+       |hits AS (SELECT doc_id, count(*)::BIGINT AS n_hits
+       |  FROM kex2 JOIN bench USING (s) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN d.decision <> 'keep' THEN d.decision
+       |       WHEN coalesce(h.n_hits, 0) >= $DecontamHits THEN 'drop_contaminated'
+       |       WHEN NOT (${hexPrefixKeySql("md5(c.doc_id::VARCHAR)")} % 100 <
+       |         ${mixPctSqlOf("c.source")}) THEN 'drop_mix'
+       |       ELSE 'keep' END AS verdict,
+       |  d.keeper_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits
+       |FROM sdec d
+       |JOIN corp c ON c.doc_id = d.doc_id
+       |LEFT JOIN hits h ON h.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+    matNames.foldLeft(raw)((s, c) =>
+      s.replaceAll(s"(?m)^($c AS) \\(", "$1 MATERIALIZED ("))
+  }
+
   /** Shared verdict-derivation CTE chain ending in
     * `dec(doc_id, decision, keeper_id)` — the golden query selects it
     * directly; the cluster query runs connected components over its
@@ -5149,6 +5342,7 @@ object ExtQueries {
     "streaming_decision_golden" -> (streamingDecisionGolden(_, _)),
     "streaming_quality_golden" -> (streamingQualityGolden(_, _)),
     "streaming_quality_lm_golden" -> (streamingQualityLmGolden(_, _)),
+    "streaming_corpus_build_golden" -> (streamingCorpusBuildGolden(_, _)),
     "streaming_decision_cluster" -> (streamingDecisionCluster(_, _)),
     "dedup_retraction" -> (dedupRetraction(_, _)),
     "dedup_retraction_cluster" -> (dedupRetractionCluster(_, _)),
@@ -5230,6 +5424,7 @@ object ExtQueries {
     "streaming_decision_golden" -> streamingDecisionGoldenSql,
     "streaming_quality_golden" -> streamingQualityGoldenSql,
     "streaming_quality_lm_golden" -> streamingQualityLmGoldenSql,
+    "streaming_corpus_build_golden" -> streamingCorpusBuildGoldenSql,
     "streaming_decision_cluster" -> streamingDecisionClusterSql,
     "dedup_retraction" -> dedupRetractionSql,
     "dedup_retraction_cluster" -> dedupRetractionClusterSql,

@@ -102,4 +102,32 @@ class PipelineDecisionSpec extends AnyFlatSpec with Matchers with SparkFixture {
     out(3L) shouldBe ("drop_semantic", 2L)
     out(4L) shouldBe ("drop_semantic", 2L)
   }
+
+  behavior of "the streaming corpus build vs the batch classifier build"
+
+  it should "agree on every arrival-independent verdict; duplicate coverage matches per hash group" in {
+    // The streaming build's quality gate (5-feature, broadcast LM),
+    // decontamination and mixture verdicts are PURE per-doc functions
+    // shared with pipeline_corpus_build_clf — on every doc neither
+    // side claims as a duplicate, the two ledgers must agree exactly.
+    // The deliberate divergences are keeper ELECTION (arrival-order
+    // first-match vs global component minimum) and precedence (dedup
+    // before quality on the stream; quality gates first in batch) —
+    // so dup-class rows are compared as coverage, not row-equality.
+    val dir = "/root/testdata/sf0.001"
+    val stream = ExtQueries.streamingCorpusBuildGolden(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = ExtQueries.pipelineCorpusBuildClf(spark, dir)
+      .select("doc_id", "verdict")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    stream.keySet shouldBe batch.keySet
+    val dupClasses = Set("drop_exact", "drop_near", "drop_semantic")
+    val nonDup = stream.keySet.filter(id =>
+      !dupClasses(stream(id)) && !dupClasses(batch(id)))
+    nonDup.size should be > 50
+    // arrival-independent verdicts agree exactly
+    nonDup.foreach { id =>
+      withClue(s"doc $id: ") { stream(id) shouldBe batch(id) }
+    }
+  }
 }
