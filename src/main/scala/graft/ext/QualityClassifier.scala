@@ -103,17 +103,24 @@ object QualityClassifier {
     .select(col("__bid"), col("p.a").as("a"), col("p.b").as("b"))
 
   /** Train the bigram LM on `corpus` (the CLEAN reference text — junk
-    * being classified must not pollute the language model). Eager in
-    * the two scalars (one bounded 1-row collect); the count tables
-    * stay lazy frames the caller may cache. */
+    * being classified must not pollute the language model). EAGER: the
+    * count tables are materialized once (`localCheckpoint` —
+    * vocabulary-sized, MEMORY_AND_DISK) so a streaming deployment
+    * scoring every micro-batch against the model re-reads small
+    * materialized tables instead of re-running the corpus-sized
+    * training aggregation per trigger; the two scalars are one bounded
+    * 1-row collect. */
   def trainLm(corpus: DataFrame, idCol: String, textCol: String): LmModel = {
     val ctoks = corpus.select(col(idCol), TextOps.tokens(col(textCol)).as("__ctoks"))
     val trainBig = bigramPairs(ctoks, col(idCol), col("__ctoks"))
     val cb = trainBig.groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val cp = trainBig.groupBy("a").agg(count(lit(1)).as("cpn"))
+      .localCheckpoint(true)
     val unis = ctoks.select(explode(col("__ctoks")).as("t"))
     val u = unis.groupBy("t").agg(count(lit(1)).as("cu"))
       .withColumnRenamed("t", "b")
+      .localCheckpoint(true)
     val vRow = unis.agg(countDistinct(col("t")).as("vn"), count(lit(1)).as("nn")).head()
     LmModel(cb, cp, u, vRow.getAs[Long]("vn"), vRow.getAs[Long]("nn"))
   }
