@@ -81,7 +81,18 @@ object GraftMain {
     * ComponentStore), `maxFilesPerTrigger`. The runner lifecycle —
     * kill switch, supervision, backfill→stream flip, exit codes —
     * applies unchanged: a deployment runs the decision surface exactly
-    * like a CT or REST stream pod. */
+    * like a CT or REST stream pod.
+    *
+    * Quality tier (round 15): `qualityWeights` — comma list of
+    * `w:mid` pairs (the offline diagonal-LDA fit, 4 pairs for the
+    * local-feature tier or 5 with the LM surprise feature) — enables
+    * `drop_quality` verdicts; `qualityStopwords` — comma list (the x3
+    * language signal); `qualityLmCorpusPath` — parquet of CLEAN
+    * reference text (columns idColumn/textColumn) the bigram LM is
+    * trained on at startup, REQUIRED with 5 weights (the tables are
+    * materialized once and broadcast into every micro-batch plan) and
+    * rejected with 4 (a silent 4-feature fallback would score with
+    * weights fitted for a different feature space). */
   private final class DecisionGraph extends StreamGraphBuilder {
     private def req(spec: StreamSpec, k: String): String =
       spec.string(k).getOrElse(
@@ -111,9 +122,33 @@ object GraftMain {
           .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
         case None => Seq.empty
       }
-      graft.streaming.StreamingDecision.run(df,
-        spec.string("idColumn").getOrElse("doc_id"),
-        spec.string("textColumn").getOrElse("text"),
+      val idCol = spec.string("idColumn").getOrElse("doc_id")
+      val textCol = spec.string("textColumn").getOrElse("text")
+      // quality tier: offline-fitted literal weights, optional LM
+      val qFits = spec.string("qualityWeights").map(_.split(',').toSeq.map { p =>
+        p.split(':') match {
+          case Array(w, m) =>
+            graft.ext.QualityClassifier.FeatureFit(w.trim.toDouble, m.trim.toDouble)
+          case _ => throw new IllegalArgumentException(
+            s"qualityWeights entry '$p' is not 'w:mid'")
+        }
+      }).getOrElse(Nil)
+      val lmPath = spec.string("qualityLmCorpusPath")
+      val nLocal = graft.ext.QualityClassifier.LocalFeatureCols.size
+      val nFull = graft.ext.QualityClassifier.FeatureCols.size
+      if (qFits.nonEmpty && qFits.size != nLocal && qFits.size != nFull)
+        throw new IllegalArgumentException(
+          s"qualityWeights must carry $nLocal (local) or $nFull (with LM) pairs, got ${qFits.size}")
+      if (qFits.size == nFull && lmPath.isEmpty)
+        throw new IllegalArgumentException(
+          s"$nFull qualityWeights include the LM surprise feature — spec field 'qualityLmCorpusPath' is required")
+      if (qFits.nonEmpty && qFits.size == nLocal && lmPath.nonEmpty)
+        throw new IllegalArgumentException(
+          s"qualityLmCorpusPath given but qualityWeights carries only $nLocal pairs — " +
+            "the LM feature would be scored with weights fitted for a different feature space")
+      val qLm = lmPath.map(p => graft.ext.QualityClassifier.trainLm(
+        df.sparkSession.read.parquet(p), idCol, textCol))
+      graft.streaming.StreamingDecision.run(df, idCol, textCol,
         embCol, req(spec, "storePath"), cents,
         checkpointLocation = Some(req(spec, "checkpointPath")),
         minSigMatch = spec.long("minSigMatch").map(_.toInt).getOrElse(8),
@@ -122,7 +157,10 @@ object GraftMain {
         maxCell = spec.long("maxCell").map(_.toInt).getOrElse(64),
         nBuckets = spec.long("nBuckets").map(_.toInt).getOrElse(16),
         clusterPath = spec.string("clusterPath"),
-        trigger = Some(trigger))
+        trigger = Some(trigger),
+        qualityFits = qFits,
+        qualityStop = spec.stringList("qualityStopwords"),
+        qualityLm = qLm)
     }
   }
 

@@ -123,6 +123,61 @@ class GraftMainSpec extends AnyFlatSpec with Matchers with SparkFixture {
       .as[(Long, Long)].collect().toMap shouldBe Map(1L -> 1L, 3L -> 1L)
   }
 
+  it should "host the LM-quality-gated decision surface (round 15)" in {
+    import spark.implicits._
+    // LM trained on clean prose; a gibberish arrival's bigrams are all
+    // OOV (pu = 1/(nn+vn) = 1/50 → per-term surprise 5e8 → x5 = 5000)
+    // while in-corpus text stays low (pb ≈ 1 → x5 ≈ 11) — weights
+    // (0,0,0,0,-0.001) with mid5=50 make the x5 feature the whole
+    // verdict: clean keeps (score +0.039), gibberish drops (−4.95)
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val junk = "qzx wvu tsr qpo nml kji hgf edc ba9 87z " * 4
+    val lmDir = tempDir("graftmain-qlm-corpus")
+    Seq((100L, textA)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(lmDir)
+    val src = tempDir("graftmain-qlm-src")
+    Seq((1L, textA), (2L, junk)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val store = tempDir("graftmain-qlm-store")
+    val spec =
+      s"""{
+         |  "sourcePath": "$src",
+         |  "schemaDdl": "doc_id BIGINT, text STRING",
+         |  "storePath": "$store",
+         |  "checkpointPath": "${tempDir("graftmain-qlm-ckpt")}",
+         |  "qualityWeights": "0:0,0:0,0:0,0:0,-0.001:50",
+         |  "qualityStopwords": "the,a,of",
+         |  "qualityLmCorpusPath": "$lmDir",
+         |  "stopAfterBackfill": true
+         |}""".stripMargin
+    GraftMain.run(spark, env("dedup-decision", spec)) shouldBe ExitCodes.Success
+    val dec = graft.streaming.StreamingDecision.decisions(spark, store)
+      .select("doc_id", "decision")
+      .as[(Long, String)].collect().toMap
+    dec(1L) shouldBe "keep"
+    dec(2L) shouldBe "drop_quality"
+  }
+
+  it should "reject a 5-weight quality spec without an LM corpus" in {
+    val src = tempDir("graftmain-qbad-src")
+    import spark.implicits._
+    Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val reports = scala.collection.mutable.ArrayBuffer.empty[String]
+    val spec =
+      s"""{
+         |  "sourcePath": "$src",
+         |  "schemaDdl": "doc_id BIGINT, text STRING",
+         |  "storePath": "${tempDir("graftmain-qbad-store")}",
+         |  "checkpointPath": "${tempDir("graftmain-qbad-ckpt")}",
+         |  "qualityWeights": "0:0,0:0,0:0,0:0,-0.001:50",
+         |  "stopAfterBackfill": true
+         |}""".stripMargin
+    GraftMain.run(spark, env("dedup-decision", spec),
+      statusReporter = reports += _) shouldBe ExitCodes.Fatal
+    reports.mkString should include("qualityLmCorpusPath")
+  }
+
   it should "exit FATAL for an unknown stream kind" in {
     GraftMain.run(spark, env("mystery", "{}")) shouldBe ExitCodes.Fatal
   }
