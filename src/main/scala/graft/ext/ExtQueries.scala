@@ -258,6 +258,66 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // pipeline_decontaminate_attr: contamination ATTRIBUTION — for every
+  // flagged doc, WHICH benchmark item leaked into it (top benchmark doc
+  // by shared distinct-shingle count, ties to the smallest benchmark
+  // id) and how much. The audit primitive behind a removal decision:
+  // "doc X was dropped because it shares 17 shingles with benchmark
+  // item 4" is reviewable; a bare count is not. Plan shape: the same
+  // broadcast benchmark join as pipeline_decontaminate but keyed
+  // (doc, bench_doc); the per-pair aggregate is bounded by actual
+  // matches (benchmark-sized × hit docs, nowhere near corpus²), and
+  // the top-1 window partitions by doc — no skew (a doc's matched
+  // benchmark set is eval-suite-bounded).
+  // ------------------------------------------------------------------
+
+  def pipelineDecontaminateAttr(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val bench = Dedup.shingleRows(
+      d.filter(col("doc_id") < BenchmarkDocs), "doc_id", "text", ShingleN)
+      .select(col("doc_id").as("bench_doc"), col("s"))
+    val corpus = Dedup.shingleRows(
+      d.filter(col("doc_id") >= BenchmarkDocs), "doc_id", "text", ShingleN)
+    val pairs = corpus.join(broadcast(bench), "s")
+      .groupBy("doc_id", "bench_doc")
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+    // n_hits = DISTINCT matched shingles (pipeline_decontaminate's
+    // number, the one the build chain gates on) — a shingle shared
+    // with two benchmark items must not double-count
+    val hits = corpus.join(broadcast(bench.select("s").distinct()), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+      .filter(col("n_hits") >= DecontamHits)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n_shared").desc, col("bench_doc").asc)
+    pairs.join(hits, Seq("doc_id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("n_hits"),
+        col("bench_doc"), col("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  private val pipelineDecontaminateAttrSql =
+    s"""WITH $TokCte, $ShCte,
+       |bench AS (SELECT DISTINCT doc_id AS bench_doc, s FROM
+       |  (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id < $BenchmarkDocs) t),
+       |ex AS (SELECT DISTINCT doc_id, s FROM
+       |  (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= $BenchmarkDocs) t),
+       |pairs AS (SELECT ex.doc_id, bench.bench_doc, count(*)::BIGINT AS n_shared
+       |  FROM ex JOIN bench USING (s) GROUP BY ex.doc_id, bench.bench_doc),
+       |bs AS (SELECT DISTINCT s FROM bench),
+       |hits AS (SELECT doc_id, count(*)::BIGINT AS n_hits
+       |  FROM ex JOIN bs USING (s)
+       |  GROUP BY doc_id HAVING count(*) >= $DecontamHits),
+       |top AS (SELECT p.doc_id, h.n_hits, p.bench_doc, p.n_shared,
+       |    row_number() OVER (PARTITION BY p.doc_id
+       |      ORDER BY p.n_shared DESC, p.bench_doc ASC) AS rn
+       |  FROM pairs p JOIN hits h ON h.doc_id = p.doc_id)
+       |SELECT doc_id, n_hits, bench_doc, n_shared
+       |FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // pipeline_sample_mix: stratified mixture sampling — per-source
   // sampling rates (the data-mixture knob of a training pipeline),
   // implemented as HASH-based sampling (md5-prefix of the doc id mod
@@ -850,8 +910,10 @@ object ExtQueries {
 
   private val ManifestBucketW = 64
 
-  def pipelineManifest(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+  /** The per-source manifest over any (source, doc_id, n_chars, text)
+    * frame — pipeline_manifest's chain, shared with the snapshot diff. */
+  private def manifestOf(df: DataFrame): DataFrame =
+    df
       .select(col("source"), col("doc_id"), col("n_chars"),
         md5(col("text")).as("h"),
         expr(s"doc_id div $ManifestBucketW").as("b"))
@@ -873,7 +935,9 @@ object ExtQueries {
         md5(concat_ws("", expr(
           "transform(array_sort(collect_list(named_struct('i', b, 'h', bh))), x -> x.h)")))
           .as("content_version"))
-      .orderBy("source")
+
+  def pipelineManifest(spark: SparkSession, dir: String): DataFrame =
+    manifestOf(docs(spark, dir)).orderBy("source")
 
   private val pipelineManifestSql =
     s"""WITH h AS (SELECT source, doc_id, n_chars, md5(text) AS h,
@@ -889,6 +953,89 @@ object ExtQueries {
        |  min(bmin) AS min_doc, max(bmax) AS max_doc,
        |  md5(string_agg(bh, '' ORDER BY b)) AS content_version
        |FROM bh GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // pipeline_manifest_diff: WHAT CHANGED between two corpus snapshots —
+  // the incremental-build audit primitive. Both engines construct the
+  // same planted snapshot B from the corpus (even-indexed sources get
+  // edits: every 7th doc's text appended-to, every 11th removed, a new
+  // doc added per 13th; odd-indexed and unparseable sources untouched),
+  // build BOTH per-source manifests with the shared bucketed hash
+  // chain, and full-outer join them: per source, a status
+  // (added/removed/changed/unchanged via content_version) and the
+  // doc/char deltas. At 100 TB this never touches text twice — each
+  // snapshot's manifest is the already-linear manifest pass, and the
+  // diff joins two source-cardinality frames (KBs). A real deployment
+  // reads snapshot B's manifest from the prior build's output instead
+  // of re-deriving it.
+  // ------------------------------------------------------------------
+
+  def pipelineManifestDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("source", "doc_id", "n_chars", "text")
+    val evenSrc = expr("try_cast(substring(source, 4) as int) % 2 = 0")
+    val editHit = evenSrc && pmod(col("doc_id"), lit(7)) === 0
+    val b0 = d.filter(!(evenSrc && pmod(col("doc_id"), lit(11)) === 0))
+      .select(col("source"), col("doc_id"),
+        when(editHit, col("n_chars") + 7L).otherwise(col("n_chars")).as("n_chars"),
+        when(editHit, concat(col("text"), lit(" edited")))
+          .otherwise(col("text")).as("text"))
+    val bAdd = d.filter(evenSrc && pmod(col("doc_id"), lit(13)) === 0)
+      .select(col("source"), (col("doc_id") + 5000000L).as("doc_id"),
+        (col("n_chars") + 4L).as("n_chars"),
+        concat(col("text"), lit(" new")).as("text"))
+    val ma = manifestOf(d).select(col("source"),
+      col("n_docs").as("a_docs"), col("total_chars").as("a_chars"),
+      col("content_version").as("a_version"))
+    val mb = manifestOf(b0.unionAll(bAdd)).select(col("source"),
+      col("n_docs").as("b_docs"), col("total_chars").as("b_chars"),
+      col("content_version").as("b_version"))
+    ma.join(mb, Seq("source"), "full_outer")
+      .select(col("source"),
+        when(col("a_version").isNull, lit("added"))
+          .when(col("b_version").isNull, lit("removed"))
+          .when(col("a_version") =!= col("b_version"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        (coalesce(col("b_docs"), lit(0L)) - coalesce(col("a_docs"), lit(0L)))
+          .cast("long").as("d_docs"),
+        (coalesce(col("b_chars"), lit(0L)) - coalesce(col("a_chars"), lit(0L)))
+          .cast("long").as("d_chars"))
+      .orderBy("source")
+  }
+
+  private val pipelineManifestDiffSql = {
+    def manifestCtes(rel: String, p: String): String =
+      s"""${p}h AS (SELECT source, doc_id, n_chars, md5(text) AS h,
+         |    doc_id // $ManifestBucketW AS b
+         |  FROM $rel),
+         |${p}bh AS (SELECT source, b, count(*)::BIGINT AS bn,
+         |    sum(n_chars)::BIGINT AS bchars,
+         |    md5(string_agg(h, '' ORDER BY doc_id)) AS bh
+         |  FROM ${p}h GROUP BY source, b),
+         |${p}m AS (SELECT source, sum(bn)::BIGINT AS n_docs,
+         |  sum(bchars)::BIGINT AS total_chars,
+         |  md5(string_agg(bh, '' ORDER BY b)) AS content_version
+         |FROM ${p}bh GROUP BY source)""".stripMargin
+    val evenSrc = "TRY_CAST(substr(source, 4) AS INT) % 2 = 0"
+    s"""WITH bsnap AS (
+       |  SELECT source, doc_id,
+       |    CASE WHEN $evenSrc AND doc_id % 7 = 0 THEN n_chars + 7 ELSE n_chars END AS n_chars,
+       |    CASE WHEN $evenSrc AND doc_id % 7 = 0 THEN text || ' edited' ELSE text END AS text
+       |  FROM documents WHERE NOT ($evenSrc AND doc_id % 11 = 0)
+       |  UNION ALL
+       |  SELECT source, doc_id + 5000000, n_chars + 4, text || ' new'
+       |  FROM documents WHERE $evenSrc AND doc_id % 13 = 0),
+       |${manifestCtes("documents", "a")},
+       |${manifestCtes("bsnap", "b")}
+       |SELECT coalesce(a.source, b.source) AS source,
+       |  CASE WHEN a.content_version IS NULL THEN 'added'
+       |       WHEN b.content_version IS NULL THEN 'removed'
+       |       WHEN a.content_version <> b.content_version THEN 'changed'
+       |       ELSE 'unchanged' END AS status,
+       |  (coalesce(b.n_docs, 0) - coalesce(a.n_docs, 0))::BIGINT AS d_docs,
+       |  (coalesce(b.total_chars, 0) - coalesce(a.total_chars, 0))::BIGINT AS d_chars
+       |FROM am a FULL OUTER JOIN bm b ON b.source = a.source
+       |ORDER BY source""".stripMargin
+  }
 
   // ------------------------------------------------------------------
   // pipeline_shard_shuffle: reproducible corpus shuffle + sharding —
@@ -5317,6 +5464,8 @@ object ExtQueries {
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
     "pipeline_decontaminate" -> (pipelineDecontaminate(_, _)),
+    "pipeline_decontaminate_attr" -> (pipelineDecontaminateAttr(_, _)),
+    "pipeline_manifest_diff" -> (pipelineManifestDiff(_, _)),
     "pipeline_sample_mix" -> (pipelineSampleMix(_, _)),
     "text_keywords" -> (textKeywords(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
@@ -5399,6 +5548,8 @@ object ExtQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,
     "pipeline_decontaminate" -> pipelineDecontaminateSql,
+    "pipeline_decontaminate_attr" -> pipelineDecontaminateAttrSql,
+    "pipeline_manifest_diff" -> pipelineManifestDiffSql,
     "pipeline_sample_mix" -> pipelineSampleMixSql,
     "text_keywords" -> textKeywordsSql,
     "dedup_exact" -> dedupExactSql,

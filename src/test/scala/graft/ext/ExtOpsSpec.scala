@@ -752,4 +752,21 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
       graft.ext.SignatureStore.deleteStore(java.nio.file.Paths.get(ckptDir))
     }
   }
+
+  "pipeline_decontaminate_attr" should "flag exactly the decontaminate set with a consistent attribution" in {
+    val dir = "/root/testdata/sf0.001"
+    val base = ExtQueries.queries("pipeline_decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val attr = ExtQueries.queries("pipeline_decontaminate_attr")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // same flagged docs, same distinct-shingle n_hits
+    attr.map(a => a._1 -> a._2).toMap shouldBe base
+    // the attributed benchmark doc explains a positive, bounded share
+    attr.foreach { case (doc, nHits, benchDoc, nShared) =>
+      withClue(s"doc $doc -> bench $benchDoc: ") {
+        nShared should be > 0L
+        nShared should be <= nHits
+      }
+    }
+  }
 }
