@@ -103,24 +103,27 @@ object QualityClassifier {
     .select(col("__bid"), col("p.a").as("a"), col("p.b").as("b"))
 
   /** Train the bigram LM on `corpus` (the CLEAN reference text — junk
-    * being classified must not pollute the language model). EAGER: the
-    * count tables are materialized once (`localCheckpoint` —
-    * vocabulary-sized, MEMORY_AND_DISK) so a streaming deployment
-    * scoring every micro-batch against the model re-reads small
-    * materialized tables instead of re-running the corpus-sized
-    * training aggregation per trigger; the two scalars are one bounded
-    * 1-row collect. */
-  def trainLm(corpus: DataFrame, idCol: String, textCol: String): LmModel = {
+    * being classified must not pollute the language model). With
+    * `materialize` (the STREAMING posture, default) the count tables
+    * are checkpointed once (vocabulary-sized, MEMORY_AND_DISK) so a
+    * deployment scoring every micro-batch re-reads small materialized
+    * tables instead of re-running the corpus-sized training
+    * aggregation per trigger; a single-use batch scoring pass
+    * ([[features]]) passes `materialize = false` — there the eager
+    * pass is pure overhead and the lazy plans fold into the one
+    * scoring job. The two scalars are one bounded 1-row collect either
+    * way. */
+  def trainLm(corpus: DataFrame, idCol: String, textCol: String,
+      materialize: Boolean = true): LmModel = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(true) else df
     val ctoks = corpus.select(col(idCol), TextOps.tokens(col(textCol)).as("__ctoks"))
     val trainBig = bigramPairs(ctoks, col(idCol), col("__ctoks"))
-    val cb = trainBig.groupBy("a", "b").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
-    val cp = trainBig.groupBy("a").agg(count(lit(1)).as("cpn"))
-      .localCheckpoint(true)
+    val cb = mat(trainBig.groupBy("a", "b").agg(count(lit(1)).as("c")))
+    val cp = mat(trainBig.groupBy("a").agg(count(lit(1)).as("cpn")))
     val unis = ctoks.select(explode(col("__ctoks")).as("t"))
-    val u = unis.groupBy("t").agg(count(lit(1)).as("cu"))
-      .withColumnRenamed("t", "b")
-      .localCheckpoint(true)
+    val u = mat(unis.groupBy("t").agg(count(lit(1)).as("cu"))
+      .withColumnRenamed("t", "b"))
     val vRow = unis.agg(countDistinct(col("t")).as("vn"), count(lit(1)).as("nn")).head()
     LmModel(cb, cp, u, vRow.getAs[Long]("vn"), vRow.getAs[Long]("nn"))
   }
@@ -203,7 +206,8 @@ object QualityClassifier {
     // (nn + vn) scalar sum is exact long arithmetic either way, so the
     // literal form produces the bit-identical double the old
     // crossJoin(v) column form did)
-    val lm = withLmFeature(sf, idCol, "__toks", trainLm(corpus, idCol, textCol))
+    val lm = withLmFeature(sf, idCol, "__toks",
+      trainLm(corpus, idCol, textCol, materialize = false))
     f13.drop("__toks").join(sh, Seq(idCol)).join(lm, Seq(idCol))
   }
 
