@@ -351,18 +351,41 @@ object Bench {
     }
     val budget = 1850
     // sentinel rows never fold into "other": "other" sums into total
-    // comparisons and the sentinels' whole job is staying identifiable
+    // comparisons and the sentinels' whole job is staying identifiable.
+    // NEW rows (absent from the previous run's committed
+    // BENCH_LOCAL.json) never fold either — round-over-round
+    // adjudication needs a new operator's first figure visible in the
+    // driver record, not summed into "other" (VERDICT r15 #6:
+    // pipeline_manifest_diff's debut was invisible). Every row, full
+    // precision, is always in BENCH_LOCAL.json regardless.
+    val priorNames: Set[String] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_LOCAL.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        "\"([a-z0-9_]+)\":".r.findAllMatchIn(txt).map(_.group(1)).toSet
+      } catch { case _: Throwable => Set.empty }
     val byCost = withStreaming.sortBy(_._2)
+      .filter { case (k, _) => priorNames.isEmpty || priorNames(k) }
     var keep = displayRows.toSeq
     var folded = Seq.empty[(String, Double)]
     var line = render(stripped, minimal = true, keep, folded.size, folded.map(_._2).sum)
     var idx = 0
-    while (line.length > budget && idx < byCost.size) {
-      folded = folded :+ byCost(idx)
+    // if every prior-known row is folded and the line STILL overflows
+    // (a flood of new rows), fold new rows too — a folded debut beats
+    // a clipped, unparseable record
+    val byCostAll = withStreaming.sortBy(_._2)
+    var costQueue = byCost
+    while (line.length > budget && idx < costQueue.size) {
+      folded = folded :+ costQueue(idx)
       val drop = folded.map(_._1).toSet
       keep = displayRows.filterNot { case (k, _) => drop(k) }
       line = render(stripped, minimal = true, keep, folded.size, folded.map(_._2).sum)
       idx += 1
+      if (idx >= costQueue.size && line.length > budget && costQueue.size < byCostAll.size) {
+        costQueue = byCostAll.filterNot { case (k, _) => drop(k) }
+        idx = 0
+      }
     }
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),

@@ -911,8 +911,9 @@ object ExtQueries {
   private val ManifestBucketW = 64
 
   /** The per-source manifest over any (source, doc_id, n_chars, text)
-    * frame — pipeline_manifest's chain, shared with the snapshot diff. */
-  private def manifestOf(df: DataFrame): DataFrame =
+    * frame — pipeline_manifest's chain, shared with the snapshot diff
+    * and [[graft.runtime.CorpusBuildJob]]'s input-manifest artifact. */
+  private[graft] def manifestOf(df: DataFrame): DataFrame =
     df
       .select(col("source"), col("doc_id"), col("n_chars"),
         md5(col("text")).as("h"),
@@ -972,7 +973,13 @@ object ExtQueries {
 
   def pipelineManifestDiff(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir).select("source", "doc_id", "n_chars", "text")
-    val evenSrc = expr("try_cast(substring(source, 4) as int) % 2 = 0")
+    // coalesce(…, false): an UNPARSEABLE source name yields NULL from
+    // the try_cast, and NOT(NULL AND …) is NULL — which would silently
+    // EXCLUDE every 11th doc of that source from snapshot B and report
+    // it "changed", contradicting the stated "odd-indexed and
+    // unparseable sources untouched" (ADVICE r15). Pinned false, such
+    // sources are genuinely untouched; the oracle mirrors with IS TRUE.
+    val evenSrc = coalesce(expr("try_cast(substring(source, 4) as int) % 2 = 0"), lit(false))
     val editHit = evenSrc && pmod(col("doc_id"), lit(7)) === 0
     val b0 = d.filter(!(evenSrc && pmod(col("doc_id"), lit(11)) === 0))
       .select(col("source"), col("doc_id"),
@@ -983,13 +990,27 @@ object ExtQueries {
       .select(col("source"), (col("doc_id") + 5000000L).as("doc_id"),
         (col("n_chars") + 4L).as("n_chars"),
         concat(col("text"), lit(" new")).as("text"))
-    val ma = manifestOf(d).select(col("source"),
+    manifestDiffOf(manifestOf(d), manifestOf(b0.unionAll(bAdd)))
+      .orderBy("source")
+  }
+
+  /** Diff two per-source manifests — any frames carrying (source,
+    * n_docs, total_chars, content_version), i.e. [[manifestOf]]'s
+    * shape or a PERSISTED manifest read back from a prior build
+    * ([[graft.runtime.CorpusBuildJob.diffManifests]], VERDICT r15 #3):
+    * per source, a status (added / removed / changed / unchanged via
+    * content_version equality) and the doc/char deltas. The join is
+    * over two source-cardinality frames (KBs at any corpus scale) —
+    * the whole point of the manifest artifact is that the
+    * incremental-build audit never touches text twice. */
+  def manifestDiffOf(ma: DataFrame, mb: DataFrame): DataFrame = {
+    val a = ma.select(col("source"),
       col("n_docs").as("a_docs"), col("total_chars").as("a_chars"),
       col("content_version").as("a_version"))
-    val mb = manifestOf(b0.unionAll(bAdd)).select(col("source"),
+    val b = mb.select(col("source"),
       col("n_docs").as("b_docs"), col("total_chars").as("b_chars"),
       col("content_version").as("b_version"))
-    ma.join(mb, Seq("source"), "full_outer")
+    a.join(b, Seq("source"), "full_outer")
       .select(col("source"),
         when(col("a_version").isNull, lit("added"))
           .when(col("b_version").isNull, lit("removed"))
@@ -999,7 +1020,6 @@ object ExtQueries {
           .cast("long").as("d_docs"),
         (coalesce(col("b_chars"), lit(0L)) - coalesce(col("a_chars"), lit(0L)))
           .cast("long").as("d_chars"))
-      .orderBy("source")
   }
 
   private val pipelineManifestDiffSql = {
@@ -1015,7 +1035,10 @@ object ExtQueries {
          |  sum(bchars)::BIGINT AS total_chars,
          |  md5(string_agg(bh, '' ORDER BY b)) AS content_version
          |FROM ${p}bh GROUP BY source)""".stripMargin
-    val evenSrc = "TRY_CAST(substr(source, 4) AS INT) % 2 = 0"
+    // IS TRUE pins the NULL of an unparseable source name to false,
+    // matching the Spark side's coalesce(…, false) — see
+    // pipelineManifestDiff's note (ADVICE r15)
+    val evenSrc = "(TRY_CAST(substr(source, 4) AS INT) % 2 = 0) IS TRUE"
     s"""WITH bsnap AS (
        |  SELECT source, doc_id,
        |    CASE WHEN $evenSrc AND doc_id % 7 = 0 THEN n_chars + 7 ELSE n_chars END AS n_chars,
@@ -2933,12 +2956,28 @@ object ExtQueries {
         // is then scored with the fitted literal weights — the
         // classifier replaces the rule as the decision boundary.
         val srcQ = stats.filter(ruleCond)
+        // Planted junk ids must never collide with REAL corpus ids
+        // (ADVICE r15: a deployment whose doc_ids reach the old fixed
+        // +7e6/+8e6 offsets would merge two texts under one id in
+        // features()' groupBy and duplicate rows through the keepIds
+        // join). Derive the id space ABOVE the corpus: one bounded
+        // 1-row max() collect (parquet column stats make it a
+        // metadata-cheap scan), then 2·id+base / 2·id+base+1 keeps the
+        // two junk families disjoint from each other too (a doc_id
+        // divisible by both 9 and 10 plants in both). The junk ids are
+        // internal to the bootstrap — features aggregate per id and
+        // the fit per class, so the VALUES never reach the ledger and
+        // the DuckDB oracle's fixed-offset replay stays hash-identical.
+        val junkBase = {
+          val r = d0.agg(max(col("doc_id"))).head()
+          (if (r.isNullAt(0)) 0L else r.getLong(0)) + 1L
+        }
         val junkRep = srcQ.filter(pmod(col("doc_id"), lit(9)) === 0)
-          .select((col("doc_id") + 7000000L).as("doc_id"),
+          .select((col("doc_id") * 2L + junkBase).as("doc_id"),
             array_join(array_repeat(element_at(col("toks"), 1), 80), " ").as("text"),
             lit(0L).as("label"))
         val junkRev = srcQ.filter(pmod(col("doc_id"), lit(10)) === 0)
-          .select((col("doc_id") + 8000000L).as("doc_id"),
+          .select((col("doc_id") * 2L + junkBase + 1L).as("doc_id"),
             array_join(expr("transform(reverse(toks), t -> reverse(t))"), " ").as("text"),
             lit(0L).as("label"))
         val scored = stats.select(col("doc_id"), col("text"),
@@ -4858,12 +4897,19 @@ object ExtQueries {
   // benchmark set, mixture bucket), which commute with arrival time.
   // The oracle replays everything from the parquet corpus: extraction,
   // LM counts, fit arithmetic, hash/band ownership by arrival order,
-  // 5-feature scores, hits, mix — one hash over the full composition.
+  // cell assignment + capped admission + cosine scores (the semantic
+  // tier, VERDICT r15 #2 — arrivals carry their embedding and
+  // coarse-assign against the persisted VectorIndex quantizer, the
+  // same seeded training the IvfCtes block replays), 5-feature scores,
+  // hits, mix — one hash over the full composition.
   // DELIBERATE divergences from the batch build (not defects): verdict
   // precedence is dedup > quality (the stream's audit taxonomy; batch
   // gates quality first so keeper election runs among quality
-  // survivors), and near-dup keeper election is first-stored-match by
-  // arrival rather than global connected-component minimum.
+  // survivors); near/semantic keeper election is first-stored-match by
+  // arrival rather than global connected-component minimum; and the
+  // semantic quantizer is the PERSISTED full-corpus VectorIndex
+  // artifact (a deployment's precomputed index) where the batch build
+  // trains on its quality-gated survivor set.
   // ------------------------------------------------------------------
 
   private val corpusBuildStreamDirCache = scala.collection.mutable.Map.empty[String, String]
@@ -4909,11 +4955,20 @@ object ExtQueries {
     val fits = QualityClassifier.fit(feats, "label", 1L,
       QualityClassifier.FeatureCols)
 
-    // the stream: extracted corpus in 5 arrival-order micro-batches
+    // the stream: extracted corpus in 5 arrival-order micro-batches,
+    // each arrival carrying its embedding (left join: a doc without a
+    // vector skips the semantic tier, exactly the production shape)
     val streamDir = corpusBuildStreamDirCache.synchronized {
       corpusBuildStreamDirCache.getOrElseUpdate(dir,
-        writeGoldenStream(corp.select("doc_id", "text")))
+        writeGoldenStream(corp.select("doc_id", "text")
+          .join(emb(spark, dir).select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"), "left")))
     }
+    // the semantic tier's quantizer: the persisted VectorIndex coarse
+    // centroids (coarseK × dim doubles of metadata — the same seeded
+    // training the oracle's IvfCtes block replays)
+    val cents = VectorIndex.coarse(spark, vindexFor(spark, dir), "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
     val store = java.nio.file.Files.createTempDirectory("graft-cbuild-stream")
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "8")
@@ -4921,11 +4976,14 @@ object ExtQueries {
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
     val src = s2.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(streamDir)
     val q = graft.streaming.StreamingDecision.run(src, "doc_id", "text",
-      None, store.toString, Nil,
+      Some("embedding"), store.toString, cents, maxCell = SemStreamMaxCell,
       qualityFits = fits, qualityStop = StopWords, qualityLm = Some(lm))
     try { q.processAllAvailable() } finally q.stop()
     val dec = graft.streaming.StreamingDecision.decisions(s2, store.toString)
@@ -4962,7 +5020,7 @@ object ExtQueries {
         |      + (bf.x5::DOUBLE - w.m5) * w.w5""".stripMargin
       .replace("bf.", "f.") // qgfeats carries the scores — reuse its alias
     val matNames = Seq("nrm", "ext0", "corp", "stats", "tok", "sh", "bench",
-      "qgsrc", "qgall", "qgsff", "qgfeats", "qgw")
+      "qgsrc", "qgall", "qgsff", "qgfeats", "qgw", "jb", "adm")
     val raw = s"""WITH RECURSIVE
        |nrm AS (SELECT doc_id, source, ${normalizeSqlExpr("text")} AS text FROM documents),
        |${htmlCtesFrom("nrm")},
@@ -5002,18 +5060,33 @@ object ExtQueries {
        |  JOIN sig sb ON sb.doc_id = m.doc_id
        |  WHERE len(list_filter(generate_series(1, $MinhashK), i -> sa.sig[i] = sb.sig[i])) >= 8
        |  GROUP BY a.doc_id),
+       |$IvfCtes,
+       |jb AS (SELECT a.vec_id, a.embedding, a.nrm, a.cell,
+       |    ((a.vec_id % $GoldenBatches) + $GoldenBatches) % $GoldenBatches AS b
+       |  FROM asg a JOIN corp c2 ON c2.doc_id = a.vec_id),
+       |adm AS (SELECT jb.*, row_number() OVER (PARTITION BY cell ORDER BY b, vec_id) AS rn
+       |  FROM jb),
+       |semh AS (SELECT v.vec_id AS doc_id, min(u.vec_id) AS sem_keeper
+       |  FROM jb v JOIN adm u ON u.cell = v.cell AND u.b < v.b AND u.rn <= $SemStreamMaxCell
+       |  WHERE cast(round($SemStreamDotSql / (v.nrm * u.nrm) * 10000) AS BIGINT) >= $SemScoreE4
+       |  GROUP BY v.vec_id),
        |qf AS (SELECT f.doc_id FROM qgfeats f CROSS JOIN qgw w
        |  WHERE f.label <> 0 AND floor((
-       |    $scoreLin) * 1000000.0)::BIGINT < 0),
+       |    $scoreLin) * 1000000.0)::BIGINT < 0
+       |  UNION
+       |  SELECT doc_id FROM stats WHERE n_tokens < $ShingleN),
        |sdec AS (SELECT bat.doc_id,
        |  CASE WHEN exk.ex_keeper IS NOT NULL THEN 'drop_exact'
        |       WHEN nearh.near_keeper IS NOT NULL THEN 'drop_near'
+       |       WHEN semh.sem_keeper IS NOT NULL THEN 'drop_semantic'
        |       WHEN qf.doc_id IS NOT NULL THEN 'drop_quality'
        |       ELSE 'keep' END AS decision,
-       |  coalesce(exk.ex_keeper, nearh.near_keeper, bat.doc_id) AS keeper_id
+       |  coalesce(exk.ex_keeper, nearh.near_keeper, semh.sem_keeper,
+       |    bat.doc_id) AS keeper_id
        |FROM bat
        |LEFT JOIN exk ON exk.doc_id = bat.doc_id
        |LEFT JOIN nearh ON nearh.doc_id = bat.doc_id
+       |LEFT JOIN semh ON semh.doc_id = bat.doc_id
        |LEFT JOIN qf ON qf.doc_id = bat.doc_id),
        |kex2 AS (SELECT DISTINCT doc_id, s FROM
        |  (SELECT doc_id, unnest(sh) AS s FROM sh)),

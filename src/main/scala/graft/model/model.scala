@@ -116,14 +116,20 @@ final class StreamSpec private (root: com.fasterxml.jackson.databind.JsonNode) {
   def secondsDuration(path: String): Option[java.time.Duration] =
     long(path).map(java.time.Duration.ofSeconds)
 
+  /** List-valued field: a JSON array of strings, or — because the spec
+    * docs describe fields like `qualityStopwords` as a "comma list" — a
+    * single textual node split on commas (trimmed, empties dropped). A
+    * textual `"the,a,of"` and an array `["the","a","of"]` are
+    * equivalent; any other node type is an absent list. */
   def stringList(path: String): Seq[String] = {
     val n = node(path)
-    if (!n.isArray) Nil
-    else {
+    if (n.isArray) {
       val b = Vector.newBuilder[String]
       n.forEach(e => b += e.asText())
       b.result()
-    }
+    } else if (n.isTextual) {
+      n.asText().split(',').iterator.map(_.trim).filter(_.nonEmpty).toVector
+    } else Nil
   }
 }
 

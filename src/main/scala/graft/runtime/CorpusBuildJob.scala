@@ -3,7 +3,7 @@ package graft.runtime
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{coalesce, col, length, lit}
 
 import graft.model.ExitCodes
 
@@ -30,7 +30,11 @@ import graft.model.ExitCodes
   *    `shard` and written in (shard, pos) order — the layout a
   *    training loader consumes directly;
   *  - `manifest/` one row per source: doc/char counts and the
-  *    order-insensitive `content_version` hash.
+  *    order-insensitive `content_version` hash;
+  *  - `input_manifest/` the same per-source manifest over the RAW
+  *    input corpus (n_chars = length(text)) — the change-detection
+  *    gate the NEXT build's incremental mode diffs against (one
+  *    map+bounded-agg pass over text the build already reads).
   *
   * The chain is [[graft.ext.ExtQueries.corpusBuildLedger]] — the
   * exact composition the `pipeline_corpus_build` /
@@ -94,6 +98,26 @@ import graft.model.ExitCodes
   *       (default stage — see above)
   *   CORPUS_BUILD_RESUME           optional  true | false (default
   *       false): with `stage`, reuse finished stage files
+  *   CORPUS_BUILD_INCREMENTAL      optional  true | false (default
+  *       false): INCREMENTAL REBUILD (VERDICT r15 #4) — diff this
+  *       run's input manifest against the PRIOR build's stored
+  *       `input_manifest/`; sources whose content_version is
+  *       unchanged reuse the prior build's `stages/normalize_extract`
+  *       rows (the regex-heavy linear phase — the dominant per-doc
+  *       cost) instead of recomputing extraction; changed/added
+  *       sources (and docs with a NULL source) recompute. Downstream
+  *       stages run over the composed frame unchanged, so the ledger
+  *       is IDENTICAL to a full rebuild's (extraction is a
+  *       deterministic per-row function; the reuse spec pins
+  *       hash-equality). Requires CORPUS_BUILD_MATERIALIZE=stage and
+  *       a prior build that ran in stage mode with the SAME extraction
+  *       configuration. The per-source reuse filter is an in-plan
+  *       literal list (pushes below the extraction projection to the
+  *       scan) — source cardinality is feed-count-bounded; a corpus
+  *       keyed by millions of "sources" should bucket them first.
+  *   CORPUS_BUILD_PRIOR_PATH       required with INCREMENTAL: the
+  *       prior build's output root (its `input_manifest/` and
+  *       `stages/normalize_extract/` are read)
   * }}}
   * Mixture policy note (ADVICE r14): the sampling stage keeps 100% of
   * even-indexed `src<N>` sources, 20% of odd-indexed ones, and 100%
@@ -118,6 +142,9 @@ object CorpusBuildJob {
     require(Set("stage", "local", "none")(materialize),
       s"CORPUS_BUILD_MATERIALIZE must be stage|local|none, got '$materialize'")
     val resume = env.getOrElse("CORPUS_BUILD_RESUME", "false").toBoolean
+    val incremental = env.getOrElse("CORPUS_BUILD_INCREMENTAL", "false").toBoolean
+    require(!incremental || materialize == "stage",
+      "CORPUS_BUILD_INCREMENTAL requires CORPUS_BUILD_MATERIALIZE=stage")
     val qualityMode = env.getOrElse("CORPUS_BUILD_QUALITY", "rule")
     val benchMaxId = env.getOrElse("CORPUS_BUILD_BENCHMARK_MAX_ID", "20").toLong
     val d0 = spark.read.parquet(req("CORPUS_BUILD_DOCS_PATH")).select(
@@ -129,6 +156,9 @@ object CorpusBuildJob {
       col(env.getOrElse("CORPUS_BUILD_EMBEDDING_COLUMN", "embedding")).as("embedding"))
 
     val phases = ArrayBuffer.empty[Phase]
+    // set inside the lease when INCREMENTAL resolved a reusable prior
+    // extraction stage: (prior stage path, unchanged source names)
+    var incrReuse: Option[(String, Seq[String])] = None
     def timed(name: String, df: DataFrame): DataFrame = {
       val t0 = System.nanoTime()
       def done(mat: DataFrame, n: Long, resumed: Boolean): DataFrame = {
@@ -148,13 +178,64 @@ object CorpusBuildJob {
           val fs = graft.ext.StoreMeta.fs(spark, p)
           val finished = resume && fs.exists(
             new org.apache.hadoop.fs.Path(s"$p/_SUCCESS"))
-          if (!finished) df.write.mode("overwrite").parquet(p)
+          // incremental extraction reuse: recompute only changed/added
+          // sources (the isin literal pushes below the extraction
+          // projection to the docs scan — .explain shows PushedFilters)
+          // and splice the prior build's rows for unchanged ones. NULL
+          // sources stay on the recompute side (coalesce), never
+          // silently reused.
+          val eff = incrReuse match {
+            case Some((priorStage, unchanged))
+                if name == "normalize_extract" && unchanged.nonEmpty =>
+              df.filter(coalesce(!col("source").isin(unchanged: _*), lit(true)))
+                .unionByName(spark.read.parquet(priorStage)
+                  .filter(col("source").isin(unchanged: _*)))
+            case _ => df
+          }
+          if (!finished) eff.write.mode("overwrite").parquet(p)
           val mat = spark.read.parquet(p)
           done(mat, mat.count(), resumed = finished)
       }
     }
 
     graft.ext.StoreMeta.withWriterLease(spark, out, "corpus-build") {
+      // input manifest FIRST: the change-detection artifact (one
+      // map+bounded-agg pass; source-cardinality rows) — this build's
+      // own gate when incremental, the next build's gate always
+      val tIm = System.nanoTime()
+      graft.ext.ExtQueries.manifestOf(
+          d0.withColumn("n_chars", length(col("text")).cast("long")))
+        .write.mode("overwrite").parquet(s"$out/input_manifest")
+      phases += Phase("input_manifest",
+        spark.read.parquet(s"$out/input_manifest").count(),
+        (System.nanoTime() - tIm) / 1000000L)
+      status(s"phase input_manifest: ${phases.last.rows} sources in ${phases.last.millis} ms")
+
+      if (incremental) {
+        val priorRoot = req("CORPUS_BUILD_PRIOR_PATH")
+        val fs = graft.ext.StoreMeta.fs(spark, priorRoot)
+        val priorMan = s"$priorRoot/input_manifest"
+        val priorStage = s"$priorRoot/stages/normalize_extract"
+        require(fs.exists(new org.apache.hadoop.fs.Path(priorMan)),
+          s"CORPUS_BUILD_INCREMENTAL: prior build at $priorRoot has no input_manifest/ " +
+            "(built before incremental support, or not a build root)")
+        require(fs.exists(new org.apache.hadoop.fs.Path(s"$priorStage/_SUCCESS")),
+          s"CORPUS_BUILD_INCREMENTAL: prior build has no finished $priorStage " +
+            "(prior run must use CORPUS_BUILD_MATERIALIZE=stage)")
+        val diff = graft.ext.ExtQueries.manifestDiffOf(
+          spark.read.parquet(priorMan),
+          spark.read.parquet(s"$out/input_manifest"))
+        // bounded collect: one row per source
+        val statuses = diff.select("source", "status").collect()
+          .map(r => r.getString(0) -> r.getString(1))
+        val unchanged = statuses.collect {
+          case (s, "unchanged") if s != null => s }.toSeq
+        val changed = statuses.count { case (_, st) => st != "unchanged" }
+        status(s"incremental: ${unchanged.size} unchanged sources reuse prior " +
+          s"extraction; $changed changed/added/removed recompute")
+        incrReuse = Some((priorStage, unchanged))
+      }
+
       val ledger = timed("ledger",
         graft.ext.ExtQueries.corpusBuildLedger(d0, e, timed,
           benchmarkMaxId = benchMaxId, qualityMode = qualityMode))
@@ -182,6 +263,33 @@ object CorpusBuildJob {
         s"(${report.verdicts.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", ")})")
       report
     }
+  }
+
+  /** WHAT CHANGED between two persisted builds (VERDICT r15 #3 — the
+    * production form of `pipeline_manifest_diff`, which plants its B
+    * snapshot in-query): reads the manifests two [[execute]] runs
+    * already wrote and diffs them with the shared
+    * [[graft.ext.ExtQueries.manifestDiffOf]] arithmetic. `which` picks
+    * the surface:
+    *  - `"manifest"` (default) — the BUILT corpus (what a training run
+    *    consumed): per source, added/removed/changed/unchanged by
+    *    content_version plus doc/char deltas;
+    *  - `"input_manifest"` — the RAW corpus (what the incremental
+    *    rebuild gates on).
+    * Reads two source-cardinality parquet files; never touches text. */
+  def diffManifests(spark: SparkSession, rootA: String, rootB: String,
+      which: String = "manifest"): DataFrame = {
+    require(Set("manifest", "input_manifest")(which),
+      s"which must be manifest|input_manifest, got '$which'")
+    def rd(root: String): DataFrame = {
+      val df = spark.read.parquet(s"$root/$which")
+      if (which == "manifest")
+        df.select(col("source"), col("m_docs").as("n_docs"),
+          col("m_chars").as("total_chars"), col("content_version"))
+      else
+        df.select("source", "n_docs", "total_chars", "content_version")
+    }
+    graft.ext.ExtQueries.manifestDiffOf(rd(rootA), rd(rootB)).orderBy("source")
   }
 
   /** Testable wrapper: exit code instead of an exception. */

@@ -92,7 +92,18 @@ object GraftMain {
     * trained on at startup, REQUIRED with 5 weights (the tables are
     * materialized once and broadcast into every micro-batch plan) and
     * rejected with 4 (a silent 4-feature fallback would score with
-    * weights fitted for a different feature space). */
+    * weights fitted for a different feature space);
+    * `qualityLmBroadcastMaxRows` — the BROADCAST GUARD (VERDICT r15
+    * #5): the LM count tables are vocabulary-sized (bigram/unigram
+    * TYPES), bounded by language on ordinary corpora but corpus-sized
+    * in the worst case — broadcasting an oversized table would OOM the
+    * driver rather than degrade. At startup the host counts the three
+    * materialized tables (one bounded job each); if the total exceeds
+    * this threshold (default 5,000,000 rows ≈ low hundreds of MB of
+    * strings+longs, inside Spark's broadcast comfort zone), every
+    * micro-batch scores x5 through per-batch SHUFFLE joins instead —
+    * slower per trigger, identical verdicts (the withLmFeature
+    * arithmetic is shared; only the join strategy changes). */
   private final class DecisionGraph extends StreamGraphBuilder {
     private def req(spec: StreamSpec, k: String): String =
       spec.string(k).getOrElse(
@@ -148,6 +159,12 @@ object GraftMain {
             "the LM feature would be scored with weights fitted for a different feature space")
       val qLm = lmPath.map(p => graft.ext.QualityClassifier.trainLm(
         df.sparkSession.read.parquet(p), idCol, textCol))
+      // broadcast guard: count the materialized vocabulary tables once
+      // at startup; over the threshold the per-batch plans fall back to
+      // shuffle joins (same arithmetic, no driver/broadcast OOM)
+      val lmMaxRows = spec.long("qualityLmBroadcastMaxRows").getOrElse(5000000L)
+      val lmBroadcast = qLm.forall(lm =>
+        lm.cb.count() + lm.cp.count() + lm.u.count() <= lmMaxRows)
       graft.streaming.StreamingDecision.run(df, idCol, textCol,
         embCol, req(spec, "storePath"), cents,
         checkpointLocation = Some(req(spec, "checkpointPath")),
@@ -160,7 +177,8 @@ object GraftMain {
         trigger = Some(trigger),
         qualityFits = qFits,
         qualityStop = spec.stringList("qualityStopwords"),
-        qualityLm = qLm)
+        qualityLm = qLm,
+        qualityLmBroadcast = lmBroadcast)
     }
   }
 

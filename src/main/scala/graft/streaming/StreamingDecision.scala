@@ -347,7 +347,8 @@ object StreamingDecision {
       shingleN: Int = 3,
       qualityFits: Seq[graft.ext.QualityClassifier.FeatureFit] = Nil,
       qualityStop: Seq[String] = Nil,
-      qualityLm: Option[graft.ext.QualityClassifier.LmModel] = None): DataFrame = {
+      qualityLm: Option[graft.ext.QualityClassifier.LmModel] = None,
+      qualityLmBroadcast: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val b = buckets(spark, path)
@@ -456,7 +457,7 @@ object StreamingDecision {
       // quality-gated deployment
       val qFailR: DataFrame =
         qualityFailSet(in.select("doc_id", "text"), qualityFits, qualityStop,
-          shingleN, qualityLm)
+          shingleN, qualityLm, qualityLmBroadcast)
       val dec = in.select("doc_id", "batch")
         .join(broadcast(ex), Seq("doc_id"), "left")
         .join(broadcast(nearK), Seq("doc_id"), "left")
@@ -544,12 +545,18 @@ object StreamingDecision {
     * ([[graft.ext.QualityClassifier.withLmFeature]]), so streaming
     * verdicts match the batch classifier bit for bit (VERDICT r14 #5 —
     * the stream/batch gate divergence closed instead of pinned). Docs
-    * without shingle support are never scored. Empty `qualityFits`
-    * disables the tier. */
+    * without shingle support (`size(tokens) < shingleN`) are never
+    * SCORED — they fail the tier outright, exactly the batch gate's
+    * exclusion rule (both corpusBuildLedger modes drop them): before
+    * this (ADVICE r15) the stream silently KEPT them, an undocumented
+    * stream/batch divergence that only looked closed because html
+    * extraction happens to guarantee ≥ 3 tokens on the fixtures.
+    * Empty `qualityFits` disables the tier. */
   private def qualityFailSet(in: DataFrame,
       qualityFits: Seq[graft.ext.QualityClassifier.FeatureFit],
       qualityStop: Seq[String], shingleN: Int,
-      qualityLm: Option[graft.ext.QualityClassifier.LmModel]): DataFrame = {
+      qualityLm: Option[graft.ext.QualityClassifier.LmModel],
+      qualityLmBroadcast: Boolean): DataFrame = {
     val spark = in.sparkSession
     if (qualityFits.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -565,12 +572,12 @@ object StreamingDecision {
             s"qualityLm requires ${QualityClassifier.FeatureCols.size} fitted features (x1..x5)")
           (base.join(
             QualityClassifier.withLmFeature(base.filter(col("__q_has")),
-              "doc_id", "__toks", lm, broadcastLm = true),
+              "doc_id", "__toks", lm, broadcastLm = qualityLmBroadcast),
             Seq("doc_id"), "left"), QualityClassifier.FeatureCols)
         case None => (base, QualityClassifier.LocalFeatureCols)
       }
       QualityClassifier.score(feats, qualityFits, cols)
-        .filter(col("__q_has") && col("score_e6") < 0L)
+        .filter(!col("__q_has") || col("score_e6") < 0L)
         .select(col("doc_id"), lit(1).as("q_fail"))
     }
   }
@@ -586,7 +593,8 @@ object StreamingDecision {
       enforceTombstones: Boolean = true,
       qualityFits: Seq[graft.ext.QualityClassifier.FeatureFit] = Nil,
       qualityStop: Seq[String] = Nil,
-      qualityLm: Option[graft.ext.QualityClassifier.LmModel] = None): DataFrame = {
+      qualityLm: Option[graft.ext.QualityClassifier.LmModel] = None,
+      qualityLmBroadcast: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     def phase[A](label: String)(f: => A): A =
       if (sys.props.contains("graft.timing") || sys.env.contains("GRAFT_TIMING")) {
@@ -637,11 +645,13 @@ object StreamingDecision {
       // tables in the per-batch plan). Ranked BELOW every duplicate
       // tier: a duplicate of a low-quality doc is still a duplicate,
       // and its keeper edge must reach the cluster state. Docs without
-      // shingle support are not scored (the batch gate's exclusion
-      // rule). Admission is UNAFFECTED — stores record what the stream
+      // shingle support are not scored — they drop (the batch gate's
+      // exclusion rule, ADVICE r15). Admission is UNAFFECTED — stores
+      // record what the stream
       // has seen; a quality-dropped doc is still a valid dedup member.
       val qFail: DataFrame =
-        qualityFailSet(in, qualityFits, qualityStop, shingleN, qualityLm)
+        qualityFailSet(in, qualityFits, qualityStop, shingleN, qualityLm,
+          qualityLmBroadcast)
 
       // ---- exact tier: stored owner, else smallest same-batch id ----
       val bh = in.select(col("doc_id"), Dedup.contentHash(col("text")).as("h"))
@@ -906,7 +916,8 @@ object StreamingDecision {
       trigger: Option[Trigger] = None,
       qualityFits: Seq[graft.ext.QualityClassifier.FeatureFit] = Nil,
       qualityStop: Seq[String] = Nil,
-      qualityLm: Option[graft.ext.QualityClassifier.LmModel] = None): StreamingQuery = {
+      qualityLm: Option[graft.ext.QualityClassifier.LmModel] = None,
+      qualityLmBroadcast: Boolean = true): StreamingQuery = {
     // Marker NAMESPACING (the VectorIndex.appendStream lesson, ADVICE
     // r10): epoch ids restart at 0 for a stream started without a
     // checkpoint and are shared by independent streams on one store
@@ -931,7 +942,7 @@ object StreamingDecision {
           maxCell = maxCell, nBuckets = nBuckets,
           clusterPath = clusterPath,
           qualityFits = qualityFits, qualityStop = qualityStop,
-          qualityLm = qualityLm): Unit
+          qualityLm = qualityLm, qualityLmBroadcast = qualityLmBroadcast): Unit
       }
     val w1 = trigger.fold(w0)(t => w0.trigger(t))
     checkpointLocation.fold(w1)(cp => w1.option("checkpointLocation", cp))

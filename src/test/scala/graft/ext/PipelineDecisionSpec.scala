@@ -106,14 +106,18 @@ class PipelineDecisionSpec extends AnyFlatSpec with Matchers with SparkFixture {
   behavior of "the streaming corpus build vs the batch classifier build"
 
   it should "agree on every arrival-independent verdict; duplicate coverage matches per hash group" in {
-    // The streaming build's quality gate (5-feature, broadcast LM),
-    // decontamination and mixture verdicts are PURE per-doc functions
-    // shared with pipeline_corpus_build_clf — on every doc neither
-    // side claims as a duplicate, the two ledgers must agree exactly.
-    // The deliberate divergences are keeper ELECTION (arrival-order
-    // first-match vs global component minimum) and precedence (dedup
-    // before quality on the stream; quality gates first in batch) —
-    // so dup-class rows are compared as coverage, not row-equality.
+    // The streaming build's quality gate (5-feature, broadcast LM;
+    // shingle-less docs drop on BOTH sides — the r15 divergence
+    // closed), decontamination and mixture verdicts are PURE per-doc
+    // functions shared with pipeline_corpus_build_clf — on every doc
+    // neither side claims as a duplicate, the two ledgers must agree
+    // exactly. The deliberate divergences are keeper ELECTION
+    // (arrival-order first-match vs global component minimum),
+    // precedence (dedup before quality on the stream; quality gates
+    // first in batch), and the semantic QUANTIZER (the stream
+    // coarse-assigns against the persisted full-corpus VectorIndex;
+    // batch trains on its gated survivor set) — so dup-class rows are
+    // compared as coverage, not row-equality.
     val dir = "/root/testdata/sf0.001"
     val stream = ExtQueries.streamingCorpusBuildGolden(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -158,6 +158,78 @@ class GraftMainSpec extends AnyFlatSpec with Matchers with SparkFixture {
     dec(2L) shouldBe "drop_quality"
   }
 
+  it should "fall back to shuffle joins when the LM tables exceed the broadcast guard (VERDICT r15 #5)" in {
+    import spark.implicits._
+    // same fixture as the LM test, with qualityLmBroadcastMaxRows: 1 —
+    // the counted vocabulary tables exceed it, so every micro-batch
+    // scores x5 through shuffle joins. The degradation contract:
+    // identical verdicts, only the join strategy changes.
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val junk = "qzx wvu tsr qpo nml kji hgf edc ba9 87z " * 4
+    val lmDir = tempDir("graftmain-qguard-corpus")
+    Seq((100L, textA)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(lmDir)
+    val src = tempDir("graftmain-qguard-src")
+    Seq((1L, textA), (2L, junk)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val store = tempDir("graftmain-qguard-store")
+    val spec =
+      s"""{
+         |  "sourcePath": "$src",
+         |  "schemaDdl": "doc_id BIGINT, text STRING",
+         |  "storePath": "$store",
+         |  "checkpointPath": "${tempDir("graftmain-qguard-ckpt")}",
+         |  "qualityWeights": "0:0,0:0,0:0,0:0,-0.001:50",
+         |  "qualityStopwords": "the,a,of",
+         |  "qualityLmCorpusPath": "$lmDir",
+         |  "qualityLmBroadcastMaxRows": 1,
+         |  "stopAfterBackfill": true
+         |}""".stripMargin
+    GraftMain.run(spark, env("dedup-decision", spec)) shouldBe ExitCodes.Success
+    val dec = graft.streaming.StreamingDecision.decisions(spark, store)
+      .select("doc_id", "decision")
+      .as[(Long, String)].collect().toMap
+    dec(1L) shouldBe "keep"
+    dec(2L) shouldBe "drop_quality"
+  }
+
+  it should "parse comma-list qualityStopwords into a live x3 feature (ADVICE r15)" in {
+    import spark.implicits._
+    // x3 (stopword-hit ratio e4) is the ONLY nonzero weight, so the
+    // verdict hinges on the stopword list actually parsing from the
+    // documented textual comma form: "the a of cat" → hits 3/4 →
+    // x3 = 7500 → score 0.001·(7500−5000) = +2.5 keep; stopword-free
+    // text → x3 = 0 → score −5 drop. Before the comma-split fix,
+    // stringList returned Nil for a textual node and BOTH docs scored
+    // x3 = 0 → both would drop.
+    val withStops = "the a of cat " * 5
+    val noStops = "cat dog bird fish " * 5
+    // doc 3 has no shingle support (< 3 tokens): with a quality tier
+    // configured it must DROP, the batch gate's exclusion rule
+    // (ADVICE r15 — previously it silently kept)
+    val src = tempDir("graftmain-x3-src")
+    Seq((1L, withStops), (2L, noStops), (3L, "tiny doc")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val store = tempDir("graftmain-x3-store")
+    val spec =
+      s"""{
+         |  "sourcePath": "$src",
+         |  "schemaDdl": "doc_id BIGINT, text STRING",
+         |  "storePath": "$store",
+         |  "checkpointPath": "${tempDir("graftmain-x3-ckpt")}",
+         |  "qualityWeights": "0:0,0:0,0.001:5000,0:0",
+         |  "qualityStopwords": "the,a,of",
+         |  "stopAfterBackfill": true
+         |}""".stripMargin
+    GraftMain.run(spark, env("dedup-decision", spec)) shouldBe ExitCodes.Success
+    val dec = graft.streaming.StreamingDecision.decisions(spark, store)
+      .select("doc_id", "decision")
+      .as[(Long, String)].collect().toMap
+    dec(1L) shouldBe "keep"
+    dec(2L) shouldBe "drop_quality"
+    dec(3L) shouldBe "drop_quality"
+  }
+
   it should "reject a 5-weight quality spec without an LM corpus" in {
     val src = tempDir("graftmain-qbad-src")
     import spark.implicits._
