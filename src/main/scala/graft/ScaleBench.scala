@@ -107,7 +107,10 @@ object ScaleBench {
     "multimodal_decode_mp4", "streaming_quality_golden",
     "streaming_quality_lm_golden", "pipeline_corpus_build",
     "pipeline_corpus_build_clf", "streaming_corpus_build_golden",
-    "pipeline_decontaminate_attr", "pipeline_manifest_diff")
+    "pipeline_decontaminate_attr", "pipeline_manifest_diff",
+    // round 16
+    "pipeline_sample_temperature", "pipeline_quality_buckets",
+    "pipeline_token_budget")
 
   /** Queries whose first call per corpus dir pays a one-time persisted
     * store/index build (cached thereafter) — warmed before measuring. */

@@ -373,6 +373,197 @@ object ExtQueries {
   }
 
   // ------------------------------------------------------------------
+  // pipeline_sample_temperature: TEMPERATURE-BASED source mixing — the
+  // standard multilingual/multi-source sampling rule (sample source s
+  // with probability ∝ (n_s/N)^α, α < 1 upweighting small sources so
+  // big crawls don't drown niche corpora; α is pinned at 1/2 because
+  // q^0.5 = sqrt(q) is an IEEE CORRECTLY-ROUNDED primitive both
+  // engines evaluate bit-identically, where a general pow() routes
+  // through exp/ln and hash-diverges across libm builds — a deployment
+  // wanting other α values uses rational-exponent chains of sqrt).
+  // Shapes: one source-keyed count aggregate (source-cardinality
+  // result), the normalizer Σ√n_s summed as a STRICT LEFT FOLD over
+  // the source-sorted array (collect_list is bounded by source count;
+  // an unordered double sum would be partition-order-dependent and
+  // break the oracle hash), per-source keep rate broadcast back, then
+  // a narrow per-row hash filter — the pipeline_sample_mix
+  // reproducibility discipline at e6 resolution. Target volume is
+  // T = N div 2 docs (exact integer half). rate_e6 for source s =
+  // min(1, T·√n_s/Σ√n_t/n_s) in e6 fixed point; a doc keeps iff its
+  // 28-bit id-hash bucket mod 1e6 falls below the rate.
+  // ------------------------------------------------------------------
+
+  def pipelineSampleTemperature(spark: SparkSession, dir: String): DataFrame =
+    sampleTemperatureOf(docs(spark, dir).select("doc_id", "source"))
+
+  /** The temperature rule on an explicit (doc_id, source) frame —
+    * spec-testable on planted skewed corpora. */
+  private[graft] def sampleTemperatureOf(d: DataFrame): DataFrame = {
+    val srcStats = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+    // bounded: one struct per source; the sort pins the fold order
+    val norm = srcStats.agg(
+      expr("aggregate(array_sort(collect_list(struct(source, sqrt(cast(n_s as double)) AS sq))), " +
+        "cast(0.0 as double), (acc, x) -> acc + x.sq)").as("S"),
+      sum(col("n_s")).as("N"))
+    val rates = srcStats.crossJoin(broadcast(norm))
+      .withColumn("rate_e6", least(lit(1000000L),
+        floor((expr("cast(N div 2 as double)") * sqrt(col("n_s").cast("double"))
+          / col("S") / col("n_s").cast("double")) * lit(1000000.0)).cast("long")))
+      .select("source", "n_s", "rate_e6")
+    val bucket = Dedup.shingleKey(col("doc_id").cast("string")) % 1000000L
+    d.join(broadcast(rates), Seq("source"))
+      .filter(bucket < col("rate_e6"))
+      .select("doc_id", "source", "n_s", "rate_e6")
+      .orderBy("doc_id")
+  }
+
+  private val pipelineSampleTemperatureSql = {
+    val key = hexPrefixKeySql("md5(doc_id::VARCHAR)")
+    s"""WITH ss AS (SELECT source, count(*)::BIGINT AS n_s
+       |  FROM documents GROUP BY source),
+       |nrm2 AS (SELECT
+       |    list_aggregate(list_transform(
+       |      list_sort(list(struct_pack(s := source, q := sqrt(n_s::DOUBLE)))),
+       |      x -> x.q), 'sum') AS S,
+       |    sum(n_s)::BIGINT AS n FROM ss),
+       |rt AS (SELECT source, n_s,
+       |    least(1000000, floor(((n // 2)::DOUBLE * sqrt(n_s::DOUBLE) / S / n_s::DOUBLE)
+       |      * 1000000.0)::BIGINT) AS rate_e6
+       |  FROM ss CROSS JOIN nrm2)
+       |SELECT d.doc_id, d.source, rt.n_s, rt.rate_e6
+       |FROM documents d JOIN rt ON rt.source = d.source
+       |WHERE ($key % 1000000) < rt.rate_e6
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // pipeline_token_budget: PER-SOURCE TOKEN-BUDGET selection — the
+  // "give me B tokens from each source" cut a training-mix spec is
+  // usually written in (token budgets, not doc counts or rates). Docs
+  // are ordered within their source by the reproducible id-hash (so
+  // the cut is an unbiased shuffle-order prefix, not a doc_id-order
+  // prefix biased toward old documents) with a doc_id tiebreak, and a
+  // doc keeps iff its INCLUSIVE running token sum fits the budget.
+  // Shapes: token counts are the engine's linear tokenize pass; the
+  // running sum is one window partitioned BY SOURCE — the same
+  // per-source sequential scan pipeline_pack_sequences already runs
+  // (budgeted selection is inherently a prefix scan; a source too big
+  // for one partition's scan splits its budget across id-hash
+  // sub-buckets first — the documented scale-out, not needed at
+  // fixture scale).
+  // ------------------------------------------------------------------
+
+  private val TokenBudgetPerSource = 600L
+
+  def pipelineTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("hk").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("hk", md5(col("doc_id").cast("string")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= TokenBudgetPerSource)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  private lazy val pipelineTokenBudgetSql =
+    s"""WITH $TokCte,
+       |nt AS (SELECT d.doc_id, d.source, len(t.toks)::BIGINT AS n_tokens,
+       |    md5(d.doc_id::VARCHAR) AS hk
+       |  FROM documents d JOIN tok t ON t.doc_id = d.doc_id),
+       |cs AS (SELECT doc_id, source, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+       |  FROM nt)
+       |SELECT doc_id, source, n_tokens, cum_tokens FROM cs
+       |WHERE cum_tokens <= $TokenBudgetPerSource
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // pipeline_quality_buckets: LM-SURPRISE QUARTILE BUCKETING — the
+  // perplexity-bucketed sampling gate (keep/downweight by corpus-
+  // relative quality band, the curriculum/filter knob after
+  // text_lm_score). Per doc, the CAPPED mean-bigram-surprise feature
+  // x5 (QualityClassifier's arithmetic — the cap bounds the value
+  // DOMAIN to [0, 1e5], which is what makes exact quantiles scale);
+  // quartile boundaries come from the x5 VALUE HISTOGRAM: groupBy x5
+  // (≤ 100,001 rows at ANY corpus size — bounded by domain, not data),
+  // cumulative counts over the value order, boundary b_q = min x5 with
+  // cum ≥ ⌈qN⌉ (pure integer: 4·cum ≥ N etc.), bucket = 1 + Σ[x5 >
+  // b_q]. No corpus-sized sort, no percentile buffer, no approx
+  // sketch: exact quantiles from one bounded histogram — both engines
+  // replay the identical integer logic. Docs without bigram support
+  // (< 2 tokens) are excluded, as in every LM-feature pass.
+  // ------------------------------------------------------------------
+
+  def pipelineQualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "text")
+    val lm = QualityClassifier.trainLm(d, "doc_id", "text", materialize = false)
+    val x5 = QualityClassifier.withLmFeature(
+      d.withColumn("__toks", TextOps.tokens(col("text"))),
+      "doc_id", "__toks", lm)
+      .select(col("doc_id"), col("x5"))
+    val hist = x5.groupBy("x5").agg(count(lit(1)).as("c"))
+    // single-partition window over ≤ 100,001 rows — domain-bounded
+    val wc = Window.orderBy("x5")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wc))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+    val bounds = cum.agg(
+      min(when(col("cum") * 4 >= col("n"), col("x5"))).as("b25"),
+      min(when(col("cum") * 2 >= col("n"), col("x5"))).as("b50"),
+      min(when(col("cum") * 4 >= col("n") * 3, col("x5"))).as("b75"))
+    x5.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("x5"),
+        (lit(1L) + (col("x5") > col("b25")).cast("long")
+          + (col("x5") > col("b50")).cast("long")
+          + (col("x5") > col("b75")).cast("long")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val pipelineQualityBucketsSql =
+    s"""WITH $TokCte,
+       |big AS (SELECT doc_id, toks[j] AS a, toks[j + 1] AS b
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS j
+       |    FROM tok WHERE len(toks) >= 2)),
+       |cb AS (SELECT a, b, count(*)::BIGINT AS c FROM big GROUP BY a, b),
+       |cp AS (SELECT a, count(*)::BIGINT AS cpn FROM big GROUP BY a),
+       |u AS (SELECT x AS t, count(*)::BIGINT AS cu
+       |  FROM (SELECT unnest(toks) AS x FROM tok) GROUP BY x),
+       |v AS (SELECT count(DISTINCT x)::BIGINT AS vn, count(*)::BIGINT AS nn
+       |  FROM (SELECT unnest(toks) AS x FROM tok)),
+       |lt AS (SELECT s.doc_id,
+       |    cast(least(round(1000000.0 / (0.9 *
+       |      (CASE WHEN cb.c IS NOT NULL
+       |            THEN cb.c::DOUBLE / cp.cpn::DOUBLE ELSE 0.0 END)
+       |      + 0.1 * ((coalesce(u.cu, 0) + 1)::DOUBLE / (v.nn + v.vn)::DOUBLE))),
+       |      ${QualityClassifier.LmSurpriseCap}.0)
+       |      AS BIGINT) AS term
+       |  FROM big s
+       |  LEFT JOIN cb ON cb.a = s.a AND cb.b = s.b
+       |  LEFT JOIN cp ON cp.a = s.a
+       |  LEFT JOIN u ON u.t = s.b
+       |  CROSS JOIN v),
+       |f5 AS (SELECT doc_id,
+       |    (least(sum(term)::BIGINT // count(*), ${QualityClassifier.LmSurpriseCap}) // 100000)::BIGINT AS x5
+       |  FROM lt GROUP BY doc_id),
+       |h AS (SELECT x5, count(*)::BIGINT AS c FROM f5 GROUP BY x5),
+       |cq AS (SELECT x5, sum(c) OVER (ORDER BY x5 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+       |  FROM h),
+       |hn AS (SELECT sum(c)::BIGINT AS n FROM h),
+       |bd AS (SELECT
+       |    min(CASE WHEN cum * 4 >= n THEN x5 END) AS b25,
+       |    min(CASE WHEN cum * 2 >= n THEN x5 END) AS b50,
+       |    min(CASE WHEN cum * 4 >= n * 3 THEN x5 END) AS b75
+       |  FROM cq CROSS JOIN hn)
+       |SELECT f5.doc_id, f5.x5,
+       |  (1 + (f5.x5 > bd.b25)::BIGINT + (f5.x5 > bd.b50)::BIGINT
+       |     + (f5.x5 > bd.b75)::BIGINT)::BIGINT AS bucket
+       |FROM f5 CROSS JOIN bd ORDER BY f5.doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // text_keywords: tf-idf-style distinctive terms per document — the
   // keyword-extraction stage of a corpus index. Scores are the
   // INTEGER rational tf·10⁶ div df (dividing by document frequency is
@@ -5540,6 +5731,9 @@ object ExtQueries {
     "pipeline_decontaminate_attr" -> (pipelineDecontaminateAttr(_, _)),
     "pipeline_manifest_diff" -> (pipelineManifestDiff(_, _)),
     "pipeline_sample_mix" -> (pipelineSampleMix(_, _)),
+    "pipeline_sample_temperature" -> (pipelineSampleTemperature(_, _)),
+    "pipeline_quality_buckets" -> (pipelineQualityBuckets(_, _)),
+    "pipeline_token_budget" -> (pipelineTokenBudget(_, _)),
     "text_keywords" -> (textKeywords(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
@@ -5624,6 +5818,9 @@ object ExtQueries {
     "pipeline_decontaminate_attr" -> pipelineDecontaminateAttrSql,
     "pipeline_manifest_diff" -> pipelineManifestDiffSql,
     "pipeline_sample_mix" -> pipelineSampleMixSql,
+    "pipeline_sample_temperature" -> pipelineSampleTemperatureSql,
+    "pipeline_quality_buckets" -> pipelineQualityBucketsSql,
+    "pipeline_token_budget" -> pipelineTokenBudgetSql,
     "text_keywords" -> textKeywordsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_minhash" -> dedupMinhashSql,

@@ -103,8 +103,9 @@ import graft.model.ExitCodes
   *       run's input manifest against the PRIOR build's stored
   *       `input_manifest/`; sources whose content_version is
   *       unchanged reuse the prior build's `stages/normalize_extract`
-  *       rows (the regex-heavy linear phase — the dominant per-doc
-  *       cost) instead of recomputing extraction; changed/added
+  *       and `stages/token_stats` rows (the regex-heavy linear phases
+  *       — the dominant per-doc cost) instead of recomputing them;
+  *       changed/added
   *       sources (and docs with a NULL source) recompute. Downstream
   *       stages run over the composed frame unchanged, so the ledger
   *       is IDENTICAL to a full rebuild's (extraction is a
@@ -156,8 +157,8 @@ object CorpusBuildJob {
       col(env.getOrElse("CORPUS_BUILD_EMBEDDING_COLUMN", "embedding")).as("embedding"))
 
     val phases = ArrayBuffer.empty[Phase]
-    // set inside the lease when INCREMENTAL resolved a reusable prior
-    // extraction stage: (prior stage path, unchanged source names)
+    // set inside the lease when INCREMENTAL resolved reusable prior
+    // per-doc stages: (prior build root, unchanged source names)
     var incrReuse: Option[(String, Seq[String])] = None
     def timed(name: String, df: DataFrame): DataFrame = {
       val t0 = System.nanoTime()
@@ -178,17 +179,21 @@ object CorpusBuildJob {
           val fs = graft.ext.StoreMeta.fs(spark, p)
           val finished = resume && fs.exists(
             new org.apache.hadoop.fs.Path(s"$p/_SUCCESS"))
-          // incremental extraction reuse: recompute only changed/added
-          // sources (the isin literal pushes below the extraction
-          // projection to the docs scan — .explain shows PushedFilters)
-          // and splice the prior build's rows for unchanged ones. NULL
-          // sources stay on the recompute side (coalesce), never
-          // silently reused.
+          // incremental reuse of the PER-DOC stages (normalize_extract,
+          // token_stats — both deterministic per-row functions of
+          // unchanged input): recompute only changed/added sources (the
+          // isin literal pushes below the stage projection to the docs
+          // scan — .explain shows PushedFilters) and splice the prior
+          // build's rows for unchanged ones. Downstream stages are
+          // corpus-global (dedup keeper election, decontamination,
+          // packing windows) and always recompute. NULL sources stay on
+          // the recompute side (coalesce), never silently reused.
+          val spliceable = Set("normalize_extract", "token_stats")
           val eff = incrReuse match {
-            case Some((priorStage, unchanged))
-                if name == "normalize_extract" && unchanged.nonEmpty =>
+            case Some((priorRoot, unchanged))
+                if spliceable(name) && unchanged.nonEmpty =>
               df.filter(coalesce(!col("source").isin(unchanged: _*), lit(true)))
-                .unionByName(spark.read.parquet(priorStage)
+                .unionByName(spark.read.parquet(s"$priorRoot/stages/$name")
                   .filter(col("source").isin(unchanged: _*)))
             case _ => df
           }
@@ -215,13 +220,14 @@ object CorpusBuildJob {
         val priorRoot = req("CORPUS_BUILD_PRIOR_PATH")
         val fs = graft.ext.StoreMeta.fs(spark, priorRoot)
         val priorMan = s"$priorRoot/input_manifest"
-        val priorStage = s"$priorRoot/stages/normalize_extract"
         require(fs.exists(new org.apache.hadoop.fs.Path(priorMan)),
           s"CORPUS_BUILD_INCREMENTAL: prior build at $priorRoot has no input_manifest/ " +
             "(built before incremental support, or not a build root)")
-        require(fs.exists(new org.apache.hadoop.fs.Path(s"$priorStage/_SUCCESS")),
-          s"CORPUS_BUILD_INCREMENTAL: prior build has no finished $priorStage " +
-            "(prior run must use CORPUS_BUILD_MATERIALIZE=stage)")
+        Seq("normalize_extract", "token_stats").foreach { st =>
+          require(fs.exists(new org.apache.hadoop.fs.Path(s"$priorRoot/stages/$st/_SUCCESS")),
+            s"CORPUS_BUILD_INCREMENTAL: prior build has no finished stages/$st " +
+              "(prior run must use CORPUS_BUILD_MATERIALIZE=stage)")
+        }
         val diff = graft.ext.ExtQueries.manifestDiffOf(
           spark.read.parquet(priorMan),
           spark.read.parquet(s"$out/input_manifest"))
@@ -233,7 +239,7 @@ object CorpusBuildJob {
         val changed = statuses.count { case (_, st) => st != "unchanged" }
         status(s"incremental: ${unchanged.size} unchanged sources reuse prior " +
           s"extraction; $changed changed/added/removed recompute")
-        incrReuse = Some((priorStage, unchanged))
+        incrReuse = Some((priorRoot, unchanged))
       }
 
       val ledger = timed("ledger",

@@ -753,6 +753,67 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     }
   }
 
+  "pipeline_sample_temperature" should "upweight small sources relative to big ones (alpha = 1/2)" in {
+    import spark.implicits._
+    // planted skew: 20-doc niche source vs 2000-doc crawl. With
+    // T = 1010 and p ∝ √n, the small source's per-doc rate saturates
+    // at 1.0 (every doc kept) while the crawl keeps well under half —
+    // the whole point of temperature sampling.
+    val d = ((0L until 20L).map(i => (i, "small")) ++
+      (1000L until 3000L).map(i => (i, "big"))).toDF("doc_id", "source")
+    val out = ExtQueries.sampleTemperatureOf(d)
+      .select("doc_id", "source", "rate_e6")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = out.groupBy(_._2)
+    bySrc("small").map(_._3).toSet shouldBe Set(1000000L) // capped at 1
+    bySrc("small").size shouldBe 20 // rate 1.0 → every doc kept
+    val bigRate = bySrc("big").map(_._3).toSet
+    bigRate.size shouldBe 1
+    bigRate.head should be < 500000L
+    // relative keep fraction: small strictly above big
+    (bySrc("small").size.toDouble / 20) should be >
+      (bySrc("big").size.toDouble / 2000)
+  }
+
+  "pipeline_quality_buckets" should "partition docs into ordered, value-separated quartiles" in {
+    val dir = "/root/testdata/sf0.001"
+    val out = ExtQueries.queries("pipeline_quality_buckets")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = out.length
+    n should be > 100
+    val byBucket = out.groupBy(_._3)
+    byBucket.keySet.subsetOf(Set(1L, 2L, 3L, 4L)) shouldBe true
+    // buckets are value-separated: max x5 of bucket k < min x5 of k+1
+    val present = byBucket.keys.toSeq.sorted
+    present.zip(present.tail).foreach { case (a, b) =>
+      byBucket(a).map(_._2).max should be < byBucket(b).map(_._2).min
+    }
+    // the quantile contract: at least ⌈N/4⌉ docs at or below b25
+    // (bucket 1) and at least ⌈N/2⌉ at or below b50 (buckets 1–2)
+    byBucket.getOrElse(1L, Array.empty[(Long, Long, Long)]).length * 4 should be >= n
+    (byBucket.getOrElse(1L, Array.empty[(Long, Long, Long)]).length +
+      byBucket.getOrElse(2L, Array.empty[(Long, Long, Long)]).length) * 2 should be >= n
+  }
+
+  "pipeline_token_budget" should "respect the per-source token budget" in {
+    val dir = "/root/testdata/sf0.001"
+    val out = ExtQueries.queries("pipeline_token_budget")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out should not be empty
+    // the inclusive running sum never exceeds the budget, so neither
+    // does any source's kept-token total
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      withClue(s"source $src: ") {
+        rows.map(_._3).sum should be <= 600L
+        rows.map(_._4).max should be <= 600L
+      }
+    }
+    // the cut is a real selection, not everything or nothing
+    val all = spark.read.parquet(s"$dir/documents.parquet").count()
+    out.length.toLong should be < all
+    out.groupBy(_._2).values.map(_.length).max should be >= 2
+  }
+
   "pipeline_decontaminate_attr" should "flag exactly the decontaminate set with a consistent attribution" in {
     val dir = "/root/testdata/sf0.001"
     val base = ExtQueries.queries("pipeline_decontaminate")(spark, dir)

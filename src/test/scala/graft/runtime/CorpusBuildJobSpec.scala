@@ -225,9 +225,11 @@ class CorpusBuildJobSpec extends AnyFlatSpec with Matchers with SparkFixture {
       s.contains("17 unchanged sources")) shouldBe true
     // and the composed build is bit-identical to the full rebuild
     ledgerRows(s"$outIncr/ledger") shouldBe ledgerRows(s"$outFull/ledger")
-    // the spliced extraction stage equals the full build's
+    // the spliced per-doc stages equal the full build's
     ledgerRows(s"$outIncr/stages/normalize_extract") shouldBe
       ledgerRows(s"$outFull/stages/normalize_extract")
+    ledgerRows(s"$outIncr/stages/token_stats") shouldBe
+      ledgerRows(s"$outFull/stages/token_stats")
   }
 
   it should "fail fast when incremental preconditions are missing" in {
