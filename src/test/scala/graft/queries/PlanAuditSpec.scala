@@ -433,6 +433,33 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
     p should include regex "\\*\\(\\d+\\) Project .*graft_nfc"
   }
 
+  it should "broadcast the per-source rate table in temperature sampling (round 16)" in {
+    val p = plan("pipeline_sample_temperature")
+    // the rates side is source-cardinality metadata: the doc-side join
+    // must be a broadcast, never a corpus shuffle join
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+    // the one SortMergeJoin-shaped risk would be rates joined by
+    // shuffle — with both norm and rates broadcast there is none
+    p should not include "SortMergeJoin"
+  }
+
+  it should "bucket LM-surprise quartiles without a corpus-sized sort (round 16)" in {
+    val p = plan("pipeline_quality_buckets")
+    // the quantile machinery runs over the value HISTOGRAM: the only
+    // window in the plan sorts histogram rows (domain-bounded), and
+    // the boundary frame reaches each doc by broadcast
+    p should not include "CartesianProduct"
+    p should include("BroadcastNestedLoopJoin") // 1-row bounds frame × docs: planner's literal-free form
+  }
+
+  it should "select the token budget with one per-source window and no joins beyond the tokenize pass (round 16)" in {
+    val p = plan("pipeline_token_budget")
+    p should not include "CartesianProduct"
+    p should include("Window")
+    p should not include "SortMergeJoin"
+  }
+
   it should "keep the quality-classifier features cartesian-free with the LM corpus stats broadcast (round 13)" in {
     // the query's final frame is localCheckpoint-materialized (opaque
     // plan), so audit the feature-extraction plan the fit/score read
