@@ -396,18 +396,36 @@ object ExtQueries {
   def pipelineSampleTemperature(spark: SparkSession, dir: String): DataFrame =
     sampleTemperatureOf(docs(spark, dir).select("doc_id", "source"))
 
+  /** `n^α` for α = `alphaQuarters`/4 as a chain of IEEE
+    * correctly-rounded primitives (sqrt and one multiply) — every α a
+    * mixture spec realistically asks for (0.25 / 0.5 / 0.75 / 1.0)
+    * without ever touching libm pow/exp/ln, whose last-ulp behavior
+    * differs between engines. Since p_s = n_s^α / Σ n_t^α, the N^α
+    * factor of (n_s/N)^α cancels and the chain runs on raw counts. */
+  private def rootPow(x: Column, alphaQuarters: Int): Column = alphaQuarters match {
+    case 1 => sqrt(sqrt(x))
+    case 2 => sqrt(x)
+    case 3 => sqrt(x) * sqrt(sqrt(x))
+    case 4 => x
+    case q => throw new IllegalArgumentException(
+      s"alphaQuarters must be 1..4 (α = q/4), got $q")
+  }
+
   /** The temperature rule on an explicit (doc_id, source) frame —
-    * spec-testable on planted skewed corpora. */
-  private[graft] def sampleTemperatureOf(d: DataFrame): DataFrame = {
+    * spec-testable on planted skewed corpora; `alphaQuarters`/4 is the
+    * temperature exponent (the fixture oracle pins α = 1/2). */
+  private[graft] def sampleTemperatureOf(d: DataFrame,
+      alphaQuarters: Int = 2): DataFrame = {
     val srcStats = d.groupBy("source").agg(count(lit(1)).as("n_s"))
+      .withColumn("w", rootPow(col("n_s").cast("double"), alphaQuarters))
     // bounded: one struct per source; the sort pins the fold order
     val norm = srcStats.agg(
-      expr("aggregate(array_sort(collect_list(struct(source, sqrt(cast(n_s as double)) AS sq))), " +
-        "cast(0.0 as double), (acc, x) -> acc + x.sq)").as("S"),
+      expr("aggregate(array_sort(collect_list(struct(source, w))), " +
+        "cast(0.0 as double), (acc, x) -> acc + x.w)").as("S"),
       sum(col("n_s")).as("N"))
     val rates = srcStats.crossJoin(broadcast(norm))
       .withColumn("rate_e6", least(lit(1000000L),
-        floor((expr("cast(N div 2 as double)") * sqrt(col("n_s").cast("double"))
+        floor((expr("cast(N div 2 as double)") * col("w")
           / col("S") / col("n_s").cast("double")) * lit(1000000.0)).cast("long")))
       .select("source", "n_s", "rate_e6")
     val bucket = Dedup.shingleKey(col("doc_id").cast("string")) % 1000000L

@@ -795,6 +795,25 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
       byBucket.getOrElse(2L, Array.empty[(Long, Long, Long)]).length) * 2 should be >= n
   }
 
+  it should "upweight small sources monotonically as alpha falls (quarter-power chain)" in {
+    import spark.implicits._
+    // 800-doc niche vs 2000-doc crawl, sized so no rate caps at 1.0:
+    // α = 1 is proportional sampling (every source keeps T/N = 50%);
+    // lowering α shifts budget toward the small source and away from
+    // the big one, monotonically.
+    val d = ((0L until 800L).map(i => (i, "small")) ++
+      (10000L until 12000L).map(i => (i, "big"))).toDF("doc_id", "source")
+    def rates(q: Int): Map[String, Long] =
+      ExtQueries.sampleTemperatureOf(d, q).select("source", "rate_e6")
+        .distinct().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (r1, r2, r4) = (rates(1), rates(2), rates(4))
+    r4("small") shouldBe r4("big") // α = 1: proportional, equal rates
+    r1("small") should be > r2("small")
+    r2("small") should be > r4("small")
+    r1("big") should be < r2("big")
+    r2("big") should be < r4("big")
+  }
+
   "pipeline_token_budget" should "respect the per-source token budget" in {
     val dir = "/root/testdata/sf0.001"
     val out = ExtQueries.queries("pipeline_token_budget")(spark, dir)
