@@ -57,9 +57,13 @@ import graft.model.ExitCodes
   *    `CORPUS_BUILD_RESUME=true`, a re-run over the same root reuses
   *    every stage that finished (`_SUCCESS` present) and recomputes
   *    only what's missing — valid ONLY when the inputs and build
-  *    configuration are unchanged since the crashed run (stage files
-  *    carry no input fingerprint; changing inputs without clearing
-  *    `stages/` builds from stale frames).
+  *    configuration are unchanged since the crashed run, and the job
+  *    ENFORCES both (round 16): the crashed run's recorded input
+  *    manifest (per-source content_version) and `build_config.json`
+  *    (benchmark boundary, quality mode) are compared against this
+  *    run's before any stage is reused; a mismatch refuses with the
+  *    operator action instead of splicing stale frames into a fresh
+  *    build.
   *  - `local` — `localCheckpoint(true)`: fastest, but pins every
   *    stage (including full-text frames) in executor block storage,
   *    and a lost executor kills the job (lineage truncated,
@@ -204,17 +208,64 @@ object CorpusBuildJob {
     }
 
     graft.ext.StoreMeta.withWriterLease(spark, out, "corpus-build") {
+      // RESUME FINGERPRINT GUARD (closes the r15 caveat "stage files
+      // carry no input fingerprint"): a resume over CHANGED inputs or
+      // a CHANGED build configuration would silently splice stale
+      // stage frames into a fresh build. Before overwriting the root's
+      // artifacts, compare the crashed run's recorded input manifest
+      // (content_version per source) and build_config.json against
+      // this run's — any mismatch refuses with the operator action
+      // (clear stages/ or drop CORPUS_BUILD_RESUME) instead of
+      // building quietly wrong. Both comparisons are source-cardinality
+      // collects.
+      val fsOut = graft.ext.StoreMeta.fs(spark, out)
+      val configJson =
+        s"""{"benchmarkMaxId":$benchMaxId,"qualityMode":"$qualityMode"}"""
+      val cfgPath = new org.apache.hadoop.fs.Path(s"$out/build_config.json")
+      val oldManifest: Option[Set[(String, String)]] =
+        if (resume && fsOut.exists(new org.apache.hadoop.fs.Path(s"$out/input_manifest")))
+          Some(spark.read.parquet(s"$out/input_manifest")
+            .select("source", "content_version").collect()
+            .map(r => (r.getString(0), r.getString(1))).toSet)
+        else None
+      if (resume && fsOut.exists(cfgPath)) {
+        val in = fsOut.open(cfgPath)
+        val old = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        require(old == configJson,
+          s"CORPUS_BUILD_RESUME: build configuration changed since the crashed run " +
+            s"(recorded $old, now $configJson) — stage files were built under the old " +
+            "config; clear stages/ (or drop CORPUS_BUILD_RESUME) to rebuild")
+      }
+
       // input manifest FIRST: the change-detection artifact (one
       // map+bounded-agg pass; source-cardinality rows) — this build's
-      // own gate when incremental, the next build's gate always
+      // own gate when incremental, the next build's gate always. The
+      // resume guard compares BEFORE overwriting: a refused resume must
+      // leave the crashed run's recorded manifest intact (overwriting
+      // first would make the NEXT resume attempt compare against the
+      // wrong baseline and pass).
       val tIm = System.nanoTime()
-      graft.ext.ExtQueries.manifestOf(
-          d0.withColumn("n_chars", length(col("text")).cast("long")))
-        .write.mode("overwrite").parquet(s"$out/input_manifest")
+      val imDf = graft.ext.ExtQueries.manifestOf(
+        d0.withColumn("n_chars", length(col("text")).cast("long")))
+      oldManifest.foreach { old =>
+        val fresh = imDf.select("source", "content_version").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        require(fresh == old,
+          "CORPUS_BUILD_RESUME: the input corpus changed since the crashed run " +
+            s"(${((old diff fresh) ++ (fresh diff old)).map(_._1).size} source versions differ) — " +
+            "stage files hold frames of the OLD input; clear stages/ " +
+            "(or run incremental against a finished prior build)")
+      }
+      imDf.write.mode("overwrite").parquet(s"$out/input_manifest")
       phases += Phase("input_manifest",
         spark.read.parquet(s"$out/input_manifest").count(),
         (System.nanoTime() - tIm) / 1000000L)
       status(s"phase input_manifest: ${phases.last.rows} sources in ${phases.last.millis} ms")
+
+      // record this run's config for the next resume's guard
+      val cfgOut = fsOut.create(cfgPath, true)
+      try cfgOut.write(configJson.getBytes("UTF-8")) finally cfgOut.close()
 
       if (incremental) {
         val priorRoot = req("CORPUS_BUILD_PRIOR_PATH")

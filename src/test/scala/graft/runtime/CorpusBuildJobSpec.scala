@@ -232,6 +232,37 @@ class CorpusBuildJobSpec extends AnyFlatSpec with Matchers with SparkFixture {
       ledgerRows(s"$outFull/stages/token_stats")
   }
 
+  it should "refuse to resume over changed inputs or a changed build config (round 16)" in {
+    val out = tempDir("corpus-build-resume-guard")
+    CorpusBuildJob.run(spark, baseEnv(out), _ => ()) shouldBe ExitCodes.Success
+    // simulate the crash shape: late stages gone, early stage files kept
+    for (p <- Seq("ledger", "corpus", "manifest", "stages/ledger", "stages/shard"))
+      graft.ext.SignatureStore.deleteStore(java.nio.file.Paths.get(s"$out/$p"))
+
+    // changed build config: the recorded benchmark boundary differs
+    val reports = scala.collection.mutable.ArrayBuffer.empty[String]
+    CorpusBuildJob.run(spark,
+      baseEnv(out) ++ Map("CORPUS_BUILD_RESUME" -> "true",
+        "CORPUS_BUILD_BENCHMARK_MAX_ID" -> "40"),
+      reports += _) shouldBe ExitCodes.Fatal
+    reports.mkString should include("build configuration changed")
+
+    // changed input corpus: stage frames hold the OLD input
+    val docsB = tempDir("corpus-build-resume-guard-docs")
+    editedDocs(docsB)
+    val reports2 = scala.collection.mutable.ArrayBuffer.empty[String]
+    CorpusBuildJob.run(spark,
+      baseEnv(out) ++ Map("CORPUS_BUILD_RESUME" -> "true",
+        "CORPUS_BUILD_DOCS_PATH" -> docsB),
+      reports2 += _) shouldBe ExitCodes.Fatal
+    reports2.mkString should include("input corpus changed")
+
+    // unchanged inputs + config still resume fine
+    CorpusBuildJob.run(spark,
+      baseEnv(out) + ("CORPUS_BUILD_RESUME" -> "true"),
+      _ => ()) shouldBe ExitCodes.Success
+  }
+
   it should "fail fast when incremental preconditions are missing" in {
     val out = tempDir("corpus-build-incr-bad")
     // no prior path
