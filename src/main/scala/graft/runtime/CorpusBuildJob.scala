@@ -359,11 +359,37 @@ object CorpusBuildJob {
         ExitCodes.Fatal
     }
 
+  /** CLI: no args runs a build from the env contract; `diff <rootA>
+    * <rootB> [manifest|input_manifest]` prints the stored-manifest diff
+    * as one JSON line per source — the operator's audit call between
+    * two persisted builds. */
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-corpus-build",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).getOrCreate()
-    val code = run(spark, sys.env)
+    val code = args.toSeq match {
+      case Seq("diff", a, b) => diffCli(spark, a, b, "manifest")
+      case Seq("diff", a, b, which) => diffCli(spark, a, b, which)
+      case Seq() => run(spark, sys.env)
+      case other =>
+        System.err.println(s"usage: CorpusBuildJob [diff <rootA> <rootB> [manifest|input_manifest]] " +
+          s"(got: ${other.mkString(" ")})")
+        ExitCodes.Fatal
+    }
     spark.stop()
     sys.exit(code)
   }
+
+  private def diffCli(spark: SparkSession, a: String, b: String,
+      which: String): Int =
+    try {
+      diffManifests(spark, a, b, which).collect().foreach { r =>
+        println(s"""{"source":"${r.getString(0)}","status":"${r.getString(1)}",""" +
+          s""""d_docs":${r.getLong(2)},"d_chars":${r.getLong(3)}}""")
+      }
+      ExitCodes.Success
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[corpus-build] diff fatal: ${e.getMessage}")
+        ExitCodes.Fatal
+    }
 }
