@@ -1,0 +1,272 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PER-BUILD DEDUP STATE for the hosted corpus build (round 17,
+  * VERDICT r16 #1): the artifacts that turn the weekly rebuild's
+  * three-tier dedup from O(corpus) to O(changed).
+  *
+  * A full (stage-mode) [[graft.runtime.CorpusBuildJob]] build runs the
+  * SAME decision arithmetic as `ExtQueries.dedupDecision` — the
+  * `pipeline_corpus_build` oracle's chain — but materializes its
+  * reusable intermediates under `<output>/dedup_state/`:
+  *
+  *  - `sig/`        per gated doc: (doc_id, source, h — the
+  *                  [[Dedup.contentHash]], sig — the k-min minhash
+  *                  signature, bands, n_sh) — everything candidate
+  *                  enumeration and verify-side counts need, ~200 B/doc,
+  *                  never text;
+  *  - `near_pairs/` every VERIFIED LSH candidate pair with its jaccard
+  *                  verdict (doc_a, doc_b, is_dup) — verdicts are pure
+  *                  functions of the two docs' shingle sets, so an
+  *                  unchanged pair's verdict is reusable forever;
+  *  - `centroids/`  the semantic tier's trained coarse quantizer;
+  *  - `sem_asg/`    per embedded gated doc: (vec_id, cell, nrm) under
+  *                  that quantizer;
+  *  - `sem_pairs/`  the within-cell cosine dup pairs, keyed by cell.
+  *
+  * The INCREMENTAL build ([[incremental]]) then recomputes only what
+  * the manifest diff says changed:
+  *
+  *  - exact tier: content hashes of unchanged-source docs come from
+  *    `sig/`; keeper = min-id per hash over the union — one hash-row
+  *    shuffle, text never re-read. Bit-identical to a full rebuild.
+  *  - near tier: signatures/bands of unchanged docs come from `sig/`;
+  *    candidate enumeration runs over the UNION band rows (8-byte
+  *    keys + signatures — the metadata join, not the text scan), so
+  *    the candidate set INCLUDING the [[Dedup]] bucket-cap semantics
+  *    is exactly the full rebuild's; pairs already verified by the
+  *    prior build reuse their stored verdict, only pairs touching
+  *    changed docs (or newly enumerable under shifted caps) are
+  *    verified against text — and that text is read candidate-
+  *    restricted. Connected components + keeper election then run
+  *    GLOBALLY over the (metadata-sized) union edge set — which is
+  *    why keeper election agrees with a full rebuild exactly: we
+  *    splice EDGES, never per-doc verdicts. Bit-identical.
+  *  - semantic tier: the PRIOR build's quantizer is reused encode-only
+  *    (the [[VectorIndex]] train-once discipline; fresh embedded docs
+  *    pay one broadcast assignment pass). Cells whose membership is
+  *    unchanged carry their prior pair enumeration verbatim; touched
+  *    cells (any member added or departed) re-pair fully under the
+  *    union cell sizes — so against a full recompute UNDER THE SAME
+  *    QUANTIZER the tier is bit-identical (the subcell-cap arithmetic
+  *    is per cell, and an untouched cell's size is unchanged).
+  *
+  * '''The one deliberate divergence from a from-scratch rebuild''' —
+  * documented like the streaming build's arrival-order divergences: a
+  * full rebuild RETRAINS the quantizer on the new gated embedding set,
+  * while the incremental build keeps the prior geometry (train-once,
+  * encode-only — the same choice `streaming_corpus_build_golden`
+  * documents for the arrival-time surface). When the embedded gated
+  * set did not change, the two coincide (same seeded training, same
+  * inputs) and the incremental ledger is bit-identical to the full
+  * job's; when it did, the incremental ledger is bit-identical to
+  * `corpusBuildLedger(…, semCents = prior centroids)` — both pinned by
+  * CorpusBuildJobSpec. A geometry refresh is a full rebuild (the
+  * drift-rebuild cadence [[VectorIndex.needsRebuild]] models).
+  *
+  * All writes are idempotent overwrites under the build root's
+  * single-writer lease; with `reuseExisting` (crash resume) a table
+  * whose `_SUCCESS` marker survives is read back instead of recomputed
+  * — the same rule as the job's stage files. */
+object DedupState {
+
+  /** Write-once-or-reuse materialization: the state-table sibling of
+    * the job's stage materializer. */
+  private def writeOnce(spark: SparkSession, df: => DataFrame, path: String,
+      reuseExisting: Boolean): DataFrame = {
+    val fs = StoreMeta.fs(spark, path)
+    val done = reuseExisting &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))
+    if (!done) df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** The decision assembly shared by both modes — identical to
+    * `ExtQueries.dedupDecision`'s final select (precedence
+    * exact > near > semantic, keeper from the deciding tier). */
+  private def assemble(ex: DataFrame, comps: DataFrame,
+      scomp: DataFrame): DataFrame =
+    ex.select("doc_id", "ex_keeper")
+      .join(comps, Seq("doc_id"), "left")
+      .join(scomp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex_keeper") =!= col("doc_id"), lit("drop_exact"))
+          .when(col("comp").isNotNull && col("comp") =!= col("doc_id"), lit("drop_near"))
+          .when(col("scomp").isNotNull && col("scomp") =!= col("doc_id"), lit("drop_semantic"))
+          .otherwise(lit("keep")).as("decision"),
+        when(col("ex_keeper") =!= col("doc_id"), col("ex_keeper"))
+          .when(col("comp").isNotNull && col("comp") =!= col("doc_id"), col("comp"))
+          .when(col("scomp").isNotNull && col("scomp") =!= col("doc_id"), col("scomp"))
+          .otherwise(col("doc_id")).as("keeper_id"))
+      .orderBy("doc_id")
+
+  /** FULL build: `ExtQueries.dedupDecision`'s arithmetic with the
+    * reusable intermediates persisted under `stateRoot` (and read back
+    * — lineage truncation, like the job's stage files). `gated` must
+    * carry (doc_id, source, text); `e` is (vec_id, embedding) keyed to
+    * doc_id. Decisions are bit-identical to the in-plan composition:
+    * every persisted column is a deterministic function that round-
+    * trips parquet exactly (longs, md5/sha hex strings, doubles). */
+  def full(spark: SparkSession, gated: DataFrame, e: DataFrame,
+      stateRoot: String, semCents: Option[DataFrame] = None,
+      reuseExisting: Boolean = false): DataFrame = {
+    val d = gated.select("doc_id", "source", "text")
+    val hashes = d.select(col("doc_id"), col("source"),
+      Dedup.contentHash(col("text")).as("h"))
+    val exd = Dedup.shingleRows(d, "doc_id", "text", ExtQueries.ShingleN)
+    val proj = Dedup.minhashFromShingles(exd, "doc_id",
+      ExtQueries.MinhashK, ExtQueries.LshBands, ExtQueries.LshRows)
+    // sig table: signatures ∪ hashes. A gated doc with < ShingleN
+    // tokens has no signature row — hash columns still ride (left join)
+    val sigM = writeOnce(spark,
+      hashes.join(proj, Seq("doc_id"), "left"),
+      s"$stateRoot/sig", reuseExisting)
+
+    val candidates = Dedup.minhashCandidates(
+      sigM.filter(col("sig").isNotNull)
+        .select(col("doc_id"), col("sig"), col("bands"), col("n_sh")),
+      "doc_id", ExtQueries.MinhashK).drop("n_sig_match")
+    val verified = writeOnce(spark,
+      Dedup.jaccardVerifyExploded(candidates, exd, threshold = 0.8)
+        .select("doc_a", "doc_b", "is_dup"),
+      s"$stateRoot/near_pairs", reuseExisting)
+    val comps = Dedup.connectedComponents(
+      verified.filter(col("is_dup") === 1L).select("doc_a", "doc_b"),
+      "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp"))
+
+    val cents = writeOnce(spark,
+      semCents.getOrElse(
+        Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1)),
+      s"$stateRoot/centroids", reuseExisting)
+    val asgM = writeOnce(spark,
+      Similarity.assignCells(e, cents, "vec_id", "embedding")
+        .select("vec_id", "cell", "nrm"),
+      s"$stateRoot/sem_asg", reuseExisting)
+    val semPairs = writeOnce(spark,
+      Similarity.pairsWithinCellsKeyed(
+        asgM.join(e, Seq("vec_id")), "vec_id",
+        ExtQueries.SemScoreE4, maxCellSize = ExtQueries.SemStoreCellCap),
+      s"$stateRoot/sem_pairs", reuseExisting)
+    val scomp = Dedup.connectedComponents(semPairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("comp").as("scomp"))
+
+    val ex = sigM.select(col("doc_id"), col("h"))
+      .withColumn("ex_keeper", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+    assemble(ex, comps, scomp)
+  }
+
+  /** INCREMENTAL build: decisions over the current gated corpus with
+    * unchanged-source docs' per-doc dedup inputs (hashes, signatures,
+    * cell assignments) and already-verified pair verdicts spliced from
+    * `priorRoot/dedup_state/` — see the object scaladoc for the
+    * equality contract and the one documented divergence. Writes the
+    * same state layout under `stateRoot` for the next build. */
+  def incremental(spark: SparkSession, gated: DataFrame, e: DataFrame,
+      priorState: String, unchangedSources: Seq[String],
+      stateRoot: String, reuseExisting: Boolean = false): DataFrame = {
+    val fs = StoreMeta.fs(spark, priorState)
+    Seq("sig", "near_pairs", "centroids", "sem_asg", "sem_pairs").foreach { t =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$priorState/$t/_SUCCESS")),
+        s"incremental dedup: prior build has no dedup_state/$t " +
+          "(built before round 17, or not a stage-mode build root) — run a full build first")
+    }
+    val d = gated.select("doc_id", "source", "text")
+    val priorSig = spark.read.parquet(s"$priorState/sig")
+    // reuse = currently-gated docs of unchanged sources that the prior
+    // build also gated (gate flips — possible under the classifier
+    // gate's corpus-global fit — land on the recompute side)
+    val unchanged = if (unchangedSources.isEmpty) {
+      // no source survived the diff unchanged: everything recomputes
+      priorSig.limit(0)
+    } else priorSig.filter(col("source").isin(unchangedSources: _*))
+    val reuseSig = d.select("doc_id", "source")
+      .join(unchanged, Seq("doc_id", "source"))
+    val reuseIds = reuseSig.select("doc_id")
+    val freshD = d.join(reuseIds, Seq("doc_id"), "left_anti")
+
+    val freshHashes = freshD.select(col("doc_id"), col("source"),
+      Dedup.contentHash(col("text")).as("h"))
+    val freshExd = Dedup.shingleRows(freshD, "doc_id", "text", ExtQueries.ShingleN)
+    val freshProj = Dedup.minhashFromShingles(freshExd, "doc_id",
+      ExtQueries.MinhashK, ExtQueries.LshBands, ExtQueries.LshRows)
+    val sigM = writeOnce(spark,
+      reuseSig.unionByName(
+        freshHashes.join(freshProj, Seq("doc_id"), "left")),
+      s"$stateRoot/sig", reuseExisting)
+
+    // candidate enumeration over the UNION signatures — the full
+    // rebuild's exact candidate set (incl. bucket-cap semantics), at
+    // signature cost, never text cost
+    val candidates = Dedup.minhashCandidates(
+      sigM.filter(col("sig").isNotNull)
+        .select(col("doc_id"), col("sig"), col("bands"), col("n_sh")),
+      "doc_id", ExtQueries.MinhashK).drop("n_sig_match")
+    // verdict reuse: a prior-verified pair between two REUSED docs is a
+    // pure function of unchanged shingle sets — splice its verdict
+    val priorPairs = spark.read.parquet(s"$priorState/near_pairs")
+      .join(reuseIds.select(col("doc_id").as("doc_a")), Seq("doc_a"))
+      .join(reuseIds.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+      .select("doc_a", "doc_b", "is_dup")
+    val known = candidates.select("doc_a", "doc_b")
+      .join(priorPairs, Seq("doc_a", "doc_b"))
+    val unknown = candidates
+      .join(priorPairs.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti")
+    // verify only the unknown pairs: their docs' shingles are read
+    // candidate-restricted from the current corpus text
+    val needIds = unknown.select(col("doc_a").as("doc_id"))
+      .unionAll(unknown.select(col("doc_b").as("doc_id"))).distinct()
+    val needExd = Dedup.shingleRows(
+      d.join(needIds, Seq("doc_id")), "doc_id", "text", ExtQueries.ShingleN)
+    val verifiedNew = Dedup.jaccardVerifyExploded(unknown, needExd, threshold = 0.8)
+      .select("doc_a", "doc_b", "is_dup")
+    val verified = writeOnce(spark,
+      known.unionByName(verifiedNew),
+      s"$stateRoot/near_pairs", reuseExisting)
+    val comps = Dedup.connectedComponents(
+      verified.filter(col("is_dup") === 1L).select("doc_a", "doc_b"),
+      "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp"))
+
+    // semantic: prior quantizer, encode-only (the documented
+    // divergence); untouched cells carry their prior pairs verbatim
+    val cents = writeOnce(spark,
+      spark.read.parquet(s"$priorState/centroids"),
+      s"$stateRoot/centroids", reuseExisting)
+    val priorAsg = spark.read.parquet(s"$priorState/sem_asg")
+    val curVecIds = e.select(col("vec_id"))
+      .join(d.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+    val reuseAsg = priorAsg
+      .join(reuseIds.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+      .join(curVecIds, Seq("vec_id")) // embedded then AND embedded now
+    val freshEmb = e.join(curVecIds, Seq("vec_id"))
+      .join(reuseAsg.select("vec_id"), Seq("vec_id"), "left_anti")
+    val freshAsg = Similarity.assignCells(freshEmb, cents, "vec_id", "embedding")
+      .select("vec_id", "cell", "nrm")
+    val asgM = writeOnce(spark,
+      reuseAsg.select("vec_id", "cell", "nrm").unionByName(freshAsg),
+      s"$stateRoot/sem_asg", reuseExisting)
+    // touched cell = gained a member (fresh) or lost one (prior member
+    // no longer in the current embedded gated set)
+    val gainedCells = freshAsg.select("cell").distinct()
+    val departed = priorAsg.join(asgM.select("vec_id"), Seq("vec_id"), "left_anti")
+    val touched = gainedCells.unionAll(departed.select("cell")).distinct()
+    val priorSemPairs = spark.read.parquet(s"$priorState/sem_pairs")
+    val carried = priorSemPairs.join(touched, Seq("cell"), "left_anti")
+    val repaired = Similarity.pairsWithinCellsKeyed(
+      asgM.join(touched, Seq("cell")).join(e, Seq("vec_id")),
+      "vec_id", ExtQueries.SemScoreE4, maxCellSize = ExtQueries.SemStoreCellCap)
+    val semPairs = writeOnce(spark,
+      carried.unionByName(repaired),
+      s"$stateRoot/sem_pairs", reuseExisting)
+    val scomp = Dedup.connectedComponents(semPairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("comp").as("scomp"))
+
+    val ex = sigM.select(col("doc_id"), col("h"))
+      .withColumn("ex_keeper", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+    assemble(ex, comps, scomp)
+  }
+}

@@ -726,6 +726,15 @@ object Similarity {
     * Cell sizes are a k-row aggregate attached by broadcast — no extra
     * corpus shuffle. */
   private def pairsWithinCells(asg: DataFrame, idCol: String,
+      minScoreE4: Long, maxCellSize: Int = 0): DataFrame =
+    pairsWithinCellsKeyed(asg, idCol, minScoreE4, maxCellSize)
+      .select(col("id_a"), col("id_b"))
+
+  /** [[pairsWithinCells]] retaining the cell key on each pair row —
+    * the incremental corpus rebuild stores pairs per cell so untouched
+    * cells carry their prior enumeration verbatim (round 17,
+    * [[DedupState]]). */
+  private[ext] def pairsWithinCellsKeyed(asg: DataFrame, idCol: String,
       minScoreE4: Long, maxCellSize: Int = 0): DataFrame = {
     val keyed =
       if (maxCellSize <= 0) asg.withColumn("sub", lit(0L))
@@ -743,7 +752,7 @@ object Similarity {
       .withColumn("score_e4",
         round(dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")) * 10000).cast("long"))
       .filter(col("score_e4") >= minScoreE4)
-      .select(col("id_a"), col("id_b"))
+      .select(col("cell"), col("id_a"), col("id_b"))
   }
 
   private def rank(scoredPairs: DataFrame, idCol: String, k: Int): DataFrame = {

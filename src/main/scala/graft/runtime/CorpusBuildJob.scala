@@ -219,8 +219,22 @@ object CorpusBuildJob {
       // building quietly wrong. Both comparisons are source-cardinality
       // collects.
       val fsOut = graft.ext.StoreMeta.fs(spark, out)
+      // Embeddings fingerprint (ADVICE r16): the resume guard fingerprints
+      // the docs corpus via input_manifest, but the dedup_decision stage's
+      // semantic tier consumes EMBEDDINGS — a resume after swapping them
+      // would silently reuse stale semantic decisions. One bounded
+      // order-insensitive pass: sum of per-row prime-bounded xxhash64 over
+      // (vec_id, embedding) — values ≤ ~1e9 so the ANSI sum is overflow-
+      // safe to ~9e9 vectors; recorded in build_config.json so the resume
+      // guard's config equality covers the embedding input too.
+      val embFp = {
+        import org.apache.spark.sql.functions.{pmod, sum, xxhash64, lit => flit}
+        val r = e.agg(sum(pmod(xxhash64(col("vec_id"), col("embedding")),
+          flit(1000000007L)))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
       val configJson =
-        s"""{"benchmarkMaxId":$benchMaxId,"qualityMode":"$qualityMode"}"""
+        s"""{"benchmarkMaxId":$benchMaxId,"qualityMode":"$qualityMode","embFp":$embFp}"""
       val cfgPath = new org.apache.hadoop.fs.Path(s"$out/build_config.json")
       val oldManifest: Option[Set[(String, String)]] =
         if (resume && fsOut.exists(new org.apache.hadoop.fs.Path(s"$out/input_manifest")))
@@ -262,6 +276,19 @@ object CorpusBuildJob {
         spark.read.parquet(s"$out/input_manifest").count(),
         (System.nanoTime() - tIm) / 1000000L)
       status(s"phase input_manifest: ${phases.last.rows} sources in ${phases.last.millis} ms")
+      // per-source EMBEDDING fingerprints (round 17): the semantic
+      // dedup state is keyed to vectors, so the incremental gate must
+      // know, per source, whether the vectors behind a text-unchanged
+      // source changed (a re-embedding). One linear pass over an input
+      // the build reads anyway; source-cardinality rows.
+      locally {
+        import org.apache.spark.sql.functions.{pmod, sum, xxhash64, lit => flit}
+        e.join(d0.select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+          .groupBy("source")
+          .agg(sum(pmod(xxhash64(col("vec_id"), col("embedding")),
+            flit(1000000007L))).as("efp"))
+          .write.mode("overwrite").parquet(s"$out/emb_manifest")
+      }
 
       // record this run's config for the next resume's guard
       val cfgOut = fsOut.create(cfgPath, true)
@@ -274,10 +301,44 @@ object CorpusBuildJob {
         require(fs.exists(new org.apache.hadoop.fs.Path(priorMan)),
           s"CORPUS_BUILD_INCREMENTAL: prior build at $priorRoot has no input_manifest/ " +
             "(built before incremental support, or not a build root)")
+        // ADVICE r16: the spliced per-doc stages depend on the BENCHMARK
+        // BOUNDARY (token_stats runs over corp = ids ≥ benchmarkMaxId;
+        // normalize_extract feeds the benchmark shingle slice) — an
+        // incremental run with a different boundary than the prior build
+        // would splice prior-boundary rows for unchanged sources and
+        // silently violate the "ledger identical to a full rebuild"
+        // contract. Read the prior build's recorded config and require
+        // the boundary match, failing operator-actionably like the
+        // resume guard. qualityMode/embeddings may legitimately differ:
+        // the gate and the dedup decision recompute every build.
+        val priorCfgPath = new org.apache.hadoop.fs.Path(s"$priorRoot/build_config.json")
+        require(fs.exists(priorCfgPath),
+          s"CORPUS_BUILD_INCREMENTAL: prior build at $priorRoot has no build_config.json " +
+            "(built before the config guard) — rerun the prior build, or run full")
+        val priorCfg = {
+          val in = fs.open(priorCfgPath)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        }
+        val priorBench = """"benchmarkMaxId"\s*:\s*(-?\d+)""".r
+          .findFirstMatchIn(priorCfg).map(_.group(1).toLong)
+        require(priorBench.contains(benchMaxId),
+          s"CORPUS_BUILD_INCREMENTAL: benchmark boundary changed since the prior build " +
+            s"(prior ${priorBench.fold("<unrecorded>")(_.toString)}, now $benchMaxId) — " +
+            "spliced token_stats rows would carry the OLD boundary; run a full rebuild")
         Seq("normalize_extract", "token_stats").foreach { st =>
           require(fs.exists(new org.apache.hadoop.fs.Path(s"$priorRoot/stages/$st/_SUCCESS")),
             s"CORPUS_BUILD_INCREMENTAL: prior build has no finished stages/$st " +
               "(prior run must use CORPUS_BUILD_MATERIALIZE=stage)")
+        }
+        // the dedup-state splice (round 17) needs the prior build's
+        // persisted signatures/pairs/quantizer — pre-round-17 roots
+        // (or non-stage builds) must rebuild full once
+        Seq("dedup_state/sig", "dedup_state/near_pairs", "dedup_state/centroids",
+          "dedup_state/sem_asg", "dedup_state/sem_pairs", "emb_manifest").foreach { t =>
+          require(fs.exists(new org.apache.hadoop.fs.Path(s"$priorRoot/$t")),
+            s"CORPUS_BUILD_INCREMENTAL: prior build at $priorRoot has no $t " +
+              "(built before incremental dedup support) — run one full stage-mode build first")
         }
         val diff = graft.ext.ExtQueries.manifestDiffOf(
           spark.read.parquet(priorMan),
@@ -285,17 +346,56 @@ object CorpusBuildJob {
         // bounded collect: one row per source
         val statuses = diff.select("source", "status").collect()
           .map(r => r.getString(0) -> r.getString(1))
-        val unchanged = statuses.collect {
+        val unchangedText = statuses.collect {
           case (s, "unchanged") if s != null => s }.toSeq
-        val changed = statuses.count { case (_, st) => st != "unchanged" }
+        // DEMOTION (round 17): a text-unchanged source whose EMBEDDINGS
+        // changed (re-embedding run) is treated as changed — its docs'
+        // semantic state is stale even though extraction/signatures are
+        // not. Both manifests are source-cardinality frames.
+        def efpMap(p: String): Map[String, Long] =
+          spark.read.parquet(p).collect()
+            .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+        val (efpA, efpB) = (efpMap(s"$priorRoot/emb_manifest"), efpMap(s"$out/emb_manifest"))
+        val (unchanged, demoted) = unchangedText.partition(s =>
+          efpA.get(s) == efpB.get(s))
+        if (demoted.nonEmpty)
+          status(s"incremental: ${demoted.size} text-unchanged sources DEMOTED to " +
+            s"changed (embeddings differ): ${demoted.sorted.mkString(", ")}")
+        val changed = statuses.count { case (_, st) => st != "unchanged" } + demoted.size
         status(s"incremental: ${unchanged.size} unchanged sources reuse prior " +
           s"extraction; $changed changed/added/removed recompute")
         incrReuse = Some((priorRoot, unchanged))
       }
 
+      // The dedup seam (round 17): stage-mode builds run the decision
+      // through DedupState — full builds PERSIST the reusable
+      // intermediates (signatures, verified pairs, quantizer, cell
+      // assignments) under dedup_state/; incremental builds SPLICE the
+      // prior build's, so the three tiers' text-scale work (shingling,
+      // minhash, jaccard verify, within-cell cosine) runs over changed
+      // docs only. Decision arithmetic is identical (DedupState
+      // scaladoc; the one documented divergence is the incremental
+      // build's train-once quantizer). local/none modes keep the pure
+      // in-plan composition. On a crash resume the state tables with
+      // _SUCCESS are read back, not recomputed (the connected-
+      // components resolution over the metadata-sized edge set still
+      // re-runs before the resumed stage file short-circuits it —
+      // bounded by pair volume, not corpus).
+      val dedupImpl: Option[(DataFrame, DataFrame) => DataFrame] =
+        if (materialize != "stage") None
+        else incrReuse match {
+          case Some((priorRoot, unchanged)) =>
+            Some((g, ge) => graft.ext.DedupState.incremental(spark, g, ge,
+              s"$priorRoot/dedup_state", unchanged, s"$out/dedup_state",
+              reuseExisting = resume))
+          case None =>
+            Some((g, ge) => graft.ext.DedupState.full(spark, g, ge,
+              s"$out/dedup_state", reuseExisting = resume))
+        }
       val ledger = timed("ledger",
         graft.ext.ExtQueries.corpusBuildLedger(d0, e, timed,
-          benchmarkMaxId = benchMaxId, qualityMode = qualityMode))
+          benchmarkMaxId = benchMaxId, qualityMode = qualityMode,
+          dedupImpl = dedupImpl))
       val kept = ledger.filter(col("verdict") === "keep")
 
       val t0 = System.nanoTime()

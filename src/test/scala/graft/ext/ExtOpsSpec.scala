@@ -814,6 +814,40 @@ class ExtOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     r2("big") should be < r4("big")
   }
 
+  "pipeline_sample_epochs" should "replicate a rate-2.5 source ~2.5x and downsample the big one" in {
+    import spark.implicits._
+    // sizes chosen so the small source's uncapped α=1/2 rate is EXACTLY
+    // 2.5: with small = k², big = 9k² the rate is (10k²·k)/((k+3k)·k²)
+    // = 2.5 and every arithmetic step is IEEE-exact (√100 = 10,
+    // √900 = 30, 1000·10/40/100 = 2.5). Big source rate = 5/6.
+    val d = ((0L until 100L).map(i => (i, "small")) ++
+      (10000L until 10900L).map(i => (i, "big"))).toDF("doc_id", "source")
+    val out = ExtQueries.sampleEpochsOf(d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySrc = out.groupBy(_._2)
+    bySrc("small").map(_._3).toSet shouldBe Set(2500000L) // rate 2.5 exact
+    bySrc("big").map(_._3).toSet shouldBe Set(833333L)    // ⌊5/6·10⁶⌋
+    // every small doc appears ⌊2.5⌋ = 2 or 3 times, epochs 1..n
+    val smallCopies = bySrc("small").groupBy(_._1)
+    smallCopies.size shouldBe 100
+    smallCopies.foreach { case (doc, rows) =>
+      withClue(s"doc $doc: ") {
+        rows.length should (be(2) or be(3))
+        rows.map(_._4).sorted shouldBe (1L to rows.length).toArray
+      }
+    }
+    // average copies ≈ 2.5 (hash-gated fractional epoch; 100 Bernoulli
+    // draws at p = .5 — bounds are ~8σ wide)
+    bySrc("small").length should (be > 210 and be < 290)
+    // big source: rate < 1 ⇒ at most one copy per doc, ~5/6 kept
+    bySrc("big").groupBy(_._1).values.foreach(_.length shouldBe 1)
+    bySrc("big").length should (be > 650 and be < 880)
+    // deterministic: a second run is identical
+    val again = ExtQueries.sampleEpochsOf(d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    again.sortBy(x => (x._1, x._4)) shouldBe out.sortBy(x => (x._1, x._4))
+  }
+
   "pipeline_token_budget" should "respect the per-source token budget" in {
     val dir = "/root/testdata/sf0.001"
     val out = ExtQueries.queries("pipeline_token_budget")(spark, dir)

@@ -131,4 +131,71 @@ class ScaleOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  behavior of "pipeline_token_budget sub-bucket prefix scan"
+
+  // VERDICT r16 flagged the single per-source window as a 100 TB
+  // straggler machine (~20 sources ⇒ one source = ONE task's sort).
+  // The two-phase scan must (a) reproduce the single-window running
+  // sum bit-for-bit and (b) never sort a whole source in one window
+  // partition — the doc-level window partitions by (source, sub).
+  it should "equal the single-window cut on a planted mega source, with no source-sized window sort" in {
+    import spark.implicits._
+    // one mega source (12k docs, mixed sizes) + a niche source
+    val d = ((0L until 12000L).map(i => (i, "mega", (i % 7) + 1L)) ++
+      (20000L until 20050L).map(i => (i, "niche", 3L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val budget = 5000L // binding for mega, non-binding for niche
+    val got = graft.ext.ExtQueries.tokenBudgetOf(d, budget)
+    val wRef = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("hk").asc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = d.withColumn("hk", md5(col("doc_id").cast("string")))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wRef))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+    got.orderBy("doc_id").collect() shouldBe ref.orderBy("doc_id").collect()
+    // the niche source's budget is non-binding: all 50 docs kept
+    got.filter(col("source") === "niche").count() shouldBe 50L
+    // plan audit: the DOC-LEVEL window (ordered by hk) partitions by
+    // (source, sub); only the bounded ≤256-row offsets window may
+    // partition by source alone
+    val wins = got.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        (w.partitionSpec.map(_.sql).mkString(","),
+          w.orderSpec.map(_.sql).mkString(","))
+    }
+    val docWins = wins.filter(_._2.contains("hk"))
+    docWins should not be empty
+    docWins.foreach { case (part, _) => part should include("sub") }
+  }
+
+  it should "pack with the same distributed scan: packCum equals the single-window cum" in {
+    import spark.implicits._
+    // chunk frame of a mega source: 8k docs × 1-3 chunks
+    val chunks = (0L until 8000L).flatMap { i =>
+      (0L until (i % 3 + 1)).map(c => (i, "mega", c, (i % 5) + 2L))
+    }.toDF("doc_id", "source", "chunk_idx", "chunk_tokens")
+    val got = graft.ext.ExtQueries.packCum(chunks)
+      .select("source", "doc_id", "chunk_idx", "chunk_tokens", "cum")
+    val wRef = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("hk").asc, col("doc_id").asc, col("chunk_idx").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ref = chunks.withColumn("hk", md5(col("doc_id").cast("string")))
+      .withColumn("cum", sum(col("chunk_tokens")).over(wRef))
+      .select("source", "doc_id", "chunk_idx", "chunk_tokens", "cum")
+    got.orderBy("doc_id", "chunk_idx").collect() shouldBe
+      ref.orderBy("doc_id", "chunk_idx").collect()
+    val wins = got.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        (w.partitionSpec.map(_.sql).mkString(","),
+          w.orderSpec.map(_.sql).mkString(","))
+    }
+    val docWins = wins.filter(_._2.contains("hk"))
+    docWins should not be empty
+    docWins.foreach { case (part, _) => part should include("sub") }
+  }
 }

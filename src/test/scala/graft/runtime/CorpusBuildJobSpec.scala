@@ -200,7 +200,7 @@ class CorpusBuildJobSpec extends AnyFlatSpec with Matchers with SparkFixture {
     diff.count(_._2 == "unchanged") should be > 5
   }
 
-  it should "rebuild incrementally: unchanged sources reuse prior extraction, ledger hash-equal (VERDICT r15 #4)" in {
+  it should "rebuild incrementally: spliced stages + store-backed dedup ≡ full recompute (VERDICT r15 #4 / r16 #1)" in {
     val outPrior = tempDir("corpus-build-incr-prior")
     val outFull = tempDir("corpus-build-incr-full")
     val outIncr = tempDir("corpus-build-incr-incr")
@@ -208,6 +208,12 @@ class CorpusBuildJobSpec extends AnyFlatSpec with Matchers with SparkFixture {
     editedDocs(docsB)
 
     CorpusBuildJob.run(spark, baseEnv(outPrior), _ => ()) shouldBe ExitCodes.Success
+    // the full build persisted its dedup state
+    Seq("sig", "near_pairs", "centroids", "sem_asg", "sem_pairs").foreach { t =>
+      withClue(s"dedup_state/$t: ") {
+        new java.io.File(s"$outPrior/dedup_state/$t/_SUCCESS").exists() shouldBe true
+      }
+    }
     CorpusBuildJob.run(spark,
       baseEnv(outFull) + ("CORPUS_BUILD_DOCS_PATH" -> docsB),
       _ => ()) shouldBe ExitCodes.Success
@@ -223,13 +229,106 @@ class CorpusBuildJobSpec extends AnyFlatSpec with Matchers with SparkFixture {
     // the reuse actually happened (17 of 19 surviving sources unchanged)
     statuses.exists(s => s.startsWith("incremental:") &&
       s.contains("17 unchanged sources")) shouldBe true
-    // and the composed build is bit-identical to the full rebuild
-    ledgerRows(s"$outIncr/ledger") shouldBe ledgerRows(s"$outFull/ledger")
+
+    // The equality contract (DedupState scaladoc): the planted edits
+    // CHANGE the gated embedding set (src3's vectors depart), so a full
+    // rebuild retrains the semantic quantizer while the incremental
+    // build keeps the prior geometry (train-once, encode-only — the
+    // documented divergence). The incremental ledger must therefore be
+    // bit-identical to the full recompute UNDER THE PRIOR QUANTIZER —
+    // keeper election, spliced stages, pair reuse and all:
+    val d0B = spark.read.parquet(docsB)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val priorCents = spark.read.parquet(s"$outPrior/dedup_state/centroids")
+    val reference = graft.ext.ExtQueries.corpusBuildLedger(d0B, e,
+      semCents = Some(priorCents)).drop("text")
+    val cols = reference.columns.sorted.map(col)
+    ledgerRows(s"$outIncr/ledger") shouldBe
+      reference.select(cols: _*).collect().map(_.toString).sorted
+
+    // exact + near tiers are bit-identical to the PLAIN full rebuild
+    // too (edges spliced, components + keepers re-elected globally):
+    def exactNear(path: String): Array[String] =
+      spark.read.parquet(path)
+        .filter(col("decision").isin("drop_exact", "drop_near"))
+        .select("doc_id", "decision", "keeper_id")
+        .collect().map(_.toString).sorted
+    exactNear(s"$outIncr/stages/dedup_decision") shouldBe
+      exactNear(s"$outFull/stages/dedup_decision")
+
     // the spliced per-doc stages equal the full build's
     ledgerRows(s"$outIncr/stages/normalize_extract") shouldBe
       ledgerRows(s"$outFull/stages/normalize_extract")
     ledgerRows(s"$outIncr/stages/token_stats") shouldBe
       ledgerRows(s"$outFull/stages/token_stats")
+  }
+
+  it should "rebuild incrementally bit-identical to the full job when the embedded set is unchanged" in {
+    // embeddings restricted to sources the edits never touch: the full
+    // rebuild then trains the same quantizer the prior build persisted
+    // (same seeded algorithm, same inputs), so incremental ≡ full
+    // JOB-VS-JOB with no divergence anywhere.
+    val embR = tempDir("corpus-build-incr2-emb")
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+          .filter(!col("source").isin("src1", "src2", "src3"))
+          .select(col("doc_id").as("vec_id")),
+        Seq("vec_id"))
+      .write.mode("overwrite").parquet(embR)
+    val outPrior = tempDir("corpus-build-incr2-prior")
+    val outFull = tempDir("corpus-build-incr2-full")
+    val outIncr = tempDir("corpus-build-incr2-incr")
+    val docsB = tempDir("corpus-build-incr2-docs")
+    editedDocs(docsB)
+    def env(out: String) = baseEnv(out) +
+      ("CORPUS_BUILD_EMBEDDINGS_PATH" -> embR)
+
+    CorpusBuildJob.run(spark, env(outPrior), _ => ()) shouldBe ExitCodes.Success
+    CorpusBuildJob.run(spark,
+      env(outFull) + ("CORPUS_BUILD_DOCS_PATH" -> docsB),
+      _ => ()) shouldBe ExitCodes.Success
+    CorpusBuildJob.run(spark,
+      env(outIncr) ++ Map(
+        "CORPUS_BUILD_DOCS_PATH" -> docsB,
+        "CORPUS_BUILD_INCREMENTAL" -> "true",
+        "CORPUS_BUILD_PRIOR_PATH" -> outPrior),
+      _ => ()) shouldBe ExitCodes.Success
+
+    ledgerRows(s"$outIncr/ledger") shouldBe ledgerRows(s"$outFull/ledger")
+    ledgerRows(s"$outIncr/stages/dedup_decision") shouldBe
+      ledgerRows(s"$outFull/stages/dedup_decision")
+  }
+
+  it should "demote a text-unchanged source to changed when its embeddings differ" in {
+    val outPrior = tempDir("corpus-build-demote-prior")
+    val outIncr = tempDir("corpus-build-demote-incr")
+    CorpusBuildJob.run(spark, baseEnv(outPrior), _ => ()) shouldBe ExitCodes.Success
+    // re-embed src5 only (scale its vectors); text untouched
+    val embB = tempDir("corpus-build-demote-emb")
+    val src5 = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("source") === "src5").select(col("doc_id").as("vec_id"))
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .join(src5.withColumn("hit", org.apache.spark.sql.functions.lit(1)),
+        Seq("vec_id"), "left")
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.when(col("hit") === 1,
+          org.apache.spark.sql.functions.expr("transform(embedding, x -> x * 2.0f)"))
+          .otherwise(col("embedding")))
+      .select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(embB)
+    val statuses = scala.collection.mutable.ArrayBuffer.empty[String]
+    CorpusBuildJob.run(spark,
+      baseEnv(outIncr) ++ Map(
+        "CORPUS_BUILD_EMBEDDINGS_PATH" -> embB,
+        "CORPUS_BUILD_INCREMENTAL" -> "true",
+        "CORPUS_BUILD_PRIOR_PATH" -> outPrior),
+      statuses += _) shouldBe ExitCodes.Success
+    statuses.exists(s => s.contains("DEMOTED") && s.contains("src5")) shouldBe true
+    // demoted ⇒ src5 recomputes: 19 unchanged, not 20
+    statuses.exists(s => s.startsWith("incremental:") &&
+      s.contains("19 unchanged sources")) shouldBe true
   }
 
   it should "refuse to resume over changed inputs or a changed build config (round 16)" in {
@@ -282,6 +381,18 @@ class CorpusBuildJobSpec extends AnyFlatSpec with Matchers with SparkFixture {
         "CORPUS_BUILD_PRIOR_PATH" -> out,
         "CORPUS_BUILD_MATERIALIZE" -> "local"),
       _ => ()) shouldBe ExitCodes.Fatal
+    // a prior root without persisted dedup state (pre-round-17 build)
+    val outOld = tempDir("corpus-build-incr-oldprior")
+    CorpusBuildJob.run(spark, baseEnv(outOld), _ => ()) shouldBe ExitCodes.Success
+    graft.ext.SignatureStore.deleteStore(
+      java.nio.file.Paths.get(s"$outOld/dedup_state"))
+    val reports = scala.collection.mutable.ArrayBuffer.empty[String]
+    CorpusBuildJob.run(spark,
+      baseEnv(tempDir("corpus-build-incr-oldprior-out")) ++ Map(
+        "CORPUS_BUILD_INCREMENTAL" -> "true",
+        "CORPUS_BUILD_PRIOR_PATH" -> outOld),
+      reports += _) shouldBe ExitCodes.Fatal
+    reports.mkString should include("dedup_state")
   }
 
   it should "exit Fatal on misconfiguration" in {
