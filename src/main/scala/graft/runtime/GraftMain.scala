@@ -104,10 +104,14 @@ object GraftMain {
     * micro-batch scores x5 through per-batch SHUFFLE joins instead —
     * slower per trigger, identical verdicts (the withLmFeature
     * arithmetic is shared; only the join strategy changes). */
-  private final class DecisionGraph extends StreamGraphBuilder {
-    private def req(spec: StreamSpec, k: String): String =
+  private class DecisionGraph extends StreamGraphBuilder {
+    protected def req(spec: StreamSpec, k: String): String =
       spec.string(k).getOrElse(
         throw new IllegalArgumentException(s"spec field '$k' is required"))
+    /** Per-batch composition hook ([[CorpusBuildStreamGraph]] overlays
+      * the build gates); receives (source batch, decisions, batchKey). */
+    protected def onBatchHook(ctx: StreamContext,
+        spark: SparkSession): Option[(DataFrame, DataFrame, String) => Unit] = None
     override def build(ctx: StreamContext, spark: SparkSession): DataFrame = {
       val spec = StreamSpec.fromContext(ctx)
       spark.readStream
@@ -178,13 +182,105 @@ object GraftMain {
         qualityFits = qFits,
         qualityStop = spec.stringList("qualityStopwords"),
         qualityLm = qLm,
-        qualityLmBroadcast = lmBroadcast)
+        qualityLmBroadcast = lmBroadcast,
+        onBatch = onBatchHook(ctx, df.sparkSession))
+    }
+  }
+
+  /** The HOSTED STREAMING CORPUS BUILD (round 17, VERDICT r16 #4): the
+    * `streaming_corpus_build_golden` composition as a deployable pod —
+    * the arrival-time sibling of [[CorpusBuildJob]]. Documents stream
+    * through the full decision surface (every `dedup-decision` spec
+    * field applies: tombstone/exact/near/semantic tiers against
+    * persisted stores, the 5-feature quality gate with the LM broadcast
+    * guard, optional arrival-time cluster state), and each micro-batch
+    * then rides the PURE per-doc build gates — which commute with
+    * arrival time, exactly the golden's overlay:
+    *
+    *  - '''decontamination''': arrivals sharing ≥ `decontamMinHits`
+    *    distinct shingles with the BROADCAST benchmark set
+    *    (`benchmarkShinglesPath` — parquet with one string column `s`,
+    *    the artifact a deployment precomputes from its eval suites;
+    *    eval suites are metadata-sized by construction) verdict
+    *    `drop_contaminated`;
+    *  - '''mixture''': the deterministic md5-bucket keep
+    *    (`mixRates` — comma list of `source:pct`; `mixDefaultPct`
+    *    for unlisted/missing sources, default 100 — an unrecognized
+    *    source is never silently downweighted); arrivals carry their
+    *    source in `sourceColumn` (default `source`; sourceless streams
+    *    take the default pct).
+    *
+    * The per-arrival BUILD LEDGER — (doc_id, source, verdict,
+    * keeper_id, n_hits) with verdict precedence decision-surface >
+    * contaminated > mix — lands under `storePath/build_ledger/` in
+    * per-batch partitions written by idempotent overwrite under the
+    * decision surface's namespaced batch key, so a checkpoint replay
+    * rewrites its own partition instead of duplicating rows. Runner
+    * lifecycle (kill switch, supervision, backfill→stream flip, exit
+    * codes) is inherited unchanged from the decision pod. */
+  private final class CorpusBuildStreamGraph extends DecisionGraph {
+    override protected def onBatchHook(ctx: StreamContext,
+        spark: SparkSession): Option[(DataFrame, DataFrame, String) => Unit] = {
+      import org.apache.spark.sql.functions._
+      val spec = StreamSpec.fromContext(ctx)
+      val idCol = spec.string("idColumn").getOrElse("doc_id")
+      val textCol = spec.string("textColumn").getOrElse("text")
+      val srcCol = spec.string("sourceColumn").getOrElse("source")
+      val minHits = spec.long("decontamMinHits").getOrElse(5L)
+      val defaultPct = spec.long("mixDefaultPct").getOrElse(100L)
+      val store = req(spec, "storePath")
+      // benchmark shingles: read once at start, broadcast per batch
+      val bench = spec.string("benchmarkShinglesPath")
+        .map(p => spark.read.parquet(p).select(col("s")))
+      val rates: Map[String, Long] = spec.string("mixRates")
+        .map(_.split(',').toSeq.map { e =>
+          e.split(':') match {
+            case Array(s, p) => s.trim -> p.trim.toLong
+            case _ => throw new IllegalArgumentException(
+              s"mixRates entry '$e' is not 'source:pct'")
+          }
+        }.toMap).getOrElse(Map.empty)
+      Some { (batch: DataFrame, dec: DataFrame, batchKey: String) =>
+        val withSrc =
+          if (batch.columns.contains(srcCol))
+            batch.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+              col(srcCol).cast("string").as("source"))
+          else
+            batch.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+              lit(null).cast("string").as("source"))
+        val hits = bench match {
+          case Some(b) =>
+            graft.ext.Dedup.shingleRows(withSrc, "doc_id", "__text")
+              .join(broadcast(b), "s")
+              .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_hits"))
+          case None => withSrc.select(col("doc_id")).limit(0)
+            .withColumn("n_hits", lit(0L))
+        }
+        val pct = rates.foldLeft(lit(null).cast("long")) { case (acc, (s, p)) =>
+          when(col("source") === s, lit(p)).otherwise(acc)
+        }
+        val bucket = graft.ext.Dedup.shingleKey(col("doc_id").cast("string")) % 100
+        val ledger = dec.select(col("doc_id"), col("decision"), col("keeper_id"))
+          .join(withSrc.select("doc_id", "source"), Seq("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"),
+            when(col("decision") =!= "keep", col("decision"))
+              .when(coalesce(col("n_hits"), lit(0L)) >= minHits,
+                lit("drop_contaminated"))
+              .when(bucket >= coalesce(pct, lit(defaultPct)), lit("drop_mix"))
+              .otherwise(lit("keep")).as("verdict"),
+            col("keeper_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        ledger.write.mode("overwrite")
+          .parquet(s"$store/build_ledger/batch=$batchKey")
+      }
     }
   }
 
   /** Built-in kind registry. */
   def builtinKinds: Map[String, StreamGraphBuilder] = Map(
     "dedup-decision" -> new DecisionGraph,
+    "corpus-build-stream" -> new CorpusBuildStreamGraph,
     "rest" -> new ArcaneSinkGraph((_, spec, spark) =>
       specOptions(spec, RestKeys).foldLeft(
         spark.readStream.format(classOf[graft.sources.dsv2.RestApiTableProvider].getName)

@@ -917,7 +917,8 @@ object StreamingDecision {
       qualityFits: Seq[graft.ext.QualityClassifier.FeatureFit] = Nil,
       qualityStop: Seq[String] = Nil,
       qualityLm: Option[graft.ext.QualityClassifier.LmModel] = None,
-      qualityLmBroadcast: Boolean = true): StreamingQuery = {
+      qualityLmBroadcast: Boolean = true,
+      onBatch: Option[(DataFrame, DataFrame, String) => Unit] = None): StreamingQuery = {
     // Marker NAMESPACING (the VectorIndex.appendStream lesson, ADVICE
     // r10): epoch ids restart at 0 for a stream started without a
     // checkpoint and are shared by independent streams on one store
@@ -936,13 +937,19 @@ object StreamingDecision {
     }
     val w0 = stream.writeStream
       .foreachBatch { (df: DataFrame, epoch: Long) =>
-        processBatch(df, idCol, textCol, embCol, path, centroids,
+        val dec = processBatch(df, idCol, textCol, embCol, path, centroids,
           batchKey = s"$ns-$epoch", minSigMatch = minSigMatch,
           maxBucket = maxBucket, minScoreE4 = minScoreE4,
           maxCell = maxCell, nBuckets = nBuckets,
           clusterPath = clusterPath,
           qualityFits = qualityFits, qualityStop = qualityStop,
-          qualityLm = qualityLm, qualityLmBroadcast = qualityLmBroadcast): Unit
+          qualityLm = qualityLm, qualityLmBroadcast = qualityLmBroadcast)
+        // composition seam (round 17): the hosted streaming corpus
+        // build overlays the pure per-doc gates (decontamination,
+        // mixture) on each batch's verdicts and lands the build ledger
+        // — inside the same foreachBatch, keyed by the same namespaced
+        // batch id, so a checkpoint replay overwrites its own partition
+        onBatch.foreach(h => h(df, dec, s"$ns-$epoch"))
       }
     val w1 = trigger.fold(w0)(t => w0.trigger(t))
     checkpointLocation.fold(w1)(cp => w1.option("checkpointLocation", cp))

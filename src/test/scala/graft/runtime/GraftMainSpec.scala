@@ -123,6 +123,51 @@ class GraftMainSpec extends AnyFlatSpec with Matchers with SparkFixture {
       .as[(Long, Long)].collect().toMap shouldBe Map(1L -> 1L, 3L -> 1L)
   }
 
+  it should "host the streaming corpus build: decision tiers + decontamination + mixture + build ledger (round 17)" in {
+    import spark.implicits._
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val textC = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 4
+    val textD = "spark catalyst tungsten shuffle partition broadcast codegen plan " * 4
+    val textE = "red orange yellow green blue indigo violet cyan magenta white " * 4
+    val src = tempDir("graftmain-cbs-src")
+    Seq((1L, textA, "srcA"), (2L, textA, "srcA"), (3L, textC, "srcB"),
+      (4L, textD, "srcZero"), (5L, textE, "srcA"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    // benchmark shingles = doc 3's text: it must flag drop_contaminated
+    val benchDir = tempDir("graftmain-cbs-bench")
+    graft.ext.Dedup.shingleRows(
+        Seq((3L, textC)).toDF("doc_id", "text"), "doc_id", "text")
+      .select("s").distinct()
+      .coalesce(1).write.mode("overwrite").parquet(benchDir)
+    val store = tempDir("graftmain-cbs-store")
+    val spec =
+      s"""{
+         |  "sourcePath": "$src",
+         |  "schemaDdl": "doc_id BIGINT, text STRING, source STRING",
+         |  "storePath": "$store",
+         |  "checkpointPath": "${tempDir("graftmain-cbs-ckpt")}",
+         |  "benchmarkShinglesPath": "$benchDir",
+         |  "mixRates": "srcZero:0",
+         |  "stopAfterBackfill": true
+         |}""".stripMargin
+    GraftMain.run(spark, env("corpus-build-stream", spec)) shouldBe ExitCodes.Success
+    val ledger = spark.read.parquet(s"$store/build_ledger")
+      .select("doc_id", "verdict", "keeper_id", "n_hits")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    ledger(1L)._1 shouldBe "keep"
+    ledger(2L) shouldBe ("drop_exact", 1L, 0L) // decision tier outranks the overlays
+    ledger(3L)._1 shouldBe "drop_contaminated"
+    ledger(3L)._3 should be >= 5L
+    ledger(4L)._1 shouldBe "drop_mix" // srcZero keeps 0%
+    ledger(5L)._1 shouldBe "keep" // unlisted source takes the 100% default
+    // the decision surface itself ran with its store discipline intact
+    graft.streaming.StreamingDecision.decisions(spark, store)
+      .select("doc_id", "decision").as[(Long, String)].collect().toMap
+      .apply(2L) shouldBe "drop_exact"
+  }
+
   it should "host the LM-quality-gated decision surface (round 15)" in {
     import spark.implicits._
     // LM trained on clean prose; a gibberish arrival's bigrams are all
