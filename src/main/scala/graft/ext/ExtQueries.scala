@@ -2328,29 +2328,108 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
-  private val textBpeEncodeSql = {
-    val applied = (1 to BpeSteps).foldLeft("w0") { (acc, i) =>
+  private def bpeAppliedSql: String =
+    (1 to BpeSteps).foldLeft("w0") { (acc, i) =>
       s"replace($acc, '<' || (SELECT a FROM b$i) || '><' || (SELECT b FROM b$i) || '>', " +
         s"'<' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || '>')"
     }
-    val trainCtes = textBpeTrainSql
-      .stripPrefix("WITH ")
-      .split("\n")
-      .takeWhile(l => !l.startsWith("SELECT 1::BIGINT"))
-      .mkString("\n")
-      .stripSuffix(",")
-    s"""WITH $trainCtes,
+
+  private def bpeTrainCtes: String = textBpeTrainSql
+    .stripPrefix("WITH ")
+    .split("\n")
+    .takeWhile(l => !l.startsWith("SELECT 1::BIGINT"))
+    .mkString("\n")
+    .stripSuffix(",")
+
+  private val textBpeEncodeSql =
+    s"""WITH $bpeTrainCtes,
        |d AS (SELECT doc_id, toks,
        |    coalesce(list_aggregate(list_transform(toks, t ->
        |      list_aggregate(list_transform(string_split(t, ''),
        |        ch -> '<' || ch || '>'), 'string_agg', '') || '<_>'),
        |      'string_agg', ''), '') AS w0
        |  FROM tok),
-       |e AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, $applied AS wf FROM d)
+       |e AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, $bpeAppliedSql AS wf FROM d)
        |SELECT doc_id, n_tokens,
        |  len(regexp_extract_all(wf, '<([^>]*)>', 1))::BIGINT AS n_subwords
        |FROM e ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // pipeline_pack_bpe: PACK BY STORED-TOKENIZER BPE IDS (round 17,
+  // VERDICT r16 #5) — the real training-data packing contract: budgets
+  // count the tokens the MODEL will see (BPE ids from a tokenizer
+  // trained once and shipped as an artifact), not whitespace words.
+  // The engine path exercises the full store round trip: a
+  // TokenizerStore is TRAINED AND PERSISTED (leased; merges + vocab +
+  // config), LOADED back, documents are encoded to id arrays (one
+  // codegen'd literal-replace projection + literal vocab map — narrow,
+  // no shuffle), and the per-source document stream is packed at
+  // PackLen BPE tokens in reproducible id-hash order via the same
+  // distributed sub-bucket prefix scan as pipeline_pack_sequences.
+  // The oracle RE-DERIVES the merge table from the corpus and replays
+  // encode-then-pack — so a store that round-trips wrongly (corrupted
+  // merges, mis-ordered vocab) hash-diverges.
+  // ------------------------------------------------------------------
+
+  private val tokenizerStoreCache = scala.collection.mutable.Map.empty[String, String]
+
+  private def tokenizerStoreFor(spark: SparkSession, dir: String): String =
+    tokenizerStoreCache.synchronized {
+      tokenizerStoreCache.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-tokenizer-store").toString
+        TokenizerStore.train(docs(spark, dir).select("text"), "text",
+          root, BpeSteps)
+        root
+      })
+    }
+
+  /** Document-level BPE packing of an encoded frame (doc_id, source,
+    * n_bpe_tokens > 0) — shared by the query and the hosted build's
+    * opt-in `bpe_sequences/` artifact. */
+  private[graft] def packBpeOf(encoded: DataFrame): DataFrame = {
+    val chunks = encoded.select(col("source"), col("doc_id"),
+      lit(0L).as("chunk_idx"), col("n_bpe_tokens").as("chunk_tokens"))
+    packCum(chunks)
+      .withColumn("seq_id", expr(s"(cum - chunk_tokens) div $PackLen"))
+      .groupBy("source", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("chunk_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_e4", expr(s"(seq_tokens * 10000) div $PackLen"))
+      .orderBy("source", "seq_id")
   }
+
+  def pipelinePackBpe(spark: SparkSession, dir: String): DataFrame = {
+    val tok = TokenizerStore.load(spark, tokenizerStoreFor(spark, dir))
+    packBpeOf(TokenizerStore.encodeIds(
+        docs(spark, dir).select("doc_id", "source", "text"), "text", tok)
+      .filter(col("n_bpe_tokens") > 0L))
+  }
+
+  private lazy val pipelinePackBpeSql =
+    s"""WITH $bpeTrainCtes,
+       |d AS (SELECT doc_id, toks,
+       |    coalesce(list_aggregate(list_transform(toks, t ->
+       |      list_aggregate(list_transform(string_split(t, ''),
+       |        ch -> '<' || ch || '>'), 'string_agg', '') || '<_>'),
+       |      'string_agg', ''), '') AS w0
+       |  FROM tok),
+       |e AS (SELECT doc_id, $bpeAppliedSql AS wf FROM d),
+       |nb AS (SELECT e.doc_id, doc.source,
+       |    len(regexp_extract_all(e.wf, '<([^>]*)>', 1))::BIGINT AS n_bpe
+       |  FROM e JOIN documents doc USING (doc_id)
+       |  WHERE len(regexp_extract_all(e.wf, '<([^>]*)>', 1)) > 0),
+       |cum AS (SELECT *, sum(n_bpe)
+       |    OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS cum FROM nb),
+       |b AS (SELECT source, (cum - n_bpe) // $PackLen AS seq_id, n_bpe, doc_id FROM cum)
+       |SELECT source, seq_id::BIGINT AS seq_id, count(*)::BIGINT AS n_docs,
+       |  sum(n_bpe)::BIGINT AS seq_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  ((sum(n_bpe) * 10000) // $PackLen)::BIGINT AS fill_e4
+       |FROM b GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
 
   // ------------------------------------------------------------------
   // sim_ivf: inverted-file ANN — cells from TRAINED centroids (one
@@ -5907,6 +5986,7 @@ object ExtQueries {
     "dedup_containment" -> (dedupContainment(_, _)),
     "dedup_segments" -> (dedupSegments(_, _)),
     "pipeline_pack_sequences" -> (pipelinePackSequences(_, _)),
+    "pipeline_pack_bpe" -> (pipelinePackBpe(_, _)),
     "pipeline_quality_report" -> (pipelineQualityReport(_, _)),
     "pipeline_shard_shuffle" -> (pipelineShardShuffle(_, _)),
     "pipeline_manifest" -> (pipelineManifest(_, _)),
@@ -5995,6 +6075,7 @@ object ExtQueries {
     "dedup_containment" -> dedupContainmentSql,
     "dedup_segments" -> dedupSegmentsSql,
     "pipeline_pack_sequences" -> pipelinePackSequencesSql,
+    "pipeline_pack_bpe" -> pipelinePackBpeSql,
     "pipeline_quality_report" -> pipelineQualityReportSql,
     "pipeline_shard_shuffle" -> pipelineShardShuffleSql,
     "pipeline_manifest" -> pipelineManifestSql,

@@ -412,6 +412,33 @@ object CorpusBuildJob {
       phases += Phase("write_outputs", 0L, (System.nanoTime() - t0) / 1000000L)
       status(s"phase write_outputs: done in ${phases.last.millis} ms")
 
+      // OPT-IN BPE PACKING (round 17, VERDICT r16 #5): with
+      // CORPUS_BUILD_TOKENIZER_PATH set to a persisted TokenizerStore,
+      // the kept corpus is additionally packed by the token counts the
+      // MODEL will see — BPE ids from the stored artifact (encode is
+      // one codegen'd literal-replace projection; packing is the
+      // distributed sub-bucket prefix scan) — landing `bpe_sequences/`
+      // (source, seq_id, n_docs, seq_tokens, first_doc, last_doc,
+      // fill_e4). The ledger contract is unchanged (whitespace-token
+      // chunk packing stays the hash-pinned default); this is the
+      // artifact a training loader budgets from when a tokenizer
+      // exists. The same encode-then-pack arithmetic is hash-verified
+      // against DuckDB by the pipeline_pack_bpe CORRECTNESS entry.
+      env.get("CORPUS_BUILD_TOKENIZER_PATH").foreach { tp =>
+        val tTok = System.nanoTime()
+        val tok = graft.ext.TokenizerStore.load(spark, tp)
+        val seqs = graft.ext.ExtQueries.packBpeOf(
+          graft.ext.TokenizerStore.encodeIds(
+            kept.select(col("doc_id"), col("source"), col("text")), "text", tok)
+            .filter(col("n_bpe_tokens") > 0L))
+        seqs.write.mode("overwrite").parquet(s"$out/bpe_sequences")
+        phases += Phase("bpe_pack",
+          spark.read.parquet(s"$out/bpe_sequences").count(),
+          (System.nanoTime() - tTok) / 1000000L)
+        status(s"phase bpe_pack: ${phases.last.rows} sequences in ${phases.last.millis} ms " +
+          s"(tokenizer $tp, ${tok.merges.size} merges)")
+      }
+
       val verdicts = ledger.groupBy("verdict").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val report = Report(verdicts.valuesIterator.sum,

@@ -139,6 +139,35 @@ class CorpusBuildJobSpec extends AnyFlatSpec with Matchers with SparkFixture {
     ledgerRows(s"$out/ledger") shouldBe expected
   }
 
+  it should "pack the kept corpus by stored-tokenizer BPE ids when CORPUS_BUILD_TOKENIZER_PATH is set (round 17)" in {
+    // the artifact a deployment ships: train once, build packs by it
+    val tokRoot = tempDir("corpus-build-tok")
+    graft.ext.TokenizerStore.train(
+      spark.read.parquet(s"$dir/documents.parquet").select("text"),
+      "text", tokRoot, steps = 8)
+    val out = tempDir("corpus-build-bpe")
+    val statuses = scala.collection.mutable.ArrayBuffer.empty[String]
+    CorpusBuildJob.run(spark,
+      baseEnv(out) + ("CORPUS_BUILD_TOKENIZER_PATH" -> tokRoot),
+      statuses += _) shouldBe ExitCodes.Success
+    statuses.exists(_.startsWith("phase bpe_pack:")) shouldBe true
+    // the artifact equals the library composition over the kept corpus
+    val tok = graft.ext.TokenizerStore.load(spark, tokRoot)
+    val kept = spark.read.parquet(s"$out/corpus")
+      .select("doc_id", "source", "text")
+    val expected = graft.ext.ExtQueries.packBpeOf(
+      graft.ext.TokenizerStore.encodeIds(kept, "text", tok)
+        .filter(col("n_bpe_tokens") > 0L))
+    val got = spark.read.parquet(s"$out/bpe_sequences")
+    got.columns.sorted shouldBe expected.columns.sorted
+    val cols = expected.columns.sorted.map(col)
+    got.select(cols: _*).collect().map(_.toString).sorted shouldBe
+      expected.select(cols: _*).collect().map(_.toString).sorted
+    // sequences respect the 128-token budget shape: every full
+    // sequence's fill is positive and docs are non-empty
+    got.filter(col("seq_tokens") <= 0L).count() shouldBe 0L
+  }
+
   it should "honor the benchmark boundary knob" in {
     val out = tempDir("corpus-build-bench40")
     CorpusBuildJob.run(spark,
