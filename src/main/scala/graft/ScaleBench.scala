@@ -110,7 +110,9 @@ object ScaleBench {
     "pipeline_decontaminate_attr", "pipeline_manifest_diff",
     // round 16
     "pipeline_sample_temperature", "pipeline_quality_buckets",
-    "pipeline_token_budget")
+    "pipeline_token_budget",
+    // round 17
+    "pipeline_sample_epochs", "pipeline_pack_bpe")
 
   /** Queries whose first call per corpus dir pays a one-time persisted
     * store/index build (cached thereafter) — warmed before measuring. */
@@ -129,7 +131,9 @@ object ScaleBench {
       "dedup_tombstone_ingest", "streaming_retraction_golden",
       // rounds 14-15: the quality goldens write their stream dir once
       "streaming_quality_golden", "streaming_quality_lm_golden",
-      "streaming_corpus_build_golden")
+      "streaming_corpus_build_golden",
+      // round 17: first call trains + persists the tokenizer store
+      "pipeline_pack_bpe")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reproducible drivers for the round-17 operational-scale records in
+  * SCALE_LOCAL.json / BASELINE.md — the previously ad-hoc evidence
+  * runs, kept in-tree so a future round re-records with one command.
+  *
+  * Modes:
+  *  - `incremental <x100Dir> <workDir>` — the weekly-rebuild record:
+  *    prior full build on the clean x100 corpus, edited corpus (src1
+  *    text appended, src3 removed — the CorpusBuildJobSpec planted-edit
+  *    shape at x100), full rebuild vs CORPUS_BUILD_INCREMENTAL with the
+  *    round-17 dedup-state splice. Prints one JSON object: per-phase
+  *    wall ms for all three builds, the incremental-vs-full
+  *    exact/near-tier equality count, and the full-ledger equality
+  *    against the same-quantizer reference (the DedupState contract).
+  *  - `stream-build <docsDir> <workDir> [maxFilesPerTrigger]` — run the
+  *    hosted `corpus-build-stream` kind over a sliced corpus to
+  *    completion IN-PROCESS, print per-trigger progress. The kill/
+  *    resume record forks this main twice from the shell (SIGKILL the
+  *    first) — see ROUND17_NOTES.md for the exact procedure. */
+object ScaleEvidence {
+
+  private def session(name: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = graft.runtime.GraftSession.local(name, cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "incremental" :: x100 :: work :: Nil => incremental(x100, work)
+    case "slice" :: x100 :: dst :: rest =>
+      slice(x100, dst, rest.headOption.map(_.toInt).getOrElse(32))
+    case "stream-build" :: docs :: bench :: work :: rest =>
+      streamBuild(docs, bench, work, rest.headOption.map(_.toInt).getOrElse(4))
+    case _ =>
+      System.err.println(
+        "usage: ScaleEvidence incremental <x100Dir> <workDir> | " +
+          "slice <x100Dir> <dstDir> [nFiles] | " +
+          "stream-build <docsDir> <benchDir> <workDir> [maxFilesPerTrigger]")
+      sys.exit(2)
+  }
+
+  /** Prep for the stream-build record: the corpus as an nFiles-sliced
+    * parquet dir (the file stream's trigger granularity) plus the
+    * benchmark shingle artifact (ids < 20 — the fixture eval slice). */
+  private def slice(x100: String, dst: String, nFiles: Int): Unit = {
+    val spark = session("graft-slice")
+    val d = spark.read.parquet(s"$x100/documents.parquet")
+      .select("doc_id", "text", "source")
+    d.filter(col("doc_id") >= 20)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(s"$dst/docs")
+    graft.ext.Dedup.shingleRows(
+        d.filter(col("doc_id") < 20), "doc_id", "text")
+      .select("s").distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$dst/bench")
+    System.err.println(s"[slice] wrote $dst/docs ($nFiles files) + $dst/bench")
+    spark.stop()
+  }
+
+  private def editDocs(spark: SparkSession, src: String, dst: String): Unit = {
+    val d = spark.read.parquet(s"$src/documents.parquet")
+      .filter(col("source") =!= "src3")
+      .withColumn("text",
+        when(col("source") === "src1", concat(col("text"), lit(" edited")))
+          .otherwise(col("text")))
+    d.repartition(32).write.mode("overwrite").parquet(dst)
+  }
+
+  private def phasesJson(r: graft.runtime.CorpusBuildJob.Report): String =
+    r.phases.map(p => s""""${p.name}":${p.millis}""").mkString("{", ",", "}")
+
+  private def incremental(x100: String, work: String): Unit = {
+    val spark = session("graft-scale-evidence")
+    val edited = s"$work/docs_edited"
+    editDocs(spark, x100, edited)
+    def env(out: String, docs: String) = Map(
+      "CORPUS_BUILD_DOCS_PATH" -> docs,
+      "CORPUS_BUILD_EMBEDDINGS_PATH" -> s"$x100/embeddings.parquet",
+      "CORPUS_BUILD_OUTPUT_PATH" -> out)
+    val quiet: String => Unit = s => System.err.println(s"[evidence] $s")
+
+    val prior = graft.runtime.CorpusBuildJob.execute(spark,
+      env(s"$work/prior", s"$x100/documents.parquet"), quiet)
+    val full = graft.runtime.CorpusBuildJob.execute(spark,
+      env(s"$work/full", edited), quiet)
+    val incr = graft.runtime.CorpusBuildJob.execute(spark,
+      env(s"$work/incr", edited) ++ Map(
+        "CORPUS_BUILD_INCREMENTAL" -> "true",
+        "CORPUS_BUILD_PRIOR_PATH" -> s"$work/prior"), quiet)
+
+    // exact/near tiers must be bit-identical to the plain full rebuild
+    def exactNear(p: String): DataFrame = spark.read
+      .parquet(s"$p/stages/dedup_decision")
+      .filter(col("decision").isin("drop_exact", "drop_near"))
+      .select("doc_id", "decision", "keeper_id")
+    val enFull = exactNear(s"$work/full")
+    val enIncr = exactNear(s"$work/incr")
+    val enDiff = enFull.exceptAll(enIncr).count() + enIncr.exceptAll(enFull).count()
+
+    // the full contract: incremental ledger ≡ the same-quantizer
+    // reference recompute (DedupState scaladoc)
+    val d0B = spark.read.parquet(edited)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"), col("text"))
+    val e = spark.read.parquet(s"$x100/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val ref = graft.ext.ExtQueries.corpusBuildLedger(d0B, e,
+      semCents = Some(spark.read.parquet(s"$work/prior/dedup_state/centroids")))
+      .drop("text")
+    val incrLedger = spark.read.parquet(s"$work/incr/ledger")
+      .select(ref.columns.map(col): _*)
+    val ledgerDiff = ref.exceptAll(incrLedger).count() +
+      incrLedger.exceptAll(ref).count()
+    val nLedger = incrLedger.count()
+    // and vs the PLAIN full rebuild (semantic geometry may differ)
+    val fullLedger = spark.read.parquet(s"$work/full/ledger")
+      .select(ref.columns.map(col): _*)
+    val vsFullDiff = fullLedger.exceptAll(incrLedger).count() +
+      incrLedger.exceptAll(fullLedger).count()
+
+    println(s"""{"corpus":"$x100 edited: src1 appended, src3 removed",""" +
+      s""""prior_phase_ms":${phasesJson(prior)},""" +
+      s""""full_rebuild_phase_ms":${phasesJson(full)},""" +
+      s""""incremental_phase_ms":${phasesJson(incr)},""" +
+      s""""exact_near_diff_rows":$enDiff,""" +
+      s""""ledger_rows":$nLedger,""" +
+      s""""ledger_vs_same_quantizer_reference_diff":$ledgerDiff,""" +
+      s""""ledger_vs_plain_full_diff":$vsFullDiff}""")
+    spark.stop()
+  }
+
+  private def streamBuild(docs: String, bench: String, work: String,
+      mft: Int): Unit = {
+    val spark = session("graft-stream-build-evidence")
+    val t0 = System.nanoTime()
+    val spec =
+      s"""{
+         |  "sourcePath": "$docs",
+         |  "schemaDdl": "doc_id BIGINT, text STRING, source STRING",
+         |  "storePath": "$work/store",
+         |  "checkpointPath": "$work/ckpt",
+         |  "benchmarkShinglesPath": "$bench",
+         |  "mixRates": "src1:50,src5:20",
+         |  "maxFilesPerTrigger": $mft,
+         |  "stopAfterBackfill": true
+         |}""".stripMargin
+    val env = Map(
+      "STREAMCONTEXT__STREAM_ID" -> "scale-evidence-build",
+      "STREAMCONTEXT__STREAM_KIND" -> "corpus-build-stream",
+      "STREAMCONTEXT__BACKFILL" -> "true",
+      "STREAMCONTEXT__SPEC" -> spec)
+    val code = graft.runtime.GraftMain.run(spark, env,
+      statusReporter = s => System.err.println(s"[stream-build] $s"))
+    System.err.println(f"[stream-build] exit=$code wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
+    spark.stop()
+    sys.exit(code)
+  }
+}
