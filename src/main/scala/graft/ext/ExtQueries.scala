@@ -1389,14 +1389,40 @@ object ExtQueries {
   private val ShuffleSeed = "graft-r5"
   private val NShards = 8
 
+  /** Per-partition rank by (hk, doc_id) as a TWO-PHASE distributed
+    * scan (round 17 — the row_number sibling of [[tokenBudgetOf]]'s
+    * running sum): sub-buckets on the hash's first two hex chars are
+    * CONTIGUOUS in the sort order within ANY row subset, so
+    * per-(part, sub) counts → bounded per-part exclusive offsets
+    * (≤ 256 rows per partition value, broadcast — swap for a shuffle
+    * join if |parts|×256 ever outgrows broadcast) → within-sub
+    * row_number + offset reproduce the global rank bit-for-bit with no
+    * shard-sized single-task sort. `df` must carry `hk` and `doc_id`;
+    * adds `pos`. */
+  private[graft] def rankByHash(df: DataFrame, partCols: Seq[String]): DataFrame = {
+    val keyed = df.withColumn("__sub", substring(col("hk"), 1, 2))
+    val subCols = partCols :+ "__sub"
+    val wOff = Window.partitionBy(partCols.map(col): _*).orderBy("__sub")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(subCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select((subCols :+ "__off").map(col): _*)
+    val wSub = Window.partitionBy(subCols.map(col): _*)
+      .orderBy(col("hk").asc, col("doc_id").asc)
+    keyed.join(broadcast(offsets), subCols)
+      .withColumn("pos", (col("__off") + row_number().over(wSub)).cast("long"))
+      .drop("__sub", "__off")
+  }
+
   def pipelineShardShuffle(spark: SparkSession, dir: String): DataFrame = {
     val hk = md5(concat_ws(":", lit(ShuffleSeed), col("doc_id")))
     val shard = (conv(substring(col("hk"), 1, 7), 16, 10).cast("long") % NShards).as("shard")
-    val w = Window.partitionBy(col("shard")).orderBy(col("hk"), col("doc_id"))
-    docs(spark, dir)
-      .select(col("doc_id"), hk.as("hk"))
-      .select(col("doc_id"), col("hk"), shard)
-      .withColumn("pos", row_number().over(w).cast("long"))
+    rankByHash(
+      docs(spark, dir)
+        .select(col("doc_id"), hk.as("hk"))
+        .select(col("doc_id"), col("hk"), shard),
+      Seq("shard"))
       .select("doc_id", "shard", "pos", "hk")
       .orderBy("shard", "pos")
   }
@@ -3472,13 +3498,15 @@ object ExtQueries {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_chunks"),
         min(col("seq_id")).cast("long").as("seq_first")))
-    // 8: reproducible shard shuffle of the final corpus
+    // 8: reproducible shard shuffle of the final corpus (two-phase
+    // distributed rank — no shard-sized single-task sort; see
+    // rankByHash)
     val hk = md5(concat_ws(":", lit(ShuffleSeed), col("doc_id")))
-    val wShard = Window.partitionBy(col("shard")).orderBy(col("hk"), col("doc_id"))
-    val sharded = phase("shard", keep3.select(col("doc_id"), hk.as("hk"))
-      .withColumn("shard",
-        conv(substring(col("hk"), 1, 7), 16, 10).cast("long") % NShards)
-      .withColumn("pos", row_number().over(wShard).cast("long"))
+    val sharded = phase("shard", rankByHash(
+      keep3.select(col("doc_id"), hk.as("hk"))
+        .withColumn("shard",
+          conv(substring(col("hk"), 1, 7), 16, 10).cast("long") % NShards),
+      Seq("shard"))
       .select("doc_id", "shard", "pos"))
     // 9: per-source manifest of the final corpus (same bucketed
     // order-insensitive hash chain as pipeline_manifest, over the

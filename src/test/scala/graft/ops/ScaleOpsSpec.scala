@@ -198,4 +198,27 @@ class ScaleOpsSpec extends AnyFlatSpec with Matchers with SparkFixture {
     docWins should not be empty
     docWins.foreach { case (part, _) => part should include("sub") }
   }
+
+  it should "rank shard positions with the same scan: rankByHash equals the single-window row_number" in {
+    import spark.implicits._
+    val d = (0L until 20000L).map { i =>
+      (i, f"${(i * 2654435761L) % 4294967296L}%08x" + f"$i%08d")
+    }.toDF("doc_id", "hk")
+      .withColumn("shard", pmod(col("doc_id"), lit(3L)))
+    val got = graft.ext.ExtQueries.rankByHash(d, Seq("shard"))
+      .select("doc_id", "shard", "pos")
+    val wRef = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("hk").asc, col("doc_id").asc)
+    val ref = d.withColumn("pos", row_number().over(wRef).cast("long"))
+      .select("doc_id", "shard", "pos")
+    got.orderBy("doc_id").collect() shouldBe ref.orderBy("doc_id").collect()
+    val wins = got.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        (w.partitionSpec.map(_.sql).mkString(","),
+          w.orderSpec.map(_.sql).mkString(","))
+    }
+    val rowWins = wins.filter(_._2.contains("hk"))
+    rowWins should not be empty
+    rowWins.foreach { case (part, _) => part should include("__sub") }
+  }
 }
