@@ -208,10 +208,16 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
     "HashAggregate".r.findAllIn(p).size should be >= 3
   }
 
-  it should "keep sequence packing cartesian-free with one corpus scan" in {
+  it should "keep sequence packing cartesian-free with at most the prefix-scan's two corpus scans" in {
     val p = plan("pipeline_pack_sequences")
     p should not include "CartesianProduct"
-    "FileScan parquet".r.findAllIn(p).size shouldBe 1
+    // round 17: the distributed sub-bucket prefix scan adds ONE extra
+    // narrow pass (the per-(source, sub) totals aggregate — column-
+    // pruned to 3 columns) in exchange for eliminating the per-source
+    // single-task window sort VERDICT r16 flagged. Two scans, both
+    // pruned, is the intended shape; the offsets side must broadcast.
+    "FileScan parquet".r.findAllIn(p).size should be <= 2
+    p should include("BroadcastExchange")
   }
 
   it should "count segment doc-frequency with bounded aggregates; boiler-set join planner-chosen" in {
@@ -240,7 +246,7 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
   }
 
   it should "keep the round-5 single-scan operators at one corpus scan, cartesian-free" in {
-    Seq("events_anomaly", "pipeline_manifest", "pipeline_shard_shuffle",
+    Seq("events_anomaly", "pipeline_manifest",
       "multimodal_frames", "pipeline_quality_report", "scalar_funcs").foreach { q =>
       val p = plan(q)
       withClue(q) {
@@ -248,6 +254,14 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers with SparkFixture {
         "FileScan parquet".r.findAllIn(p).size shouldBe 1
       }
     }
+    // pipeline_shard_shuffle moved to the two-phase distributed rank in
+    // round 17: one extra narrow pass (per-(shard, sub) counts) buys
+    // away the per-shard single-task row_number sort — two pruned
+    // scans + a broadcast offsets side is the intended shape
+    val p = plan("pipeline_shard_shuffle")
+    p should not include "CartesianProduct"
+    "FileScan parquet".r.findAllIn(p).size should be <= 2
+    p should include("BroadcastExchange")
   }
 
   it should "profile substring duplication in ONE corpus scan, join-free" in {
