@@ -3377,7 +3377,8 @@ object ExtQueries {
       benchmarkMaxId: Long = BenchmarkDocs,
       qualityMode: String = "rule",
       semCents: Option[DataFrame] = None,
-      dedupImpl: Option[(DataFrame, DataFrame) => DataFrame] = None): DataFrame = {
+      dedupImpl: Option[(DataFrame, DataFrame) => DataFrame] = None,
+      hitsImpl: Option[(DataFrame, DataFrame) => DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(d0.sparkSession)
     // 1+2: normalize, wrap in the synthetic page, extract prose blocks
     val ext0 = phase("normalize_extract", d0.select(col("doc_id"), col("source"),
@@ -3466,12 +3467,21 @@ object ExtQueries {
     })
     val keepers1 = dec.filter(col("decision") === "keep").select("doc_id")
     // 5: benchmark decontamination over dedup keepers (distinct
-    // matched shingles vs the broadcast benchmark set)
-    val kex = Dedup.shingleRows(
-      gated.join(keepers1, Seq("doc_id")).select("doc_id", "text"),
-      "doc_id", "text", ShingleN)
-    val hits = kex.join(broadcast(bench), "s")
-      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_hits"))
+    // matched shingles vs the broadcast benchmark set). `hitsImpl` is
+    // the incremental seam (round 17): n_hits is a pure per-doc
+    // function of (extracted text, benchmark set), so the incremental
+    // job splices unchanged docs' prior values when the benchmark
+    // slice itself is unchanged — removing the last corpus-text pass
+    // from the rebuild.
+    val keptDocs = gated.join(keepers1, Seq("doc_id"))
+      .select("doc_id", "source", "text")
+    val hits = hitsImpl match {
+      case Some(impl) => impl(keptDocs, bench)
+      case None =>
+        Dedup.shingleRows(keptDocs, "doc_id", "text", ShingleN)
+          .join(broadcast(bench), "s")
+          .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_hits"))
+    }
     val dq = phase("decontaminate", keepers1.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits")))
     val keepers2 = dq.filter(col("n_hits") < DecontamHits).select("doc_id")

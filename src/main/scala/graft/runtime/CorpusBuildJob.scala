@@ -392,10 +392,47 @@ object CorpusBuildJob {
             Some((g, ge) => graft.ext.DedupState.full(spark, g, ge,
               s"$out/dedup_state", reuseExisting = resume))
         }
+      // The decontamination seam (round 17): per-doc n_hits is a pure
+      // function of (extracted text, benchmark shingle set), so an
+      // incremental build splices unchanged-source docs' prior values
+      // from the prior LEDGER — valid only when the benchmark slice
+      // itself is unchanged (every source contributing ids below the
+      // boundary is in the unchanged set; bounded source-cardinality
+      // collect). Docs without a prior value (newly past the dedup
+      // tiers, changed sources) shingle candidate-restricted.
+      val hitsSeam: Option[(DataFrame, DataFrame) => DataFrame] =
+        incrReuse.flatMap { case (priorRoot, unchanged) =>
+          val benchSources = d0.filter(col("doc_id") < benchMaxId)
+            .select("source").distinct().collect()
+            .map(r => Option(r.getString(0)).getOrElse("")).toSet
+          val unchangedSet = unchanged.toSet
+          if (!benchSources.subsetOf(unchangedSet)) {
+            status("incremental: benchmark slice touched by edits — " +
+              "decontamination recomputes for every kept doc")
+            None
+          } else Some { (kept: DataFrame, bench: DataFrame) =>
+            status("incremental: decontamination splices prior n_hits " +
+              "(benchmark slice stable)")
+            val priorHits = spark.read.parquet(s"$priorRoot/ledger")
+              .filter(col("n_hits").isNotNull &&
+                col("source").isin(unchanged: _*))
+              .select(col("doc_id"), col("n_hits"))
+            val reuse = kept.filter(col("source").isin(unchanged: _*))
+              .select("doc_id").join(priorHits, Seq("doc_id"))
+            val fresh = kept.join(reuse.select("doc_id"), Seq("doc_id"), "left_anti")
+            val freshHits = graft.ext.Dedup
+              .shingleRows(fresh, "doc_id", "text")
+              .join(org.apache.spark.sql.functions.broadcast(bench), "s")
+              .groupBy("doc_id")
+              .agg(org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).cast("long").as("n_hits"))
+            reuse.unionByName(freshHits)
+          }
+        }
       val ledger = timed("ledger",
         graft.ext.ExtQueries.corpusBuildLedger(d0, e, timed,
           benchmarkMaxId = benchMaxId, qualityMode = qualityMode,
-          dedupImpl = dedupImpl))
+          dedupImpl = dedupImpl, hitsImpl = hitsSeam))
       val kept = ledger.filter(col("verdict") === "keep")
 
       val t0 = System.nanoTime()

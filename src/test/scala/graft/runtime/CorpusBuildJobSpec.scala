@@ -311,23 +311,48 @@ class CorpusBuildJobSpec extends AnyFlatSpec with Matchers with SparkFixture {
     val outIncr = tempDir("corpus-build-incr2-incr")
     val docsB = tempDir("corpus-build-incr2-docs")
     editedDocs(docsB)
-    def env(out: String) = baseEnv(out) +
-      ("CORPUS_BUILD_EMBEDDINGS_PATH" -> embR)
+    // benchmark boundary 1: the slice is doc 0 only (src0 — untouched
+    // by the edits), so the round-17 decontamination splice is ACTIVE
+    // and the job-vs-job bit equality below validates it end to end
+    def env(out: String) = baseEnv(out) ++ Map(
+      "CORPUS_BUILD_EMBEDDINGS_PATH" -> embR,
+      "CORPUS_BUILD_BENCHMARK_MAX_ID" -> "1")
 
     CorpusBuildJob.run(spark, env(outPrior), _ => ()) shouldBe ExitCodes.Success
     CorpusBuildJob.run(spark,
       env(outFull) + ("CORPUS_BUILD_DOCS_PATH" -> docsB),
       _ => ()) shouldBe ExitCodes.Success
+    val statuses = scala.collection.mutable.ArrayBuffer.empty[String]
     CorpusBuildJob.run(spark,
       env(outIncr) ++ Map(
         "CORPUS_BUILD_DOCS_PATH" -> docsB,
         "CORPUS_BUILD_INCREMENTAL" -> "true",
         "CORPUS_BUILD_PRIOR_PATH" -> outPrior),
-      _ => ()) shouldBe ExitCodes.Success
+      statuses += _) shouldBe ExitCodes.Success
+    statuses.exists(_.contains("decontamination splices prior n_hits")) shouldBe true
 
     ledgerRows(s"$outIncr/ledger") shouldBe ledgerRows(s"$outFull/ledger")
     ledgerRows(s"$outIncr/stages/dedup_decision") shouldBe
       ledgerRows(s"$outFull/stages/dedup_decision")
+  }
+
+  it should "recompute decontamination for every kept doc when the benchmark slice was edited" in {
+    // default boundary 20: the slice spans all 20 sources, including
+    // the edited src1 and removed src3 — the conservative guard must
+    // fall back instead of splicing against a CHANGED benchmark set
+    val outPrior = tempDir("corpus-build-bench-touch-prior")
+    val docsB = tempDir("corpus-build-bench-touch-docs")
+    editedDocs(docsB)
+    CorpusBuildJob.run(spark, baseEnv(outPrior), _ => ()) shouldBe ExitCodes.Success
+    val statuses = scala.collection.mutable.ArrayBuffer.empty[String]
+    CorpusBuildJob.run(spark,
+      baseEnv(tempDir("corpus-build-bench-touch-incr")) ++ Map(
+        "CORPUS_BUILD_DOCS_PATH" -> docsB,
+        "CORPUS_BUILD_INCREMENTAL" -> "true",
+        "CORPUS_BUILD_PRIOR_PATH" -> outPrior),
+      statuses += _) shouldBe ExitCodes.Success
+    statuses.exists(_.contains("benchmark slice touched by edits")) shouldBe true
+    statuses.exists(_.contains("decontamination splices prior n_hits")) shouldBe false
   }
 
   it should "demote a text-unchanged source to changed when its embeddings differ" in {
