@@ -336,6 +336,57 @@ class CorpusBuildJobSpec extends AnyFlatSpec with Matchers with SparkFixture {
       ledgerRows(s"$outFull/stages/dedup_decision")
   }
 
+  it should "chain incremental builds: week 3 against week 2's incremental state equals a full rebuild" in {
+    // the dedup_state an INCREMENTAL build writes must be as complete
+    // as a full build's (signatures for reused+fresh docs, every
+    // current candidate pair's verdict, carried quantizer, per-cell
+    // semantic pairs) — proven by chaining: prior → incr(edit src1) →
+    // incr(ALSO edit src4, prior = the first incremental's root),
+    // compared job-vs-job against a full rebuild of the week-3 corpus.
+    // Embeddings restricted away from every edited source so the
+    // quantizer is stable and job-vs-job equality is exact.
+    import org.apache.spark.sql.functions.{concat, lit => flit, when => fwhen}
+    val embR = tempDir("corpus-build-chain-emb")
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+          .filter(!col("source").isin("src1", "src2", "src3", "src4"))
+          .select(col("doc_id").as("vec_id")),
+        Seq("vec_id"))
+      .write.mode("overwrite").parquet(embR)
+    val docsW2 = tempDir("corpus-build-chain-docs2")
+    editedDocs(docsW2) // src1 edited, src3 removed
+    val docsW3 = tempDir("corpus-build-chain-docs3")
+    spark.read.parquet(docsW2)
+      .withColumn("text",
+        fwhen(col("source") === "src4", concat(col("text"), flit(" wk3")))
+          .otherwise(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(docsW3)
+    def env(out: String, docs: String) = Map(
+      "CORPUS_BUILD_DOCS_PATH" -> docs,
+      "CORPUS_BUILD_EMBEDDINGS_PATH" -> embR,
+      "CORPUS_BUILD_OUTPUT_PATH" -> out,
+      "CORPUS_BUILD_BENCHMARK_MAX_ID" -> "1")
+    val (w1, w2, w3, w3full) = (tempDir("corpus-build-chain-w1"),
+      tempDir("corpus-build-chain-w2"), tempDir("corpus-build-chain-w3"),
+      tempDir("corpus-build-chain-w3full"))
+    CorpusBuildJob.run(spark,
+      env(w1, s"$dir/documents.parquet"), _ => ()) shouldBe ExitCodes.Success
+    CorpusBuildJob.run(spark, env(w2, docsW2) ++ Map(
+      "CORPUS_BUILD_INCREMENTAL" -> "true",
+      "CORPUS_BUILD_PRIOR_PATH" -> w1), _ => ()) shouldBe ExitCodes.Success
+    val statuses = scala.collection.mutable.ArrayBuffer.empty[String]
+    CorpusBuildJob.run(spark, env(w3, docsW3) ++ Map(
+      "CORPUS_BUILD_INCREMENTAL" -> "true",
+      "CORPUS_BUILD_PRIOR_PATH" -> w2), statuses += _) shouldBe ExitCodes.Success
+    // week 3 reused week 2's state (src4 newly changed, src1 now stable)
+    statuses.exists(s => s.startsWith("incremental:") &&
+      s.contains("unchanged sources reuse prior")) shouldBe true
+    CorpusBuildJob.run(spark, env(w3full, docsW3), _ => ()) shouldBe ExitCodes.Success
+    ledgerRows(s"$w3/ledger") shouldBe ledgerRows(s"$w3full/ledger")
+    ledgerRows(s"$w3/stages/dedup_decision") shouldBe
+      ledgerRows(s"$w3full/stages/dedup_decision")
+  }
+
   it should "recompute decontamination for every kept doc when the benchmark slice was edited" in {
     // default boundary 20: the slice spans all 20 sources, including
     // the edited src1 and removed src3 — the conservative guard must
