@@ -96,7 +96,15 @@ object TokenizerStore {
 
   /** Encode: one row per input row, with `token_ids` (array<long> of
     * BPE ids under the stored vocab) and `n_bpe_tokens`. Narrow —
-    * the merge chain and the vocab map are literals in the plan. */
+    * the merge chain and the vocab map are literals in the plan.
+    *
+    * Scale note: at the oracle's 8 merges the replace chain and vocab
+    * map are trivially codegen'd; a production tokenizer (~30k merges)
+    * outgrows a single generated method — apply the merges in chunked
+    * sub-projections (e.g. 500 replaces per select, lineage-chained;
+    * same arithmetic, each stage still narrow) and swap the literal
+    * map for a broadcast symbol→id join. Both reshapes preserve the
+    * per-doc values this store's oracle pins. */
   def encodeIds(df: DataFrame, textCol: String, tok: Tokenizer): DataFrame = {
     val symbols = expr(
       s"regexp_extract_all(__wf, '<([^>]*)>', 1)")
