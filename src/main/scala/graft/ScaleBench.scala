@@ -149,6 +149,8 @@ object ScaleBench {
       run(args(1), rest, only)
     case _ =>
       System.err.println("usage: ScaleBench gen <srcSfDir> <dstDir> <factor> | run <outJson> [--only=q1,q2] <label>=<dir>[:corpus] ...")
+      System.err.println("note: run WRITES outJson FRESH with only what it measured - record a targeted " +
+        "--only run to a scratch file and fold it into the committed record with tools/merge_scale.py")
       sys.exit(2)
   }
 
