@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // deep expression trees (the 1,200-merge replace-chain REFERENCE
+  // encoder in TokenizerStoreSpec) recurse past the JDK default stack
+  // during Column→Expression conversion; production encode is one
+  // flat node and doesn't need this
+  "-Xss32m",
 )

@@ -16,11 +16,15 @@ import org.apache.spark.sql.functions._
   *    wall ms for all three builds, the incremental-vs-full
   *    exact/near-tier equality count, and the full-ledger equality
   *    against the same-quantizer reference (the DedupState contract).
-  *  - `stream-build <docsDir> <workDir> [maxFilesPerTrigger]` — run the
-  *    hosted `corpus-build-stream` kind over a sliced corpus to
-  *    completion IN-PROCESS, print per-trigger progress. The kill/
-  *    resume record forks this main twice from the shell (SIGKILL the
-  *    first) — see ROUND17_NOTES.md for the exact procedure. */
+  *  - `slice <x100Dir> <dstDir> [nFiles]` — split the x100 documents
+  *    corpus into `nFiles` parquet files under `dstDir` (the
+  *    arrival-sliced input the stream-build mode consumes);
+  *  - `stream-build <docsDir> <benchDir> <workDir>
+  *    [maxFilesPerTrigger]` — run the hosted `corpus-build-stream`
+  *    kind over a sliced corpus to completion IN-PROCESS, print
+  *    per-trigger progress. The kill/resume record forks this main
+  *    twice from the shell (SIGKILL the first) — see ROUND17_NOTES.md
+  *    for the exact procedure. */
 object ScaleEvidence {
 
   private def session(name: String): SparkSession = {

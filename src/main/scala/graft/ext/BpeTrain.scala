@@ -50,22 +50,31 @@ object BpeTrain {
   private val SymPattern = "<([^>]*)>"
 
   /** `text` column → wrapped-symbol word form, one row per token
-    * occurrence. */
-  private def wrappedWords(docs: DataFrame, textCol: String): DataFrame =
+    * occurrence. `chars` wraps each character; `bytes` (round 18, the
+    * Unicode-capable base — VERDICT r17 #4) wraps each UTF-8 byte as
+    * 2 lowercase hex chars, with words from the Unicode splitter. */
+  private def wrappedWords(docs: DataFrame, textCol: String,
+      alphabet: String): DataFrame = {
+    val toks = if (alphabet == "bytes") TextOps.tokensU(col(textCol))
+      else TextOps.tokens(col(textCol))
+    val wrapped =
+      if (alphabet == "bytes")
+        expr("""concat_ws('', transform(regexp_extract_all(lower(hex(encode(word, 'UTF-8'))), '..', 0), h -> concat('<', h, '>')))""")
+      else
+        expr("""concat_ws('', transform(filter(split(word, ''), c -> c != ''), c -> concat('<', c, '>')))""")
     docs
-      .select(explode(TextOps.tokens(col(textCol))).as("word"))
-      .select(col("word"),
-        concat(
-          expr("""concat_ws('', transform(filter(split(word, ''), c -> c != ''), c -> concat('<', c, '>')))"""),
-          lit("<_>")).as("w"))
+      .select(explode(toks).as("word"))
+      .select(col("word"), concat(wrapped, lit("<_>")).as("w"))
+  }
 
   /** Train `steps` merges over the corpus. Returns the merge table as
     * a DataFrame (step, sym_a, sym_b, pair_count) — k rows of
     * metadata, the trained artifact. */
-  def trainMerges(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+  def trainMerges(docs: DataFrame, textCol: String, steps: Int,
+      alphabet: String = "chars"): DataFrame = {
     val spark = docs.sparkSession
     // the one corpus-sized job: weighted vocabulary
-    var vocab = wrappedWords(docs, textCol)
+    var vocab = wrappedWords(docs, textCol, alphabet)
       .groupBy("word", "w").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -121,16 +130,22 @@ object BpeTrain {
     * documents. Use the engine form when the vocabulary genuinely
     * cannot fit a driver (no known natural-language corpus gets
     * there); use this for real vocab sizes. */
-  def trainMergesFast(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+  def trainMergesFast(docs: DataFrame, textCol: String, steps: Int,
+      alphabet: String = "chars"): DataFrame = {
     val spark = docs.sparkSession
+    val toks = if (alphabet == "bytes") TextOps.tokensU(col(textCol))
+      else TextOps.tokens(col(textCol))
     // the one corpus-sized job, same as the engine form
     val vocab = docs
-      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .select(explode(toks).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
     val words = vocab.map { case (w, _) =>
-      (w.map(_.toString) :+ "_").toArray
+      if (alphabet == "bytes")
+        w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => graft.functions.BpeEncoder.HexSyms(b & 0xff)) :+ "_"
+      else (w.map(_.toString) :+ "_").toArray
     }
     val weight = vocab.map(_._2)
 

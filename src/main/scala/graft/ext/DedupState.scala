@@ -168,6 +168,18 @@ object DedupState {
   def incremental(spark: SparkSession, gated: DataFrame, e: DataFrame,
       priorState: String, unchangedSources: Seq[String],
       stateRoot: String, reuseExisting: Boolean = false): DataFrame = {
+    // prior state at (or nested inside) the output root would be read
+    // lazily while writeOnce overwrites it eagerly in the same job —
+    // refuse actionably instead of read-while-overwrite corruption
+    // (ADVICE r17)
+    locally {
+      val p = new org.apache.hadoop.fs.Path(priorState).toString.stripSuffix("/")
+      val s = new org.apache.hadoop.fs.Path(stateRoot).toString.stripSuffix("/")
+      require(p != s && !p.startsWith(s + "/") && !s.startsWith(p + "/"),
+        s"incremental dedup: prior dedup_state ('$priorState') must not overlap " +
+          s"the output state root ('$stateRoot') — point CORPUS_BUILD_PRIOR_PATH " +
+          "at the PREVIOUS build's root, not this build's output")
+    }
     val fs = StoreMeta.fs(spark, priorState)
     Seq("sig", "near_pairs", "centroids", "sem_asg", "sem_pairs").foreach { t =>
       require(fs.exists(new org.apache.hadoop.fs.Path(s"$priorState/$t/_SUCCESS")),

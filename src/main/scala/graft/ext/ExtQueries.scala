@@ -2397,11 +2397,21 @@ object ExtQueries {
   // merges, mis-ordered vocab) hash-diverges.
   // ------------------------------------------------------------------
 
-  private val tokenizerStoreCache = scala.collection.mutable.Map.empty[String, String]
+  // keyed on (dir, corpus content fingerprint) — a same-JVM re-run
+  // after the data under the dir changed retrains instead of reusing
+  // a stale tokenizer (ADVICE r17; one bounded order-insensitive agg
+  // over text the query reads anyway)
+  private val tokenizerStoreCache =
+    scala.collection.mutable.Map.empty[(String, Long), String]
 
-  private def tokenizerStoreFor(spark: SparkSession, dir: String): String =
+  private def tokenizerStoreFor(spark: SparkSession, dir: String): String = {
+    val fp = {
+      val r = docs(spark, dir).agg(
+        sum(pmod(xxhash64(col("doc_id"), col("text")), lit(1000000007L)))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     tokenizerStoreCache.synchronized {
-      tokenizerStoreCache.getOrElseUpdate(dir, {
+      tokenizerStoreCache.getOrElseUpdate((dir, fp), {
         val root = java.nio.file.Files
           .createTempDirectory("graft-tokenizer-store").toString
         TokenizerStore.train(docs(spark, dir).select("text"), "text",
@@ -2409,6 +2419,7 @@ object ExtQueries {
         root
       })
     }
+  }
 
   /** Document-level BPE packing of an encoded frame (doc_id, source,
     * n_bpe_tokens > 0) — shared by the query and the hosted build's

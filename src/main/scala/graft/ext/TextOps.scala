@@ -20,6 +20,16 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
 
+  /** UNICODE tokens (round 18, VERDICT r17 #4): lowercase words split
+    * on anything outside the Unicode letter/number classes — the
+    * splitter the byte-level tokenizer alphabet contracts to, so
+    * non-Latin text survives tokenization instead of dissolving into
+    * the ASCII splitter's separators. `\p{L}\p{N}` is RE2-compatible;
+    * DuckDB's regexp engine replays the identical classes, and both
+    * engines' `lower` implement Unicode simple case folding. */
+  def tokensU(text: Column): Column =
+    filter(split(lower(text), "[^\\p{L}\\p{N}]+"), t => t =!= lit(""))
+
   /** Canonical normalized form: tokens re-joined on single spaces —
     * whitespace/punctuation/case-insensitive content identity. */
   def normalized(text: Column): Column = concat_ws(" ", tokens(text))

@@ -59,6 +59,153 @@ class TokenizerStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
     out shouldBe Array((7L, Seq(38L, 34L, 36L, 0L), 4L))
   }
 
+  // ----------------------------------------------------------------
+  // round 18 (VERDICT r17 #1): the production encode path — the
+  // native BpeEncodeIds expression — against the replace-chain
+  // reference the oracles replay, at production merge counts
+  // ----------------------------------------------------------------
+
+  it should "match the replace-chain reference at 1,200 merges (production encode)" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the BpeTrainSpec realistic-vocab corpus: 2,000 distinct
+    // pseudo-words, Zipf-ish weights — trains 1,200 real merges
+    val docs = (0 until 2000).map { i =>
+      val w = f"${(i * 2654435761L) & 0xffffffffL}%08x"
+      (i.toLong, (w + " ") * (i % 7 + 1) + f"${i % 97}%02d shared tail")
+    }.toDF("doc_id", "text")
+    val root = tempDir("tokstore-1k")
+    val tok = TokenizerStore.train(docs, "text", root, steps = 1200)
+    tok.merges.size shouldBe 1200
+
+    val sample = docs.filter(col("doc_id") % 40 === 0)
+    val fast = TokenizerStore.encodeIds(sample, "text", tok)
+      .select("doc_id", "token_ids").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1)
+    fast.length shouldBe 50
+    all(fast.map(_._2.size)) should be > 0
+    // the reference: 1,200 chained literal replaces + literal vocab
+    // map — the exact arithmetic the pipeline_pack_bpe oracle replays
+    val ref = TokenizerStore.encodeIdsReplay(sample, "text", tok)
+      .select("doc_id", "token_ids").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1)
+    fast shouldBe ref
+
+    // plan shape: ONE expression node at 1,200 merges, inside
+    // whole-stage codegen — no replace chain, no interpreted fallback
+    // (parquet-backed frame: a local relation constant-folds the
+    // projection away before the plan can be inspected)
+    val parquetDocs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TokenizerStore.encodeIds(parquetDocs, "text", tok)
+      .select("token_ids").queryExecution.executedPlan
+    val planStr = plan.toString
+    planStr should include("graft_bpe_encode")
+    planStr should not include "replace("
+    // the "*(1)" star on the Project marks the whole-stage-codegen
+    // stage — the expression generates code, no interpreted fallback
+    planStr should include("*(1) Project [graft_bpe_encode")
+  }
+
+  it should "pin the replace chain's SEQUENTIAL semantics on a colliding merge list" in {
+    import spark.implicits._
+    // hand-built list where a later merge re-creates a surface that
+    // participates in an EARLIER-rank pair: 1:(a,a) 2:(aab,d) 3:(aa,b).
+    // On "aabd": r1 → [aa,b,d], r2 finds nothing, r3 → [aab,d] — and
+    // rank 2's pass is OVER, so (aab,d) must NOT merge. The common
+    // "always merge lowest rank present" encoder yields [aabd] here.
+    val base = TokenizerStore.BaseAlphabet.zipWithIndex
+      .map { case (t, i) => (t, i.toLong) }
+    val vocab = base ++ Seq(("aa", 37L), ("aabd", 38L), ("aab", 39L))
+    val tok = TokenizerStore.Tokenizer(
+      Seq(("a", "a"), ("aab", "d"), ("aa", "b")), vocab, 1L)
+    val df = Seq((1L, "aabd")).toDF("doc_id", "text")
+    val got = TokenizerStore.encodeIds(df, "text", tok)
+      .select("token_ids").as[Seq[Long]].head()
+    got shouldBe Seq(39L, 14L, 0L) // [aab, d, _]
+    // ground truth: the replace chain itself
+    TokenizerStore.encodeIdsReplay(df, "text", tok)
+      .select("token_ids").as[Seq[Long]].head() shouldBe got
+  }
+
+  it should "dedupe colliding vocab surfaces to the first id and fail on unknown symbols" in {
+    import spark.implicits._
+    // duplicate surface 'ab' at two ids — the encoder must take the
+    // FIRST (ADVICE r17; the old literal map() threw at runtime under
+    // mapKeyDedupPolicy=EXCEPTION)
+    val base = TokenizerStore.BaseAlphabet.zipWithIndex
+      .map { case (t, i) => (t, i.toLong) }
+    val collided = base ++ Seq(("ab", 37L), ("ab", 40L))
+    val tok = TokenizerStore.Tokenizer(Seq(("a", "b")), collided, 1L)
+    val df = Seq((1L, "ab")).toDF("doc_id", "text")
+    TokenizerStore.encodeIds(df, "text", tok)
+      .select("token_ids").as[Seq[Long]].head() shouldBe Seq(37L, 0L)
+
+    // load() applies the same first-id rule to stores written before
+    // the dedupe
+    val root = tempDir("tokstore-dupvocab")
+    TokenizerStore.train(Seq((1L, "ab ab")).toDF("doc_id", "text"),
+      "text", root, steps = 1)
+    (base ++ Seq(("ab", 37L), ("ab", 40L)))
+      .toDF("token", "token_id")
+      .write.mode("overwrite").parquet(s"$root/vocab")
+    val loaded = TokenizerStore.load(spark, root)
+    loaded.vocab.count(_._1 == "ab") shouldBe 1
+    loaded.vocab.find(_._1 == "ab").map(_._2) shouldBe Some(37L)
+
+    // out-of-vocabulary symbol: loud failure, not null ids (ADVICE r17)
+    val missingZ = TokenizerStore.Tokenizer(Seq.empty,
+      base.filterNot(_._1 == "z"), 1L)
+    val err = intercept[Exception] {
+      TokenizerStore.encodeIds(Seq((1L, "z")).toDF("doc_id", "text"),
+        "text", missingZ).select("token_ids").collect()
+    }
+    val causes = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).toSeq
+    causes.exists(c => Option(c.getMessage)
+      .exists(_.contains("not in the tokenizer vocabulary"))) shouldBe true
+  }
+
+  it should "encode non-Latin text through the byte alphabet (round 18, Unicode base)" in {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Привет мир Привет"),
+      (2L, "日本語のテスト 日本語"),
+      (3L, "hello Привет wörld"),
+      (4L, "naïve café naïve café")).toDF("doc_id", "text")
+    val root = tempDir("tokstore-bytes")
+    val tok = TokenizerStore.train(docs, "text", root, steps = 12,
+      alphabet = "bytes")
+    val loaded = TokenizerStore.load(spark, root)
+    loaded.alphabet shouldBe "bytes"
+    loaded.merges shouldBe tok.merges
+    // fixed byte base: '_' = 0, byte 0x00 = 1, byte 0xff = 256,
+    // merged symbols from 257
+    val v = loaded.vocab.toMap
+    v("_") shouldBe 0L
+    v("00") shouldBe 1L
+    v("ff") shouldBe 256L
+    loaded.merges.headOption.foreach { case (a, b) =>
+      v(a + b) shouldBe 257L
+    }
+
+    // every doc encodes (the chars alphabet dissolves docs 1-2 into
+    // nothing); expression ≡ replace-chain replay byte for byte
+    val fast = TokenizerStore.encodeIds(docs, "text", loaded)
+      .select("doc_id", "token_ids").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1)
+    all(fast.map(_._2.size)) should be > 0
+    val ref = TokenizerStore.encodeIdsReplay(docs, "text", loaded)
+      .select("doc_id", "token_ids").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1)
+    fast shouldBe ref
+
+    // engine-form trainer agrees with the fast trainer in byte mode
+    val engine = BpeTrain.trainMerges(docs.select("text"), "text", 12, "bytes")
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    engine shouldBe tok.merges
+  }
+
   it should "agree with the engine trainer and refuse a non-store root" in {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("text")
