@@ -2446,6 +2446,51 @@ object ExtQueries {
       .filter(col("n_bpe_tokens") > 0L))
   }
 
+  // ------------------------------------------------------------------
+  // pipeline_token_budget_bpe (round 18, VERDICT r17 #6): the
+  // per-source token-budget cut counted in the tokens the MODEL sees —
+  // BPE ids through the persisted-tokenizer round trip — instead of
+  // whitespace words, so "B tokens per source" means model tokens.
+  // Same two-phase distributed sub-bucket prefix scan as
+  // pipeline_token_budget (no new plan risk); the oracle re-derives
+  // the merges and replays encode-then-budget.
+  // ------------------------------------------------------------------
+
+  private val BpeBudgetPerSource = 5000L
+
+  def pipelineTokenBudgetBpe(spark: SparkSession, dir: String): DataFrame = {
+    val tok = TokenizerStore.load(spark, tokenizerStoreFor(spark, dir))
+    tokenBudgetOf(
+      TokenizerStore.encodeIds(
+          docs(spark, dir).select("doc_id", "source", "text"), "text", tok)
+        .select(col("doc_id"), col("source"),
+          col("n_bpe_tokens").as("n_tokens")),
+      budget = BpeBudgetPerSource)
+      .select(col("doc_id"), col("source"),
+        col("n_tokens").as("n_bpe_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val pipelineTokenBudgetBpeSql =
+    s"""WITH $bpeTrainCtes,
+       |d AS (SELECT doc_id, toks,
+       |    coalesce(list_aggregate(list_transform(toks, t ->
+       |      list_aggregate(list_transform(string_split(t, ''),
+       |        ch -> '<' || ch || '>'), 'string_agg', '') || '<_>'),
+       |      'string_agg', ''), '') AS w0
+       |  FROM tok),
+       |e AS (SELECT doc_id, $bpeAppliedSql AS wf FROM d),
+       |nb AS (SELECT e.doc_id, doc.source,
+       |    len(regexp_extract_all(e.wf, '<([^>]*)>', 1))::BIGINT AS n_bpe
+       |  FROM e JOIN documents doc USING (doc_id)),
+       |cs AS (SELECT doc_id, source, n_bpe,
+       |    sum(n_bpe) OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+       |  FROM nb)
+       |SELECT doc_id, source, n_bpe AS n_bpe_tokens, cum_tokens FROM cs
+       |WHERE cum_tokens <= $BpeBudgetPerSource
+       |ORDER BY doc_id""".stripMargin
+
   private lazy val pipelinePackBpeSql =
     s"""WITH $bpeTrainCtes,
        |d AS (SELECT doc_id, toks,
@@ -6036,6 +6081,7 @@ object ExtQueries {
     "dedup_segments" -> (dedupSegments(_, _)),
     "pipeline_pack_sequences" -> (pipelinePackSequences(_, _)),
     "pipeline_pack_bpe" -> (pipelinePackBpe(_, _)),
+    "pipeline_token_budget_bpe" -> (pipelineTokenBudgetBpe(_, _)),
     "pipeline_quality_report" -> (pipelineQualityReport(_, _)),
     "pipeline_shard_shuffle" -> (pipelineShardShuffle(_, _)),
     "pipeline_manifest" -> (pipelineManifest(_, _)),
@@ -6125,6 +6171,7 @@ object ExtQueries {
     "dedup_segments" -> dedupSegmentsSql,
     "pipeline_pack_sequences" -> pipelinePackSequencesSql,
     "pipeline_pack_bpe" -> pipelinePackBpeSql,
+    "pipeline_token_budget_bpe" -> pipelineTokenBudgetBpeSql,
     "pipeline_quality_report" -> pipelineQualityReportSql,
     "pipeline_shard_shuffle" -> pipelineShardShuffleSql,
     "pipeline_manifest" -> pipelineManifestSql,
