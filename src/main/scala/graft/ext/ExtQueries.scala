@@ -3437,10 +3437,7 @@ object ExtQueries {
       hitsImpl: Option[(DataFrame, DataFrame) => DataFrame] = None): DataFrame = {
     graft.functions.GraftFunctions.register(d0.sparkSession)
     // 1+2: normalize, wrap in the synthetic page, extract prose blocks
-    val ext0 = phase("normalize_extract", d0.select(col("doc_id"), col("source"),
-      TextOps.htmlExtract(
-        htmlPage(col("doc_id"), TextOps.normalizeText(col("text"))), HtmlMinLen)
-        .getField("extracted").as("text")))
+    val ext0 = phase("normalize_extract", extractStageOf(d0))
     val bench = Dedup.shingleRows(
       ext0.filter(col("doc_id") < benchmarkMaxId), "doc_id", "text", ShingleN)
       .select("s").distinct()
@@ -3548,53 +3545,11 @@ object ExtQueries {
     val keep3 = phase("sample_mix", stats.join(keepers2, Seq("doc_id"))
       .filter(mixBucket < mixPct)
       .select("doc_id", "source", "text", "toks"))
-    // 7: sequence packing over the final corpus (per-doc chunk count +
-    // first packed sequence). Hash pack order + distributed sub-bucket
-    // prefix scan (round 17) — see pipelinePackSequences: no
-    // single-task source-sized window sort, and sequences mix docs
-    // pseudo-randomly instead of in crawl-id order.
-    val chunks = keep3
-      .withColumn("n", size(col("toks")))
-      .withColumn("start", explode(sequence(lit(1), col("n"), lit(ChunkS))))
-      .select(col("source"), col("doc_id"),
-        expr(s"cast((start - 1) div $ChunkS as bigint)").as("chunk_idx"),
-        least(lit(ChunkW), col("n") - col("start") + 1).cast("long").as("chunk_tokens"))
-    val packed = phase("pack", packCum(chunks)
-      .withColumn("seq_id", expr(s"(cum - chunk_tokens) div $PackLen"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("long").as("n_chunks"),
-        min(col("seq_id")).cast("long").as("seq_first")))
-    // 8: reproducible shard shuffle of the final corpus (two-phase
-    // distributed rank — no shard-sized single-task sort; see
-    // rankByHash)
-    val hk = md5(concat_ws(":", lit(ShuffleSeed), col("doc_id")))
-    val sharded = phase("shard", rankByHash(
-      keep3.select(col("doc_id"), hk.as("hk"))
-        .withColumn("shard",
-          conv(substring(col("hk"), 1, 7), 16, 10).cast("long") % NShards),
-      Seq("shard"))
-      .select("doc_id", "shard", "pos"))
-    // 9: per-source manifest of the final corpus (same bucketed
-    // order-insensitive hash chain as pipeline_manifest, over the
-    // BUILT text)
-    val man = phase("manifest", keep3
-      .select(col("source"), col("doc_id"),
-        length(col("text")).cast("long").as("n_chars"),
-        md5(col("text")).as("h"),
-        expr(s"doc_id div $ManifestBucketW").as("b"))
-      .groupBy("source", "b")
-      .agg(count(lit(1)).as("bn"), sum(col("n_chars")).as("bchars"),
-        // doc_id folded into the hash — see manifestOf (ADVICE r16)
-        md5(concat_ws("", expr(
-          "transform(array_sort(collect_list(named_struct('i', doc_id, 'h', h))), " +
-            "x -> concat(cast(x.i as string), ':', x.h))")))
-          .as("bh"))
-      .groupBy("source")
-      .agg(sum(col("bn")).cast("long").as("m_docs"),
-        sum(col("bchars")).cast("long").as("m_chars"),
-        md5(concat_ws("", expr(
-          "transform(array_sort(collect_list(named_struct('i', b, 'h', bh))), x -> x.h)")))
-          .as("content_version")))
+    // 7-9: pack / shard / manifest over the final corpus — factored
+    // as [[packShardManifestOf]] (round 18) so the streaming-build
+    // FINALIZE job runs the identical stage arithmetic over an
+    // accumulated ledger's kept set
+    val (packed, sharded, man) = packShardManifestOf(keep3, phase)
     // ledger assembly: verdict = the FIRST stage that dropped the doc.
     // Manifest columns describe the source's FINAL built corpus, so
     // they accompany only kept rows (a dropped doc contributed nothing
@@ -3623,6 +3578,77 @@ object ExtQueries {
       .withColumn("content_version",
         when(col("verdict") === "keep", col("content_version")))
   }
+
+  /** Stages 7-9 of the corpus build — sequence packing, reproducible
+    * shard shuffle, per-source manifest — over a FINAL kept corpus
+    * frame (doc_id, source, text, toks). Factored (round 18, VERDICT
+    * r17 #3) so the hosted streaming build's FINALIZE job composes the
+    * bit-identical artifacts from an accumulated `build_ledger/`; the
+    * batch chain ([[corpusBuildLedger]]) calls the same method, so the
+    * `pipeline_corpus_build` oracles pin this arithmetic. Returns
+    * (packed per-doc chunk stats, (shard, pos) placement, per-source
+    * manifest). All three shapes are the round-17 distributed forms:
+    * sub-bucket prefix scan, two-phase rank, bucketed manifest hash. */
+  private[graft] def packShardManifestOf(keep3: DataFrame,
+      phase: (String, DataFrame) => DataFrame = (_, df) => df)
+      : (DataFrame, DataFrame, DataFrame) = {
+    // sequence packing (per-doc chunk count + first packed sequence).
+    // Hash pack order + distributed sub-bucket prefix scan (round 17)
+    // — see pipelinePackSequences: no single-task source-sized window
+    // sort, and sequences mix docs pseudo-randomly instead of in
+    // crawl-id order.
+    val chunks = keep3
+      .withColumn("n", size(col("toks")))
+      .withColumn("start", explode(sequence(lit(1), col("n"), lit(ChunkS))))
+      .select(col("source"), col("doc_id"),
+        expr(s"cast((start - 1) div $ChunkS as bigint)").as("chunk_idx"),
+        least(lit(ChunkW), col("n") - col("start") + 1).cast("long").as("chunk_tokens"))
+    val packed = phase("pack", packCum(chunks)
+      .withColumn("seq_id", expr(s"(cum - chunk_tokens) div $PackLen"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        min(col("seq_id")).cast("long").as("seq_first")))
+    // reproducible shard shuffle (two-phase distributed rank — no
+    // shard-sized single-task sort; see rankByHash)
+    val hk = md5(concat_ws(":", lit(ShuffleSeed), col("doc_id")))
+    val sharded = phase("shard", rankByHash(
+      keep3.select(col("doc_id"), hk.as("hk"))
+        .withColumn("shard",
+          conv(substring(col("hk"), 1, 7), 16, 10).cast("long") % NShards),
+      Seq("shard"))
+      .select("doc_id", "shard", "pos"))
+    // per-source manifest (same bucketed order-insensitive hash chain
+    // as pipeline_manifest, over the BUILT text)
+    val man = phase("manifest", keep3
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("h"),
+        expr(s"doc_id div $ManifestBucketW").as("b"))
+      .groupBy("source", "b")
+      .agg(count(lit(1)).as("bn"), sum(col("n_chars")).as("bchars"),
+        // doc_id folded into the hash — see manifestOf (ADVICE r16)
+        md5(concat_ws("", expr(
+          "transform(array_sort(collect_list(named_struct('i', doc_id, 'h', h))), " +
+            "x -> concat(cast(x.i as string), ':', x.h))")))
+          .as("bh"))
+      .groupBy("source")
+      .agg(sum(col("bn")).cast("long").as("m_docs"),
+        sum(col("bchars")).cast("long").as("m_chars"),
+        md5(concat_ws("", expr(
+          "transform(array_sort(collect_list(named_struct('i', b, 'h', bh))), x -> x.h)")))
+          .as("content_version")))
+    (packed, sharded, man)
+  }
+
+  /** The batch build's extraction stage (normalize → synthetic page →
+    * prose-block extract) on an explicit frame — shared with the
+    * finalize job so its recomputed text equals the stream decision
+    * surface's and the batch stage's byte for byte. */
+  private[graft] def extractStageOf(d0: DataFrame): DataFrame =
+    d0.select(col("doc_id"), col("source"),
+      TextOps.htmlExtract(
+        htmlPage(col("doc_id"), TextOps.normalizeText(col("text"))), HtmlMinLen)
+        .getField("extracted").as("text"))
 
   /** The classifier-gate CTE chain over the corpus-build `stats`
     * relation (doc_id, toks, n_tokens, n_unique) — the DuckDB replay

@@ -3,7 +3,8 @@ package graft.runtime
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, length, lit}
+import org.apache.spark.sql.functions.{coalesce, col, length, lit,
+  max_by, regexp_extract, size, struct}
 
 import graft.model.ExitCodes
 
@@ -498,6 +499,163 @@ object CorpusBuildJob {
     }
   }
 
+  /** STREAMING-BUILD FINALIZE (round 18, VERDICT r17 #3): the missing
+    * last mile between the hosted `corpus-build-stream` kind and the
+    * training loader. The stream pod accumulates per-arrival verdicts
+    * under `storePath/build_ledger/batch=<ns>-<epoch>/`; this job turns
+    * that ledger's kept set into the SAME artifacts the batch
+    * [[execute]] writes — `ledger/` (consolidated verdicts), `corpus/`
+    * (hive-partitioned by shard, rows in shuffle order), `manifest/`
+    * (per-source bucketed content hash), optional `bpe_sequences/` —
+    * by re-running the batch build's stages 7-9
+    * ([[graft.ext.ExtQueries.packShardManifestOf]], shared code, not a
+    * re-implementation) over the kept documents. Pack order, shard
+    * placement, and manifest hashes are pure functions of the kept set
+    * (hash order, not arrival order), so the artifacts are bit-
+    * identical to a batch build that kept the same documents — the
+    * equality CorpusBuildJobSpec pins end-to-end through a real
+    * streamed ledger.
+    *
+    * Environment contract:
+    * {{{
+    *   CORPUS_FINALIZE_STORE_PATH  required  the stream pod's storePath
+    *       (its build_ledger/ partitions are read)
+    *   CORPUS_FINALIZE_DOCS_PATH   required  the document corpus the
+    *       stream consumed (doc_id/source/text; column-name overrides
+    *       via the CORPUS_BUILD_*_COLUMN vars)
+    *   CORPUS_FINALIZE_OUTPUT_PATH required  output root (leased; must
+    *       not overlap the store)
+    *   CORPUS_FINALIZE_EXTRACT     optional  true | false (default
+    *       true): run the batch build's normalize + html-extract stage
+    *       over the kept docs. `true` matches a deployment whose
+    *       stream consumed RAW documents (and the batch build, which
+    *       always extracts); set `false` when DOCS_PATH already holds
+    *       the extracted text the stream decided on (the golden's
+    *       precomputed-extraction shape) — extracting twice is not
+    *       idempotent for documents whose extracted text still looks
+    *       like markup.
+    *   CORPUS_BUILD_TOKENIZER_PATH optional  persisted TokenizerStore:
+    *       additionally pack the kept corpus by BPE ids (same artifact
+    *       as the batch build's bpe_sequences/)
+    * }}}
+    *
+    * Re-deliveries: a doc_id appearing in multiple batch partitions
+    * (checkpoint replay under a new namespace, retraction feeds) takes
+    * the verdict of the HIGHEST (epoch, batch-key) — latest decision
+    * wins, deterministically. One metadata-thin shuffle over the
+    * doc-cardinality ledger; the corpus text is touched exactly once,
+    * restricted to kept ids (the join pushes the kept-id filter below
+    * the extraction projection). */
+  def finalizeStream(spark: SparkSession, env: Map[String, String],
+      status: String => Unit = s => System.err.println(s"[corpus-finalize] $s")): Report = {
+    def req(k: String): String = env.getOrElse(k,
+      throw new IllegalArgumentException(s"env '$k' is required"))
+    val store = req("CORPUS_FINALIZE_STORE_PATH")
+    val out = req("CORPUS_FINALIZE_OUTPUT_PATH")
+    locally {
+      val s = new org.apache.hadoop.fs.Path(store).toString.stripSuffix("/")
+      val o = new org.apache.hadoop.fs.Path(out).toString.stripSuffix("/")
+      require(s != o && !s.startsWith(o + "/") && !o.startsWith(s + "/"),
+        s"finalize output ('$out') must not overlap the stream store ('$store') — " +
+          "the job reads build_ledger/ lazily while overwriting the output root")
+    }
+    val extract = env.getOrElse("CORPUS_FINALIZE_EXTRACT", "true").toBoolean
+    graft.functions.GraftFunctions.register(spark) // extraction uses graft_nfc
+    val ledgerPath = s"$store/build_ledger"
+    require(graft.ext.StoreMeta.fs(spark, ledgerPath)
+        .exists(new org.apache.hadoop.fs.Path(ledgerPath)),
+      s"finalize: no build_ledger/ under $store — point CORPUS_FINALIZE_STORE_PATH " +
+        "at a corpus-build-stream storePath that has processed at least one batch")
+    val phases = ArrayBuffer.empty[Phase]
+    def timed[A](name: String)(body: => (A, Long)): A = {
+      val t0 = System.nanoTime()
+      val (a, n) = body
+      phases += Phase(name, n, (System.nanoTime() - t0) / 1000000L)
+      status(s"phase $name: $n rows in ${phases.last.millis} ms")
+      a
+    }
+    graft.ext.StoreMeta.withWriterLease(spark, out, "corpus-finalize") {
+      // 1: consolidate the per-batch verdicts — latest (epoch, batch)
+      // wins per doc. Partition discovery carries `batch` as a string
+      // column; the epoch is its numeric suffix (ns-<epoch>), so the
+      // max_by ordering pairs the parsed epoch with the raw key (a
+      // deterministic tiebreak for foreign key formats).
+      val led = timed("consolidate_ledger") {
+        val raw = spark.read.parquet(ledgerPath)
+        val one = raw.groupBy("doc_id").agg(max_by(
+            struct(col("source"), col("verdict"), col("keeper_id"), col("n_hits")),
+            struct(regexp_extract(col("batch").cast("string"), "(\\d+)$", 1)
+              .cast("long").as("e"), col("batch").cast("string").as("b"))).as("r"))
+          .select(col("doc_id"), col("r.source").as("source"),
+            col("r.verdict").as("verdict"), col("r.keeper_id").as("keeper_id"),
+            col("r.n_hits").as("n_hits"))
+        one.write.mode("overwrite").parquet(s"$out/ledger")
+        val mat = spark.read.parquet(s"$out/ledger")
+        (mat, mat.count())
+      }
+      // 2: kept documents — text from the corpus the stream consumed,
+      // optionally through the batch build's extraction stage; every
+      // kept id must resolve to a document (a ledger over a vanished
+      // corpus must fail loudly, not shrink the training set)
+      val keptIds = led.filter(col("verdict") === "keep")
+        .select("doc_id", "source")
+      val d0 = spark.read.parquet(req("CORPUS_FINALIZE_DOCS_PATH")).select(
+        col(env.getOrElse("CORPUS_BUILD_ID_COLUMN", "doc_id")).cast("long").as("doc_id"),
+        col(env.getOrElse("CORPUS_BUILD_SOURCE_COLUMN", "source")).as("source"),
+        col(env.getOrElse("CORPUS_BUILD_TEXT_COLUMN", "text")).as("text"))
+      val keep3 = timed("kept_corpus") {
+        val docsKept = d0.join(keptIds.select("doc_id"), Seq("doc_id"))
+        val ext = if (extract) graft.ext.ExtQueries.extractStageOf(docsKept)
+          else docsKept.select("doc_id", "source", "text")
+        val k3 = ext
+          .withColumn("toks", graft.ext.TextOps.tokens(col("text")))
+          .select("doc_id", "source", "text", "toks")
+          .localCheckpoint(true) // reused by pack, shard, manifest, corpus write
+        val (nKept, nDocs) = (keptIds.count(), k3.count())
+        require(nDocs == nKept,
+          s"finalize: ledger keeps $nKept docs but only $nDocs resolve in " +
+            s"CORPUS_FINALIZE_DOCS_PATH — the docs corpus does not match the stream's input")
+        (k3, nDocs)
+      }
+      // 3: the batch build's pack/shard/manifest stages, shared code
+      val (packed, sharded, man) = graft.ext.ExtQueries.packShardManifestOf(keep3)
+      val kept = timed("pack_shard_manifest") {
+        val k = keep3
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .join(packed, Seq("doc_id"), "left")
+          .join(sharded, Seq("doc_id"))
+          .select("doc_id", "source", "text", "n_tokens",
+            "n_chunks", "seq_first", "shard", "pos")
+          .localCheckpoint(true)
+        (k, k.count())
+      }
+      timed("write_outputs") {
+        kept.repartition(col("shard")).sortWithinPartitions("shard", "pos")
+          .write.mode("overwrite").partitionBy("shard").parquet(s"$out/corpus")
+        man.write.mode("overwrite").parquet(s"$out/manifest")
+        ((), 0L)
+      }
+      env.get("CORPUS_BUILD_TOKENIZER_PATH").foreach { tp =>
+        timed("bpe_pack") {
+          val tok = graft.ext.TokenizerStore.load(spark, tp)
+          val seqs = graft.ext.ExtQueries.packBpeOf(
+            graft.ext.TokenizerStore.encodeIds(
+              kept.select(col("doc_id"), col("source"), col("text")), "text", tok)
+              .filter(col("n_bpe_tokens") > 0L))
+          seqs.write.mode("overwrite").parquet(s"$out/bpe_sequences")
+          ((), spark.read.parquet(s"$out/bpe_sequences").count())
+        }
+      }
+      val verdicts = led.groupBy("verdict").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val report = Report(verdicts.valuesIterator.sum,
+        verdicts.getOrElse("keep", 0L), verdicts, phases.toSeq)
+      status(s"finalized: ${report.kept}/${report.total} docs into training shards " +
+        s"(${report.verdicts.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", ")})")
+      report
+    }
+  }
+
   /** WHAT CHANGED between two persisted builds (VERDICT r15 #3 — the
     * production form of `pipeline_manifest_diff`, which plants its B
     * snapshot in-query): reads the manifests two [[execute]] runs
@@ -535,19 +693,31 @@ object CorpusBuildJob {
         ExitCodes.Fatal
     }
 
-  /** CLI: no args runs a build from the env contract; `diff <rootA>
-    * <rootB> [manifest|input_manifest]` prints the stored-manifest diff
-    * as one JSON line per source — the operator's audit call between
-    * two persisted builds. */
+  /** Testable wrapper for [[finalizeStream]]: exit code, not a throw. */
+  def runFinalize(spark: SparkSession, env: Map[String, String],
+      status: String => Unit = s => System.err.println(s"[corpus-finalize] $s")): Int =
+    try { finalizeStream(spark, env, status); ExitCodes.Success }
+    catch {
+      case e: Throwable =>
+        status(s"fatal: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        ExitCodes.Fatal
+    }
+
+  /** CLI: no args runs a build from the env contract; `finalize` runs
+    * the streaming-build finalize from the CORPUS_FINALIZE_* contract;
+    * `diff <rootA> <rootB> [manifest|input_manifest]` prints the
+    * stored-manifest diff as one JSON line per source — the operator's
+    * audit call between two persisted builds. */
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local("graft-corpus-build",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).getOrCreate()
     val code = args.toSeq match {
       case Seq("diff", a, b) => diffCli(spark, a, b, "manifest")
       case Seq("diff", a, b, which) => diffCli(spark, a, b, which)
+      case Seq("finalize") => runFinalize(spark, sys.env)
       case Seq() => run(spark, sys.env)
       case other =>
-        System.err.println(s"usage: CorpusBuildJob [diff <rootA> <rootB> [manifest|input_manifest]] " +
+        System.err.println(s"usage: CorpusBuildJob [finalize | diff <rootA> <rootB> [manifest|input_manifest]] " +
           s"(got: ${other.mkString(" ")})")
         ExitCodes.Fatal
     }
