@@ -135,6 +135,24 @@ object ExtQueries {
   }
 
   // ------------------------------------------------------------------
+  // text_lang_id2: TRAINED char-bigram language ID (round 18) — the
+  // multilingual upgrade of text_lang_id. Training from planted seed
+  // literals and map-only scoring both live in [[LangId]]; the oracle
+  // re-derives the trained table (counts, integer-division frequency
+  // ratios, owner election) and the per-doc argmax from the SAME seed
+  // literals. Non-Latin text the stopword heuristic calls `unk` gets a
+  // real verdict here (spec: LangIdSpec).
+  // ------------------------------------------------------------------
+
+  def textLangId2(spark: SparkSession, dir: String): DataFrame =
+    LangId.classify(docs(spark, dir).select("doc_id", "text"),
+      "doc_id", "text").orderBy("doc_id")
+
+  private val textLangId2Sql =
+    s"""WITH ${LangId.oracleCtes("documents")}
+       |SELECT * FROM lid_out ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // text_chunk: sliding-window token chunker (W tokens, stride S)
   // ------------------------------------------------------------------
 
@@ -6088,6 +6106,7 @@ object ExtQueries {
   val queries: Map[String, Q] = Map(
     "text_stats" -> (textStats(_, _)),
     "text_lang_id" -> (textLangId(_, _)),
+    "text_lang_id2" -> (textLangId2(_, _)),
     "text_chunk" -> (textChunk(_, _)),
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
@@ -6178,6 +6197,7 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_lang_id" -> textLangIdSql,
+    "text_lang_id2" -> textLangId2Sql,
     "text_chunk" -> textChunkSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,

@@ -1,0 +1,83 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkFixture
+
+/** Trained char-bigram language ID (round 18, VERDICT r17 #5): planted
+  * non-Latin docs get a real verdict exactly where the stopword-marker
+  * heuristic degrades to `unk`, and the Latin languages keep working. */
+class LangIdSpec extends AnyFlatSpec with Matchers with SparkFixture {
+
+  behavior of "LangId"
+
+  // held-out sentences — NOT the training seeds
+  private val samples = Seq(
+    1L -> ("en", "the children are walking to the river in the morning and " +
+      "the dog is running over the quiet field near the house"),
+    2L -> ("es", "los amigos juegan en la calle por la manana y el pan que " +
+      "compra la senora esta caliente mientras hablan del pueblo"),
+    3L -> ("de", "die frau kauft frisches brot und der hund spielt nicht im " +
+      "park sondern lauft durch die strasse zur arbeit"),
+    4L -> ("fr", "les amis jouent dans la rue pendant que le chien court " +
+      "dans le parc et la femme achete du pain pour le dejeuner"),
+    5L -> ("ru", "дети играют на улице утром и собака бежит по парку пока " +
+      "женщина покупает хлеб возле реки и говорит о погоде"),
+    6L -> ("zh", "孩子们早上在街上玩耍狗在公园里跑女士在河边买面包和朋友聊天"))
+
+  it should "classify held-out sentences in all six trained languages" in {
+    import spark.implicits._
+    val df = samples.map { case (id, (_, t)) => (id, t) }.toDF("doc_id", "text")
+    val got = LangId.classify(df, "doc_id", "text")
+      .select("doc_id", "lang_id2").as[(Long, String)].collect().toMap
+    samples.foreach { case (id, (lang, _)) =>
+      withClue(s"doc $id: ")(got(id) shouldBe lang)
+    }
+  }
+
+  it should "give real verdicts where the stopword heuristic returns unk (non-Latin scripts)" in {
+    import spark.implicits._
+    val nonLatin = samples.filter { case (_, (l, _)) => l == "ru" || l == "zh" }
+    val df = nonLatin.map { case (id, (_, t)) => (id, t) }.toDF("doc_id", "text")
+    // the OLD path: ASCII tokenization + per-language marker hits
+    val withHits = TextOps.LangMarkers.foldLeft(
+      df.withColumn("toks", TextOps.tokens(col("text")))) {
+      case (d, (lang, words)) =>
+        d.withColumn(s"hits_$lang", TextOps.wordListHits(col("toks"), words))
+    }
+    val old = withHits.withColumn("lang_guess",
+        TextOps.langGuess(TextOps.LangMarkers.map { case (l, _) => l -> col(s"hits_$l") }))
+      .select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
+    old.values.toSet shouldBe Set("unk") // the ASCII wall, demonstrated
+    val neu = LangId.classify(df, "doc_id", "text")
+      .select("doc_id", "lang_id2").as[(Long, String)].collect().toMap
+    nonLatin.foreach { case (id, (lang, _)) =>
+      withClue(s"doc $id: ")(neu(id) shouldBe lang)
+    }
+  }
+
+  it should "return unk for text with no trained grams and handle sub-bigram inputs" in {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "q"), (3L, "0123456789~~~~")).toDF("doc_id", "text")
+    val got = LangId.classify(df, "doc_id", "text")
+      .select("doc_id", "lang_id2").as[(Long, String)].collect().toMap
+    got(1L) shouldBe "unk"
+    got(2L) shouldBe "unk"
+    got(3L) shouldBe "unk" // digits/tilde bigrams are in no seed
+  }
+
+  it should "train a deterministic integer-weight table (BMP-only seeds, packed range)" in {
+    val w = LangId.weights
+    w should not be empty
+    // every (ownerIdx, r) packs into the 2^20 scheme the scorer unpacks
+    w.values.foreach { case (o, r) =>
+      o should (be >= 0 and be < LangId.LangOrder.size)
+      r should (be >= 0L and be < 1048576L)
+    }
+    // distinctive grams land with their language
+    w("th")._1 shouldBe LangId.LangOrder.indexOf("en")
+    w("ж.".take(1) + "е")._1 shouldBe LangId.LangOrder.indexOf("ru")
+  }
+}
