@@ -112,7 +112,9 @@ object ScaleBench {
     "pipeline_sample_temperature", "pipeline_quality_buckets",
     "pipeline_token_budget",
     // round 17
-    "pipeline_sample_epochs", "pipeline_pack_bpe")
+    "pipeline_sample_epochs", "pipeline_pack_bpe",
+    // round 18
+    "pipeline_token_budget_bpe", "text_lang_id2", "pipeline_lang_mix")
 
   /** Queries whose first call per corpus dir pays a one-time persisted
     * store/index build (cached thereafter) — warmed before measuring. */
@@ -132,8 +134,8 @@ object ScaleBench {
       // rounds 14-15: the quality goldens write their stream dir once
       "streaming_quality_golden", "streaming_quality_lm_golden",
       "streaming_corpus_build_golden",
-      // round 17: first call trains + persists the tokenizer store
-      "pipeline_pack_bpe")
+      // rounds 17-18: first call trains + persists the tokenizer store
+      "pipeline_pack_bpe", "pipeline_token_budget_bpe")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)

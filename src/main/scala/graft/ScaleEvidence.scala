@@ -24,7 +24,26 @@ import org.apache.spark.sql.functions._
   *    kind over a sliced corpus to completion IN-PROCESS, print
   *    per-trigger progress. The kill/resume record forks this main
   *    twice from the shell (SIGKILL the first) — see ROUND17_NOTES.md
-  *    for the exact procedure. */
+  *    for the exact procedure.
+  *  - `drift-ab <x100Dir> <workDir>` — round 18 (VERDICT r17 #8): the
+  *    drift-gate A/B at x100. Prior full build on the clean corpus; a
+  *    MASS RE-EMBEDDING (vectors of ~2/3 of sources negated, text
+  *    untouched) demotes those sources and strips the prior quantizer
+  *    cells of a majority of their membership; the incremental rebuild
+  *    under `CORPUS_BUILD_SEM_DRIFT=auto` must trip the gate, retrain,
+  *    and land a ledger EQUAL to the plain full rebuild — while
+  *    `off` (the pre-r18 encode-only reuse) is run alongside to
+  *    measure the divergence the gate exists to heal.
+  *  - `finalize <docsDir> <storeDir> <workDir>` — round 18 (VERDICT
+  *    r17 #3): run [[graft.runtime.CorpusBuildJob.finalizeStream]]
+  *    over a stream-build's accumulated `build_ledger/` at x100 and
+  *    print per-phase wall ms + artifact consistency counts.
+  *  - `encode <sfDir> <steps> <workDir>` — round 18 (VERDICT r17 #1):
+  *    the production-merge-count encode SCALE row. Train a tokenizer
+  *    at `steps` merges on the corpus (fast driver trainer), round-trip
+  *    the store, encode EVERY document through the native
+  *    [[graft.functions.BpeEncodeIds]] expression, print wall times
+  *    and token totals. */
 object ScaleEvidence {
 
   private def session(name: String): SparkSession = {
@@ -42,11 +61,18 @@ object ScaleEvidence {
       slice(x100, dst, rest.headOption.map(_.toInt).getOrElse(32))
     case "stream-build" :: docs :: bench :: work :: rest =>
       streamBuild(docs, bench, work, rest.headOption.map(_.toInt).getOrElse(4))
+    case "drift-ab" :: x100 :: work :: Nil => driftAb(x100, work)
+    case "finalize" :: docs :: store :: work :: Nil =>
+      finalizeEv(docs, store, work)
+    case "encode" :: sf :: steps :: work :: Nil => encodeEv(sf, steps.toInt, work)
     case _ =>
       System.err.println(
         "usage: ScaleEvidence incremental <x100Dir> <workDir> | " +
           "slice <x100Dir> <dstDir> [nFiles] | " +
-          "stream-build <docsDir> <benchDir> <workDir> [maxFilesPerTrigger]")
+          "stream-build <docsDir> <benchDir> <workDir> [maxFilesPerTrigger] | " +
+          "drift-ab <x100Dir> <workDir> | " +
+          "finalize <docsDir> <storeDir> <workDir> | " +
+          "encode <sfDir> <steps> <workDir>")
       sys.exit(2)
   }
 
@@ -136,6 +162,121 @@ object ScaleEvidence {
       s""""ledger_rows":$nLedger,""" +
       s""""ledger_vs_same_quantizer_reference_diff":$ledgerDiff,""" +
       s""""ledger_vs_plain_full_diff":$vsFullDiff}""")
+    spark.stop()
+  }
+
+  /** Stretch #8 (VERDICT r17): compose the incremental splice with the
+    * round-18 drift gate at x100 — a mass re-embedding must TRIP the
+    * gate, the escalated build must equal the plain full rebuild, and
+    * the `off` policy alongside measures the divergence healed. */
+  private def driftAb(x100: String, work: String): Unit = {
+    val spark = session("graft-drift-ab")
+    val quiet: String => Unit = s => System.err.println(s"[evidence] $s")
+    def env(out: String, emb: String) = Map(
+      "CORPUS_BUILD_DOCS_PATH" -> s"$x100/documents.parquet",
+      "CORPUS_BUILD_EMBEDDINGS_PATH" -> emb,
+      "CORPUS_BUILD_OUTPUT_PATH" -> out)
+
+    val prior = graft.runtime.CorpusBuildJob.execute(spark,
+      env(s"$work/prior", s"$x100/embeddings.parquet"), quiet)
+
+    // MASS RE-EMBEDDING: negate the vectors of ~2/3 of sources (hash
+    // bucket on the source name; text untouched). Negation flips every
+    // cosine sign, so the re-embedded docs leave their trained coarse
+    // cells wholesale — the "new embedding model" shape.
+    val d = spark.read.parquet(s"$x100/documents.parquet")
+      .select(col("doc_id").cast("long").as("vec_id"), col("source"))
+    val eEdited = s"$work/emb_edited"
+    spark.read.parquet(s"$x100/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .join(d, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(pmod(xxhash64(col("source")), lit(3)) < 2,
+          expr("transform(embedding, x -> -x)"))
+          .otherwise(col("embedding")).as("embedding"))
+      .repartition(32).write.mode("overwrite").parquet(eEdited)
+
+    val full = graft.runtime.CorpusBuildJob.execute(spark,
+      env(s"$work/full", eEdited), quiet)
+    val statuses = scala.collection.mutable.ArrayBuffer.empty[String]
+    val incrAuto = graft.runtime.CorpusBuildJob.execute(spark,
+      env(s"$work/incr_auto", eEdited) ++ Map(
+        "CORPUS_BUILD_INCREMENTAL" -> "true",
+        "CORPUS_BUILD_PRIOR_PATH" -> s"$work/prior",
+        "CORPUS_BUILD_SEM_DRIFT" -> "auto"),
+      s => { statuses += s; quiet(s) })
+    val escalated = statuses.exists(_.contains("quantizer drift"))
+    val incrOff = graft.runtime.CorpusBuildJob.execute(spark,
+      env(s"$work/incr_off", eEdited) ++ Map(
+        "CORPUS_BUILD_INCREMENTAL" -> "true",
+        "CORPUS_BUILD_PRIOR_PATH" -> s"$work/prior",
+        "CORPUS_BUILD_SEM_DRIFT" -> "off"), quiet)
+
+    def ledger(p: String): DataFrame = {
+      val df = spark.read.parquet(s"$p/ledger")
+      df.select(df.columns.sorted.map(col): _*)
+    }
+    val lFull = ledger(s"$work/full")
+    val n = lFull.count()
+    val dAuto = lFull.exceptAll(ledger(s"$work/incr_auto")).count() +
+      ledger(s"$work/incr_auto").exceptAll(lFull).count()
+    val dOff = lFull.exceptAll(ledger(s"$work/incr_off")).count() +
+      ledger(s"$work/incr_off").exceptAll(lFull).count()
+
+    println(s"""{"corpus":"$x100, ~2/3 of sources re-embedded (negated), text untouched",""" +
+      s""""drift_gate_tripped":$escalated,""" +
+      s""""ledger_rows":$n,""" +
+      s""""escalated_vs_plain_full_diff":$dAuto,""" +
+      s""""encode_only_off_vs_plain_full_diff":$dOff,""" +
+      s""""prior_phase_ms":${phasesJson(prior)},""" +
+      s""""full_rebuild_phase_ms":${phasesJson(full)},""" +
+      s""""incr_auto_phase_ms":${phasesJson(incrAuto)},""" +
+      s""""incr_off_phase_ms":${phasesJson(incrOff)}}""")
+    spark.stop()
+  }
+
+  /** Round-18 finalize record: the streaming build's last mile at x100
+    * (ledger consolidation + kept-corpus extraction + pack/shard/
+    * manifest over the accumulated store). */
+  private def finalizeEv(docs: String, store: String, work: String): Unit = {
+    val spark = session("graft-finalize-evidence")
+    val t0 = System.nanoTime()
+    val rep = graft.runtime.CorpusBuildJob.finalizeStream(spark, Map(
+      "CORPUS_FINALIZE_STORE_PATH" -> store,
+      "CORPUS_FINALIZE_DOCS_PATH" -> docs,
+      "CORPUS_FINALIZE_OUTPUT_PATH" -> s"$work/final"),
+      s => System.err.println(s"[evidence] $s"))
+    val wall = (System.nanoTime() - t0) / 1e9
+    val corpusRows = spark.read.parquet(s"$work/final/corpus").count()
+    val manSources = spark.read.parquet(s"$work/final/manifest").count()
+    val shards = spark.read.parquet(s"$work/final/corpus")
+      .select("shard").distinct().count()
+    println(f"""{"docs":"$docs","ledger_docs":${rep.total},"kept":${rep.kept},""" +
+      s""""corpus_rows":$corpusRows,"manifest_sources":$manSources,""" +
+      s""""shards":$shards,"wall_s":${"%.1f".format(wall)},""" +
+      s""""phase_ms":${phasesJson(rep)}}""")
+    require(corpusRows == rep.kept,
+      s"finalize consistency: corpus rows $corpusRows != kept ${rep.kept}")
+    spark.stop()
+  }
+
+  /** Round-18 encode record: production merge counts through the native
+    * BpeEncodeIds expression, over every document of the tier. */
+  private def encodeEv(sf: String, steps: Int, work: String): Unit = {
+    val spark = session("graft-encode-evidence")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val t0 = System.nanoTime()
+    graft.ext.TokenizerStore.train(docs, "text", s"$work/tok", steps)
+    val t1 = System.nanoTime()
+    val tok = graft.ext.TokenizerStore.load(spark, s"$work/tok")
+    val r = graft.ext.TokenizerStore.encodeIds(docs, "text", tok)
+      .agg(count(lit(1)).cast("long"), sum(col("n_bpe_tokens"))).head()
+    val t2 = System.nanoTime()
+    println(s"""{"dir":"$sf","merges":${tok.merges.size},""" +
+      s""""docs":${r.getLong(0)},"bpe_tokens":${r.getLong(1)},""" +
+      s""""train_s":${"%.1f".format((t1 - t0) / 1e9)},""" +
+      s""""encode_s":${"%.1f".format((t2 - t1) / 1e9)}}""")
     spark.stop()
   }
 

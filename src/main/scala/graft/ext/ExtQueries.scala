@@ -153,6 +153,52 @@ object ExtQueries {
        |SELECT * FROM lid_out ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // pipeline_lang_mix: LANGUAGE-AWARE mixture gate (round 18) — the
+  // trained language verdict wired into the pipeline's deterministic
+  // hash-bucket sampling, the way a multilingual 100 TB build balances
+  // languages (rather than sources) before training. Per-language keep
+  // percentages are a literal policy (unrecognized/`unk` text keeps a
+  // conservative floor, never silently 0); bucket = the same md5
+  // arithmetic as pipeline_sample_mix, so kept is a pure per-row
+  // function — map-only end to end (language scoring is the LangId
+  // literal-map fold; no joins, no shuffles beyond the output sort).
+  // ------------------------------------------------------------------
+
+  /** Per-language keep percentages — the planted multilingual policy. */
+  private val LangMixRates: Seq[(String, Long)] = Seq(
+    "en" -> 100L, "es" -> 60L, "de" -> 60L, "fr" -> 60L,
+    "ru" -> 40L, "zh" -> 40L, "unk" -> 20L)
+
+  def pipelineLangMix(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = Dedup.shingleKey(col("doc_id").cast("string")) % 100
+    val (_, verdict) = LangId.scoreColumns(col("text"))
+    val pct = LangMixRates.foldLeft(lit(0L)) { case (els, (l, p)) =>
+      when(col("lang_id2") === l, lit(p)).otherwise(els)
+    }
+    docs(spark, dir).select(col("doc_id"), col("text"))
+      .withColumn("lang_id2", verdict)
+      .withColumn("bucket", bucket)
+      .withColumn("pct", pct)
+      .select(col("doc_id"), col("lang_id2"), col("bucket"), col("pct"),
+        when(col("bucket") < col("pct"), lit(1L)).otherwise(lit(0L)).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val pipelineLangMixSql = {
+    val key = hexPrefixKeySql("md5(doc_id::VARCHAR)")
+    val pctArms = LangMixRates.map { case (l, p) =>
+      s"WHEN lang_id2 = '$l' THEN $p" }.mkString("\n       ")
+    s"""WITH ${LangId.oracleCtes("documents")},
+       |lmx AS (SELECT doc_id, lang_id2,
+       |    ($key % 100) AS bucket,
+       |    (CASE $pctArms ELSE 0 END)::BIGINT AS pct
+       |  FROM lid_out)
+       |SELECT doc_id, lang_id2, bucket, pct,
+       |  (CASE WHEN bucket < pct THEN 1 ELSE 0 END)::BIGINT AS kept
+       |FROM lmx ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // text_chunk: sliding-window token chunker (W tokens, stride S)
   // ------------------------------------------------------------------
 
@@ -6107,6 +6153,7 @@ object ExtQueries {
     "text_stats" -> (textStats(_, _)),
     "text_lang_id" -> (textLangId(_, _)),
     "text_lang_id2" -> (textLangId2(_, _)),
+    "pipeline_lang_mix" -> (pipelineLangMix(_, _)),
     "text_chunk" -> (textChunk(_, _)),
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
@@ -6198,6 +6245,7 @@ object ExtQueries {
     "text_stats" -> textStatsSql,
     "text_lang_id" -> textLangIdSql,
     "text_lang_id2" -> textLangId2Sql,
+    "pipeline_lang_mix" -> pipelineLangMixSql,
     "text_chunk" -> textChunkSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,

@@ -101,22 +101,27 @@ object LangId {
   }
 
   /** Per-language score columns + verdict over a text column: the
-    * map-only scoring pass. Returns (score columns aligned with
-    * [[LangOrder]], verdict column). */
+    * map-only scoring pass — ONE table lookup per bigram (the packed
+    * values materialize as an intermediate array) and ONE fold with a
+    * struct-of-scores accumulator, so the text is walked a single time
+    * however many languages are trained. Returns (score columns
+    * aligned with [[LangOrder]], verdict column). */
   def scoreColumns(textCol: Column): (Seq[Column], Column) = {
     val m = typedlit(weights.map { case (g, (o, r)) => g -> (o * Pack + r) })
     val grams = when(length(textCol) >= 2,
       transform(sequence(lit(1), length(textCol) - 1),
         i => substring(textCol, i, lit(2))))
       .otherwise(array().cast("array<string>"))
-    val scores = LangOrder.indices.map { idx =>
-      aggregate(grams, lit(0L), (acc, g) => {
-        val packed = element_at(m, g)
-        acc + coalesce(
-          when(shiftright(packed, 20) === idx, packed.bitwiseAND(Pack - 1L)),
-          lit(0L))
-      })
-    }
+    // -1 marks an untrained bigram; owner rides in the high bits
+    val packedArr = transform(grams, g => coalesce(element_at(m, g), lit(-1L)))
+    def fields(f: Int => Column): Column =
+      struct(LangOrder.indices.map(i => f(i).as(s"s$i")): _*)
+    val folded = aggregate(packedArr, fields(_ => lit(0L)),
+      (acc, p) => fields(idx =>
+        acc.getField(s"s$idx") +
+          when(p >= 0L && shiftright(p, 20) === idx, p.bitwiseAND(Pack - 1L))
+            .otherwise(lit(0L))))
+    val scores = LangOrder.indices.map(i => folded.getField(s"s$i"))
     val verdict = LangOrder.zipWithIndex.reverse
       .foldLeft(lit("unk")) { case (els, (lang, idx)) =>
         val later = scores.drop(idx + 1)
