@@ -171,12 +171,12 @@ object ExtQueries {
 
   def pipelineLangMix(spark: SparkSession, dir: String): DataFrame = {
     val bucket = Dedup.shingleKey(col("doc_id").cast("string")) % 100
-    val (_, verdict) = LangId.scoreColumns(col("text"))
     val pct = LangMixRates.foldLeft(lit(0L)) { case (els, (l, p)) =>
       when(col("lang_id2") === l, lit(p)).otherwise(els)
     }
     docs(spark, dir).select(col("doc_id"), col("text"))
-      .withColumn("lang_id2", verdict)
+      .withColumn("__ls", LangId.scoresArrayCol(col("text")))
+      .withColumn("lang_id2", LangId.verdictOf(col("__ls")))
       .withColumn("bucket", bucket)
       .withColumn("pct", pct)
       .select(col("doc_id"), col("lang_id2"), col("bucket"), col("pct"),

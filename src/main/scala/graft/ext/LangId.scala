@@ -36,12 +36,13 @@ import org.apache.spark.sql.functions._
   * SCALE. Training is a pure function of literal constants — computed
   * once on the driver in plain Scala ([[weights]]), no job. Scoring is
   * MAP-ONLY: the trained table (gram vocabulary of the seed paragraphs,
-  * a few hundred entries) rides into every task as one literal map
-  * (owner index and weight packed into a long), and the per-document
-  * scores are higher-order-function folds over the document's own
-  * bigrams — zero shuffles, zero joins, codegen-friendly; at 100 TB the
-  * cost is one linear pass over the text, the same shape as the
-  * text_stats family. */
+  * a few hundred entries, owner index and weight packed into a long)
+  * rides into every task inside the native
+  * [[graft.functions.LangBigramScores]] expression — one code-point
+  * walk per document, one real HashMap probe per bigram, all language
+  * accumulators filled in the same pass. Zero shuffles, zero joins; at
+  * 100 TB the cost is one linear pass over the text, the same shape as
+  * the text_stats family. */
 object LangId {
 
   /** Deterministic language order: owner and argmax tie-breaks. */
@@ -100,44 +101,44 @@ object LangId {
     }.toMap
   }
 
-  /** Per-language score columns + verdict over a text column: the
-    * map-only scoring pass — ONE table lookup per bigram (the packed
-    * values materialize as an intermediate array) and ONE fold with a
-    * struct-of-scores accumulator, so the text is walked a single time
-    * however many languages are trained. Returns (score columns
-    * aligned with [[LangOrder]], verdict column). */
-  def scoreColumns(textCol: Column): (Seq[Column], Column) = {
-    val m = typedlit(weights.map { case (g, (o, r)) => g -> (o * Pack + r) })
-    val grams = when(length(textCol) >= 2,
-      transform(sequence(lit(1), length(textCol) - 1),
-        i => substring(textCol, i, lit(2))))
-      .otherwise(array().cast("array<string>"))
-    // -1 marks an untrained bigram; owner rides in the high bits
-    val packedArr = transform(grams, g => coalesce(element_at(m, g), lit(-1L)))
-    def fields(f: Int => Column): Column =
-      struct(LangOrder.indices.map(i => f(i).as(s"s$i")): _*)
-    val folded = aggregate(packedArr, fields(_ => lit(0L)),
-      (acc, p) => fields(idx =>
-        acc.getField(s"s$idx") +
-          when(p >= 0L && shiftright(p, 20) === idx, p.bitwiseAND(Pack - 1L))
-            .otherwise(lit(0L))))
-    val scores = LangOrder.indices.map(i => folded.getField(s"s$i"))
-    val verdict = LangOrder.zipWithIndex.reverse
+  /** The per-language score vector (aligned with [[LangOrder]]) over a
+    * text column — ONE code-point walk, one HashMap probe per bigram,
+    * via the native [[graft.functions.LangBigramScores]] expression
+    * (a literal-map `element_at` probe is a linear table scan per
+    * bigram; the native form is what lets the gate disappear into a
+    * 100 TB scan). Null text coalesces to the zero vector (→ `unk`),
+    * matching the declarative formulation's empty-gram behavior. */
+  def scoresArrayCol(textCol: Column): Column = {
+    val packed = weights.toSeq.map { case (g, (o, r)) => g -> (o * Pack + r) }
+    coalesce(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.LangBigramScores(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(textCol),
+          packed, LangOrder.size)),
+      typedlit(Seq.fill(LangOrder.size)(0L)))
+  }
+
+  /** Argmax verdict over a MATERIALIZED score-vector column (ties to
+    * the earlier language in [[LangOrder]]; all-zero → `unk`). Call
+    * sites bind `arrCol` to a real column (withColumn) so the scoring
+    * pass runs once however many times the verdict references it. */
+  def verdictOf(arrCol: Column): Column = {
+    val scores = LangOrder.indices.map(i => element_at(arrCol, i + 1))
+    LangOrder.zipWithIndex.reverse
       .foldLeft(lit("unk")) { case (els, (lang, idx)) =>
         val later = scores.drop(idx + 1)
         val cond = later.foldLeft(scores(idx) > 0L)((c, o) => c && scores(idx) >= o)
         when(cond, lit(lang)).otherwise(els)
       }
-    (scores, verdict)
   }
 
   /** doc_id, s_<lang>..., lang_id2 over (doc_id, text). */
-  def classify(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val (scores, verdict) = scoreColumns(col(textCol))
-    df.select(Seq(col(idCol)) ++
-      LangOrder.zip(scores).map { case (l, s) => s.as(s"s_$l") } :+
-      verdict.as("lang_id2"): _*)
-  }
+  def classify(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__lang_scores", scoresArrayCol(col(textCol)))
+      .select(Seq(col(idCol)) ++
+        LangOrder.zipWithIndex.map { case (l, i) =>
+          element_at(col("__lang_scores"), i + 1).as(s"s_$l") } :+
+        verdictOf(col("__lang_scores")).as("lang_id2"): _*)
 
   /** The DuckDB replay: re-derive training from the same seed literals
     * (counts, integer-division ratios, owner election) and score by

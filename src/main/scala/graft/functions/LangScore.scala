@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Char-bigram language scoring as a native Catalyst expression
+  * (round 18): one CODE-POINT walk over the text, one real HashMap
+  * probe per bigram, all per-language score accumulators filled in the
+  * same pass — the executor-side form of [[graft.ext.LangId]]'s
+  * trained table. The declarative formulation (a literal `map(...)`
+  * probed with `element_at` inside an `aggregate` fold) is
+  * VALUE-identical but does a LINEAR SCAN of the table per bigram
+  * (Catalyst literal maps are array-backed): at ~500 trained grams
+  * that is ~500× the probes per character, the difference between a
+  * language gate that disappears into a 100 TB scan and one that
+  * dominates it. Same native-expression-over-literal-chain discipline
+  * as [[BpeEncodeIds]]; the DuckDB oracle keeps replaying the
+  * arithmetic relationally (join + group), which stays the equality
+  * proof.
+  *
+  * Bigrams are formed by CODE POINTS (a surrogate pair is one
+  * character), exactly the `substring(text, i, 2)` semantics of
+  * Spark SQL and DuckDB — an astral-plane document scores identically
+  * in all three formulations.
+  *
+  * Returns `array<bigint>` of length `nLangs` (never null elements);
+  * null text yields null (callers coalesce to the zero vector). */
+case class LangBigramScores(child: Expression, packed: Seq[(String, Long)],
+    nLangs: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_lang_scores requires a string text argument, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lang_scores"
+
+  @transient private lazy val scorer = new LangScorer(packed, nLangs)
+
+  override def nullSafeEval(input: Any): Any =
+    scorer.score(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("langScorer", scorer, classOf[LangScorer].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $s.score($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangBigramScores =
+    copy(child = newChild)
+}
+
+/** Executor-side scorer: immutable packed table (gram → ownerIdx·2^20
+  * + weight), thread-safe, shared across a task's rows. */
+final class LangScorer(packedSeq: Seq[(String, Long)], nLangs: Int)
+    extends Serializable {
+
+  @transient private lazy val table: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](packedSeq.size * 2)
+    packedSeq.foreach { case (g, p) => m.put(g, java.lang.Long.valueOf(p)) }
+    m
+  }
+
+  def score(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val scores = new Array[Long](nLangs)
+    var i = 0
+    while (i < s.length) {
+      val next = i + Character.charCount(s.codePointAt(i))
+      if (next < s.length) {
+        val end = next + Character.charCount(s.codePointAt(next))
+        val p = table.get(s.substring(i, end))
+        if (p != null) {
+          val v = p.longValue
+          scores((v >> 20).toInt) += v & 0xFFFFFL
+        }
+      }
+      i = next
+    }
+    new GenericArrayData(scores)
+  }
+}

@@ -208,7 +208,16 @@ object GraftMain {
     *    for unlisted/missing sources, default 100 — an unrecognized
     *    source is never silently downweighted); arrivals carry their
     *    source in `sourceColumn` (default `source`; sourceless streams
-    *    take the default pct).
+    *    take the default pct);
+    *  - '''language balance''' (round 18): `langRates` — comma list of
+    *    `lang:pct` over the TRAINED char-bigram verdict
+    *    ([[graft.ext.LangId]]; `en es de fr ru zh unk`), with
+    *    `langDefaultPct` (default 100) for unlisted verdicts. The
+    *    language bucket salts the doc id (`lang:<id>`) so the two
+    *    sampling draws are independent; verdict `drop_lang` outranks
+    *    `drop_mix` (balance languages, then sources). Map-only per
+    *    batch — the literal-map single-pass fold, no joins. Absent the
+    *    field, the ledger arithmetic is bit-identical to round 17's.
     *
     * The per-arrival BUILD LEDGER — (doc_id, source, verdict,
     * keeper_id, n_hits) with verdict precedence decision-surface >
@@ -232,14 +241,23 @@ object GraftMain {
       // benchmark shingles: read once at start, broadcast per batch
       val bench = spec.string("benchmarkShinglesPath")
         .map(p => spark.read.parquet(p).select(col("s")))
-      val rates: Map[String, Long] = spec.string("mixRates")
+      def rateMap(field: String): Map[String, Long] = spec.string(field)
         .map(_.split(',').toSeq.map { e =>
           e.split(':') match {
             case Array(s, p) => s.trim -> p.trim.toLong
             case _ => throw new IllegalArgumentException(
-              s"mixRates entry '$e' is not 'source:pct'")
+              s"$field entry '$e' is not 'key:pct'")
           }
         }.toMap).getOrElse(Map.empty)
+      val rates = rateMap("mixRates")
+      // round 18 (VERDICT r17 #5 wiring): per-LANGUAGE keep rates over
+      // the trained char-bigram verdict — the multilingual balance gate
+      // a 100 TB crawl needs. Map-only per batch (LangId literal-map
+      // fold); the language bucket salts the doc id so the two sampling
+      // gates stay independent. Absent `langRates`, the gate is off and
+      // the ledger arithmetic is bit-identical to round 17's.
+      val langRates = rateMap("langRates")
+      val langDefaultPct = spec.long("langDefaultPct").getOrElse(100L)
       Some { (batch: DataFrame, dec: DataFrame, batchKey: String) =>
         val withSrc =
           if (batch.columns.contains(srcCol))
@@ -260,13 +278,31 @@ object GraftMain {
           when(col("source") === s, lit(p)).otherwise(acc)
         }
         val bucket = graft.ext.Dedup.shingleKey(col("doc_id").cast("string")) % 100
+        // language gate columns (computed only when configured): the
+        // trained verdict over the ARRIVAL text + a salted bucket so a
+        // doc's language draw is independent of its mixture draw
+        val withLang =
+          if (langRates.isEmpty) withSrc.withColumn("__drop_lang", lit(false))
+          else {
+            val verdict = graft.ext.LangId.verdictOf(col("__ls"))
+            val lPct = langRates.foldLeft(lit(null).cast("long")) {
+              case (acc, (l, p)) => when(verdict === l, lit(p)).otherwise(acc)
+            }
+            val lBucket = graft.ext.Dedup.shingleKey(
+              concat(lit("lang:"), col("doc_id").cast("string"))) % 100
+            withSrc
+              .withColumn("__ls", graft.ext.LangId.scoresArrayCol(col("__text")))
+              .withColumn("__drop_lang",
+                lBucket >= coalesce(lPct, lit(langDefaultPct)))
+          }
         val ledger = dec.select(col("doc_id"), col("decision"), col("keeper_id"))
-          .join(withSrc.select("doc_id", "source"), Seq("doc_id"))
+          .join(withLang.select("doc_id", "source", "__drop_lang"), Seq("doc_id"))
           .join(hits, Seq("doc_id"), "left")
           .select(col("doc_id"), col("source"),
             when(col("decision") =!= "keep", col("decision"))
               .when(coalesce(col("n_hits"), lit(0L)) >= minHits,
                 lit("drop_contaminated"))
+              .when(col("__drop_lang"), lit("drop_lang"))
               .when(bucket >= coalesce(pct, lit(defaultPct)), lit("drop_mix"))
               .otherwise(lit("keep")).as("verdict"),
             col("keeper_id"),

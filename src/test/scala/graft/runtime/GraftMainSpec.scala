@@ -168,6 +168,50 @@ class GraftMainSpec extends AnyFlatSpec with Matchers with SparkFixture {
       .apply(2L) shouldBe "drop_exact"
   }
 
+  it should "apply the trained language gate in the streaming corpus build (round 18)" in {
+    import spark.implicits._
+    // four languages, distinct texts: ru keeps 0% -> drop_lang (the
+    // non-Latin doc the stopword heuristic calls unk); es at 0% with a
+    // 0%-mix source proves drop_lang OUTRANKS drop_mix; en listed at
+    // 100% keeps; fr is UNLISTED -> the default pct (100) keeps — an
+    // unrecognized language is never silently downweighted. Only ONE
+    // non-Latin doc: the decision surface's exact tier keys on ASCII
+    // tokens, so two non-Latin docs collapse to the same empty
+    // signature and dedup against each other before the gate sees the
+    // second one.
+    val textEn = "the children walk to the quiet river in the morning and " +
+      "the dog runs over the field near the house with their friends " * 2
+    val textRu = "дети играют на улице утром и собака бежит по парку пока " +
+      "женщина покупает хлеб возле реки и говорит о погоде " * 2
+    val textEs = "los amigos juegan en la calle por la manana y el pan que " +
+      "compra la senora esta caliente mientras hablan del pueblo " * 2
+    val textFr = "les amis jouent dans la rue pendant que le chien court " +
+      "dans le parc et la femme achete du pain pour le dejeuner " * 2
+    val src = tempDir("graftmain-lang-src")
+    Seq((1L, textEn, "srcA"), (2L, textRu, "srcA"), (3L, textEs, "srcZero"),
+        (4L, textFr, "srcA"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val store = tempDir("graftmain-lang-store")
+    val spec =
+      s"""{
+         |  "sourcePath": "$src",
+         |  "schemaDdl": "doc_id BIGINT, text STRING, source STRING",
+         |  "storePath": "$store",
+         |  "checkpointPath": "${tempDir("graftmain-lang-ckpt")}",
+         |  "langRates": "en:100,ru:0,es:0",
+         |  "mixRates": "srcZero:0",
+         |  "stopAfterBackfill": true
+         |}""".stripMargin
+    GraftMain.run(spark, env("corpus-build-stream", spec)) shouldBe ExitCodes.Success
+    val ledger = spark.read.parquet(s"$store/build_ledger")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    ledger(1L) shouldBe "keep"
+    ledger(2L) shouldBe "drop_lang"
+    ledger(3L) shouldBe "drop_lang" // outranks the 0%-source mix drop
+    ledger(4L) shouldBe "keep" // unlisted language takes the default
+  }
+
   it should "host the LM-quality-gated decision surface (round 15)" in {
     import spark.implicits._
     // LM trained on clean prose; a gibberish arrival's bigrams are all
