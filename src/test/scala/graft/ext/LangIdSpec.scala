@@ -68,6 +68,33 @@ class LangIdSpec extends AnyFlatSpec with Matchers with SparkFixture {
     got(3L) shouldBe "unk" // digits/tilde bigrams are in no seed
   }
 
+  it should "score through one codegen'd native expression (no per-bigram table scan)" in {
+    import spark.implicits._
+    val dir = tempDir("langid-plan")
+    samples.map { case (id, (_, t)) => (id, t) }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val plan = LangId.classify(spark.read.parquet(dir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the scorer is the single native node, inside whole-stage codegen
+    plan should include("graft_lang_scores")
+    plan.linesIterator.exists(l =>
+      l.contains("Project") && l.trim.startsWith("*")) shouldBe true
+    // astral-plane text (surrogate pairs) must score by CODE POINTS —
+    // the native walk must equal the code-point bigram arithmetic the
+    // SQL substring form (and the DuckDB oracle) uses
+    val astral = "😀на😀 улице дети играют утром"
+    val cps = astral.codePoints().toArray
+    val expected = (0 until cps.length - 1).map { i =>
+      new String(cps, i, 2)
+    }.flatMap(g => LangId.weights.get(g))
+      .collect { case (o, r) if LangId.LangOrder(o) == "ru" => r }.sum
+    expected should be > 0L // the Cyrillic grams still land around the emoji
+    val native = LangId.classify(
+        Seq((1L, astral)).toDF("doc_id", "text"), "doc_id", "text")
+      .select("s_ru").as[Long].head()
+    native shouldBe expected
+  }
+
   it should "train a deterministic integer-weight table (BMP-only seeds, packed range)" in {
     val w = LangId.weights
     w should not be empty
