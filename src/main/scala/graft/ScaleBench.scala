@@ -114,7 +114,8 @@ object ScaleBench {
     // round 17
     "pipeline_sample_epochs", "pipeline_pack_bpe",
     // round 18
-    "pipeline_token_budget_bpe", "text_lang_id2", "pipeline_lang_mix")
+    "pipeline_token_budget_bpe", "text_lang_id2", "pipeline_lang_mix",
+    "text_tokenizer_fertility")
 
   /** Queries whose first call per corpus dir pays a one-time persisted
     * store/index build (cached thereafter) — warmed before measuring. */
@@ -135,7 +136,8 @@ object ScaleBench {
       "streaming_quality_golden", "streaming_quality_lm_golden",
       "streaming_corpus_build_golden",
       // rounds 17-18: first call trains + persists the tokenizer store
-      "pipeline_pack_bpe", "pipeline_token_budget_bpe")
+      "pipeline_pack_bpe", "pipeline_token_budget_bpe",
+      "text_tokenizer_fertility")
 
   def main(args: Array[String]): Unit = args.headOption match {
     case Some("gen") => gen(args(1), args(2), args(3).toInt)

@@ -2511,6 +2511,58 @@ object ExtQueries {
   }
 
   // ------------------------------------------------------------------
+  // text_tokenizer_fertility (round 18): PER-LANGUAGE TOKENIZER
+  // FERTILITY — chars per BPE token by trained language verdict, THE
+  // standard multilingual tokenizer-evaluation metric (a language
+  // whose fertility balloons is being shredded to bytes and will
+  // under-train at a fixed token budget). Composes three round-18
+  // artifacts in one pass: the persisted TokenizerStore round trip,
+  // the native BpeEncodeIds encode, and the trained LangId verdict —
+  // one linear scan, one language-cardinality groupBy. Fixed-point
+  // integer ratio (e4, integer division) — hash-stable, no doubles.
+  // ------------------------------------------------------------------
+
+  def textTokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val tok = TokenizerStore.load(spark, tokenizerStoreFor(spark, dir))
+    TokenizerStore.encodeIds(
+        docs(spark, dir).select("doc_id", "text"), "text", tok)
+      .withColumn("__ls", LangId.scoresArrayCol(col("text")))
+      .withColumn("lang_id2", LangId.verdictOf(col("__ls")))
+      .groupBy("lang_id2")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        sum(col("n_bpe_tokens")).cast("long").as("n_bpe_tokens"))
+      .withColumn("chars_per_token_e4",
+        when(col("n_bpe_tokens") > 0L,
+          (col("n_chars") * 10000L) / col("n_bpe_tokens")).cast("long"))
+      .orderBy("lang_id2")
+  }
+
+  private lazy val textTokenizerFertilitySql =
+    s"""WITH $bpeTrainCtes,
+       |d AS (SELECT doc_id, toks,
+       |    coalesce(list_aggregate(list_transform(toks, t ->
+       |      list_aggregate(list_transform(string_split(t, ''),
+       |        ch -> '<' || ch || '>'), 'string_agg', '') || '<_>'),
+       |      'string_agg', ''), '') AS w0
+       |  FROM tok),
+       |e AS (SELECT doc_id, $bpeAppliedSql AS wf FROM d),
+       |nb AS (SELECT doc_id,
+       |    len(regexp_extract_all(wf, '<([^>]*)>', 1))::BIGINT AS n_bpe FROM e),
+       |${LangId.oracleCtes("documents")},
+       |f AS (SELECT l.doc_id, l.lang_id2, length(doc.text)::BIGINT AS n_chars,
+       |    coalesce(nb.n_bpe, 0)::BIGINT AS n_bpe
+       |  FROM lid_out l JOIN documents doc USING (doc_id)
+       |  LEFT JOIN nb USING (doc_id))
+       |SELECT lang_id2, count(*)::BIGINT AS n_docs,
+       |  sum(n_chars)::BIGINT AS n_chars,
+       |  sum(n_bpe)::BIGINT AS n_bpe_tokens,
+       |  (CASE WHEN sum(n_bpe) > 0
+       |        THEN (sum(n_chars) * 10000) // sum(n_bpe) END)::BIGINT
+       |    AS chars_per_token_e4
+       |FROM f GROUP BY lang_id2 ORDER BY lang_id2""".stripMargin
+
+  // ------------------------------------------------------------------
   // pipeline_token_budget_bpe (round 18, VERDICT r17 #6): the
   // per-source token-budget cut counted in the tokens the MODEL sees —
   // BPE ids through the persisted-tokenizer round trip — instead of
@@ -6154,6 +6206,7 @@ object ExtQueries {
     "text_lang_id" -> (textLangId(_, _)),
     "text_lang_id2" -> (textLangId2(_, _)),
     "pipeline_lang_mix" -> (pipelineLangMix(_, _)),
+    "text_tokenizer_fertility" -> (textTokenizerFertility(_, _)),
     "text_chunk" -> (textChunk(_, _)),
     "text_fingerprint" -> (textFingerprint(_, _)),
     "text_repetition" -> (textRepetition(_, _)),
@@ -6246,6 +6299,7 @@ object ExtQueries {
     "text_lang_id" -> textLangIdSql,
     "text_lang_id2" -> textLangId2Sql,
     "pipeline_lang_mix" -> pipelineLangMixSql,
+    "text_tokenizer_fertility" -> textTokenizerFertilitySql,
     "text_chunk" -> textChunkSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition" -> textRepetitionSql,

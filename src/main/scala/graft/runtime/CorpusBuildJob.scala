@@ -603,14 +603,19 @@ object CorpusBuildJob {
         col(env.getOrElse("CORPUS_BUILD_ID_COLUMN", "doc_id")).cast("long").as("doc_id"),
         col(env.getOrElse("CORPUS_BUILD_SOURCE_COLUMN", "source")).as("source"),
         col(env.getOrElse("CORPUS_BUILD_TEXT_COLUMN", "text")).as("text"))
+      // the kept corpus is CORPUS-sized, so it stages to parquet (the
+      // batch build's materializer discipline) rather than
+      // localCheckpoint — executor block storage is the wrong place
+      // for terabytes, and the stage file is what pack/shard/manifest
+      // and the corpus write all re-read
       val keep3 = timed("kept_corpus") {
         val docsKept = d0.join(keptIds.select("doc_id"), Seq("doc_id"))
         val ext = if (extract) graft.ext.ExtQueries.extractStageOf(docsKept)
           else docsKept.select("doc_id", "source", "text")
-        val k3 = ext
-          .withColumn("toks", graft.ext.TextOps.tokens(col("text")))
+        ext.withColumn("toks", graft.ext.TextOps.tokens(col("text")))
           .select("doc_id", "source", "text", "toks")
-          .localCheckpoint(true) // reused by pack, shard, manifest, corpus write
+          .write.mode("overwrite").parquet(s"$out/stages/kept_corpus")
+        val k3 = spark.read.parquet(s"$out/stages/kept_corpus")
         val (nKept, nDocs) = (keptIds.count(), k3.count())
         require(nDocs == nKept,
           s"finalize: ledger keeps $nKept docs but only $nDocs resolve in " +
@@ -619,28 +624,25 @@ object CorpusBuildJob {
       }
       // 3: the batch build's pack/shard/manifest stages, shared code
       val (packed, sharded, man) = graft.ext.ExtQueries.packShardManifestOf(keep3)
-      val kept = timed("pack_shard_manifest") {
-        val k = keep3
+      timed("write_outputs") {
+        keep3
           .withColumn("n_tokens", size(col("toks")).cast("long"))
           .join(packed, Seq("doc_id"), "left")
           .join(sharded, Seq("doc_id"))
           .select("doc_id", "source", "text", "n_tokens",
             "n_chunks", "seq_first", "shard", "pos")
-          .localCheckpoint(true)
-        (k, k.count())
-      }
-      timed("write_outputs") {
-        kept.repartition(col("shard")).sortWithinPartitions("shard", "pos")
+          .repartition(col("shard")).sortWithinPartitions("shard", "pos")
           .write.mode("overwrite").partitionBy("shard").parquet(s"$out/corpus")
         man.write.mode("overwrite").parquet(s"$out/manifest")
-        ((), 0L)
+        ((), spark.read.parquet(s"$out/corpus").count())
       }
       env.get("CORPUS_BUILD_TOKENIZER_PATH").foreach { tp =>
         timed("bpe_pack") {
           val tok = graft.ext.TokenizerStore.load(spark, tp)
           val seqs = graft.ext.ExtQueries.packBpeOf(
             graft.ext.TokenizerStore.encodeIds(
-              kept.select(col("doc_id"), col("source"), col("text")), "text", tok)
+              spark.read.parquet(s"$out/corpus")
+                .select(col("doc_id"), col("source"), col("text")), "text", tok)
               .filter(col("n_bpe_tokens") > 0L))
           seqs.write.mode("overwrite").parquet(s"$out/bpe_sequences")
           ((), spark.read.parquet(s"$out/bpe_sequences").count())

@@ -613,8 +613,7 @@ class CorpusBuildJobSpec extends AnyFlatSpec with Matchers with SparkFixture {
       "CORPUS_FINALIZE_DOCS_PATH" -> corpDir,
       "CORPUS_FINALIZE_OUTPUT_PATH" -> outF,
       "CORPUS_FINALIZE_EXTRACT" -> "false"), statuses += _) shouldBe ExitCodes.Success
-    Seq("consolidate_ledger", "kept_corpus", "pack_shard_manifest",
-      "write_outputs").foreach { p =>
+    Seq("consolidate_ledger", "kept_corpus", "write_outputs").foreach { p =>
       withClue(s"phase $p: ")(
         statuses.exists(_.startsWith(s"phase $p:")) shouldBe true)
     }
