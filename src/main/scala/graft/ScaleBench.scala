@@ -115,7 +115,7 @@ object ScaleBench {
     "pipeline_sample_epochs", "pipeline_pack_bpe",
     // round 18
     "pipeline_token_budget_bpe", "text_lang_id2", "pipeline_lang_mix",
-    "text_tokenizer_fertility")
+    "text_tokenizer_fertility", "dedup_cluster_best_keeper")
 
   /** Queries whose first call per corpus dir pays a one-time persisted
     * store/index build (cached thereafter) — warmed before measuring. */
