@@ -2445,6 +2445,130 @@ object ExtQueries {
        |FROM e ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // text_bpe_encode_bytes (round 19, VERDICT r18 #3): the `bytes`
+  // alphabet through the FULL persisted-store round trip, hash-pinned
+  // by DuckDB — graduating the round-18 Unicode alphabet from
+  // spec-pinned to oracle-pinned. Corpus = documents with planted
+  // non-Latin suffixes (Cyrillic on ids ≡ 0 mod 17, CJK on ids ≡ 0
+  // mod 23 — deterministic clones both engines construct identically,
+  // lowercase seed vocabulary so no case-mapping edge enters the
+  // contract). The Spark path trains a `bytes` TokenizerStore
+  // (persist → load → native BpeEncodeIds); the oracle re-derives the
+  // byte-level merges IN SQL (UTF-8 bytes via encode()/hex(), fixed
+  // 2-hex-char symbols, the same count-DESC/pair-lexicographic
+  // tie-break) and replays encode + deterministic id assignment
+  // ('_' = 0, bytes 00..ff = 1..256, merge surfaces from 257 with
+  // first-id collision dedupe), hashing the full id SEQUENCE per doc
+  // — a store that round-trips wrongly on ANY byte hash-diverges.
+  // ------------------------------------------------------------------
+
+  /** Planted non-Latin suffixes (lowercase, apostrophe-free — safe as
+    * SQL literals, no case-mapping divergence surface). */
+  private val RuPlant = "привет мир и собака бежит по улице утром"
+  private val ZhPlant = "你好 世界 孩子们 在 公园 玩耍 天气 很好"
+
+  private def mixedScriptDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(17)) === 0,
+          concat(col("text"), lit(" " + RuPlant)))
+        .when(pmod(col("doc_id"), lit(23)) === 0,
+          concat(col("text"), lit(" " + ZhPlant)))
+        .otherwise(col("text")).as("text"))
+
+  private val bytesStoreCache =
+    scala.collection.mutable.Map.empty[(String, Long), String]
+
+  private def bytesTokenizerStoreFor(spark: SparkSession, dir: String): String = {
+    val mx = mixedScriptDocs(spark, dir)
+    val fp = {
+      val r = mx.agg(
+        sum(pmod(xxhash64(col("doc_id"), col("text")), lit(1000000007L)))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    bytesStoreCache.synchronized {
+      bytesStoreCache.getOrElseUpdate((dir, fp), {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-tokenizer-store-bytes").toString
+        TokenizerStore.train(mx.select("text"), "text", root, BpeSteps,
+          alphabet = "bytes")
+        root
+      })
+    }
+  }
+
+  def textBpeEncodeBytes(spark: SparkSession, dir: String): DataFrame = {
+    val tok = TokenizerStore.load(spark, bytesTokenizerStoreFor(spark, dir))
+    require(tok.alphabet == "bytes", "store round-trip lost the alphabet")
+    TokenizerStore.encodeIds(mixedScriptDocs(spark, dir), "text", tok)
+      .select(col("doc_id"), col("n_bpe_tokens"),
+        when(col("n_bpe_tokens") > 0L,
+          md5(concat_ws(",", transform(col("token_ids"),
+            i => i.cast("string"))))).as("ids_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Byte-symbol word form: UTF-8 bytes as `<xx>` symbols + `<_>`. */
+  private def byteWrapSql(word: String): String =
+    s"list_aggregate(list_transform(generate_series(1, length(hex(encode($word))) // 2), " +
+      s"i -> '<' || lower(substring(hex(encode($word)), 2*i-1, 2)) || '>'), " +
+      "'string_agg', '') || '<_>'"
+
+  private val textBpeEncodeBytesSql = {
+    val steps = (1 to BpeSteps).map { i =>
+      s"""p$i AS (SELECT cnt, unnest(generate_series(1, len(s) - 1)) AS j, s
+         |  FROM (SELECT cnt, regexp_extract_all(w, '<([^>]*)>', 1) AS s FROM v${i - 1})),
+         |c$i AS (SELECT s[j] AS a, s[j + 1] AS b, sum(cnt)::BIGINT AS c
+         |  FROM p$i GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, c FROM c$i ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |v$i AS (SELECT word, cnt,
+         |    replace(w, '<' || a || '><' || b || '>', '<' || a || b || '>') AS w
+         |  FROM v${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+    val mergeUnion = (1 to BpeSteps)
+      .map(i => s"SELECT $i AS step, a, b FROM b$i").mkString(" UNION ALL ")
+    s"""WITH mx AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 0 THEN text || ' $RuPlant'
+       |         WHEN doc_id % 23 = 0 THEN text || ' $ZhPlant'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |btk AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'),
+       |      x -> x <> '') AS toks
+       |  FROM mx),
+       |words AS (SELECT unnest(toks) AS word FROM btk),
+       |v0 AS (SELECT word, count(*)::BIGINT AS cnt,
+       |    ${byteWrapSql("word")} AS w
+       |  FROM words GROUP BY word),
+       |$steps,
+       |mrg AS ($mergeUnion),
+       |bvoc AS (SELECT '_' AS token, 0::BIGINT AS id
+       |  UNION ALL
+       |  SELECT lpad(lower(hex(i)), 2, '0'), (i + 1)::BIGINT
+       |  FROM generate_series(0, 255) t(i)),
+       |voc AS (SELECT token, id FROM (
+       |    SELECT token, id, row_number() OVER (PARTITION BY token ORDER BY id) AS rn
+       |    FROM (SELECT token, id FROM bvoc
+       |          UNION ALL SELECT a || b AS token, (256 + step)::BIGINT AS id FROM mrg))
+       |  WHERE rn = 1),
+       |d0 AS (SELECT doc_id, coalesce(list_aggregate(list_transform(toks, t ->
+       |      ${byteWrapSql("t")}),
+       |    'string_agg', ''), '') AS w0
+       |  FROM btk),
+       |enc AS (SELECT doc_id, $bpeAppliedSql AS wf FROM d0),
+       |sy AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(wf, '<([^>]*)>', 1)) AS s,
+       |    unnest(generate_series(1, len(regexp_extract_all(wf, '<([^>]*)>', 1)))) AS ord
+       |  FROM enc),
+       |idsq AS (SELECT doc_id, ord, v.id FROM sy JOIN voc v ON v.token = sy.s),
+       |outq AS (SELECT doc_id, count(*)::BIGINT AS n_bpe_tokens,
+       |    md5(string_agg(id::VARCHAR, ',' ORDER BY ord)) AS ids_md5
+       |  FROM idsq GROUP BY doc_id)
+       |SELECT m.doc_id, coalesce(o.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
+       |  o.ids_md5
+       |FROM mx m LEFT JOIN outq o USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // pipeline_pack_bpe: PACK BY STORED-TOKENIZER BPE IDS (round 17,
   // VERDICT r16 #5) — the real training-data packing contract: budgets
   // count the tokens the MODEL will see (BPE ids from a tokenizer
@@ -2475,6 +2599,18 @@ object ExtQueries {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     tokenizerStoreCache.synchronized {
+      // evict superseded entries for the same dir (and their temp
+      // roots) so repeated retrains after data changes don't leak temp
+      // stores for the JVM lifetime (ADVICE r18)
+      tokenizerStoreCache.filterInPlace { case ((d, f), root) =>
+        val keep = d != dir || f == fp
+        if (!keep) scala.util.Try {
+          val p = java.nio.file.Paths.get(root)
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        }
+        keep
+      }
       tokenizerStoreCache.getOrElseUpdate((dir, fp), {
         val root = java.nio.file.Files
           .createTempDirectory("graft-tokenizer-store").toString
@@ -3572,6 +3708,23 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** The LANGUAGE-gated build (round 19, VERDICT r18 #1): same chain
+    * with the per-language balance gate active — the planted
+    * multilingual policy ([[LangMixRates]]) minus `unk`, which takes
+    * the DEFAULT pct (20) so the oracle pins the unlisted-verdict
+    * fallback path too. `drop_lang` sits between `drop_contaminated`
+    * and `drop_mix` — the hosted streaming build's precedence. */
+  def pipelineCorpusBuildLang(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    corpusBuildLedger(
+      docs(spark, dir).select("doc_id", "source", "text"),
+      emb(spark, dir).select("vec_id", "embedding"),
+      langRates = LangMixRates.filterNot(_._1 == "unk"),
+      langDefaultPct = LangMixRates.toMap.apply("unk"))
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
   /** The composed chain on explicit frames — the hosted
     * [[graft.runtime.CorpusBuildJob]] writes the `keep` slice (with
     * `text`, which this retains and the oracle query drops) and the
@@ -3611,6 +3764,8 @@ object ExtQueries {
       phase: (String, DataFrame) => DataFrame = (_, df) => df,
       benchmarkMaxId: Long = BenchmarkDocs,
       qualityMode: String = "rule",
+      langRates: Seq[(String, Long)] = Seq.empty,
+      langDefaultPct: Long = 100L,
       semCents: Option[DataFrame] = None,
       dedupImpl: Option[(DataFrame, DataFrame) => DataFrame] = None,
       hitsImpl: Option[(DataFrame, DataFrame) => DataFrame] = None): DataFrame = {
@@ -3717,11 +3872,38 @@ object ExtQueries {
     val dq = phase("decontaminate", keepers1.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits")))
     val keepers2 = dq.filter(col("n_hits") < DecontamHits).select("doc_id")
+    // 5b: LANGUAGE balance gate (round 19, VERDICT r18 #1) — the batch
+    // mirror of the hosted streaming build's `langRates` field
+    // (GraftMain CorpusBuildStreamGraph): per-language keep
+    // percentages over the TRAINED char-bigram verdict, bucket salted
+    // with `lang:` so a doc's language draw is independent of its
+    // mixture draw, `drop_lang` outranking `drop_mix` (balance
+    // languages, then sources — the streaming precedence). Scoring is
+    // the native map-only [[graft.functions.LangBigramScores]] pass
+    // over text the chain already holds, so the gate adds ZERO
+    // shuffles. Absent `langRates` the chain (stages, plan, ledger)
+    // is bit-identical to the ungated round-18 arithmetic.
+    val langDrop: Option[Column] =
+      if (langRates.isEmpty) None
+      else {
+        val verdict = LangId.verdictOf(LangId.scoresArrayCol(col("text")))
+        val lPct = langRates.foldLeft(lit(null).cast("long")) {
+          case (acc, (l, p)) => when(verdict === l, lit(p)).otherwise(acc)
+        }
+        val lBucket = Dedup.shingleKey(
+          concat(lit("lang:"), col("doc_id").cast("string"))) % 100
+        Some(lBucket >= coalesce(lPct, lit(langDefaultPct)))
+      }
+    val keepersL = langDrop match {
+      case Some(d) => phase("lang_gate",
+        stats.join(keepers2, Seq("doc_id")).filter(!d)).select("doc_id")
+      case None => keepers2
+    }
     // 6: mixture sampling (hash-bucket, pure function of the row;
     // the shared fixture policy — unparseable source names keep 100%)
     val mixPct = mixPctCol
     val mixBucket = Dedup.shingleKey(col("doc_id").cast("string")) % 100
-    val keep3 = phase("sample_mix", stats.join(keepers2, Seq("doc_id"))
+    val keep3 = phase("sample_mix", stats.join(keepersL, Seq("doc_id"))
       .filter(mixBucket < mixPct)
       .select("doc_id", "source", "text", "toks"))
     // 7-9: pack / shard / manifest over the final corpus — factored
@@ -3742,11 +3924,14 @@ object ExtQueries {
       .join(sharded, Seq("doc_id"), "left")
       .join(man, Seq("source"), "left")
       .select(col("doc_id"), col("source"), col("text"), col("n_tokens"),
-        when(col("decision").isNull, lit("drop_quality"))
-          .when(col("decision") =!= "keep", col("decision"))
-          .when(col("n_hits") >= DecontamHits, lit("drop_contaminated"))
-          .when(mixBucket >= mixPct, lit("drop_mix"))
-          .otherwise(lit("keep")).as("verdict"),
+        {
+          val head = when(col("decision").isNull, lit("drop_quality"))
+            .when(col("decision") =!= "keep", col("decision"))
+            .when(col("n_hits") >= DecontamHits, lit("drop_contaminated"))
+          langDrop.fold(head)(d => head.when(d, lit("drop_lang")))
+            .when(mixBucket >= mixPct, lit("drop_mix"))
+            .otherwise(lit("keep")).as("verdict")
+        },
         when(col("decision").isNotNull && col("decision") =!= "keep",
           col("keeper_id")).as("keeper_id"),
         col("n_hits"), col("n_chunks"), col("seq_first"),
@@ -3913,7 +4098,8 @@ object ExtQueries {
   // this object (HtmlMinLen); eager init here would fold their
   // defaults (0/null) into the SQL. Parameterized by the quality gate
   // (rule vs bootstrapped classifier — corpusBuildLedger's qualityMode)
-  private def corpusBuildSql(classifierGate: Boolean): String = {
+  private def corpusBuildSql(classifierGate: Boolean,
+      langGate: Boolean = false): String = {
     val mixKey = hexPrefixKeySql("md5(doc_id::VARCHAR)")
     val mixPctSql = mixPctSqlOf("source")
     // DuckDB INLINES multiply-referenced CTEs, re-evaluating each
@@ -3924,7 +4110,8 @@ object ExtQueries {
     // once; results are unchanged.
     def materialize(sql: String): String =
       Seq("nrm", "ext0", "corp", "stats", "tok", "sh", "bench",
-        "qgsrc", "qgall", "qgsff", "qgfeats", "qgw", "qgkeep")
+        "qgsrc", "qgall", "qgsff", "qgfeats", "qgw", "qgkeep",
+        "lid_out", "lgate")
         .foldLeft(sql)((s, c) =>
           s.replaceAll(s"(?m)^($c AS) \\(", "$1 MATERIALIZED ("))
     val gateCtes =
@@ -3934,6 +4121,35 @@ object ExtQueries {
       else
         """tok AS (SELECT doc_id, toks FROM stats
           |  WHERE n_tokens BETWEEN 10 AND 5000 AND 4 * n_unique >= n_tokens),""".stripMargin
+    // round 19 (VERDICT r18 #1): the language-balance gate — trained
+    // char-bigram verdict over the EXTRACTED corp text, salted bucket,
+    // per-language pct with the unlisted-verdict default; `drop_lang`
+    // between contaminated and mix, the streaming precedence.
+    val langCtes =
+      if (!langGate) ""
+      else {
+        val lKey = hexPrefixKeySql("md5('lang:' || doc_id::VARCHAR)")
+        val arms = LangMixRates.filterNot(_._1 == "unk")
+          .map { case (l, p) => s"WHEN lang_id2 = '$l' THEN $p" }
+          .mkString("\n       ")
+        s"""${LangId.oracleCtes("corp")},
+           |lgate AS (SELECT doc_id,
+           |    ($lKey % 100) >=
+           |      (CASE $arms ELSE ${LangMixRates.toMap.apply("unk")} END)::BIGINT AS drop_lang
+           |  FROM lid_out),""".stripMargin
+      }
+    // keep2l must follow keep2 in the WITH chain (no forward refs)
+    val keep2lCte =
+      if (!langGate) ""
+      else
+        """keep2l AS (SELECT k.doc_id FROM keep2 k
+          |  JOIN lgate g USING (doc_id) WHERE NOT g.drop_lang),
+          |""".stripMargin
+    val keepForMix = if (langGate) "keep2l" else "keep2"
+    val langVerdictArm =
+      if (langGate) "WHEN lg.drop_lang THEN 'drop_lang'\n       " else ""
+    val langJoin =
+      if (langGate) "LEFT JOIN lgate lg ON lg.doc_id = st.doc_id\n" else ""
     materialize(s"""WITH RECURSIVE
        |nrm AS (SELECT doc_id, source, ${normalizeSqlExpr("text")} AS text FROM documents),
        |${htmlCtesFrom("nrm")},
@@ -3950,6 +4166,7 @@ object ExtQueries {
        |stats AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens,
        |    len(list_distinct(toks))::BIGINT AS n_unique FROM tok0),
        |$gateCtes
+       |$langCtes
        |$ShCte,
        |gemb AS (SELECT e0.* FROM embeddings e0 JOIN tok t ON t.doc_id = e0.vec_id),
        |${dedupDecisionChainFrom("gemb")},
@@ -3961,7 +4178,7 @@ object ExtQueries {
        |dq AS (SELECT k.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits
        |  FROM keep1 k LEFT JOIN hits h ON h.doc_id = k.doc_id),
        |keep2 AS (SELECT doc_id FROM dq WHERE n_hits < $DecontamHits),
-       |keep3 AS (SELECT c.doc_id, c.source, c.text FROM corp c JOIN keep2 USING (doc_id)
+       |${keep2lCte}keep3 AS (SELECT c.doc_id, c.source, c.text FROM corp c JOIN $keepForMix USING (doc_id)
        |  WHERE $mixKey % 100 < $mixPctSql),
        |chk AS (SELECT doc_id, source, ((s - 1) // $ChunkS)::BIGINT AS chunk_idx,
        |    least($ChunkW, n - s + 1)::BIGINT AS chunk_tokens
@@ -3987,7 +4204,7 @@ object ExtQueries {
        |  CASE WHEN d.decision IS NULL THEN 'drop_quality'
        |       WHEN d.decision <> 'keep' THEN d.decision
        |       WHEN q.n_hits >= $DecontamHits THEN 'drop_contaminated'
-       |       WHEN NOT (${hexPrefixKeySql("md5(c.doc_id::VARCHAR)")} % 100 <
+       |       ${langVerdictArm}WHEN NOT (${hexPrefixKeySql("md5(c.doc_id::VARCHAR)")} % 100 <
        |         ${mixPctSqlOf("c.source")})
        |         THEN 'drop_mix'
        |       ELSE 'keep' END AS verdict,
@@ -3998,7 +4215,7 @@ object ExtQueries {
        |JOIN corp c ON c.doc_id = st.doc_id
        |LEFT JOIN dec d ON d.doc_id = st.doc_id
        |LEFT JOIN dq q ON q.doc_id = st.doc_id
-       |LEFT JOIN pck p ON p.doc_id = st.doc_id
+       |${langJoin}LEFT JOIN pck p ON p.doc_id = st.doc_id
        |LEFT JOIN shr s ON s.doc_id = st.doc_id
        |LEFT JOIN man m ON m.source = c.source)
        |SELECT doc_id, source, n_tokens, verdict, keeper_id,
@@ -4370,7 +4587,7 @@ object ExtQueries {
   // themselves.
   // ------------------------------------------------------------------
 
-  private def dirtyPrefix = "Ã©tÃ© â€œx â€” y Ã¢â‚¬â„¢z "
+  private def dirtyPrefix = "Ã©tÃ© â€œx â€” y Ã¢â‚¬â„¢z\u0001 "
   private def dirtySuffix = "  é nd\r\nok "
 
   def textNormalize(spark: SparkSession, dir: String): DataFrame = {
@@ -6340,6 +6557,7 @@ object ExtQueries {
     "pipeline_corpus_clean" -> (pipelineCorpusClean(_, _)),
     "pipeline_corpus_build" -> (pipelineCorpusBuild(_, _)),
     "pipeline_corpus_build_clf" -> (pipelineCorpusBuildClf(_, _)),
+    "pipeline_corpus_build_lang" -> (pipelineCorpusBuildLang(_, _)),
     "embed_quantize" -> (embedQuantize(_, _)),
     "source_sketch" -> (sourceSketch(_, _)),
     "dedup_embed_cosine" -> (dedupEmbedCosine(_, _)),
@@ -6349,6 +6567,7 @@ object ExtQueries {
     "text_bpe_train" -> (textBpeTrain(_, _)),
     "text_bpe_train_fast" -> (textBpeTrainFast(_, _)),
     "text_bpe_encode" -> (textBpeEncode(_, _)),
+    "text_bpe_encode_bytes" -> (textBpeEncodeBytes(_, _)),
     "text_rolling_hash" -> (textRollingHash(_, _)),
     "source_blob_listing" -> (sourceBlobListing(_, _)),
     "multimodal_ingest" -> (multimodalIngest(_, _)),
@@ -6434,6 +6653,8 @@ object ExtQueries {
     "pipeline_corpus_clean" -> pipelineCorpusCleanSql,
     "pipeline_corpus_build" -> corpusBuildSql(classifierGate = false),
     "pipeline_corpus_build_clf" -> corpusBuildSql(classifierGate = true),
+    "pipeline_corpus_build_lang" ->
+      corpusBuildSql(classifierGate = false, langGate = true),
     "embed_quantize" -> embedQuantizeSql,
     "source_sketch" -> sourceSketchSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql,
@@ -6443,6 +6664,7 @@ object ExtQueries {
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_train_fast" -> textBpeTrainSql,
     "text_bpe_encode" -> textBpeEncodeSql,
+    "text_bpe_encode_bytes" -> textBpeEncodeBytesSql,
     "text_rolling_hash" -> textRollingHashSql,
     "source_blob_listing" -> sourceBlobListingSql,
     "multimodal_ingest" -> multimodalIngestSql,

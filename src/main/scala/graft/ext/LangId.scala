@@ -76,11 +76,14 @@ object LangId {
     * (r <= RScale = 1e6 < 1_048_576). */
   private val Pack = 1048576L
 
-  private def bigramsOf(s: String): Seq[String] =
+  private def bigramsOf(s: String): Seq[String] = {
+    // a surrogate pair is ONE character to Spark/DuckDB substring —
+    // seeds stay in the BMP so JVM char-bigrams equal SQL char-bigrams.
+    // `require`, not `.ensuring`: assertions are elided under
+    // -Xdisable-assertions and this invariant must survive (ADVICE r18).
+    require(!s.exists(Character.isSurrogate), "seed text must be BMP-only")
     (0 until s.length - 1).map(i => s.substring(i, i + 2))
-      // a surrogate pair is ONE character to Spark/DuckDB substring —
-      // seeds stay in the BMP so JVM char-bigrams equal SQL char-bigrams
-      .ensuring(_ => !s.exists(Character.isSurrogate), "seed text must be BMP-only")
+  }
 
   /** The trained table: gram -> (ownerIdx, r), derived driver-side from
     * [[Seeds]] with integer arithmetic only. */

@@ -95,6 +95,17 @@ import graft.model.ExitCodes
   *       corpus. Default 20 — the FIXTURE convention (documents.parquet
   *       reserves ids 0-19); a real deployment MUST set its own
   *       boundary or pre-split its eval set (ADVICE r14).
+  *   CORPUS_BUILD_LANG_RATES       optional  comma list of `lang:pct`
+  *       (round 19): per-LANGUAGE keep percentages over the trained
+  *       char-bigram verdict ([[graft.ext.LangId]]) — the batch mirror
+  *       of the hosted streaming build's `langRates` field, same
+  *       grammar, same salted-bucket arithmetic, same `drop_lang`
+  *       precedence (above `drop_mix`, below `drop_contaminated`).
+  *       Absent, the gate is off and the ledger is bit-identical to
+  *       the ungated build.
+  *   CORPUS_BUILD_LANG_DEFAULT_PCT optional  keep pct for verdicts not
+  *       listed in LANG_RATES (default 100 — an unlisted language is
+  *       never silently downweighted)
   *   CORPUS_BUILD_QUALITY          optional  rule | classifier
   *       (default rule). classifier = the diagonal-LDA 5-feature gate
   *       bootstrapped from rule verdicts (see corpusBuildLedger) —
@@ -164,6 +175,23 @@ object CorpusBuildJob {
     val semDrift = env.getOrElse("CORPUS_BUILD_SEM_DRIFT", "auto")
     require(Set("auto", "off", "force")(semDrift),
       s"CORPUS_BUILD_SEM_DRIFT must be auto|off|force, got '$semDrift'")
+    // round 19 (VERDICT r18 #1): the batch language gate — same field
+    // grammar as the hosted streaming build's `langRates` spec field
+    // (GraftMain CorpusBuildStreamGraph), so one policy string
+    // configures both pipelines
+    val langRates: Seq[(String, Long)] = env.get("CORPUS_BUILD_LANG_RATES")
+      .map(_.split(',').toSeq.map { e =>
+        e.split(':') match {
+          case Array(l, p) => l.trim -> p.trim.toLong
+          case _ => throw new IllegalArgumentException(
+            s"CORPUS_BUILD_LANG_RATES entry '$e' is not 'lang:pct'")
+        }
+      }).getOrElse(Seq.empty)
+    val langDefaultPct =
+      env.getOrElse("CORPUS_BUILD_LANG_DEFAULT_PCT", "100").toLong
+    if (langRates.nonEmpty)
+      status(s"language gate active: ${langRates.map { case (l, p) => s"$l:$p" }
+        .mkString(",")} (default $langDefaultPct)")
     val benchMaxId = env.getOrElse("CORPUS_BUILD_BENCHMARK_MAX_ID", "20").toLong
     val d0 = spark.read.parquet(req("CORPUS_BUILD_DOCS_PATH")).select(
       col(env.getOrElse("CORPUS_BUILD_ID_COLUMN", "doc_id")).cast("long").as("doc_id"),
@@ -246,8 +274,10 @@ object CorpusBuildJob {
           flit(1000000007L)))).head()
         if (r.isNullAt(0)) 0L else r.getLong(0)
       }
+      val langCfg = langRates.map { case (l, p) => s"$l:$p" }.mkString(",")
       val configJson =
-        s"""{"benchmarkMaxId":$benchMaxId,"qualityMode":"$qualityMode","embFp":$embFp}"""
+        s"""{"benchmarkMaxId":$benchMaxId,"qualityMode":"$qualityMode","embFp":$embFp,""" +
+          s""""langRates":"$langCfg","langDefaultPct":$langDefaultPct}"""
       val cfgPath = new org.apache.hadoop.fs.Path(s"$out/build_config.json")
       val oldManifest: Option[Set[(String, String)]] =
         if (resume && fsOut.exists(new org.apache.hadoop.fs.Path(s"$out/input_manifest")))
@@ -445,6 +475,7 @@ object CorpusBuildJob {
       val ledger = timed("ledger",
         graft.ext.ExtQueries.corpusBuildLedger(d0, e, timed,
           benchmarkMaxId = benchMaxId, qualityMode = qualityMode,
+          langRates = langRates, langDefaultPct = langDefaultPct,
           dedupImpl = dedupImpl, hitsImpl = hitsSeam))
       val kept = ledger.filter(col("verdict") === "keep")
 
@@ -584,8 +615,9 @@ object CorpusBuildJob {
         val raw = spark.read.parquet(ledgerPath)
         val one = raw.groupBy("doc_id").agg(max_by(
             struct(col("source"), col("verdict"), col("keeper_id"), col("n_hits")),
-            struct(regexp_extract(col("batch").cast("string"), "(\\d+)$", 1)
-              .cast("long").as("e"), col("batch").cast("string").as("b"))).as("r"))
+            struct(coalesce(regexp_extract(col("batch").cast("string"),
+                "(\\d+)$", 1).cast("long"), lit(-1L)).as("e"),
+              col("batch").cast("string").as("b"))).as("r"))
           .select(col("doc_id"), col("r.source").as("source"),
             col("r.verdict").as("verdict"), col("r.keeper_id").as("keeper_id"),
             col("r.n_hits").as("n_hits"))

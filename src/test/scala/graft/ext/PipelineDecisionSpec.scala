@@ -134,4 +134,60 @@ class PipelineDecisionSpec extends AnyFlatSpec with Matchers with SparkFixture {
       withClue(s"doc $id: ") { stream(id) shouldBe batch(id) }
     }
   }
+
+  behavior of "the batch language gate (round 19)"
+
+  it should "place drop_lang between contamination and mix with the streaming gate arithmetic" in {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    // The gated build differs from the ungated build ONLY at the
+    // language gate, which sits between drop_contaminated and drop_mix
+    // (the hosted streaming build's precedence) and uses the
+    // STREAMING gate's exact arithmetic: trained char-bigram verdict
+    // over the extracted text, `lang:`-salted md5 bucket, the planted
+    // per-language policy with `unk` on the default pct. Recompute the
+    // drop set with those expressions and require the two ledgers to
+    // diverge exactly there and nowhere else.
+    val dir = "/root/testdata/sf0.001"
+    def vmap(df: DataFrame) = df.select("doc_id", "verdict")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val gated = vmap(ExtQueries.pipelineCorpusBuildLang(spark, dir))
+    val ungated = vmap(ExtQueries.pipelineCorpusBuild(spark, dir))
+    gated.keySet shouldBe ungated.keySet
+
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+    // corp = extracted docs past the fixture benchmark boundary (20)
+    val corp = ExtQueries.extractStageOf(docs).filter(col("doc_id") >= 20L)
+    val verdict = LangId.verdictOf(LangId.scoresArrayCol(col("text")))
+    val lPct = Seq("en" -> 100L, "es" -> 60L, "de" -> 60L, "fr" -> 60L,
+        "ru" -> 40L, "zh" -> 40L)
+      .foldLeft(lit(null).cast("long")) { case (acc, (l, p)) =>
+        when(verdict === l, lit(p)).otherwise(acc)
+      }
+    val lBucket = Dedup.shingleKey(
+      concat(lit("lang:"), col("doc_id").cast("string"))) % 100
+    val gateDrop = corp.select(col("doc_id"),
+        (lBucket >= org.apache.spark.sql.functions.coalesce(lPct, lit(20L))).as("d"))
+      .collect().filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    gateDrop.nonEmpty shouldBe true
+
+    gated.keySet.foreach { id =>
+      withClue(s"doc $id (ungated ${ungated(id)}, gate drop ${gateDrop(id)}): ") {
+        ungated(id) match {
+          // higher-precedence verdicts are untouched by the gate
+          case v @ ("drop_quality" | "drop_exact" | "drop_near" |
+                    "drop_semantic" | "drop_contaminated") =>
+            gated(id) shouldBe v
+          // the gate decides between contamination and mix
+          case v @ ("keep" | "drop_mix") =>
+            gated(id) shouldBe (if (gateDrop(id)) "drop_lang" else v)
+          case other => fail(s"unexpected ungated verdict $other")
+        }
+      }
+    }
+    // both directions populated: some keeps survived, some were gated
+    gated.values.count(_ == "drop_lang") should be > 0
+    gated.values.count(_ == "keep") should be > 0
+  }
 }

@@ -36,7 +36,7 @@ class TextNormalizeSpec extends AnyFlatSpec with Matchers with SparkFixture {
   }
 
   it should "strip C0 controls and DEL but keep tab/newline semantics" in {
-    norm("abcd") shouldBe Seq("abcd")
+    norm("a\u0001b\u0007c\u007fd") shouldBe Seq("abcd")
     norm("line1\r\nline2\rline3") shouldBe Seq("line1\nline2\nline3")
     norm("a\tb") shouldBe Seq("a b") // tab folds into the space collapse
   }

@@ -511,6 +511,10 @@ class CorpusBuildJobSpec extends AnyFlatSpec with Matchers with SparkFixture {
     CorpusBuildJob.run(spark,
       baseEnv(out) + ("CORPUS_BUILD_QUALITY" -> "bogus"),
       _ => ()) shouldBe ExitCodes.Fatal
+    // lang-rate grammar (round 19): entries must be lang:pct
+    CorpusBuildJob.run(spark,
+      baseEnv(out) + ("CORPUS_BUILD_LANG_RATES" -> "en-50"),
+      _ => ()) shouldBe ExitCodes.Fatal
   }
 
   it should "refuse to run against a root another writer holds" in {
@@ -665,6 +669,143 @@ class CorpusBuildJobSpec extends AnyFlatSpec with Matchers with SparkFixture {
       Map(30L -> "drop_exact", 31L -> "keep")
     spark.read.parquet(s"$out/corpus").select("doc_id")
       .as[Long].collect().toSeq shouldBe Seq(31L)
+  }
+
+  // -------------------------------------------------------------------
+  // BATCH LANGUAGE GATE (round 19, VERDICT r18 #1)
+  // -------------------------------------------------------------------
+
+  behavior of "the language gate across pipelines"
+
+  it should "apply CORPUS_BUILD_LANG_RATES identically in batch, stream, and finalize" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, coalesce, concat,
+      lit => flit, when => fwhen}
+    // Mixed-language fixture: English prose, Spanish and German prose
+    // built from the LangId seed vocabulary. Sources are all EVEN
+    // (fixture mix policy 100%), texts structurally distinct (no dup
+    // verdicts), nothing shares the benchmark slice — so the ONLY
+    // gate separating keep from drop is the language gate, and the
+    // batch env knob, the streaming `langRates` spec field, and the
+    // finalize consolidation must land the same verdict per doc.
+    val benchText = "held out benchmark question about the golden ratio " +
+      "of spiral galaxies and their luminous arms rotating slowly"
+    val en = (i: Int, salt: String) =>
+      s"document number $salt opens with its own particular subject and " +
+        s"then continues through several plain prose sentences about " +
+        s"topic $salt item$i detail$i aspect$i feature$i closing $salt"
+    val docsRaw = Seq(
+      (1L, benchText, "src0"),
+      (20L, en(20, "alpha"), "src0"), (21L, en(21, "bravo"), "src2"),
+      (22L, en(22, "carbon"), "src0"), (23L, en(23, "delta"), "src2"),
+      (24L, "el perro corre por la calle y los ninos juegan en el parque " +
+        "cada semana sobre el pueblo tema uno", "src0"),
+      (25L, "una senora compra pan caliente por la manana y habla con sus " +
+        "amigas sobre las cosas del pueblo", "src2"),
+      (26L, "los amigos hablan sobre las cosas que pasan en el pueblo " +
+        "mientras el perro corre cada semana", "src0"),
+      (27L, "la calle esta llena de ninos que juegan y hablan con sus " +
+        "amigas por la manana en el parque", "src2"),
+      (28L, "der hund lauft durch die strasse und die kinder spielen im " +
+        "park wahrend eine frau frisches brot kauft und geht", "src0"))
+      .toDF("doc_id", "text", "source")
+    val rawDir = tempDir("clang-docs-raw")
+    docsRaw.coalesce(1).write.mode("overwrite").parquet(rawDir)
+    val embDir = tempDir("clang-emb")
+    docsRaw.select(col("doc_id").as("vec_id"),
+        array((0 until 10).map(i =>
+          fwhen(col("doc_id") % 10 === i, flit(1.0f)).otherwise(flit(0.0f))): _*)
+          .as("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(embDir)
+    graft.functions.GraftFunctions.register(spark)
+    val ext = graft.ext.ExtQueries.extractStageOf(docsRaw)
+    val corpDir = tempDir("clang-docs-ext")
+    ext.filter(col("doc_id") >= 20L)
+      .coalesce(1).write.mode("overwrite").parquet(corpDir)
+    val benchDir = tempDir("clang-bench")
+    graft.ext.Dedup.shingleRows(ext.filter(col("doc_id") < 20L), "doc_id", "text")
+      .select("s").distinct()
+      .coalesce(1).write.mode("overwrite").parquet(benchDir)
+
+    // The policy: halve English, drop Spanish entirely, German (and
+    // anything else) takes the DEFAULT 100. Predict the drop set with
+    // the gate's own arithmetic over the EXTRACTED text — the salted
+    // bucket + trained verdict both pipelines must reproduce.
+    val verdict = graft.ext.LangId.verdictOf(
+      graft.ext.LangId.scoresArrayCol(col("text")))
+    val lBucket = graft.ext.Dedup.shingleKey(
+      concat(flit("lang:"), col("doc_id").cast("string"))) % 100
+    val lPct = fwhen(verdict === "en", flit(50L))
+      .when(verdict === "es", flit(0L)).otherwise(flit(100L))
+    val predicted = spark.read.parquet(corpDir)
+      .select(col("doc_id"), verdict.as("v"), (lBucket >= lPct).as("d"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val predictedDrop = predicted.filter(_._3).map(_._1).toSet
+    // the seed-vocabulary texts classify to their language — es:0
+    // guarantees drop_lang coverage; de takes the default and survives
+    predicted.filter(_._1 >= 24L).filter(_._1 <= 27L)
+      .foreach { case (id, v, d) =>
+        withClue(s"doc $id: ") { v shouldBe "es"; d shouldBe true }
+      }
+    predicted.find(_._1 == 28L).map(_._2) shouldBe Some("de")
+    predictedDrop should contain allOf (24L, 25L, 26L, 27L)
+    predictedDrop should not contain 28L
+
+    // 1: BATCH with the env knob
+    val outB = tempDir("clang-batch-out")
+    CorpusBuildJob.run(spark, Map(
+      "CORPUS_BUILD_DOCS_PATH" -> rawDir,
+      "CORPUS_BUILD_EMBEDDINGS_PATH" -> embDir,
+      "CORPUS_BUILD_OUTPUT_PATH" -> outB,
+      "CORPUS_BUILD_LANG_RATES" -> "en:50,es:0"), _ => ()) shouldBe
+      ExitCodes.Success
+    val vb = spark.read.parquet(s"$outB/ledger")
+      .select("doc_id", "verdict")
+      .as[(Long, String)].collect().toMap
+    vb.filter(_._2 == "drop_lang").keySet shouldBe predictedDrop
+    vb.filter(_._2 == "keep").keySet shouldBe
+      (20L to 28L).toSet -- predictedDrop
+
+    // 2: the HOSTED STREAM with the spec field, then FINALIZE
+    val storeDir = tempDir("clang-store")
+    val spec =
+      s"""{
+         |  "sourcePath": "$corpDir",
+         |  "schemaDdl": "doc_id BIGINT, source STRING, text STRING",
+         |  "storePath": "$storeDir",
+         |  "checkpointPath": "${tempDir("clang-ckpt")}",
+         |  "benchmarkShinglesPath": "$benchDir",
+         |  "langRates": "en:50,es:0",
+         |  "stopAfterBackfill": true
+         |}""".stripMargin
+    GraftMain.run(spark, Map(
+      graft.model.StreamContext.StreamIdVar -> "clang-stream",
+      graft.model.StreamContext.StreamKindVar -> "corpus-build-stream",
+      graft.model.StreamContext.BackfillVar -> "true",
+      graft.model.StreamContext.SpecVar -> spec)) shouldBe ExitCodes.Success
+    val outF = tempDir("clang-final-out")
+    CorpusBuildJob.runFinalize(spark, Map(
+      "CORPUS_FINALIZE_STORE_PATH" -> storeDir,
+      "CORPUS_FINALIZE_DOCS_PATH" -> corpDir,
+      "CORPUS_FINALIZE_OUTPUT_PATH" -> outF,
+      "CORPUS_FINALIZE_EXTRACT" -> "false"), _ => ()) shouldBe ExitCodes.Success
+    val vf = spark.read.parquet(s"$outF/ledger")
+      .select("doc_id", "verdict")
+      .as[(Long, String)].collect().toMap
+    vf shouldBe vb
+
+    // 3: the gate off — absent env reproduces the ungated ledger
+    val outU = tempDir("clang-ungated-out")
+    CorpusBuildJob.run(spark, Map(
+      "CORPUS_BUILD_DOCS_PATH" -> rawDir,
+      "CORPUS_BUILD_EMBEDDINGS_PATH" -> embDir,
+      "CORPUS_BUILD_OUTPUT_PATH" -> outU), _ => ()) shouldBe ExitCodes.Success
+    val vu = spark.read.parquet(s"$outU/ledger")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    vu.values.toSet should not contain "drop_lang"
+    vu.keySet shouldBe vb.keySet
+    // gated docs that the gate dropped are kept when it is off
+    predictedDrop.foreach(id => vu(id) shouldBe "keep")
   }
 
   it should "refuse an absent ledger, an overlapping output root, and a docs corpus missing kept ids" in {
