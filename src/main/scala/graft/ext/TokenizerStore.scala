@@ -104,8 +104,103 @@ object TokenizerStore {
       StoreMeta.writeJson(spark, root, "tokenizer.json",
         s"""{"version":1,"steps":${m.size},"alphabet":"$alphabet"}""",
         overwrite = true)
-      Tokenizer(m, vocabRows, 1L, alphabet)
+      val trained = Tokenizer(m, vocabRows, 1L, alphabet)
+      // round 19 (VERDICT r18 #4): record the PER-LANGUAGE fertility
+      // baseline at train time — the trained-membership discipline
+      // DedupState applies to the quantizer and VectorIndex to the
+      // coarse cells, here for the third persisted artifact. One
+      // map-only encode+langID pass over text the trainer just read,
+      // one language-cardinality collect; the rows are what
+      // [[needsRetrain]] compares a future corpus against.
+      fertilityRows(docs, textCol, trained).toDF(
+          "lang", "n_docs", "n_chars", "n_bpe_tokens",
+          "fertility_e4", "mass_e4")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/fertility")
+      trained
     }
+  }
+
+  /** Per-language (lang, n_docs, n_chars, n_bpe_tokens, fertility_e4,
+    * mass_e4) under `tok` — fertility = chars per BPE token (e4,
+    * integer division; 0 when a language produced no tokens, e.g.
+    * non-ASCII text through the `chars` splitter), mass = the
+    * language's share of corpus chars (e4). Language-cardinality
+    * collect; all arithmetic integer. */
+  private def fertilityRows(docs: DataFrame, textCol: String,
+      tok: Tokenizer): Seq[(String, Long, Long, Long, Long, Long)] = {
+    val raw = encodeIds(docs.select(col(textCol)), textCol, tok)
+      .withColumn("__ls", LangId.scoresArrayCol(col(textCol)))
+      .withColumn("__lang", LangId.verdictOf(col("__ls")))
+      .groupBy("__lang")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(length(col(textCol))).cast("long").as("n_chars"),
+        sum(col("n_bpe_tokens")).cast("long").as("n_bpe"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val totalChars = raw.map(_._3).sum max 1L
+    raw.map { case (lang, d, c, t) =>
+      (lang, d, c, t,
+        if (t > 0L) c * 10000L / t else 0L,
+        c * 10000L / totalChars)
+    }
+  }
+
+  /** The drift verdict [[needsRetrain]] returns: `hasBaseline` is
+    * false for pre-round-19 stores (no `fertility/` recorded — the
+    * gate cannot assess, callers log and keep the artifact);
+    * `reasons` carries one operator-readable line per tripped rule. */
+  final case class RetrainVerdict(hasBaseline: Boolean, trip: Boolean,
+      reasons: Seq[String])
+
+  /** TOKENIZER DRIFT GATE (round 19, VERDICT r18 #4): should the
+    * persisted tokenizer be retrained for `docs`? Recomputes the
+    * per-language fertility/mass profile of the CURRENT corpus under
+    * the stored artifact and compares it against the baseline recorded
+    * at train time. Trips when a language carrying at least
+    * `massFloorE4` of the current corpus chars either
+    *  - carried less than HALF the floor at train time (a
+    *    language-mix shift onto text the merge table effectively
+    *    never saw — the planted-shift class; the half-floor
+    *    hysteresis keeps a language hovering near the floor from
+    *    flapping the gate when a kept-subset's mix jitters), or
+    *  - regressed in fertility by more than `tolPerMille` (chars per
+    *    BPE token fell below baseline × (1000 − tol)/1000: the
+    *    tokenizer is shredding text it used to compress).
+    * Languages with zero encoded tokens on either side skip the
+    * regression rule (fertility undefined) — the mass rule covers
+    * them. Integer arithmetic throughout; one linear pass + bounded
+    * collect, the [[VectorIndex.needsRebuild]] cost shape. */
+  def needsRetrain(spark: SparkSession, root: String, docs: DataFrame,
+      textCol: String, massFloorE4: Long = 1000L,
+      tolPerMille: Long = 200L): RetrainVerdict = {
+    val fs = StoreMeta.fs(spark, root)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/fertility")))
+      return RetrainVerdict(hasBaseline = false, trip = false, Seq.empty)
+    val tok = load(spark, root)
+    val base = spark.read.parquet(s"$root/fertility")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap // lang -> (n_bpe, fertility_e4, mass_e4)
+    val reasons = fertilityRows(docs, textCol, tok).flatMap {
+      case (lang, _, _, nBpe, fert, mass) if mass >= massFloorE4 =>
+        base.get(lang) match {
+          case None =>
+            Some(s"language '$lang' carries ${mass / 100}% of corpus chars " +
+              "but was absent at train time")
+          case Some((_, _, bMass)) if bMass < massFloorE4 / 2L =>
+            Some(s"language '$lang' grew past the mass floor " +
+              s"(${bMass / 100}% at train, now ${mass / 100}%)")
+          case Some((bBpe, bFert, _))
+              if bBpe > 0L && nBpe > 0L &&
+                fert * 1000L < bFert * (1000L - tolPerMille) =>
+            Some(s"language '$lang' fertility regressed " +
+              s"(${bFert} -> ${fert} chars/token e4)")
+          case _ => None
+        }
+      case _ => None
+    }
+    RetrainVerdict(hasBaseline = true, trip = reasons.nonEmpty, reasons)
   }
 
   /** Load the persisted artifact (merges in step order + vocab). */

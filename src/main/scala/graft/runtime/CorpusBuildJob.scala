@@ -135,6 +135,14 @@ import graft.model.ExitCodes
   *   CORPUS_BUILD_PRIOR_PATH       required with INCREMENTAL: the
   *       prior build's output root (its `input_manifest/` and
   *       `stages/normalize_extract/` are read)
+  *   CORPUS_BUILD_TOK_DRIFT        optional  auto | off | force
+  *       (default auto): the persisted tokenizer's drift gate
+  *       (round 19), consulted when CORPUS_BUILD_TOKENIZER_PATH is
+  *       set. `auto` retrains into `$out/tokenizer_store` when the
+  *       kept corpus's per-language fertility/mass profile drifted
+  *       from the baseline the store recorded at train time
+  *       (TokenizerStore.needsRetrain); `force` always retrains;
+  *       `off` always packs with the stored artifact.
   *   CORPUS_BUILD_SEM_DRIFT        optional  auto | off | force
   *       (default auto): the incremental semantic tier's
   *       quantizer-drift gate (round 18). `auto` escalates to a full
@@ -507,10 +515,11 @@ object CorpusBuildJob {
       // against DuckDB by the pipeline_pack_bpe CORRECTNESS entry.
       env.get("CORPUS_BUILD_TOKENIZER_PATH").foreach { tp =>
         val tTok = System.nanoTime()
-        val tok = graft.ext.TokenizerStore.load(spark, tp)
+        val keptText = kept.select(col("doc_id"), col("source"), col("text"))
+        val tok = resolveTokenizer(spark, tp,
+          env.getOrElse("CORPUS_BUILD_TOK_DRIFT", "auto"), out, keptText, status)
         val seqs = graft.ext.ExtQueries.packBpeOf(
-          graft.ext.TokenizerStore.encodeIds(
-            kept.select(col("doc_id"), col("source"), col("text")), "text", tok)
+          graft.ext.TokenizerStore.encodeIds(keptText, "text", tok)
             .filter(col("n_bpe_tokens") > 0L))
         seqs.write.mode("overwrite").parquet(s"$out/bpe_sequences")
         phases += Phase("bpe_pack",
@@ -670,11 +679,13 @@ object CorpusBuildJob {
       }
       env.get("CORPUS_BUILD_TOKENIZER_PATH").foreach { tp =>
         timed("bpe_pack") {
-          val tok = graft.ext.TokenizerStore.load(spark, tp)
+          val keptText = spark.read.parquet(s"$out/corpus")
+            .select(col("doc_id"), col("source"), col("text"))
+          val tok = resolveTokenizer(spark, tp,
+            env.getOrElse("CORPUS_BUILD_TOK_DRIFT", "auto"), out, keptText,
+            status)
           val seqs = graft.ext.ExtQueries.packBpeOf(
-            graft.ext.TokenizerStore.encodeIds(
-              spark.read.parquet(s"$out/corpus")
-                .select(col("doc_id"), col("source"), col("text")), "text", tok)
+            graft.ext.TokenizerStore.encodeIds(keptText, "text", tok)
               .filter(col("n_bpe_tokens") > 0L))
           seqs.write.mode("overwrite").parquet(s"$out/bpe_sequences")
           ((), spark.read.parquet(s"$out/bpe_sequences").count())
@@ -687,6 +698,55 @@ object CorpusBuildJob {
       status(s"finalized: ${report.kept}/${report.total} docs into training shards " +
         s"(${report.verdicts.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", ")})")
       report
+    }
+  }
+
+  /** TOKENIZER DRIFT GATE (round 19, VERDICT r18 #4): pick the
+    * tokenizer `bpe_sequences/` packs with. `CORPUS_BUILD_TOK_DRIFT`:
+    *  - `auto` (default) — consult
+    *    [[graft.ext.TokenizerStore.needsRetrain]] over the KEPT corpus
+    *    (per-language fertility/mass vs the baseline the store
+    *    recorded at train time); on a trip, retrain a fresh tokenizer
+    *    (same alphabet, same step count) under `$out/tokenizer_store`
+    *    and pack with it. A store without a recorded baseline
+    *    (pre-round-19) leaves the gate inactive, status-logged.
+    *  - `off` — always pack with the stored artifact;
+    *  - `force` — always retrain.
+    * The retrained artifact lands under the build's own output root —
+    * the input store is never mutated (the DedupState escalation
+    * discipline applied to the third persisted artifact); every
+    * decision is status-logged. */
+  private def resolveTokenizer(spark: SparkSession, tp: String,
+      tokDrift: String, out: String,
+      kept: org.apache.spark.sql.DataFrame,
+      status: String => Unit): graft.ext.TokenizerStore.Tokenizer = {
+    require(Set("auto", "off", "force")(tokDrift),
+      s"CORPUS_BUILD_TOK_DRIFT must be auto|off|force, got '$tokDrift'")
+    val stored = graft.ext.TokenizerStore.load(spark, tp)
+    val retrainReason: Option[String] = tokDrift match {
+      case "off" => None
+      case "force" => Some("CORPUS_BUILD_TOK_DRIFT=force")
+      case _ =>
+        val v = graft.ext.TokenizerStore.needsRetrain(spark, tp, kept, "text")
+        if (!v.hasBaseline) {
+          status("tokenizer drift gate: no fertility baseline recorded " +
+            s"(pre-round-19 store at $tp) — gate inactive, artifact kept")
+          None
+        } else if (v.trip) Some(v.reasons.mkString("; "))
+        else {
+          status("tokenizer drift gate: stable — stored artifact kept")
+          None
+        }
+    }
+    retrainReason match {
+      case Some(r) =>
+        status(s"tokenizer drift gate: RETRAIN ($r) — training " +
+          s"${stored.alphabet} tokenizer (${stored.merges.size} steps) " +
+          s"under $out/tokenizer_store")
+        graft.ext.TokenizerStore.train(kept.select("text"), "text",
+          s"$out/tokenizer_store", stored.merges.size,
+          alphabet = stored.alphabet)
+      case None => stored
     }
   }
 

@@ -224,4 +224,92 @@ class TokenizerStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
     }
     e.getMessage should include("tokenizer.json")
   }
+
+  // -------------------------------------------------------------------
+  // TOKENIZER DRIFT GATE (round 19, VERDICT r18 #4)
+  // -------------------------------------------------------------------
+
+  behavior of "the tokenizer drift gate"
+
+  private def enDocs(n: Int) = {
+    import spark.implicits._
+    // function-word-rich English prose: classifies `en`, encodes well
+    (1 to n).map(i =>
+      (i.toLong, "the house and the river are quiet in the morning " +
+        s"while the children walk to school with their friends $i"))
+      .toSeq.toDF("doc_id", "text")
+  }
+
+  it should "record a fertility baseline at train and stay quiet on a stable corpus" in {
+    val docs = enDocs(12)
+    val root = tempDir("tokdrift-stable")
+    TokenizerStore.train(docs, "text", root, steps = 10)
+    val base = spark.read.parquet(s"$root/fertility")
+    base.columns.sorted shouldBe Array("fertility_e4", "lang", "mass_e4",
+      "n_bpe_tokens", "n_chars", "n_docs")
+    base.filter(org.apache.spark.sql.functions.col("lang") === "en").count() shouldBe 1L
+    // the same corpus (and any subset of it) stays quiet
+    val v = TokenizerStore.needsRetrain(spark, root, docs, "text")
+    v.hasBaseline shouldBe true
+    v.trip shouldBe false
+    val sub = TokenizerStore.needsRetrain(spark, root,
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0), "text")
+    sub.trip shouldBe false
+  }
+
+  it should "trip on a language-mix shift past the mass floor" in {
+    import spark.implicits._
+    val root = tempDir("tokdrift-shift")
+    TokenizerStore.train(enDocs(12), "text", root, steps = 10)
+    // the corpus the store never saw: majority Russian (seed
+    // vocabulary — classifies `ru`; the chars splitter yields no
+    // tokens for it, exactly the silent-shredding case the gate exists
+    // to catch)
+    val shifted = enDocs(4).unionByName((100 to 111).map(i =>
+        (i.toLong, "собака бежит по улице и дети играют в парке пока " +
+          s"женщина покупает свежий хлеб утром $i"))
+      .toSeq.toDF("doc_id", "text"))
+    val v = TokenizerStore.needsRetrain(spark, root, shifted, "text")
+    v.hasBaseline shouldBe true
+    v.trip shouldBe true
+    v.reasons.exists(r => r.contains("'ru'") &&
+      (r.contains("absent at train") || r.contains("mass floor"))) shouldBe true
+  }
+
+  it should "trip on a within-language fertility regression" in {
+    import spark.implicits._
+    // baseline: 'the'-dominated text — 10 merges learn to compress it
+    val baseline = (1 to 10).map(i =>
+      (i.toLong, "the the the the the the the the the the"))
+      .toSeq.toDF("doc_id", "text")
+    val root = tempDir("tokdrift-regress")
+    TokenizerStore.train(baseline, "text", root, steps = 10)
+    val quiet = TokenizerStore.needsRetrain(spark, root, baseline, "text")
+    quiet.trip shouldBe false
+    // current: still verdict-en (th/he/at bigrams) but the merge table
+    // compresses none of it — chars per token collapses past the 20%
+    // tolerance
+    val regressed = (1 to 10).map(i =>
+      (i.toLong, "that bath than hath lath math path wrath swath heath"))
+      .toSeq.toDF("doc_id", "text")
+    val v = TokenizerStore.needsRetrain(spark, root, regressed, "text")
+    v.trip shouldBe true
+    v.reasons.exists(r => r.contains("'en'") &&
+      r.contains("fertility regressed")) shouldBe true
+  }
+
+  it should "be inactive for a store without a recorded baseline" in {
+    val docs = enDocs(6)
+    val root = tempDir("tokdrift-prer19")
+    TokenizerStore.train(docs, "text", root, steps = 6)
+    // simulate a pre-round-19 store: no fertility/ recorded
+    val fdir = new java.io.File(s"$root/fertility")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(fdir)
+    val v = TokenizerStore.needsRetrain(spark, root, docs, "text")
+    v.hasBaseline shouldBe false
+    v.trip shouldBe false
+  }
 }

@@ -168,6 +168,82 @@ class CorpusBuildJobSpec extends AnyFlatSpec with Matchers with SparkFixture {
     got.filter(col("seq_tokens") <= 0L).count() shouldBe 0L
   }
 
+  it should "retrain a drifted tokenizer under CORPUS_BUILD_TOK_DRIFT (round 19)" in {
+    import spark.implicits._
+    // a store whose baseline profile cannot match the fixture corpus:
+    // trained on 'the'-dominated English — the kept fixture corpus is
+    // majority es/fr under the trained verdict, so `auto` must trip
+    // the mass rule and retrain under the build's own output root
+    val tokRoot = tempDir("tokdrift-store")
+    graft.ext.TokenizerStore.train(
+      (1 to 10).map(i => (i.toLong, "the the the the the the the the"))
+        .toSeq.toDF("doc_id", "text"),
+      "text", tokRoot, steps = 8)
+
+    // auto (default): trips, retrains into $out/tokenizer_store, packs
+    // with the retrained artifact
+    val outA = tempDir("tokdrift-auto")
+    val stA = scala.collection.mutable.ArrayBuffer.empty[String]
+    CorpusBuildJob.run(spark,
+      baseEnv(outA) + ("CORPUS_BUILD_TOKENIZER_PATH" -> tokRoot),
+      stA += _) shouldBe ExitCodes.Success
+    stA.exists(_.contains("tokenizer drift gate: RETRAIN")) shouldBe true
+    new java.io.File(s"$outA/tokenizer_store/tokenizer.json")
+      .exists() shouldBe true
+    val retrained = graft.ext.TokenizerStore.load(spark, s"$outA/tokenizer_store")
+    val kept = spark.read.parquet(s"$outA/corpus")
+      .select("doc_id", "source", "text")
+    val expA = graft.ext.ExtQueries.packBpeOf(
+      graft.ext.TokenizerStore.encodeIds(kept, "text", retrained)
+        .filter(col("n_bpe_tokens") > 0L))
+    val colsA = expA.columns.sorted.map(col)
+    spark.read.parquet(s"$outA/bpe_sequences").select(colsA: _*)
+      .collect().map(_.toString).sorted shouldBe
+      expA.select(colsA: _*).collect().map(_.toString).sorted
+
+    // off: the drifted store is used as-is, nothing retrained
+    val outO = tempDir("tokdrift-off")
+    val stO = scala.collection.mutable.ArrayBuffer.empty[String]
+    CorpusBuildJob.run(spark,
+      baseEnv(outO) + ("CORPUS_BUILD_TOKENIZER_PATH" -> tokRoot,
+        "CORPUS_BUILD_TOK_DRIFT" -> "off"),
+      stO += _) shouldBe ExitCodes.Success
+    stO.exists(_.contains("tokenizer drift gate")) shouldBe false
+    new java.io.File(s"$outO/tokenizer_store").exists() shouldBe false
+    val stored = graft.ext.TokenizerStore.load(spark, tokRoot)
+    val keptO = spark.read.parquet(s"$outO/corpus")
+      .select("doc_id", "source", "text")
+    val expO = graft.ext.ExtQueries.packBpeOf(
+      graft.ext.TokenizerStore.encodeIds(keptO, "text", stored)
+        .filter(col("n_bpe_tokens") > 0L))
+    spark.read.parquet(s"$outO/bpe_sequences").select(colsA: _*)
+      .collect().map(_.toString).sorted shouldBe
+      expO.select(colsA: _*).collect().map(_.toString).sorted
+
+    // force: retrains even when the gate would stay quiet (a store
+    // trained on the corpus itself)
+    val tokStable = tempDir("tokdrift-stable-store")
+    graft.ext.TokenizerStore.train(
+      spark.read.parquet(s"$dir/documents.parquet").select("text"),
+      "text", tokStable, steps = 8)
+    val outF = tempDir("tokdrift-force")
+    val stF = scala.collection.mutable.ArrayBuffer.empty[String]
+    CorpusBuildJob.run(spark,
+      baseEnv(outF) + ("CORPUS_BUILD_TOKENIZER_PATH" -> tokStable,
+        "CORPUS_BUILD_TOK_DRIFT" -> "force"),
+      stF += _) shouldBe ExitCodes.Success
+    stF.exists(_.contains("CORPUS_BUILD_TOK_DRIFT=force")) shouldBe true
+    new java.io.File(s"$outF/tokenizer_store/tokenizer.json")
+      .exists() shouldBe true
+
+    // bad value: Fatal
+    CorpusBuildJob.run(spark,
+      baseEnv(tempDir("tokdrift-bad")) +
+        ("CORPUS_BUILD_TOKENIZER_PATH" -> tokRoot,
+          "CORPUS_BUILD_TOK_DRIFT" -> "bogus"),
+      _ => ()) shouldBe ExitCodes.Fatal
+  }
+
   it should "honor the benchmark boundary knob" in {
     val out = tempDir("corpus-build-bench40")
     CorpusBuildJob.run(spark,
