@@ -153,6 +153,55 @@ object ExtQueries {
        |SELECT * FROM lid_out ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // text_lang_id3: OPERATOR-TRAINED language ID (round 19, VERDICT
+  // r18 #5) — LangId.train(labeled) replaces the source-literal seed
+  // model: profiles come from a labeled TABLE (here a planted
+  // multi-row fixture — each seed paragraph split into thirds, PLUS
+  // Italian, a language the seed model does not know), with the
+  // Cavnar–Trenkle top-K profile cap. Training is one distributed
+  // explode+groupBy+window over the labeled text, integer fixed-point
+  // throughout, so DuckDB replays TRAINING (counts → cap → ratios →
+  // owner election) and scoring from the same labeled VALUES.
+  // Adding a language is a fixture row, not a source edit (spec:
+  // LangIdSpec).
+  // ------------------------------------------------------------------
+
+  /** The planted labeled corpus: every [[LangId.Seeds]] paragraph
+    * split into thirds (multi-row training — the table shape a real
+    * deployment supplies) plus Italian. Lowercase, apostrophe-free. */
+  private[graft] val LangTrainRows: Seq[(String, String)] =
+    (LangId.Seeds :+ ("it" -> ("il cane corre per la strada e i bambini " +
+      "giocano nel parco mentre una donna compra il pane fresco al " +
+      "mattino e parla con le sue amiche della vita del paese ogni " +
+      "settimana vicino al fiume"))).flatMap { case (l, t) =>
+      val ws = t.split(' ')
+      val n = ws.length / 3
+      Seq(l -> ws.take(n).mkString(" "),
+        l -> ws.slice(n, 2 * n).mkString(" "),
+        l -> ws.drop(2 * n).mkString(" "))
+    }
+
+  private lazy val langModelCache =
+    scala.collection.mutable.Map.empty[String, LangId.LangModel]
+
+  private def trainedLangModel(spark: SparkSession): LangId.LangModel =
+    langModelCache.synchronized {
+      langModelCache.getOrElseUpdate("m", {
+        import spark.implicits._
+        LangId.train(LangTrainRows.toDF("lang", "text"), "lang", "text")
+      })
+    }
+
+  def textLangId3(spark: SparkSession, dir: String): DataFrame =
+    LangId.classifyWith(trainedLangModel(spark),
+      docs(spark, dir).select("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private lazy val textLangId3Sql =
+    s"""WITH ${LangId.trainedOracleCtes(LangTrainRows, "documents")}
+       |SELECT * FROM l3_out ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // pipeline_lang_mix: LANGUAGE-AWARE mixture gate (round 18) — the
   // trained language verdict wired into the pipeline's deterministic
   // hash-bucket sampling, the way a multilingual 100 TB build balances
@@ -6485,6 +6534,7 @@ object ExtQueries {
     "text_stats" -> (textStats(_, _)),
     "text_lang_id" -> (textLangId(_, _)),
     "text_lang_id2" -> (textLangId2(_, _)),
+    "text_lang_id3" -> (textLangId3(_, _)),
     "pipeline_lang_mix" -> (pipelineLangMix(_, _)),
     "text_tokenizer_fertility" -> (textTokenizerFertility(_, _)),
     "text_chunk" -> (textChunk(_, _)),
@@ -6581,6 +6631,7 @@ object ExtQueries {
     "text_stats" -> textStatsSql,
     "text_lang_id" -> textLangIdSql,
     "text_lang_id2" -> textLangId2Sql,
+    "text_lang_id3" -> textLangId3Sql,
     "pipeline_lang_mix" -> pipelineLangMixSql,
     "text_tokenizer_fertility" -> textTokenizerFertilitySql,
     "text_chunk" -> textChunkSql,

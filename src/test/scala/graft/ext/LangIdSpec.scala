@@ -107,4 +107,72 @@ class LangIdSpec extends AnyFlatSpec with Matchers with SparkFixture {
     w("th")._1 shouldBe LangId.LangOrder.indexOf("en")
     w("ж.".take(1) + "е")._1 shouldBe LangId.LangOrder.indexOf("ru")
   }
+
+  // ----------------------------------------------------------------
+  // OPERATOR-TRAINED MODELS (round 19, VERDICT r18 #5)
+  // ----------------------------------------------------------------
+
+  behavior of "LangId.train (operator-supplied labeled corpus)"
+
+  it should "add a language as DATA, not a source edit" in {
+    import spark.implicits._
+    // the seed model's six languages as labeled rows PLUS Portuguese —
+    // a language the in-repo seed literals do not know
+    val pt = "o cachorro corre pela rua e as criancas brincam no parque " +
+      "enquanto uma senhora compra pao fresco de manha e conversa com " +
+      "as suas amigas sobre a vida da aldeia toda semana perto do rio"
+    val labeled = (LangId.Seeds :+ ("pt" -> pt))
+      .toDF("lang", "text")
+    val model = LangId.train(labeled, "lang", "text")
+    model.order shouldBe (LangId.LangOrder :+ "pt").sorted
+    // every weight packs into the scorer's 2^20 scheme
+    model.weights.values.foreach { case (o, r) =>
+      o should (be >= 0 and be < model.order.size)
+      r should (be >= 0L and be < 1048576L)
+    }
+
+    // held-out sentences (the fixture samples + a Portuguese one)
+    // classify under the trained model exactly like the seed model —
+    // and Portuguese gets a real verdict
+    val ptHeldOut = "as criancas caminham para o rio de manha e o cachorro " +
+      "corre pelo campo perto da casa enquanto a senhora fala da aldeia"
+    val df = (samples.map { case (id, (_, t)) => (id, t) } :+
+      (7L -> ptHeldOut)).toDF("doc_id", "text")
+    val got = LangId.classifyWith(model, df, "doc_id", "text")
+      .select("doc_id", "lang_id3").as[(Long, String)].collect().toMap
+    samples.foreach { case (id, (lang, _)) =>
+      withClue(s"doc $id: ")(got(id) shouldBe lang)
+    }
+    got(7L) shouldBe "pt"
+    // the seed model cannot know Portuguese — it must NOT say pt
+    // (it reads the Romance bigrams as es; the point is the contrast:
+    // pt required retraining source literals before round 19)
+    LangId.classify(Seq((7L, ptHeldOut)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("lang_id2").as[String].head() should not be "pt"
+  }
+
+  it should "cap profiles at top-K grams deterministically" in {
+    import spark.implicits._
+    val labeled = LangId.Seeds.toDF("lang", "text")
+    val small = LangId.train(labeled, "lang", "text", topK = 5)
+    // every language owns at most 5 grams (ownership can only shrink
+    // the per-language count below the cap)
+    small.weights.groupBy(_._2._1).foreach { case (_, grams) =>
+      grams.size should be <= 5
+    }
+    // deterministic: retraining yields the identical table
+    LangId.train(labeled, "lang", "text", topK = 5) shouldBe small
+  }
+
+  it should "exclude sub-bigram rows from training" in {
+    import spark.implicits._
+    val labeled = Seq(("en", "the house and the river"), ("en", "a"),
+      ("xx", "z")).toDF("lang", "text")
+    val model = LangId.train(labeled, "lang", "text")
+    // the 1-char rows contribute no grams: 'xx' trains nothing and
+    // must not appear in the order or weights
+    model.order shouldBe Seq("en")
+    model.weights.keySet.exists(_.contains("z")) shouldBe false
+  }
 }
