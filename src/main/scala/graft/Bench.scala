@@ -70,6 +70,23 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // The LIGHT per-row probe (round 19, VERDICT r18 #6): the r17
+    // row_sentinels mechanism probed only harness-class rows, and the
+    // r18 record's 25 phantom drifts were all on UNPROBED engine rows —
+    // exactly the gap. Probing every row with the heavy cpuProbe would
+    // double the run, so every measured execution is now preceded by a
+    // 1/8-size probe (~0.1 s quiet): same plan shape, its own floor,
+    // factor = min(adjacent probes) / light floor. Scale-disjoint from
+    // cpuSent (never mixed into the checkpoint series).
+    def lightProbe(): Double = {
+      import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+      val t0 = System.nanoTime()
+      spark.range(0, 187500000L, 1, 32)
+        .select(pmod(xxhash64(col("id")), lit(1000L)).as("h"))
+        .agg(sum("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
 
     // Engine-vs-harness split (VERDICT r11 #8): the golden replay rows
     // pay fresh stores + per-trigger cadence every run — correctness
@@ -91,7 +108,8 @@ object Bench {
       // full-chain build compositions (VERDICT r14 called these
       // harness-class: fit collects + IVF training + every stage
       // materialized; the per-stage plans are audited individually)
-      "pipeline_corpus_build", "pipeline_corpus_build_clf")
+      "pipeline_corpus_build", "pipeline_corpus_build_clf",
+      "pipeline_corpus_build_lang")
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1) // PINNED order: alphabetical, every round
     queries.foreach { case (n, fn) => execute(n, fn) } // warm-up
@@ -99,18 +117,17 @@ object Bench {
     var failed = List.empty[String]
     val cpuSent = scala.collection.mutable.ArrayBuffer.empty[Double]
     val shufSent = scala.collection.mutable.ArrayBuffer.empty[Double]
-    // Per-row self-labeling (VERDICT r16 #3): a contended driver window
-    // has manufactured a phantom regression three rounds running
-    // (r16: streaming_corpus_build_golden 44.3 s driver vs 20.4 s quiet
-    // on an UNCHANGED plan), costing a judge slot each time. The
-    // harness-class rows — the expensive golden replays whose cost is
-    // cadence-dominated and most contention-sensitive — now get a CPU
-    // probe immediately before each measured execution; BENCH_LOCAL.json
-    // records each row's probe-to-floor ratio as "row_sentinels", so a
-    // contended measurement is machine-adjudicable: factor ≈ 1 ⇒ the
-    // figure is the plan's, factor ≫ 1 ⇒ the window was contended and
-    // the quiet record governs. The floor is the run's own minimum
-    // probe (self-calibrating — no cross-host constant).
+    // Per-row self-labeling (VERDICT r16 #3; widened to EVERY row in
+    // round 19 per VERDICT r18 #6): a contended driver window has
+    // manufactured phantom regressions four rounds running — r18's 25
+    // drifted rows were all ENGINE rows, which the r17 mechanism left
+    // unprobed. Every measured execution is now preceded by a light
+    // CPU probe; BENCH_LOCAL.json records each row's probe-to-floor
+    // ratio as "row_sentinels", so a contended measurement is
+    // machine-adjudicable row by row: factor ≈ 1 ⇒ the figure is the
+    // plan's, factor ≫ 1 ⇒ the window was contended and the quiet
+    // record governs. The floor is the run's own minimum light probe
+    // (self-calibrating — no cross-host constant).
     val rowProbes = scala.collection.mutable.Map.empty[String, List[Double]]
     def probeSentinels(tag: String): Unit =
       try {
@@ -122,12 +139,12 @@ object Bench {
       }
     try { cpuProbe(); shuffleProbe() } catch { case _: Throwable => () } // sentinel warm-up
     def measuredPass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
-      if (HarnessRows(name))
-        try {
-          val p = cpuProbe()
-          rowProbes(name) = p :: rowProbes.getOrElse(name, Nil)
-          cpuSent += p
-        } catch { case _: Throwable => () }
+      // EVERY row gets an adjacent light probe (round 19 — engine rows
+      // were the unprobed gap r18's phantom drifts landed on)
+      try {
+        val p = lightProbe()
+        rowProbes(name) = p :: rowProbes.getOrElse(name, Nil)
+      } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       execute(name, fn).foreach(f => failed ::= f)
       name -> (System.nanoTime() - t0) / 1e9
@@ -326,7 +343,10 @@ object Bench {
     // rule: a factor materially above 1 labels that row's figure as
     // measured in a contended window.
     val rowSentJson = {
-      val floor = if (cpuSent.nonEmpty) cpuSent.min else 0.0
+      // the light probes' OWN floor — scale-disjoint from the heavy
+      // checkpoint series (round 19: every row probed, engine included)
+      val floor = if (rowProbes.nonEmpty) rowProbes.valuesIterator
+        .flatten.min else 0.0
       if (rowProbes.isEmpty || floor <= 0.0) ""
       else rowProbes.toSeq.sortBy(_._1).map { case (k, ps) =>
         f""""$k":${ps.min / floor}%.2f"""
