@@ -65,6 +65,7 @@ object ScaleEvidence {
     case "finalize" :: docs :: store :: work :: Nil =>
       finalizeEv(docs, store, work)
     case "encode" :: sf :: steps :: work :: Nil => encodeEv(sf, steps.toInt, work)
+    case "multilingual" :: x100 :: work :: Nil => multilingual(x100, work)
     case _ =>
       System.err.println(
         "usage: ScaleEvidence incremental <x100Dir> <workDir> | " +
@@ -72,7 +73,8 @@ object ScaleEvidence {
           "stream-build <docsDir> <benchDir> <workDir> [maxFilesPerTrigger] | " +
           "drift-ab <x100Dir> <workDir> | " +
           "finalize <docsDir> <storeDir> <workDir> | " +
-          "encode <sfDir> <steps> <workDir>")
+          "encode <sfDir> <steps> <workDir> | " +
+          "multilingual <x100Dir> <workDir>")
       sys.exit(2)
   }
 
@@ -305,5 +307,133 @@ object ScaleEvidence {
     System.err.println(f"[stream-build] exit=$code wall=${(System.nanoTime() - t0) / 1e9}%.1fs")
     spark.stop()
     sys.exit(code)
+  }
+
+  /** Stretch #8 (VERDICT r18, round 19): the MULTILINGUAL build end to
+    * end at x100, composing the round's three new components — the
+    * batch LANGUAGE GATE, the `bytes` tokenizer, and the tokenizer
+    * DRIFT GATE. The x100 corpus gets deterministic non-Latin suffixes
+    * (Cyrillic on doc_id ≡ 0 mod 3, CJK on ≡ 1 mod 7 — ~40% of docs
+    * carry non-Latin bytes); then:
+    *  1. a `bytes` TokenizerStore trains on the mixed corpus (the
+    *     artifact a multilingual deployment ships);
+    *  2. the batch build runs with `CORPUS_BUILD_LANG_RATES`
+    *     (ru/zh downweighted) + the bytes store + TOK_DRIFT=auto —
+    *     the gate must stay QUIET (store trained on this corpus);
+    *  3. the SAME build re-runs → ledger + bpe_sequences must be
+    *     BIT-IDENTICAL (hash-stability of the whole composition);
+    *  4. a STALE store (trained on the clean pre-shift corpus) runs
+    *     under TOK_DRIFT=auto — the drift gate must TRIP and the
+    *     retrained artifact's fertility for ru/zh must beat the stale
+    *     one's (the regression the gate heals, measured).
+    * Prints one JSON object with phase wall ms, verdict counts
+    * (drop_lang included), gate decisions, equality counts, and the
+    * per-language fertility A/B. */
+  private def multilingual(x100: String, work: String): Unit = {
+    val spark = session("graft-multilingual")
+    val quiet: String => Unit = s => System.err.println(s"[evidence] $s")
+    // suffixes sized to DOMINATE the ~300-char latin bodies (12×/8×
+    // the seed sentence), so suffixed docs genuinely FLIP verdict to
+    // ru/zh — a language-mix shift among KEPT docs, not just extra
+    // bytes inside latin-verdict docs (the aggregate-fertility
+    // dilution that left the gate quiet on the first x100 attempt)
+    val ru = " " + Seq.fill(12)(
+      "привет мир и собака бежит по улице утром возле реки").mkString(" ")
+    val zh = " " + Seq.fill(8)(
+      "你好 世界 孩子们 在 公园 玩耍 天气 很好 大家 开心").mkString(" ")
+    val mixed = s"$work/docs_mixed"
+    spark.read.parquet(s"$x100/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(ru)))
+          .when(pmod(col("doc_id"), lit(7)) === 1, concat(col("text"), lit(zh)))
+          .otherwise(col("text")).as("text"))
+      .repartition(32).write.mode("overwrite").parquet(mixed)
+
+    // 1: the shipped artifact — bytes alphabet, trained on the mixed
+    // corpus (records the fertility baseline the drift gate compares)
+    val t0 = System.nanoTime()
+    graft.ext.TokenizerStore.train(
+      spark.read.parquet(mixed).select("text"), "text",
+      s"$work/tok_mixed", steps = 300, alphabet = "bytes")
+    val tokTrainMs = (System.nanoTime() - t0) / 1000000L
+    // the stale sibling: trained on the CLEAN corpus (pre-shift world)
+    graft.ext.TokenizerStore.train(
+      spark.read.parquet(s"$x100/documents.parquet").select("text"), "text",
+      s"$work/tok_stale", steps = 300, alphabet = "bytes")
+
+    val langRates = "ru:40,zh:40,en:100,es:80,fr:80,de:80"
+    def env(out: String, tok: String) = Map(
+      "CORPUS_BUILD_DOCS_PATH" -> mixed,
+      "CORPUS_BUILD_EMBEDDINGS_PATH" -> s"$x100/embeddings.parquet",
+      "CORPUS_BUILD_OUTPUT_PATH" -> out,
+      "CORPUS_BUILD_LANG_RATES" -> langRates,
+      "CORPUS_BUILD_LANG_DEFAULT_PCT" -> "50",
+      "CORPUS_BUILD_TOKENIZER_PATH" -> tok)
+
+    // 2+3: the gated build, twice — composition hash-stability
+    val logs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val note: String => Unit = s => { logs += s; quiet(s) }
+    val r1 = graft.runtime.CorpusBuildJob.execute(spark,
+      env(s"$work/build1", s"$work/tok_mixed"), note)
+    val gateQuiet = logs.exists(_.contains("tokenizer drift gate: stable"))
+    val r2 = graft.runtime.CorpusBuildJob.execute(spark,
+      env(s"$work/build2", s"$work/tok_mixed"), quiet)
+    def rows(p: String, cols: Seq[String]): DataFrame =
+      spark.read.parquet(p).select(cols.map(col): _*)
+    val ledCols = Seq("doc_id", "source", "verdict", "keeper_id", "n_hits",
+      "n_chunks", "seq_first", "shard", "pos")
+    val ledDiff =
+      rows(s"$work/build1/ledger", ledCols)
+        .exceptAll(rows(s"$work/build2/ledger", ledCols)).count() +
+      rows(s"$work/build2/ledger", ledCols)
+        .exceptAll(rows(s"$work/build1/ledger", ledCols)).count()
+    val seqCols = Seq("source", "seq_id", "n_docs", "seq_tokens")
+    val seqDiff =
+      rows(s"$work/build1/bpe_sequences", seqCols)
+        .exceptAll(rows(s"$work/build2/bpe_sequences", seqCols)).count() +
+      rows(s"$work/build2/bpe_sequences", seqCols)
+        .exceptAll(rows(s"$work/build1/bpe_sequences", seqCols)).count()
+
+    // 4: the stale store under auto — gate must TRIP and retrain
+    logs.clear()
+    val r3 = graft.runtime.CorpusBuildJob.execute(spark,
+      env(s"$work/build3", s"$work/tok_stale"), note)
+    val gateTripped = logs.exists(_.contains("tokenizer drift gate: RETRAIN"))
+    // fertility A/B over the kept corpus: stale vs retrained artifact
+    def fertility(tokRoot: String): Map[String, Long] = {
+      val tok = graft.ext.TokenizerStore.load(spark, tokRoot)
+      graft.ext.TokenizerStore.encodeIds(
+          spark.read.parquet(s"$work/build3/corpus").select("text"),
+          "text", tok)
+        .withColumn("__ls", graft.ext.LangId.scoresArrayCol(col("text")))
+        .withColumn("lang", graft.ext.LangId.verdictOf(col("__ls")))
+        .groupBy("lang")
+        .agg((sum(length(col("text"))) * 10000L /
+          greatest(sum(col("n_bpe_tokens")), lit(1L))).cast("long").as("f"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val fertStale = fertility(s"$work/tok_stale")
+    // present only when the gate tripped (the record still prints a
+    // diagnosable JSON if it did not, rather than dying mid-evidence)
+    val fertRetrained =
+      if (gateTripped) fertility(s"$work/build3/tokenizer_store")
+      else Map.empty[String, Long]
+    def fj(m: Map[String, Long]) = m.toSeq.sorted
+      .map { case (l, f) => s""""$l":$f""" }.mkString("{", ",", "}")
+
+    println(s"""{"corpus":"$x100 + ru suffix on id%3=0, zh on id%7=1",""" +
+      s""""tok_train_ms":$tokTrainMs,""" +
+      s""""build_phase_ms":${phasesJson(r1)},""" +
+      s""""verdicts":${r1.verdicts.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")},""" +
+      s""""drift_gate_quiet_on_fresh_store":$gateQuiet,""" +
+      s""""rerun_ledger_diff_rows":$ledDiff,""" +
+      s""""rerun_bpe_sequences_diff_rows":$seqDiff,""" +
+      s""""drift_gate_tripped_on_stale_store":$gateTripped,""" +
+      s""""stale_retrain_verdicts_equal":${r3.verdicts == r1.verdicts},""" +
+      s""""kept":${r2.kept},""" +
+      s""""fertility_e4_stale":${fj(fertStale)},""" +
+      s""""fertility_e4_retrained":${fj(fertRetrained)}}""")
+    spark.stop()
   }
 }

@@ -202,6 +202,52 @@ object ExtQueries {
        |SELECT * FROM l3_out ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // pipeline_lang_mix3: the language-aware mixture gate on an
+  // OPERATOR-TRAINED model (round 19) — pipeline_lang_mix's policy
+  // arithmetic with verdicts from LangId.train over the planted
+  // labeled fixture (Italian included, so the policy can name a
+  // language the seed model does not know). The oracle replays
+  // training AND the gate; this is the arithmetic the hosted builds
+  // run when CORPUS_BUILD_LANG_PROFILE_PATH / `langProfilePath` point
+  // at a persisted profile store.
+  // ------------------------------------------------------------------
+
+  private val Lang3MixRates: Seq[(String, Long)] = Seq(
+    "en" -> 100L, "es" -> 60L, "de" -> 60L, "fr" -> 60L,
+    "ru" -> 40L, "zh" -> 40L, "it" -> 60L, "unk" -> 20L)
+
+  def pipelineLangMix3(spark: SparkSession, dir: String): DataFrame = {
+    val model = trainedLangModel(spark)
+    val bucket = Dedup.shingleKey(col("doc_id").cast("string")) % 100
+    val pct = Lang3MixRates.foldLeft(lit(0L)) { case (els, (l, p)) =>
+      when(col("lang_id3") === l, lit(p)).otherwise(els)
+    }
+    docs(spark, dir).select(col("doc_id"), col("text"))
+      .withColumn("__ls", LangId.scoresArrayColOf(model, col("text")))
+      .withColumn("lang_id3",
+        LangId.verdictOfOrder(col("__ls"), model.order))
+      .withColumn("bucket", bucket)
+      .withColumn("pct", pct)
+      .select(col("doc_id"), col("lang_id3"), col("bucket"), col("pct"),
+        when(col("bucket") < col("pct"), lit(1L)).otherwise(lit(0L)).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val pipelineLangMix3Sql = {
+    val key = hexPrefixKeySql("md5(doc_id::VARCHAR)")
+    val pctArms = Lang3MixRates.map { case (l, p) =>
+      s"WHEN lang_id3 = '$l' THEN $p" }.mkString("\n       ")
+    s"""WITH ${LangId.trainedOracleCtes(LangTrainRows, "documents")},
+       |lmx3 AS (SELECT doc_id, lang_id3,
+       |    ($key % 100) AS bucket,
+       |    (CASE $pctArms ELSE 0 END)::BIGINT AS pct
+       |  FROM l3_out)
+       |SELECT doc_id, lang_id3, bucket, pct,
+       |  (CASE WHEN bucket < pct THEN 1 ELSE 0 END)::BIGINT AS kept
+       |FROM lmx3 ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // pipeline_lang_mix: LANGUAGE-AWARE mixture gate (round 18) — the
   // trained language verdict wired into the pipeline's deterministic
   // hash-bucket sampling, the way a multilingual 100 TB build balances
@@ -3815,6 +3861,7 @@ object ExtQueries {
       qualityMode: String = "rule",
       langRates: Seq[(String, Long)] = Seq.empty,
       langDefaultPct: Long = 100L,
+      langModel: Option[LangId.LangModel] = None,
       semCents: Option[DataFrame] = None,
       dedupImpl: Option[(DataFrame, DataFrame) => DataFrame] = None,
       hitsImpl: Option[(DataFrame, DataFrame) => DataFrame] = None): DataFrame = {
@@ -3932,20 +3979,39 @@ object ExtQueries {
     // over text the chain already holds, so the gate adds ZERO
     // shuffles. Absent `langRates` the chain (stages, plan, ledger)
     // is bit-identical to the ungated round-18 arithmetic.
-    val langDrop: Option[Column] =
-      if (langRates.isEmpty) None
+    // ONE scorer walk per row, whatever the optimizer does: the
+    // verdict rides as the native ARGMAX INDEX expression
+    // ([[graft.functions.LangBigramBest]]) referenced exactly once —
+    // pct is a literal array lookup by index. The fold-over-verdict
+    // formulation (pipeline_lang_mix's shape) is value-identical but
+    // references the score array ~20× and the verdict ~6×; filter
+    // pushdown + project collapse INLINE those columns into every
+    // reference, and the measured corpus-build plan carried 800+
+    // copies of the scorer (~100 text walks per row — 2.5× the whole
+    // build's wall clock). Index -1 = `unk`/null text, looked up at
+    // array slot 1.
+    val statsL =
+      if (langRates.isEmpty) stats
       else {
-        val verdict = LangId.verdictOf(LangId.scoresArrayCol(col("text")))
-        val lPct = langRates.foldLeft(lit(null).cast("long")) {
-          case (acc, (l, p)) => when(verdict === l, lit(p)).otherwise(acc)
+        val bestIdx = langModel match {
+          case Some(m) => LangId.bestIdxColOf(m, col("text"))
+          case None => LangId.bestIdxCol(col("text"))
         }
+        val order = langModel.map(_.order).getOrElse(LangId.LangOrder)
+        val rateOf = langRates.toMap
+        val pctByIdx: Seq[Long] =
+          rateOf.getOrElse("unk", langDefaultPct) +:
+            order.map(l => rateOf.getOrElse(l, langDefaultPct))
         val lBucket = Dedup.shingleKey(
           concat(lit("lang:"), col("doc_id").cast("string"))) % 100
-        Some(lBucket >= coalesce(lPct, lit(langDefaultPct)))
+        stats.withColumn("__drop_lang",
+          lBucket >= element_at(typedlit(pctByIdx), bestIdx + lit(2)))
       }
+    val langDrop: Option[Column] =
+      if (langRates.isEmpty) None else Some(col("__drop_lang"))
     val keepersL = langDrop match {
       case Some(d) => phase("lang_gate",
-        stats.join(keepers2, Seq("doc_id")).filter(!d)).select("doc_id")
+        statsL.join(keepers2, Seq("doc_id")).filter(!d)).select("doc_id")
       case None => keepers2
     }
     // 6: mixture sampling (hash-bucket, pure function of the row;
@@ -3965,8 +4031,10 @@ object ExtQueries {
     // they accompany only kept rows (a dropped doc contributed nothing
     // to m_docs/m_chars/content_version — ADVICE r14: carrying them on
     // every row of a surviving source contradicted the documented
-    // contract).
-    stats
+    // contract). Base frame statsL: when gated it carries the
+    // single-evaluation __drop_lang column the verdict CASE reads
+    // (never emitted — the select list is explicit).
+    statsL
       .join(dec, Seq("doc_id"), "left")
       .join(dq, Seq("doc_id"), "left")
       .join(packed, Seq("doc_id"), "left")
@@ -6535,6 +6603,7 @@ object ExtQueries {
     "text_lang_id" -> (textLangId(_, _)),
     "text_lang_id2" -> (textLangId2(_, _)),
     "text_lang_id3" -> (textLangId3(_, _)),
+    "pipeline_lang_mix3" -> (pipelineLangMix3(_, _)),
     "pipeline_lang_mix" -> (pipelineLangMix(_, _)),
     "text_tokenizer_fertility" -> (textTokenizerFertility(_, _)),
     "text_chunk" -> (textChunk(_, _)),
@@ -6632,6 +6701,7 @@ object ExtQueries {
     "text_lang_id" -> textLangIdSql,
     "text_lang_id2" -> textLangId2Sql,
     "text_lang_id3" -> textLangId3Sql,
+    "pipeline_lang_mix3" -> pipelineLangMix3Sql,
     "pipeline_lang_mix" -> pipelineLangMixSql,
     "text_tokenizer_fertility" -> textTokenizerFertilitySql,
     "text_chunk" -> textChunkSql,

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** TRAINED language identification (round 18, VERDICT r17 #5): a
@@ -257,6 +257,32 @@ object LangId {
     LangModel(order, weights.toMap)
   }
 
+  /** ARGMAX language index in ONE native walk (round 19): 0-based
+    * position in [[LangOrder]], -1 for `unk`/null text. Exists for
+    * call sites whose downstream plan rewriting (filter pushdown,
+    * project collapse) would clone an array-scored verdict into every
+    * reference — the int form keeps the gate at one walk per row
+    * however many copies the optimizer plants (each copy IS the whole
+    * verdict). Value-identical to `verdictOf(scoresArrayCol(...))`
+    * by the strictly-greater/earlier-ties argmax. */
+  def bestIdxCol(textCol: Column): Column =
+    bestIdxPacked(weights, LangOrder.size, textCol)
+
+  /** [[bestIdxCol]] for a trained model. */
+  def bestIdxColOf(model: LangModel, textCol: Column): Column =
+    bestIdxPacked(model.weights, model.order.size, textCol)
+
+  private def bestIdxPacked(w: Map[String, (Int, Long)], n: Int,
+      textCol: Column): Column = {
+    val packed = w.toSeq.map { case (g, (o, r)) => g -> (o * Pack + r) }
+    coalesce(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.LangBigramBest(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(textCol),
+          packed, n)),
+      lit(-1))
+  }
+
   /** [[scoresArrayCol]] for a trained model (same native expression,
     * the model's own language order). */
   def scoresArrayColOf(model: LangModel, textCol: Column): Column = {
@@ -279,6 +305,47 @@ object LangId {
           element_at(col("__lang_scores"), i + 1).as(s"s_$l") } :+
         verdictOfOrder(col("__lang_scores"), model.order)
           .as(verdictName): _*)
+
+  /** PERSISTED PROFILE STORE (round 19 follow-through): ship a trained
+    * model like the tokenizer/quantizer artifacts — `profile/` parquet
+    * (lang, ord, g, r: the capped owner table) + `langid.json`
+    * (version, language order) under a leased root. The gates accept a
+    * profile path, so a deployment's language policy runs on ITS
+    * trained model, not the in-repo seeds. */
+  def save(spark: SparkSession, model: LangModel, root: String): Unit = {
+    import spark.implicits._
+    StoreMeta.withWriterLease(spark, root, "langid-train") {
+      model.weights.toSeq
+        .map { case (g, (o, r)) => (model.order(o), o, g, r) }
+        .sortBy { case (_, o, g, _) => (o, g) }
+        .toDF("lang", "ord", "g", "r")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/profile")
+      StoreMeta.writeJson(spark, root, "langid.json",
+        s"""{"version":1,"order":[${model.order
+          .map(l => "\"" + l + "\"").mkString(",")}]}""",
+        overwrite = true)
+      ()
+    }
+  }
+
+  /** Load a persisted profile store (see [[save]]). */
+  def loadModel(spark: SparkSession, root: String): LangModel = {
+    val txt = StoreMeta.readJson(spark, root, "langid.json").getOrElse(
+      throw new IllegalArgumentException(
+        s"$root is not a langid store (no langid.json)"))
+    val order = """"order"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+      .map(_.group(1).split(',').toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$root/langid.json has no order array"))
+    val weights = spark.read.parquet(s"$root/profile")
+      .select("g", "ord", "r").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    require(weights.valuesIterator.forall { case (o, r) =>
+      o >= 0 && o < order.size && r >= 0L && r < Pack },
+      s"$root/profile carries owner/ratio values outside the packed contract")
+    LangModel(order, weights)
+  }
 
   /** The DuckDB replay of [[train]] + [[classifyWith]] over a planted
     * labeled VALUES relation: re-derives per-row grams, counts, the

@@ -54,6 +54,42 @@ case class LangBigramScores(child: Expression, packed: Seq[(String, Long)],
     copy(child = newChild)
 }
 
+/** The ARGMAX form (round 19): one text walk returning the winning
+  * language INDEX directly (0-based position in the model's order;
+  * -1 when every score is zero — the `unk` verdict). Exists because a
+  * gate expressed over the score ARRAY gets its column inlined by
+  * filter pushdown / project collapse into every reference — the
+  * measured corpus-build plan carried 800+ copies of the scorer, i.e.
+  * ~100+ text walks per row. A single-reference int verdict keeps the
+  * whole language gate at ONE walk per row however the optimizer
+  * rewrites the plan. Argmax ties go to the EARLIER index — exactly
+  * [[graft.ext.LangId.verdictOfOrder]]'s fold (strictly-greater
+  * replacement over ascending indices). */
+case class LangBigramBest(child: Expression, packed: Seq[(String, Long)],
+    nLangs: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_lang_best requires a string text argument, got ${other.sql}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_lang_best"
+
+  @transient private lazy val scorer = new LangScorer(packed, nLangs)
+
+  override def nullSafeEval(input: Any): Any =
+    scorer.best(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("langScorer", scorer, classOf[LangScorer].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $s.best($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangBigramBest =
+    copy(child = newChild)
+}
+
 /** Executor-side scorer: immutable packed table (gram → ownerIdx·2^20
   * + weight), thread-safe, shared across a task's rows. */
 final class LangScorer(packedSeq: Seq[(String, Long)], nLangs: Int)
@@ -65,7 +101,23 @@ final class LangScorer(packedSeq: Seq[(String, Long)], nLangs: Int)
     m
   }
 
-  def score(text: UTF8String): ArrayData = {
+  def score(text: UTF8String): ArrayData =
+    new GenericArrayData(accumulate(text))
+
+  /** Argmax index (ties to the earlier index), -1 when all zero. */
+  def best(text: UTF8String): Int = {
+    val scores = accumulate(text)
+    var bi = -1
+    var bv = 0L
+    var i = 0
+    while (i < scores.length) {
+      if (scores(i) > bv) { bv = scores(i); bi = i } // strict: earlier wins ties
+      i += 1
+    }
+    bi
+  }
+
+  private def accumulate(text: UTF8String): Array[Long] = {
     val s = text.toString
     val scores = new Array[Long](nLangs)
     var i = 0
@@ -81,6 +133,6 @@ final class LangScorer(packedSeq: Seq[(String, Long)], nLangs: Int)
       }
       i = next
     }
-    new GenericArrayData(scores)
+    scores
   }
 }

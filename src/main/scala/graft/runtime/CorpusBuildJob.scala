@@ -106,6 +106,10 @@ import graft.model.ExitCodes
   *   CORPUS_BUILD_LANG_DEFAULT_PCT optional  keep pct for verdicts not
   *       listed in LANG_RATES (default 100 — an unlisted language is
   *       never silently downweighted)
+  *   CORPUS_BUILD_LANG_PROFILE_PATH optional  persisted language
+  *       profile store (LangId.save): the gate's verdicts come from
+  *       the operator-trained model instead of the in-repo seed
+  *       literals — a deployment's language policy on ITS model
   *   CORPUS_BUILD_QUALITY          optional  rule | classifier
   *       (default rule). classifier = the diagonal-LDA 5-feature gate
   *       bootstrapped from rule verdicts (see corpusBuildLedger) —
@@ -197,9 +201,15 @@ object CorpusBuildJob {
       }).getOrElse(Seq.empty)
     val langDefaultPct =
       env.getOrElse("CORPUS_BUILD_LANG_DEFAULT_PCT", "100").toLong
+    // round-19 follow-through: the gate's verdict model — an
+    // operator-trained persisted profile store (LangId.save) instead
+    // of the in-repo seed literals when set
+    val langModel = env.get("CORPUS_BUILD_LANG_PROFILE_PATH")
+      .map(p => graft.ext.LangId.loadModel(spark, p))
     if (langRates.nonEmpty)
       status(s"language gate active: ${langRates.map { case (l, p) => s"$l:$p" }
-        .mkString(",")} (default $langDefaultPct)")
+        .mkString(",")} (default $langDefaultPct" +
+        langModel.fold("")(m => s"; trained profile, ${m.order.size} languages") + ")")
     val benchMaxId = env.getOrElse("CORPUS_BUILD_BENCHMARK_MAX_ID", "20").toLong
     val d0 = spark.read.parquet(req("CORPUS_BUILD_DOCS_PATH")).select(
       col(env.getOrElse("CORPUS_BUILD_ID_COLUMN", "doc_id")).cast("long").as("doc_id"),
@@ -484,6 +494,7 @@ object CorpusBuildJob {
         graft.ext.ExtQueries.corpusBuildLedger(d0, e, timed,
           benchmarkMaxId = benchMaxId, qualityMode = qualityMode,
           langRates = langRates, langDefaultPct = langDefaultPct,
+          langModel = langModel,
           dedupImpl = dedupImpl, hitsImpl = hitsSeam))
       val kept = ledger.filter(col("verdict") === "keep")
 

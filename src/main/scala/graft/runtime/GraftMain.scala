@@ -218,6 +218,10 @@ object GraftMain {
     *    `drop_mix` (balance languages, then sources). Map-only per
     *    batch — the literal-map single-pass fold, no joins. Absent the
     *    field, the ledger arithmetic is bit-identical to round 17's.
+    *    `langProfilePath` (round 19) points the gate at a persisted
+    *    operator-trained profile store ([[graft.ext.LangId.save]])
+    *    instead of the in-repo seed model — same scorer, the model's
+    *    own language order.
     *
     * The per-arrival BUILD LEDGER — (doc_id, source, verdict,
     * keeper_id, n_hits) with verdict precedence decision-surface >
@@ -258,6 +262,12 @@ object GraftMain {
       // the ledger arithmetic is bit-identical to round 17's.
       val langRates = rateMap("langRates")
       val langDefaultPct = spec.long("langDefaultPct").getOrElse(100L)
+      // round-19 follow-through: `langProfilePath` — the gate's
+      // verdicts from an operator-trained persisted profile store
+      // (graft.ext.LangId.save) instead of the in-repo seed literals;
+      // loaded once at stream start, ridden into every batch
+      val langModel = spec.string("langProfilePath")
+        .map(p => graft.ext.LangId.loadModel(spark, p))
       Some { (batch: DataFrame, dec: DataFrame, batchKey: String) =>
         val withSrc =
           if (batch.columns.contains(srcCol))
@@ -284,14 +294,21 @@ object GraftMain {
         val withLang =
           if (langRates.isEmpty) withSrc.withColumn("__drop_lang", lit(false))
           else {
-            val verdict = graft.ext.LangId.verdictOf(col("__ls"))
+            val verdict = langModel match {
+              case Some(m) => graft.ext.LangId.verdictOfOrder(col("__ls"), m.order)
+              case None => graft.ext.LangId.verdictOf(col("__ls"))
+            }
             val lPct = langRates.foldLeft(lit(null).cast("long")) {
               case (acc, (l, p)) => when(verdict === l, lit(p)).otherwise(acc)
             }
             val lBucket = graft.ext.Dedup.shingleKey(
               concat(lit("lang:"), col("doc_id").cast("string"))) % 100
+            val scores = langModel match {
+              case Some(m) => graft.ext.LangId.scoresArrayColOf(m, col("__text"))
+              case None => graft.ext.LangId.scoresArrayCol(col("__text"))
+            }
             withSrc
-              .withColumn("__ls", graft.ext.LangId.scoresArrayCol(col("__text")))
+              .withColumn("__ls", scores)
               .withColumn("__drop_lang",
                 lBucket >= coalesce(lPct, lit(langDefaultPct)))
           }

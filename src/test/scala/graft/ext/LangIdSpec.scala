@@ -165,6 +165,23 @@ class LangIdSpec extends AnyFlatSpec with Matchers with SparkFixture {
     LangId.train(labeled, "lang", "text", topK = 5) shouldBe small
   }
 
+  it should "persist and reload a trained model bit-for-bit (profile store)" in {
+    import spark.implicits._
+    val pt = "o cachorro corre pela rua e as criancas brincam no parque " +
+      "enquanto uma senhora compra pao fresco de manha"
+    val model = LangId.train(
+      (LangId.Seeds :+ ("pt" -> pt)).toDF("lang", "text"), "lang", "text")
+    val root = tempDir("langid-store")
+    LangId.save(spark, model, root)
+    val loaded = LangId.loadModel(spark, root)
+    loaded shouldBe model
+    // a non-store root refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      LangId.loadModel(spark, tempDir("langid-notastore"))
+    }
+    e.getMessage should include("langid.json")
+  }
+
   it should "exclude sub-bigram rows from training" in {
     import spark.implicits._
     val labeled = Seq(("en", "the house and the river"), ("en", "a"),

@@ -884,6 +884,97 @@ class CorpusBuildJobSpec extends AnyFlatSpec with Matchers with SparkFixture {
     predictedDrop.foreach(id => vu(id) shouldBe "keep")
   }
 
+  it should "gate on an operator-trained persisted profile in batch AND stream (round 19)" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, lit => flit, when => fwhen}
+    // A profile store trained with ITALIAN — a language the seed model
+    // does not know — and a policy that names it (`it:0`). The Italian
+    // doc must drop_lang under the profile in BOTH pipelines; the
+    // English docs keep (en:100).
+    val pt20 = graft.ext.LangId.Seeds
+    val it = "il cane corre per la strada e i bambini giocano nel parco " +
+      "mentre una donna compra il pane fresco al mattino e parla con le " +
+      "sue amiche della vita del paese ogni settimana vicino al fiume"
+    val profRoot = tempDir("clang-profile")
+    graft.ext.LangId.save(spark,
+      graft.ext.LangId.train((pt20 :+ ("it" -> it)).toDF("lang", "text"),
+        "lang", "text"), profRoot)
+
+    val en = (i: Int, salt: String) =>
+      s"document number $salt opens with its own particular subject and " +
+        s"then continues through several plain prose sentences about " +
+        s"topic $salt item$i detail$i aspect$i feature$i closing $salt"
+    val itDoc = "il cane corre per la strada del paese e i bambini " +
+      "giocano nel parco con il pane fresco del mattino ogni settimana"
+    val docsRaw = Seq(
+      (1L, "held out benchmark question about the golden ratio of " +
+        "spiral galaxies and their luminous arms", "src0"),
+      (20L, en(20, "alpha"), "src0"), (21L, en(21, "bravo"), "src2"),
+      (22L, itDoc, "src0"))
+      .toDF("doc_id", "text", "source")
+    val rawDir = tempDir("clangp-docs-raw")
+    docsRaw.coalesce(1).write.mode("overwrite").parquet(rawDir)
+    val embDir = tempDir("clangp-emb")
+    docsRaw.select(col("doc_id").as("vec_id"),
+        array((0 until 10).map(i =>
+          fwhen(col("doc_id") % 10 === i, flit(1.0f)).otherwise(flit(0.0f))): _*)
+          .as("embedding"))
+      .coalesce(1).write.mode("overwrite").parquet(embDir)
+
+    // sanity: the PROFILE calls the doc Italian; the seed model cannot
+    graft.ext.LangId.classifyWith(
+        graft.ext.LangId.loadModel(spark, profRoot),
+        Seq((1L, itDoc)).toDF("doc_id", "text"), "doc_id", "text")
+      .select("lang_id3").as[String].head() shouldBe "it"
+
+    val outB = tempDir("clangp-batch-out")
+    CorpusBuildJob.run(spark, Map(
+      "CORPUS_BUILD_DOCS_PATH" -> rawDir,
+      "CORPUS_BUILD_EMBEDDINGS_PATH" -> embDir,
+      "CORPUS_BUILD_OUTPUT_PATH" -> outB,
+      "CORPUS_BUILD_LANG_RATES" -> "it:0,en:100",
+      "CORPUS_BUILD_LANG_PROFILE_PATH" -> profRoot), _ => ()) shouldBe
+      ExitCodes.Success
+    val vb = spark.read.parquet(s"$outB/ledger")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    vb(22L) shouldBe "drop_lang"
+    vb(20L) shouldBe "keep"
+    vb(21L) shouldBe "keep"
+
+    // the STREAM with langProfilePath: same verdicts per doc
+    graft.functions.GraftFunctions.register(spark)
+    val ext = graft.ext.ExtQueries.extractStageOf(docsRaw)
+    val corpDir = tempDir("clangp-docs-ext")
+    ext.filter(col("doc_id") >= 20L)
+      .coalesce(1).write.mode("overwrite").parquet(corpDir)
+    val benchDir = tempDir("clangp-bench")
+    graft.ext.Dedup.shingleRows(ext.filter(col("doc_id") < 20L), "doc_id", "text")
+      .select("s").distinct()
+      .coalesce(1).write.mode("overwrite").parquet(benchDir)
+    val storeDir = tempDir("clangp-store")
+    val spec =
+      s"""{
+         |  "sourcePath": "$corpDir",
+         |  "schemaDdl": "doc_id BIGINT, source STRING, text STRING",
+         |  "storePath": "$storeDir",
+         |  "checkpointPath": "${tempDir("clangp-ckpt")}",
+         |  "benchmarkShinglesPath": "$benchDir",
+         |  "langRates": "it:0,en:100",
+         |  "langProfilePath": "$profRoot",
+         |  "stopAfterBackfill": true
+         |}""".stripMargin
+    GraftMain.run(spark, Map(
+      graft.model.StreamContext.StreamIdVar -> "clangp-stream",
+      graft.model.StreamContext.StreamKindVar -> "corpus-build-stream",
+      graft.model.StreamContext.BackfillVar -> "true",
+      graft.model.StreamContext.SpecVar -> spec)) shouldBe ExitCodes.Success
+    val vs = spark.read.parquet(s"$storeDir/build_ledger")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    vs(22L) shouldBe "drop_lang"
+    vs(20L) shouldBe "keep"
+    vs(21L) shouldBe "keep"
+  }
+
   it should "refuse an absent ledger, an overlapping output root, and a docs corpus missing kept ids" in {
     import spark.implicits._
     val store = tempDir("cfin-guard-store")
