@@ -82,7 +82,8 @@ object TokenizerStore {
     * vocabularies that genuinely cannot fit a driver. */
   def train(docs: DataFrame, textCol: String, root: String,
       steps: Int, fast: Boolean = true,
-      alphabet: String = "chars"): Tokenizer = {
+      alphabet: String = "chars",
+      recordFertility: Boolean = true): Tokenizer = {
     val spark = docs.sparkSession
     val base = baseOf(alphabet)
     StoreMeta.withWriterLease(spark, root, "tokenizer-train") {
@@ -112,10 +113,14 @@ object TokenizerStore {
       // map-only encode+langID pass over text the trainer just read,
       // one language-cardinality collect; the rows are what
       // [[needsRetrain]] compares a future corpus against.
-      fertilityRows(docs, textCol, trained).toDF(
-          "lang", "n_docs", "n_chars", "n_bpe_tokens",
-          "fertility_e4", "mass_e4")
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/fertility")
+      // opt-out for corpora where even one extra linear pass at train
+      // time matters — the store then has no baseline and the drift
+      // gate is inactive (needsRetrain reports hasBaseline=false)
+      if (recordFertility)
+        fertilityRows(docs, textCol, trained).toDF(
+            "lang", "n_docs", "n_chars", "n_bpe_tokens",
+            "fertility_e4", "mass_e4")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/fertility")
       trained
     }
   }
@@ -173,16 +178,26 @@ object TokenizerStore {
     * collect, the [[VectorIndex.needsRebuild]] cost shape. */
   def needsRetrain(spark: SparkSession, root: String, docs: DataFrame,
       textCol: String, massFloorE4: Long = 1000L,
-      tolPerMille: Long = 200L): RetrainVerdict = {
+      tolPerMille: Long = 200L, samplePct: Long = 100L): RetrainVerdict = {
     val fs = StoreMeta.fs(spark, root)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$root/fertility")))
       return RetrainVerdict(hasBaseline = false, trip = false, Seq.empty)
+    // the 100 TB posture: the gate decides BEFORE the pack encode, so
+    // its own encode pass is extra — a deterministic md5-bucket sample
+    // (the pipeline_sample_mix arithmetic over the TEXT, so it needs
+    // no id column and re-samples the same docs every run) bounds the
+    // check to samplePct% of the corpus; language masses and fertility
+    // are ratios, which a uniform sample preserves in expectation
+    val checked =
+      if (samplePct >= 100L) docs
+      else docs.filter(
+        Dedup.shingleKey(col(textCol)) % 100 < samplePct)
     val tok = load(spark, root)
     val base = spark.read.parquet(s"$root/fertility")
       .collect()
       .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
       .toMap // lang -> (n_bpe, fertility_e4, mass_e4)
-    val reasons = fertilityRows(docs, textCol, tok).flatMap {
+    val reasons = fertilityRows(checked, textCol, tok).flatMap {
       case (lang, _, _, nBpe, fert, mass) if mass >= massFloorE4 =>
         base.get(lang) match {
           case None =>

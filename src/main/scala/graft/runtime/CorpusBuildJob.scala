@@ -139,6 +139,11 @@ import graft.model.ExitCodes
   *   CORPUS_BUILD_PRIOR_PATH       required with INCREMENTAL: the
   *       prior build's output root (its `input_manifest/` and
   *       `stages/normalize_extract/` are read)
+  *   CORPUS_BUILD_TOK_DRIFT_SAMPLE_PCT optional  1..100 (default
+  *       100): the drift check's deterministic md5-bucket text sample
+  *       — at corpus scale the gate's own encode pass is extra work
+  *       done BEFORE the pack encode, and masses/fertility are ratios
+  *       a uniform sample preserves; a deployment checks 1-5%
   *   CORPUS_BUILD_TOK_DRIFT        optional  auto | off | force
   *       (default auto): the persisted tokenizer's drift gate
   *       (round 19), consulted when CORPUS_BUILD_TOKENIZER_PATH is
@@ -528,7 +533,8 @@ object CorpusBuildJob {
         val tTok = System.nanoTime()
         val keptText = kept.select(col("doc_id"), col("source"), col("text"))
         val tok = resolveTokenizer(spark, tp,
-          env.getOrElse("CORPUS_BUILD_TOK_DRIFT", "auto"), out, keptText, status)
+          env.getOrElse("CORPUS_BUILD_TOK_DRIFT", "auto"), out, keptText, status,
+          env.getOrElse("CORPUS_BUILD_TOK_DRIFT_SAMPLE_PCT", "100").toLong)
         val seqs = graft.ext.ExtQueries.packBpeOf(
           graft.ext.TokenizerStore.encodeIds(keptText, "text", tok)
             .filter(col("n_bpe_tokens") > 0L))
@@ -694,7 +700,8 @@ object CorpusBuildJob {
             .select(col("doc_id"), col("source"), col("text"))
           val tok = resolveTokenizer(spark, tp,
             env.getOrElse("CORPUS_BUILD_TOK_DRIFT", "auto"), out, keptText,
-            status)
+            status,
+            env.getOrElse("CORPUS_BUILD_TOK_DRIFT_SAMPLE_PCT", "100").toLong)
           val seqs = graft.ext.ExtQueries.packBpeOf(
             graft.ext.TokenizerStore.encodeIds(keptText, "text", tok)
               .filter(col("n_bpe_tokens") > 0L))
@@ -730,15 +737,18 @@ object CorpusBuildJob {
   private def resolveTokenizer(spark: SparkSession, tp: String,
       tokDrift: String, out: String,
       kept: org.apache.spark.sql.DataFrame,
-      status: String => Unit): graft.ext.TokenizerStore.Tokenizer = {
+      status: String => Unit, samplePct: Long = 100L): graft.ext.TokenizerStore.Tokenizer = {
     require(Set("auto", "off", "force")(tokDrift),
       s"CORPUS_BUILD_TOK_DRIFT must be auto|off|force, got '$tokDrift'")
+    require(samplePct >= 1L && samplePct <= 100L,
+      s"CORPUS_BUILD_TOK_DRIFT_SAMPLE_PCT must be in [1, 100], got $samplePct")
     val stored = graft.ext.TokenizerStore.load(spark, tp)
     val retrainReason: Option[String] = tokDrift match {
       case "off" => None
       case "force" => Some("CORPUS_BUILD_TOK_DRIFT=force")
       case _ =>
-        val v = graft.ext.TokenizerStore.needsRetrain(spark, tp, kept, "text")
+        val v = graft.ext.TokenizerStore.needsRetrain(spark, tp, kept, "text",
+          samplePct = samplePct)
         if (!v.hasBaseline) {
           status("tokenizer drift gate: no fertility baseline recorded " +
             s"(pre-round-19 store at $tp) — gate inactive, artifact kept")

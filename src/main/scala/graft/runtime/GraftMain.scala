@@ -294,23 +294,24 @@ object GraftMain {
         val withLang =
           if (langRates.isEmpty) withSrc.withColumn("__drop_lang", lit(false))
           else {
-            val verdict = langModel match {
-              case Some(m) => graft.ext.LangId.verdictOfOrder(col("__ls"), m.order)
-              case None => graft.ext.LangId.verdictOf(col("__ls"))
+            // single-reference native ARGMAX index + literal pct
+            // lookup (round 19): the fold-over-verdict form is
+            // value-identical, but plan rewriting inlines
+            // multi-referenced columns — the batch build measured
+            // 800+ scorer copies that way; one walk per row here too
+            val bestIdx = langModel match {
+              case Some(m) => graft.ext.LangId.bestIdxColOf(m, col("__text"))
+              case None => graft.ext.LangId.bestIdxCol(col("__text"))
             }
-            val lPct = langRates.foldLeft(lit(null).cast("long")) {
-              case (acc, (l, p)) => when(verdict === l, lit(p)).otherwise(acc)
-            }
+            val order = langModel.map(_.order)
+              .getOrElse(graft.ext.LangId.LangOrder)
+            val pctByIdx: Seq[Long] =
+              langRates.getOrElse("unk", langDefaultPct) +:
+                order.map(l => langRates.getOrElse(l, langDefaultPct))
             val lBucket = graft.ext.Dedup.shingleKey(
               concat(lit("lang:"), col("doc_id").cast("string"))) % 100
-            val scores = langModel match {
-              case Some(m) => graft.ext.LangId.scoresArrayColOf(m, col("__text"))
-              case None => graft.ext.LangId.scoresArrayCol(col("__text"))
-            }
-            withSrc
-              .withColumn("__ls", scores)
-              .withColumn("__drop_lang",
-                lBucket >= coalesce(lPct, lit(langDefaultPct)))
+            withSrc.withColumn("__drop_lang",
+              lBucket >= element_at(typedlit(pctByIdx), bestIdx + lit(2)))
           }
         val ledger = dec.select(col("doc_id"), col("decision"), col("keeper_id"))
           .join(withLang.select("doc_id", "source", "__drop_lang"), Seq("doc_id"))

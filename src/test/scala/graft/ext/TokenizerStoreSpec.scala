@@ -298,6 +298,29 @@ class TokenizerStoreSpec extends AnyFlatSpec with Matchers with SparkFixture {
       r.contains("fertility regressed")) shouldBe true
   }
 
+  it should "trip on the sampled check and honor the recordFertility opt-out" in {
+    import spark.implicits._
+    val root = tempDir("tokdrift-sampled")
+    TokenizerStore.train(enDocs(12), "text", root, steps = 10)
+    // the planted ru shift still trips through a 50% deterministic
+    // text sample (masses are ratios; the sample is md5-bucketed on
+    // the text so the same docs are checked every run)
+    val shifted = enDocs(4).unionByName((100 to 111).map(i =>
+        (i.toLong, "собака бежит по улице и дети играют в парке пока " +
+          s"женщина покупает свежий хлеб утром $i"))
+      .toSeq.toDF("doc_id", "text"))
+    val v = TokenizerStore.needsRetrain(spark, root, shifted, "text",
+      samplePct = 50L)
+    v.trip shouldBe true
+
+    // recordFertility = false: no baseline, gate inactive
+    val root2 = tempDir("tokdrift-optout")
+    TokenizerStore.train(enDocs(6), "text", root2, steps = 6,
+      recordFertility = false)
+    val v2 = TokenizerStore.needsRetrain(spark, root2, enDocs(6), "text")
+    v2.hasBaseline shouldBe false
+  }
+
   it should "be inactive for a store without a recorded baseline" in {
     val docs = enDocs(6)
     val root = tempDir("tokdrift-prer19")
