@@ -115,7 +115,10 @@ object ScaleBench {
     "pipeline_sample_epochs", "pipeline_pack_bpe",
     // round 18
     "pipeline_token_budget_bpe", "text_lang_id2", "pipeline_lang_mix",
-    "text_tokenizer_fertility", "dedup_cluster_best_keeper")
+    "text_tokenizer_fertility", "dedup_cluster_best_keeper",
+    // round 19
+    "pipeline_corpus_build_lang", "text_lang_id3", "pipeline_lang_mix3",
+    "text_bpe_encode_bytes")
 
   /** Queries whose first call per corpus dir pays a one-time persisted
     * store/index build (cached thereafter) — warmed before measuring. */
