@@ -74,14 +74,20 @@ object Bench {
     // row_sentinels mechanism probed only harness-class rows, and the
     // r18 record's 25 phantom drifts were all on UNPROBED engine rows —
     // exactly the gap. Probing every row with the heavy cpuProbe would
-    // double the run, so every measured execution is now preceded by a
-    // 1/8-size probe (~0.1 s quiet): same plan shape, its own floor,
-    // factor = min(adjacent probes) / light floor. Scale-disjoint from
-    // cpuSent (never mixed into the checkpoint series).
+    // double the run, so every measured execution is preceded by a
+    // HALF-size probe (~0.5 s quiet). Size matters: a 1/8 probe
+    // measured ~10 ms of compute inside ~0.1-0.3 s of job-scheduling
+    // overhead, and its factors were pure scheduler jitter (first
+    // attempt read 97/135 rows "contended" on a box whose heavy
+    // checkpoint sentinels sat at 0.99-1.23 s). Factor = min(adjacent
+    // probes) / the light probes' 25th-PERCENTILE (a run-wide min is
+    // an extreme-value statistic that inflates every ratio).
+    // Scale-disjoint from cpuSent (never mixed into the checkpoint
+    // series).
     def lightProbe(): Double = {
       import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
       val t0 = System.nanoTime()
-      spark.range(0, 187500000L, 1, 32)
+      spark.range(0, 750000000L, 1, 32)
         .select(pmod(xxhash64(col("id")), lit(1000L)).as("h"))
         .agg(sum("h"))
         .write.format("noop").mode("overwrite").save()
@@ -343,10 +349,12 @@ object Bench {
     // rule: a factor materially above 1 labels that row's figure as
     // measured in a contended window.
     val rowSentJson = {
-      // the light probes' OWN floor — scale-disjoint from the heavy
-      // checkpoint series (round 19: every row probed, engine included)
-      val floor = if (rowProbes.nonEmpty) rowProbes.valuesIterator
-        .flatten.min else 0.0
+      // the light probes' own 25th percentile as the floor — a
+      // run-wide MIN over ~270 samples is an extreme value that
+      // inflates every ratio (round 19: every row probed, engine
+      // included; scale-disjoint from the heavy checkpoint series)
+      val all = rowProbes.valuesIterator.flatten.toSeq.sorted
+      val floor = if (all.nonEmpty) all(all.size / 4) else 0.0
       if (rowProbes.isEmpty || floor <= 0.0) ""
       else rowProbes.toSeq.sortBy(_._1).map { case (k, ps) =>
         f""""$k":${ps.min / floor}%.2f"""

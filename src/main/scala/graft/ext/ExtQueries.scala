@@ -2581,6 +2581,17 @@ object ExtQueries {
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     bytesStoreCache.synchronized {
+      // evict superseded entries + their temp roots (the ADVICE r18
+      // discipline the chars-store cache follows)
+      bytesStoreCache.filterInPlace { case ((d, f), root) =>
+        val keep = d != dir || f == fp
+        if (!keep) scala.util.Try {
+          val pth = java.nio.file.Paths.get(root)
+          java.nio.file.Files.walk(pth).sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        }
+        keep
+      }
       bytesStoreCache.getOrElseUpdate((dir, fp), {
         val root = java.nio.file.Files
           .createTempDirectory("graft-tokenizer-store-bytes").toString

@@ -175,7 +175,24 @@ object TokenizerStore {
     * Languages with zero encoded tokens on either side skip the
     * regression rule (fertility undefined) — the mass rule covers
     * them. Integer arithmetic throughout; one linear pass + bounded
-    * collect, the [[VectorIndex.needsRebuild]] cost shape. */
+    * collect, the [[VectorIndex.needsRebuild]] cost shape.
+    *
+    * The language yardstick is the in-repo SEED model on BOTH sides
+    * (baseline and check) — deliberately: drift detection needs a
+    * CONSISTENT partition of the text, not a perfect one. A language
+    * the seed model cannot name (say an Italian influx) maps to the
+    * same neighboring verdict at train and check time, so it still
+    * registers — as that verdict's mass growth and fertility
+    * regression — and trips the gate; only the attribution label is
+    * approximate. Profiling with a caller-supplied model would break
+    * comparability the moment the model is retrained, so the
+    * yardstick stays fixed.
+    *
+    * `samplePct` (round 19): bound the check to a deterministic
+    * md5-bucket TEXT sample — the gate runs BEFORE the pack encode,
+    * so its encode pass is extra work at corpus scale, and
+    * masses/fertility are ratios a uniform sample preserves in
+    * expectation; a 100 TB deployment checks 1-5%. */
   def needsRetrain(spark: SparkSession, root: String, docs: DataFrame,
       textCol: String, massFloorE4: Long = 1000L,
       tolPerMille: Long = 200L, samplePct: Long = 100L): RetrainVerdict = {
