@@ -135,6 +135,31 @@ object Bench {
     // record governs. The floor is the run's own minimum light probe
     // (self-calibrating — no cross-host constant).
     val rowProbes = scala.collection.mutable.Map.empty[String, List[Double]]
+    // Round 20 (VERDICT r19 #4): a single PRE-row probe under-
+    // integrates burst contention on LONG rows — the r19 driver window
+    // read streaming_decision_golden at 31.8 s with an innocent-looking
+    // 1.32 pre-probe (vs 15.1 s quiet). Rows longer than ~10 s now
+    // probe AFTER as well, and the pass's sample is the WORSE of the
+    // two (the window's condition, not its best moment); the published
+    // factor stays min-over-passes / floor — the window of the pass
+    // that produced the row's min, which is the figure the record
+    // keeps. The four streaming-extra rows (streaming_dedup,
+    // store_ingest, sim_train, decision_steady) ride the same
+    // mechanism via probedBlock — the last unprobed rows.
+    val LongRowSec = 10.0
+    def probedBlock[A](name: String)(body: => A): A = {
+      val p1 = try lightProbe() catch { case _: Throwable => -1.0 }
+      val t0 = System.nanoTime()
+      val r = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      val p2 =
+        if (sec > LongRowSec) try lightProbe() catch { case _: Throwable => -1.0 }
+        else -1.0
+      val sample = math.max(p1, p2)
+      if (sample > 0.0)
+        rowProbes(name) = sample :: rowProbes.getOrElse(name, Nil)
+      r
+    }
     def probeSentinels(tag: String): Unit =
       try {
         val c = cpuProbe(); val s = shuffleProbe()
@@ -146,14 +171,13 @@ object Bench {
     try { cpuProbe(); shuffleProbe() } catch { case _: Throwable => () } // sentinel warm-up
     def measuredPass(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       // EVERY row gets an adjacent light probe (round 19 — engine rows
-      // were the unprobed gap r18's phantom drifts landed on)
-      try {
-        val p = lightProbe()
-        rowProbes(name) = p :: rowProbes.getOrElse(name, Nil)
-      } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      execute(name, fn).foreach(f => failed ::= f)
-      name -> (System.nanoTime() - t0) / 1e9
+      // were the unprobed gap r18's phantom drifts landed on); long
+      // rows additionally probe AFTER (round 20, see probedBlock)
+      name -> probedBlock(name) {
+        val t0 = System.nanoTime()
+        execute(name, fn).foreach(f => failed ::= f)
+        (System.nanoTime() - t0) / 1e9
+      }
     }
     probeSentinels("pre")
     val pass1 = measuredPass()
@@ -194,7 +218,7 @@ object Bench {
     // become visible round-over-round. rows/s and final state rows ride
     // a top-level "streaming" key; the wall time joins the queries map
     // as streaming_dedup.
-    val streaming: Option[(Long, Double, Long)] =
+    val streaming: Option[(Long, Double, Long)] = probedBlock("streaming_dedup") {
       try {
         val tmp = java.nio.file.Files.createTempDirectory("graft-stream-bench")
         val slice = s"$tmp/docs"
@@ -240,6 +264,7 @@ object Bench {
         failed ::= "streaming_dedup"
         None
       }
+    }
     // Store-ingest micro-bench (VERDICT r7 #2: the old
     // dedup_incremental_store row conflated corpus ingestion with the
     // steady-state query; the query row now measures dedupBatch alone —
@@ -247,7 +272,7 @@ object Bench {
     // the ingestion half: one SignatureStore.append of the even-half
     // corpus to a fresh store, the cost a deployment pays once per
     // admitted batch). min-of-2 like every other row.
-    val storeIngest: Option[Double] =
+    val storeIngest: Option[Double] = probedBlock("store_ingest") {
       try {
         import org.apache.spark.sql.functions.{col, lit, pmod}
         val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -268,6 +293,7 @@ object Bench {
         failed ::= "store_ingest"
         None
       }
+    }
     // Train-vs-search stage split for the sim_ivfpq family (VERDICT r8
     // #6): the sim_ivfpq/sim_pq query rows are dominated by in-plan
     // training, which hides search-stage regressions — the stage that
@@ -277,7 +303,7 @@ object Bench {
     // to sim_ivfpq); the cached-structures SEARCH row already exists as
     // sim_index_store (stored index, built outside its timed path). A
     // sim_ivfpq movement now attributes per stage. min-of-2.
-    val simTrain: Option[Double] =
+    val simTrain: Option[Double] = probedBlock("sim_train") {
       try {
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -293,6 +319,7 @@ object Bench {
         failed ::= "sim_train"
         None
       }
+    }
     // Steady-state decision surface (VERDICT r10 #6): the
     // streaming_decision_golden row pays a fresh store + all five
     // admissions every run; a deployment's recurring cost is ONE batch
@@ -301,7 +328,7 @@ object Bench {
     // over the last TWO slices, each a GENUINELY FRESH batch paying
     // real admission writes (a replayed second pass would append
     // nothing and bias the number low — its anti-joins empty out).
-    val decisionSteady: Option[Double] =
+    val decisionSteady: Option[Double] = probedBlock("decision_steady") {
       try {
         val (store, cents, lasts) =
           graft.ext.ExtQueries.decisionSteadyPrepare(spark, sfDir)
@@ -318,6 +345,7 @@ object Bench {
         failed ::= "decision_steady"
         None
       }
+    }
     // The sentinel QUERY rows are the min over the three checkpoint
     // probes (the same estimator as every row — the plan's cost, not
     // the box's worst moment); the per-checkpoint series rides

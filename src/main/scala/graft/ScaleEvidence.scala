@@ -56,6 +56,8 @@ object ScaleEvidence {
   }
 
   def main(args: Array[String]): Unit = args.toList match {
+    case "multilingual-pure" :: x100 :: work :: Nil =>
+      multilingualPure(x100, work)
     case "incremental" :: x100 :: work :: Nil => incremental(x100, work)
     case "slice" :: x100 :: dst :: rest =>
       slice(x100, dst, rest.headOption.map(_.toInt).getOrElse(32))
@@ -329,6 +331,163 @@ object ScaleEvidence {
     * Prints one JSON object with phase wall ms, verdict counts
     * (drop_lang included), gate decisions, equality counts, and the
     * per-language fertility A/B. */
+  /** Stretch #8 (VERDICT r19, round 20): the PURE-non-Latin build at
+    * x100 — the corpus class the round-19 record masked (every planted
+    * doc kept a Latin core). ~43% of documents are REPLACED by
+    * all-Cyrillic / all-CJK bodies (seed words interleaved with a
+    * per-group transliterated-ordinal token, rotating tail — zero
+    * Latin characters; same-group docs are exact/near duplicates,
+    * cross-group docs share no shingles, so LSH bucket volume stays
+    * bounded). Then:
+    *  1. the ASCII-layer build (round-19 default) — every pure doc
+    *     dies `drop_quality` (the blind spot, MEASURED at x100);
+    *  2. the `CORPUS_BUILD_TOKENS=unicode` build with the language
+    *     gate, a `bytes` tokenizer trained on the mixed corpus, and
+    *     TOK_DRIFT=auto — pure docs flow to keep/drop_lang/
+    *     drop_exact/drop_near; per-language keep rates recorded;
+    *  3. the same build re-run — ledger + bpe_sequences BIT-IDENTICAL;
+    *  4. the HOSTED STREAMING build (`tokens: unicode` spec field)
+    *     over the sliced corpus — its ledger's pure docs must reach
+    *     the same verdict CLASSES (arrival-order precedence differs
+    *     by design; the class split is what transfers).
+    * Prints one JSON object. */
+  private def multilingualPure(x100: String, work: String): Unit = {
+    val spark = session("graft-multilingual-pure")
+    val quiet: String => Unit = s => System.err.println(s"[evidence] $s")
+    val ruWords = "привет мир и собака бежит по улице утром".split(" ").toSeq
+    val zhWords = "你好 世界 孩子们 在 公园 玩耍 天气 很好".split(" ").toSeq
+    val ruTails = Seq("зима", "лето", "осень")
+    val zhTails = Seq("春天", "夏天", "秋天")
+    def pureBody(words: Seq[String], g: org.apache.spark.sql.Column,
+        x: org.apache.spark.sql.Column) =
+      concat_ws(" ", (words ++ words).flatMap(w => Seq(lit(w), g)) :+ x: _*)
+    val gRu = translate(expr("cast(doc_id div 300 as string)"),
+      "0123456789", "абвгдежзик")
+    val gZh = translate(expr("cast(doc_id div 300 as string)"),
+      "0123456789", "零一二三四五六七八九")
+    val xRu = element_at(typedlit(ruTails),
+      (pmod(expr("doc_id div 3"), lit(3)) + 1).cast("int"))
+    val xZh = element_at(typedlit(zhTails),
+      (pmod(expr("doc_id div 7"), lit(3)) + 1).cast("int"))
+    val isRu = pmod(col("doc_id"), lit(3)) === 0
+    val isZh = pmod(col("doc_id"), lit(7)) === 1
+    val mixed = s"$work/docs_pure"
+    spark.read.parquet(s"$x100/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        when(isRu, pureBody(ruWords, gRu, xRu))
+          .when(isZh, pureBody(zhWords, gZh, xZh))
+          .otherwise(col("text")).as("text"))
+      .repartition(32).write.mode("overwrite").parquet(mixed)
+    val md = spark.read.parquet(mixed)
+    val nRu = md.filter(isRu).count()
+    val nZh = md.filter(isZh).count()
+
+    val t0 = System.nanoTime()
+    graft.ext.TokenizerStore.train(md.select("text"), "text",
+      s"$work/tok_pure", steps = 300, alphabet = "bytes")
+    val tokTrainMs = (System.nanoTime() - t0) / 1000000L
+
+    val langRates = "ru:40,zh:40,en:100,es:80,fr:80,de:80"
+    def env(out: String, tokens: String) = Map(
+      "CORPUS_BUILD_DOCS_PATH" -> mixed,
+      "CORPUS_BUILD_EMBEDDINGS_PATH" -> s"$x100/embeddings.parquet",
+      "CORPUS_BUILD_OUTPUT_PATH" -> out,
+      "CORPUS_BUILD_LANG_RATES" -> langRates,
+      "CORPUS_BUILD_LANG_DEFAULT_PCT" -> "50",
+      "CORPUS_BUILD_TOKENS" -> tokens,
+      "CORPUS_BUILD_TOKENIZER_PATH" -> s"$work/tok_pure")
+
+    def pureVerdicts(ledger: String): Map[String, Long] =
+      spark.read.parquet(ledger)
+        .filter(isRu || isZh)
+        .groupBy("verdict").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def vj(m: Map[String, Long]) = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
+    // 1: the ASCII blind spot, measured
+    val rA = graft.runtime.CorpusBuildJob.execute(spark,
+      env(s"$work/build_ascii", "ascii"), quiet)
+    val pureAscii = pureVerdicts(s"$work/build_ascii/ledger")
+    // 2+3: the unicode build, twice
+    val rU = graft.runtime.CorpusBuildJob.execute(spark,
+      env(s"$work/build_uni1", "unicode"), quiet)
+    val rU2 = graft.runtime.CorpusBuildJob.execute(spark,
+      env(s"$work/build_uni2", "unicode"), quiet)
+    val pureUni = pureVerdicts(s"$work/build_uni1/ledger")
+    def rows(p: String, cols: Seq[String]): DataFrame =
+      spark.read.parquet(p).select(cols.map(col): _*)
+    val ledCols = Seq("doc_id", "source", "verdict", "keeper_id", "n_hits",
+      "n_chunks", "seq_first", "shard", "pos")
+    val ledDiff =
+      rows(s"$work/build_uni1/ledger", ledCols)
+        .exceptAll(rows(s"$work/build_uni2/ledger", ledCols)).count() +
+      rows(s"$work/build_uni2/ledger", ledCols)
+        .exceptAll(rows(s"$work/build_uni1/ledger", ledCols)).count()
+    val seqCols = Seq("source", "seq_id", "n_docs", "seq_tokens")
+    val seqDiff =
+      rows(s"$work/build_uni1/bpe_sequences", seqCols)
+        .exceptAll(rows(s"$work/build_uni2/bpe_sequences", seqCols)).count() +
+      rows(s"$work/build_uni2/bpe_sequences", seqCols)
+        .exceptAll(rows(s"$work/build_uni1/bpe_sequences", seqCols)).count()
+    // per-language keep rates over the trained verdict (kept / total)
+    val keepRates = {
+      val led = spark.read.parquet(s"$work/build_uni1/ledger")
+      md.select(col("doc_id"),
+          graft.ext.LangId.verdictOf(
+            graft.ext.LangId.scoresArrayCol(col("text"))).as("lang"))
+        .join(led.select("doc_id", "verdict"), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("verdict") === "keep", 1L).otherwise(0L)).as("k"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(2) * 10000L / math.max(r.getLong(1), 1L))).toMap
+    }
+
+    // 4: the hosted streaming build, unicode layer
+    val sliced = s"$work/docs_sliced"
+    md.repartition(16).write.mode("overwrite").parquet(sliced)
+    val spec =
+      s"""{
+         |  "sourcePath": "$sliced",
+         |  "schemaDdl": "doc_id BIGINT, source STRING, text STRING",
+         |  "storePath": "$work/stream_store",
+         |  "checkpointPath": "$work/stream_ckpt",
+         |  "langRates": "$langRates",
+         |  "langDefaultPct": 50,
+         |  "tokens": "unicode",
+         |  "maxFilesPerTrigger": 4,
+         |  "stopAfterBackfill": true
+         |}""".stripMargin
+    val tS = System.nanoTime()
+    val code = graft.runtime.GraftMain.run(spark, Map(
+      "STREAMCONTEXT__STREAM_ID" -> "pure-x100-stream",
+      "STREAMCONTEXT__STREAM_KIND" -> "corpus-build-stream",
+      "STREAMCONTEXT__BACKFILL" -> "true",
+      "STREAMCONTEXT__SPEC" -> spec), statusReporter = quiet)
+    val streamWall = (System.nanoTime() - tS) / 1e9
+    val pureStream = spark.read.parquet(s"$work/stream_store/build_ledger")
+      .filter(isRu || isZh)
+      .groupBy("verdict").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    println(s"""{"corpus":"$x100, pure ru body on id%3=0, pure zh on id%7=1",""" +
+      s""""n_pure_ru":$nRu,"n_pure_zh":$nZh,""" +
+      s""""tok_train_ms":$tokTrainMs,""" +
+      s""""build_phase_ms":${phasesJson(rU)},""" +
+      s""""ascii_pure_verdicts":${vj(pureAscii)},""" +
+      s""""unicode_pure_verdicts":${vj(pureUni)},""" +
+      s""""unicode_verdicts":${vj(rU.verdicts)},""" +
+      s""""ascii_kept":${rA.kept},"unicode_kept":${rU.kept},""" +
+      s""""rerun_ledger_diff_rows":$ledDiff,""" +
+      s""""rerun_bpe_sequences_diff_rows":$seqDiff,""" +
+      s""""rerun_kept_equal":${rU2.kept == rU.kept},""" +
+      s""""keep_rate_e4_by_lang":${vj(keepRates)},""" +
+      s""""stream_exit":$code,"stream_wall_s":${f"$streamWall%.1f"},""" +
+      s""""stream_pure_verdicts":${vj(pureStream)}}""")
+    spark.stop()
+  }
+
   private def multilingual(x100: String, work: String): Unit = {
     val spark = session("graft-multilingual")
     val quiet: String => Unit = s => System.err.println(s"[evidence] $s")

@@ -145,6 +145,15 @@ object Dedup {
   def contentHash(text: Column): Column =
     sha2(TextOps.normalized(text), 256)
 
+  /** [[contentHash]] under an explicit token layer (round 20, VERDICT
+    * r19 #1): the same canonical-form hash with the splitter swapped —
+    * pass [[TextOps.tokensU]] and two documents are identical iff
+    * their UNICODE word sequences are, so a pure-Cyrillic corpus stops
+    * collapsing into one all-empty normalized form (the ASCII layer
+    * tokenizes every non-Latin doc to `[]`, hashing them all equal). */
+  def contentHashWith(tok: Column => Column)(text: Column): Column =
+    sha2(concat_ws(" ", tok(text)), 256)
+
   /** Exact dedup: group rows by [[contentHash]], keep the smallest id
     * per group. One shuffle, partial-aggregated. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -164,10 +173,11 @@ object Dedup {
     */
   def minhashProject(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      tok: Column => Column = TextOps.tokens): DataFrame = {
     require(bands * rowsPerBand == k, "bands * rowsPerBand must equal k")
     val exploded = df
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), tok(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleN)
       .select(col(idCol), explode(TextOps.shingles(col("toks"), shingleN)).as("s"))
       .select(col(idCol), shingleKey(col("s")).as("x"))
@@ -326,7 +336,7 @@ object Dedup {
     * rational, max_dup_run — longest run of CONSECUTIVE duplicated
     * windows, i.e. max_dup_run + W − 1 exactly-shared tokens). */
   def substringDupProfile(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 10): DataFrame = {
+      w: Int = 10, tok: Column => Column = TextOps.tokens): DataFrame = {
     // Single-scan, join-free formulation: the cross-doc flag is a
     // WINDOW aggregate over the key (min(id) ≠ max(id) within a wk
     // partition ⟺ the window occurs in ≥2 distinct docs), not a
@@ -342,7 +352,7 @@ object Dedup {
     // shuffle (plan: 1 scan, 2 hash exchanges, 1 presentation sort).
     import org.apache.spark.sql.expressions.Window
     val wins = df
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), tok(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= w)
       .select(col(idCol),
         posexplode(TextOps.shingles(col("toks"), w)).as(Seq("pos", "win")))
@@ -380,9 +390,10 @@ object Dedup {
     * [[TextOps.simhash32]], recomputes it per bit — 32×); the shuffle
     * carries 32 partial sums per doc after map-side combine. Bit
     * semantics identical to the HOF form. */
-  def simhashProject(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashProject(df: DataFrame, idCol: String, textCol: String,
+      tok: Column => Column = TextOps.tokens): DataFrame = {
     val ex = df
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), tok(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col(idCol), explode(col("toks")).as("t"))
       .select(col(idCol), md5(col("t")).as("h"))
@@ -430,8 +441,9 @@ object Dedup {
     * time no matter how many downstream branches — signatures, per-doc
     * counts, per-side intersection joins — consume it). */
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3): DataFrame =
-    df.select(col(idCol), TextOps.tokens(col(textCol)).as("toks"))
+      shingleN: Int = 3,
+      tok: Column => Column = TextOps.tokens): DataFrame =
+    df.select(col(idCol), tok(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleN)
       .select(col(idCol), explode(TextOps.shingles(col("toks"), shingleN)).as("s"))
       .distinct()
@@ -640,5 +652,26 @@ object Dedup {
       iter += 1
     }
     CcResult(labels, converged = done, iterations = iter)
+  }
+
+  /** QUALITY-AWARE keeper election (round 20, VERDICT r19 #3): relabel
+    * a component frame's labels with each cluster's INFORMATION-RICHEST
+    * member — max (`richCol`, −id), id-ascending ties for determinism
+    * (the dedup_cluster_best_keeper election, applied to any component
+    * column). Because the relabeled frame still maps every member to
+    * its cluster's keeper, the standard assembly (`label ≠ doc_id` →
+    * drop, keeper = label) works UNCHANGED — min-id election is just
+    * the identity relabel. Cost: one doc-keyed join of map-only per-doc
+    * stats plus a component-cardinality aggregate; no corpus-wide
+    * window. Self-consistent with the exact tier: byte-identical copies
+    * carry identical richness, so the id tiebreak elects the exact
+    * tier's own min-id owner, never a doc some cheaper tier dropped. */
+  def electKeepers(comp: DataFrame, idCol: String, compCol: String,
+      stats: DataFrame, richCol: String = "n_unique"): DataFrame = {
+    val elected = comp.join(stats, Seq(idCol))
+      .groupBy(compCol)
+      .agg(max_by(col(idCol), struct(col(richCol), -col(idCol))).as("__elected"))
+    comp.join(elected, Seq(compCol))
+      .select(col(idCol), col("__elected").as(compCol))
   }
 }

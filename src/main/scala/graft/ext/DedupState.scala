@@ -117,11 +117,16 @@ object DedupState {
     * trips parquet exactly (longs, md5/sha hex strings, doubles). */
   def full(spark: SparkSession, gated: DataFrame, e: DataFrame,
       stateRoot: String, semCents: Option[DataFrame] = None,
-      reuseExisting: Boolean = false): DataFrame = {
+      reuseExisting: Boolean = false,
+      tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens,
+      keeperMode: String = "min"): DataFrame = {
+    require(Set("min", "best")(keeperMode),
+      s"keeperMode must be min|best, got '$keeperMode'")
     val d = gated.select("doc_id", "source", "text")
     val hashes = d.select(col("doc_id"), col("source"),
-      Dedup.contentHash(col("text")).as("h"))
-    val exd = Dedup.shingleRows(d, "doc_id", "text", ExtQueries.ShingleN)
+      Dedup.contentHashWith(tok)(col("text")).as("h"))
+    val exd = Dedup.shingleRows(d, "doc_id", "text", ExtQueries.ShingleN, tok)
     val proj = Dedup.minhashFromShingles(exd, "doc_id",
       ExtQueries.MinhashK, ExtQueries.LshBands, ExtQueries.LshRows)
     // sig table: signatures ∪ hashes. A gated doc with < ShingleN
@@ -147,7 +152,8 @@ object DedupState {
 
     val ex = sigM.select(col("doc_id"), col("h"))
       .withColumn("ex_keeper", min(col("doc_id")).over(Window.partitionBy(col("h"))))
-    assemble(ex, comps, scomp)
+    assemble(ex, electBoth(d, tok, keeperMode, comps, "comp"),
+      electBoth(d, tok, keeperMode, scomp, "scomp"))
   }
 
   /** The FULL build's semantic tier — train (or adopt `semCents`),
@@ -185,9 +191,14 @@ object DedupState {
       priorState: String, unchangedSources: Seq[String],
       stateRoot: String, reuseExisting: Boolean = false,
       driftPolicy: String = "auto",
-      status: String => Unit = _ => ()): DataFrame = {
+      status: String => Unit = _ => (),
+      tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens,
+      keeperMode: String = "min"): DataFrame = {
     require(Set("auto", "off", "force")(driftPolicy),
       s"driftPolicy must be auto|off|force, got '$driftPolicy'")
+    require(Set("min", "best")(keeperMode),
+      s"keeperMode must be min|best, got '$keeperMode'")
     // prior state at (or nested inside) the output root would be read
     // lazily while writeOnce overwrites it eagerly in the same job —
     // refuse actionably instead of read-while-overwrite corruption
@@ -221,8 +232,8 @@ object DedupState {
     val freshD = d.join(reuseIds, Seq("doc_id"), "left_anti")
 
     val freshHashes = freshD.select(col("doc_id"), col("source"),
-      Dedup.contentHash(col("text")).as("h"))
-    val freshExd = Dedup.shingleRows(freshD, "doc_id", "text", ExtQueries.ShingleN)
+      Dedup.contentHashWith(tok)(col("text")).as("h"))
+    val freshExd = Dedup.shingleRows(freshD, "doc_id", "text", ExtQueries.ShingleN, tok)
     val freshProj = Dedup.minhashFromShingles(freshExd, "doc_id",
       ExtQueries.MinhashK, ExtQueries.LshBands, ExtQueries.LshRows)
     val sigM = writeOnce(spark,
@@ -252,7 +263,7 @@ object DedupState {
     val needIds = unknown.select(col("doc_a").as("doc_id"))
       .unionAll(unknown.select(col("doc_b").as("doc_id"))).distinct()
     val needExd = Dedup.shingleRows(
-      d.join(needIds, Seq("doc_id")), "doc_id", "text", ExtQueries.ShingleN)
+      d.join(needIds, Seq("doc_id")), "doc_id", "text", ExtQueries.ShingleN, tok)
     val verifiedNew = Dedup.jaccardVerifyExploded(unknown, needExd, threshold = 0.8)
       .select("doc_a", "doc_b", "is_dup")
     val verified = writeOnce(spark,
@@ -340,6 +351,22 @@ object DedupState {
 
     val ex = sigM.select(col("doc_id"), col("h"))
       .withColumn("ex_keeper", min(col("doc_id")).over(Window.partitionBy(col("h"))))
-    assemble(ex, comps, scomp)
+    assemble(ex, electBoth(d, tok, keeperMode, comps, "comp"),
+      electBoth(d, tok, keeperMode, scomp, "scomp"))
   }
+
+  /** Keeper election seam (round 20, VERDICT r19 #3): under `best`,
+    * relabel a component frame with its richest member (distinct-token
+    * count over the build's token layer, id-ascending ties) — the
+    * [[Dedup.electKeepers]] relabel, computed from the CURRENT corpus
+    * text (map-only per-doc stats; never persisted, so the spliced
+    * near_pairs/sig state stays keeper-agnostic and one store serves
+    * both modes). `min` is the identity. */
+  private def electBoth(d: DataFrame,
+      tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      keeperMode: String, frame: DataFrame, labelCol: String): DataFrame =
+    if (keeperMode == "min") frame
+    else Dedup.electKeepers(frame, "doc_id", labelCol,
+      d.select(col("doc_id"),
+        size(array_distinct(tok(col("text")))).cast("long").as("n_unique")))
 }

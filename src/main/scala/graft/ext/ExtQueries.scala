@@ -44,8 +44,11 @@ object ExtQueries {
     * parameterized by source relation so composite pipelines
     * (pipeline_corpus_build) can tokenize a CLEANED intermediate with
     * the same expression the standalone queries apply to `documents`. */
-  private def tokCteFrom(rel: String, name: String = "tok"): String =
-    s"$name AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks FROM $rel)"
+  private def tokCteFrom(rel: String, name: String = "tok",
+      unicode: Boolean = false): String = {
+    val re = if (unicode) "[^\\p{L}\\p{N}]+" else "[^a-z0-9]+"
+    s"$name AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '$re'), x -> x <> '') AS toks FROM $rel)"
+  }
 
   /** DuckDB fragment producing the identical token arrays. */
   private val TokCte = tokCteFrom("documents")
@@ -1779,6 +1782,127 @@ object ExtQueries {
        |FROM b GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // pipeline_pack_nosplit (round 20, VERDICT r19 #6): DOCUMENT-
+  // BOUNDARY-AWARE packing — the mode most instruction/SFT mixes want.
+  // Unlike pipeline_pack_sequences (concat-and-split: a doc straddles
+  // the budget boundary), no document is ever split: docs are laid
+  // into sequences NEXT-FIT in the SAME reproducible hash order
+  // (hk, doc_id); a doc that would overflow the budget closes the
+  // current sequence (its shortfall is PADDING, recorded) and opens
+  // the next; docs longer than the budget are TRUNCATED to it with the
+  // loss recorded. Output is the waste/truncation ledger per sequence:
+  // n_docs, seq_tokens, pad_tokens, trunc_tokens, fill_e4.
+  //
+  // Scale shape: next-fit carries RUNNING BIN STATE, which no prefix
+  // scan expresses — so the fold runs per (source, sub) hash
+  // sub-bucket (the pipeline_token_budget 256-way split):
+  // embarrassingly parallel across groups, O(1) state within one, via
+  // repartition + sortWithinPartitions + ONE mapPartitions pass (the
+  // genuine per-partition-imperative case the extension-tier ladder
+  // reserves mapPartitions for). Sequences never span sub-buckets —
+  // each sub's final partial sequence pads out, bounding the extra
+  // waste at < budget per (source, sub), negligible against real
+  // corpus mass (and a deployment widens `sub` with the corpus).
+  // Global seq ids = sub-local ids + broadcast per-sub offsets, the
+  // packCum offset discipline.
+  // ------------------------------------------------------------------
+
+  def pipelinePackNosplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val prepared = docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("hk", md5(col("doc_id").cast("string")))
+      .withColumn("sub", substring(col("hk"), 1, 2))
+      .withColumn("eff", least(col("n"), lit(PackLen.toLong)))
+      .withColumn("trunc", col("n") - least(col("n"), lit(PackLen.toLong)))
+      .select("source", "sub", "hk", "doc_id", "eff", "trunc")
+      .as[(String, String, String, Long, Long, Long)]
+    val assigned = prepared
+      .repartition(col("source"), col("sub"))
+      .sortWithinPartitions("source", "sub", "hk", "doc_id")
+      .mapPartitions { it =>
+        var curKey: (String, String) = null
+        var fill = 0L
+        var seq = -1L
+        it.map { case (source, sub, _, docId, eff, trunc) =>
+          val key = (source, sub)
+          if (curKey == null || key != curKey) {
+            curKey = key; fill = 0L; seq = -1L
+          }
+          if (seq >= 0L && fill + eff <= PackLen) fill += eff
+          else { seq += 1L; fill = eff }
+          (source, sub, docId, seq, eff, trunc)
+        }
+      }.toDF("source", "sub", "doc_id", "loc_seq", "eff", "trunc")
+    val wOff = Window.partitionBy("source").orderBy("sub")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = assigned.groupBy("source", "sub")
+      .agg((max(col("loc_seq")) + 1L).as("n_seqs"))
+      .withColumn("seq_off", coalesce(sum(col("n_seqs")).over(wOff), lit(0L)))
+      .select("source", "sub", "seq_off")
+    assigned.join(broadcast(offsets), Seq("source", "sub"))
+      .withColumn("seq_id", col("seq_off") + col("loc_seq"))
+      .groupBy("source", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("eff")).as("seq_tokens"),
+        sum(col("trunc")).as("trunc_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("pad_tokens", lit(PackLen.toLong) - col("seq_tokens"))
+      .withColumn("fill_e4", expr(s"(seq_tokens * 10000) div $PackLen"))
+      .select("source", "seq_id", "n_docs", "seq_tokens", "pad_tokens",
+        "trunc_tokens", "first_doc", "last_doc", "fill_e4")
+      .orderBy("source", "seq_id")
+  }
+
+  /** DuckDB replay: per-(source, sub) next-fit as a recursive CTE over
+    * the rank chain — tiny at oracle scale, value-identical to the
+    * mapPartitions fold. */
+  private val pipelinePackNosplitSql =
+    s"""WITH RECURSIVE tokp AS (SELECT doc_id, source,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |d0 AS (SELECT source, doc_id, len(toks)::BIGINT AS n
+       |  FROM tokp WHERE len(toks) > 0),
+       |dd AS (SELECT source, doc_id,
+       |    substring(md5(doc_id::VARCHAR), 1, 2) AS sub,
+       |    least(n, $PackLen)::BIGINT AS eff,
+       |    (n - least(n, $PackLen))::BIGINT AS trunc,
+       |    row_number() OVER (PARTITION BY source, substring(md5(doc_id::VARCHAR), 1, 2)
+       |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+       |  FROM d0),
+       |rec AS (
+       |  SELECT source, sub, rn, doc_id, eff, trunc, eff AS fill, 0::BIGINT AS loc_seq
+       |  FROM dd WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.source, d.sub, d.rn, d.doc_id, d.eff, d.trunc,
+       |    CASE WHEN r.fill + d.eff <= $PackLen THEN r.fill + d.eff ELSE d.eff END,
+       |    CASE WHEN r.fill + d.eff <= $PackLen THEN r.loc_seq ELSE r.loc_seq + 1 END
+       |  FROM rec r JOIN dd d
+       |    ON d.source IS NOT DISTINCT FROM r.source AND d.sub = r.sub
+       |      AND d.rn = r.rn + 1),
+       |cnts AS (SELECT source, sub, max(loc_seq) + 1 AS n_seqs
+       |  FROM rec GROUP BY source, sub),
+       |offs AS (SELECT source, sub,
+       |    coalesce(sum(n_seqs) OVER (PARTITION BY source ORDER BY sub
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seq_off
+       |  FROM cnts),
+       |g AS (SELECT r.source, o.seq_off + r.loc_seq AS seq_id,
+       |    r.doc_id, r.eff, r.trunc
+       |  FROM rec r JOIN offs o
+       |    ON o.source IS NOT DISTINCT FROM r.source AND o.sub = r.sub)
+       |SELECT source, seq_id::BIGINT AS seq_id, count(*)::BIGINT AS n_docs,
+       |  sum(eff)::BIGINT AS seq_tokens,
+       |  ($PackLen - sum(eff))::BIGINT AS pad_tokens,
+       |  sum(trunc)::BIGINT AS trunc_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       |  ((sum(eff) * 10000) // $PackLen)::BIGINT AS fill_e4
+       |FROM g GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // dedup_simhash: 32-bit SimHash sketch per document
   // ------------------------------------------------------------------
 
@@ -2570,6 +2694,129 @@ object ExtQueries {
           concat(col("text"), lit(" " + ZhPlant)))
         .otherwise(col("text")).as("text"))
 
+  // ------------------------------------------------------------------
+  // Round 20 (VERDICT r19 #1): the PURE-non-Latin corpus. Unlike the
+  // suffix plants above (which keep the original Latin text — exactly
+  // what masked the ASCII token layer's blind spot at r19), ids ≡ 0
+  // mod 17 / mod 23 have their text REPLACED by an all-Cyrillic /
+  // all-CJK document: seed words interleaved with a per-GROUP token
+  // (the group ordinal's digits transliterated into Cyrillic letters /
+  // CJK numerals — zero Latin characters anywhere), closed by one of
+  // three rotating tail words. The shape is engineered for the dedup
+  // tiers: every 3-shingle contains the group token, so docs in
+  // DIFFERENT groups share zero shingles (LSH bucket volume stays
+  // bounded — no corpus-wide clone cluster), while docs in the SAME
+  // group are exact duplicates (same tail) or ~0.87-Jaccard near
+  // duplicates (different tail). Under the ASCII layer these docs
+  // tokenize to [] — drop_quality, shingle-less, invisible; under
+  // tokensU they carry ~17 tokens and full dedup/language semantics.
+  // ------------------------------------------------------------------
+
+  private val RuExtras = Seq("зима", "лето", "осень")
+  private val ZhExtras = Seq("春天", "夏天", "秋天")
+  private val RuDigits = "абвгдежзик"
+  private val ZhDigits = "零一二三四五六七八九"
+  private val RuGroupW = 170L
+  private val ZhGroupW = 230L
+
+  /** Seed words TWICE over (enough owned-bigram mass that the langID
+    * verdict is the planted language even against the synthetic page's
+    * Latin furniture), interleaved with the group token, tail word
+    * appended — Spark side of the one planted-body contract. */
+  private def pureBodyCol(words: Seq[String], g: Column, x: Column): Column =
+    concat_ws(" ", (words ++ words).flatMap(w => Seq(lit(w), g)) :+ x: _*)
+
+  /** DuckDB side: identical string, `||`-joined. */
+  private def pureBodySql(words: Seq[String], g: String, x: String): String =
+    ((words ++ words).flatMap(w => Seq(s"'$w'", g)) :+ x).mkString(" || ' ' || ")
+
+  private[ext] def pureScriptDocs(spark: SparkSession, dir: String): DataFrame = {
+    val gRu = translate(expr(s"cast(doc_id div $RuGroupW as string)"),
+      "0123456789", RuDigits)
+    val gZh = translate(expr(s"cast(doc_id div $ZhGroupW as string)"),
+      "0123456789", ZhDigits)
+    val xRu = element_at(typedlit(RuExtras),
+      (pmod(expr("doc_id div 17"), lit(3)) + 1).cast("int"))
+    val xZh = element_at(typedlit(ZhExtras),
+      (pmod(expr("doc_id div 23"), lit(3)) + 1).cast("int"))
+    docs(spark, dir).select(col("doc_id"), col("source"),
+      when(pmod(col("doc_id"), lit(17)) === 0,
+          pureBodyCol(RuPlant.split(" ").toSeq, gRu, xRu))
+        .when(pmod(col("doc_id"), lit(23)) === 0,
+          pureBodyCol(ZhPlant.split(" ").toSeq, gZh, xZh))
+        .otherwise(col("text")).as("text"))
+  }
+
+  /** The planted corpus as a DuckDB CTE (`mxp`), byte-identical to
+    * [[pureScriptDocs]]. */
+  private val PureScriptCte = {
+    val ruB = pureBodySql(RuPlant.split(" ").toSeq, "g_ru",
+      s"(${sqlList(RuExtras)})[(((doc_id // 17) % 3) + 1)]")
+    val zhB = pureBodySql(ZhPlant.split(" ").toSeq, "g_zh",
+      s"(${sqlList(ZhExtras)})[(((doc_id // 23) % 3) + 1)]")
+    s"""mxp AS (SELECT doc_id, source,
+       |    CASE WHEN doc_id % 17 = 0 THEN $ruB
+       |         WHEN doc_id % 23 = 0 THEN $zhB
+       |         ELSE text END AS text
+       |  FROM (SELECT doc_id, source, text,
+       |      translate((doc_id // $RuGroupW)::VARCHAR, '0123456789', '$RuDigits') AS g_ru,
+       |      translate((doc_id // $ZhGroupW)::VARCHAR, '0123456789', '$ZhDigits') AS g_zh
+       |    FROM documents))""".stripMargin
+  }
+
+  /** pipeline_corpus_build_multi (round 20, VERDICT r19 #1): the FULL
+    * language-gated corpus build over the pure-non-Latin corpus with
+    * the UNICODE token layer — the oracle that proves a pure-Cyrillic
+    * or pure-CJK document flows through the ENTIRE chain (rule quality
+    * gate on real token counts, exact/near/semantic dedup on real
+    * shingles, decontamination, the trained language gate, packing)
+    * instead of dying as a zero-token `drop_quality`. Same ledger
+    * schema and stage precedence as pipeline_corpus_build_lang. */
+  def pipelineCorpusBuildMulti(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    corpusBuildLedger(
+      pureScriptDocs(spark, dir),
+      emb(spark, dir).select("vec_id", "embedding"),
+      langRates = LangMixRates.filterNot(_._1 == "unk"),
+      langDefaultPct = LangMixRates.toMap.apply("unk"),
+      tok = TextOps.tokensU)
+      .drop("text")
+      .orderBy("doc_id")
+  }
+
+  /** dedup_near_multi (round 20, VERDICT r19 #1): MinHash-LSH
+    * candidates + exact-Jaccard verify over the pure-non-Latin corpus
+    * under the UNICODE token layer — hash-pins that non-Latin near-dup
+    * clones are CAUGHT (same-group planted docs surface as verified
+    * `is_dup = 1` pairs; under the ASCII layer they are shingle-less
+    * and invisible to every near-dup tier). */
+  def dedupNearMulti(spark: SparkSession, dir: String): DataFrame = {
+    val exd = Dedup.shingleRows(
+      pureScriptDocs(spark, dir).select("doc_id", "text"),
+      "doc_id", "text", ShingleN, TextOps.tokensU)
+    val proj = Dedup.minhashFromShingles(exd, "doc_id", MinhashK, LshBands, LshRows)
+    val candidates = Dedup.minhashCandidates(proj, "doc_id", MinhashK)
+      .drop("n_sig_match")
+    Dedup.jaccardVerifyExploded(candidates, exd, threshold = 0.8)
+      .select("doc_a", "doc_b", "n_common", "n_union", "is_dup")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupNearMultiSql =
+    s"""WITH $PureScriptCte,
+       |${tokCteFrom("mxp", unicode = true)}, $ShCte,
+       |$SigCtes,
+       |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh)
+       |SELECT p.doc_a, p.doc_b,
+       |  len(list_intersect(a.shd, b.shd))::BIGINT AS n_common,
+       |  len(list_distinct(a.shd || b.shd))::BIGINT AS n_union,
+       |  (CASE WHEN 10 * len(list_intersect(a.shd, b.shd)) >= 8 * len(list_distinct(a.shd || b.shd))
+       |        THEN 1 ELSE 0 END)::BIGINT AS is_dup
+       |FROM pairs p
+       |JOIN shd a ON a.doc_id = p.doc_a
+       |JOIN shd b ON b.doc_id = p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private val bytesStoreCache =
     scala.collection.mutable.Map.empty[(String, Long), String]
 
@@ -2612,6 +2859,36 @@ object ExtQueries {
             i => i.cast("string"))))).as("ids_md5"))
       .orderBy("doc_id")
   }
+
+  /** text_tokenizer_decode (round 20, VERDICT r19 #5): the tokenizer
+    * ROUND TRIP — encode every mixed-script doc through the persisted
+    * `bytes` store, decode the ids back ([[TokenizerStore.decodeIds]]),
+    * and hash the decoded text. The oracle computes the alphabet's
+    * normalized form (lowercase Unicode-word join) INDEPENDENTLY — no
+    * decode replay — so hash equality proves decode ∘ encode ≡
+    * normalization: any corruption in merges, vocab ids, byte
+    * reassembly, or word-boundary handling diverges the text itself. */
+  def textTokenizerDecode(spark: SparkSession, dir: String): DataFrame = {
+    val tok = TokenizerStore.load(spark, bytesTokenizerStoreFor(spark, dir))
+    val enc = TokenizerStore.encodeIds(mixedScriptDocs(spark, dir), "text", tok)
+    TokenizerStore.decodeIds(enc, "token_ids", tok)
+      .select(col("doc_id"), col("decoded"),
+        length(col("decoded")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val textTokenizerDecodeSql =
+    s"""WITH mx AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 0 THEN text || ' $RuPlant'
+       |         WHEN doc_id % 23 = 0 THEN text || ' $ZhPlant'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |n AS (SELECT doc_id,
+       |    array_to_string(list_filter(string_split_regex(lower(text),
+       |      '[^\\p{L}\\p{N}]+'), x -> x <> ''), ' ') AS decoded
+       |  FROM mx)
+       |SELECT doc_id, decoded, length(decoded)::BIGINT AS n_chars
+       |FROM n ORDER BY doc_id""".stripMargin
 
   /** Byte-symbol word form: UTF-8 bytes as `<xx>` symbols + `<_>`. */
   private def byteWrapSql(word: String): String =
@@ -3664,18 +3941,39 @@ object ExtQueries {
     * on planted corpora (PipelineDecisionSpec); `semCents` swaps the
     * in-plan seeded training for a stored quantizer's centroids. */
   private[ext] def dedupDecision(d: DataFrame, e: DataFrame,
-      semCents: Option[DataFrame] = None): DataFrame = {
-    val hashes = d.select(col("doc_id"), Dedup.contentHash(col("text")).as("h"))
+      semCents: Option[DataFrame] = None,
+      tok: Column => Column = TextOps.tokens,
+      keeperMode: String = "min"): DataFrame = {
+    require(Set("min", "best")(keeperMode),
+      s"keeperMode must be min|best, got '$keeperMode'")
+    val hashes = d.select(col("doc_id"),
+      Dedup.contentHashWith(tok)(col("text")).as("h"))
     val ex = hashes.withColumn("ex_keeper",
       min(col("doc_id")).over(Window.partitionBy(col("h"))))
-    val exd = Dedup.shingleRows(d, "doc_id", "text", ShingleN)
+    val exd = Dedup.shingleRows(d, "doc_id", "text", ShingleN, tok)
     val proj = Dedup.minhashFromShingles(exd, "doc_id", MinhashK, LshBands, LshRows)
     val candidates = Dedup.minhashCandidates(proj, "doc_id", MinhashK).drop("n_sig_match")
     val dupPairs = Dedup.jaccardVerifyExploded(candidates, exd, threshold = 0.8)
       .filter(col("is_dup") === 1L)
       .select("doc_a", "doc_b")
-    val comps = Dedup.connectedComponents(dupPairs, "doc_a", "doc_b")
-      .select(col("id").as("doc_id"), col("comp"))
+    // keeper election (round 20, VERDICT r19 #3): `best` relabels each
+    // duplicate cluster with its information-richest member (the
+    // dedup_cluster_best_keeper election — distinct-token count,
+    // id-ascending ties) BEFORE verdict assembly, so the assembly's
+    // `label ≠ doc_id` arithmetic is shared verbatim between modes.
+    // The exact tier keeps min-id ownership in both modes: its members
+    // are byte-identical, so richness cannot distinguish them.
+    val richStats =
+      if (keeperMode == "best")
+        Some(d.select(col("doc_id"),
+          size(array_distinct(tok(col("text")))).cast("long").as("n_unique")))
+      else None
+    def elect(frame: DataFrame, labelCol: String): DataFrame =
+      richStats.fold(frame)(st =>
+        Dedup.electKeepers(frame, "doc_id", labelCol, st))
+    val comps = elect(
+      Dedup.connectedComponents(dupPairs, "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("comp")), "comp")
     // semantic tier: dedup_semantic's cells (same seeded training) →
     // within-cell cosine pairs → connected components, exactly the
     // near tier's shape one space over
@@ -3688,8 +3986,9 @@ object ExtQueries {
     // untouched, so planted-corpus specs see the uncapped semantics
     val semPairs = Similarity.semanticPairs(e, "vec_id", "embedding", cents,
       SemScoreE4, maxCellSize = SemStoreCellCap)
-    val scomp = Dedup.connectedComponents(semPairs, "id_a", "id_b")
-      .select(col("id").as("doc_id"), col("comp").as("scomp"))
+    val scomp = elect(
+      Dedup.connectedComponents(semPairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("scomp")), "scomp")
     ex.select("doc_id", "ex_keeper")
       .join(comps, Seq("doc_id"), "left")
       .join(scomp, Seq("doc_id"), "left")
@@ -3712,7 +4011,41 @@ object ExtQueries {
     * caller defined them over) and the given embedding relation, so
     * pipeline_corpus_build can run the identical decision over its
     * CLEANED, quality-gated intermediate. */
-  private def dedupDecisionChainFrom(embRel: String): String =
+  private def dedupDecisionChainFrom(embRel: String,
+      best: Boolean = false): String = {
+    // keeper election (round 20, VERDICT r19 #3): `best` relabels each
+    // component's min-label with the richest member (distinct-token
+    // count, id-ascending ties) — the Spark side's electKeepers — so
+    // the closing `dec` CTE is shared verbatim between modes
+    val electNear = if (!best) "" else
+      s"""bu AS (SELECT doc_id, len(list_distinct(toks))::BIGINT AS nu FROM tok),
+         |compk AS (SELECT cluster_id, doc_id AS keeper FROM (
+         |    SELECT c2.cluster_id, c2.doc_id,
+         |      row_number() OVER (PARTITION BY c2.cluster_id
+         |        ORDER BY u.nu DESC, c2.doc_id ASC) AS rn
+         |    FROM comp0 c2 JOIN bu u USING (doc_id)) WHERE rn = 1),
+         |""".stripMargin
+    val electSem = if (!best) "" else
+      s"""scompk AS (SELECT scluster, doc_id AS keeper FROM (
+         |    SELECT c3.scluster, c3.doc_id,
+         |      row_number() OVER (PARTITION BY c3.scluster
+         |        ORDER BY u.nu DESC, c3.doc_id ASC) AS rn
+         |    FROM scomp0 c3 JOIN bu u USING (doc_id)) WHERE rn = 1),
+         |""".stripMargin
+    val compCte =
+      if (!best)
+        "comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)"
+      else
+        s"""comp0 AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+           |${electNear}comp AS (SELECT c.doc_id, k.keeper AS cluster_id
+           |  FROM comp0 c JOIN compk k USING (cluster_id))""".stripMargin
+    val scompCte =
+      if (!best)
+        "scomp AS (SELECT n AS doc_id, min(m) AS scluster FROM sreach GROUP BY n)"
+      else
+        s"""scomp0 AS (SELECT n AS doc_id, min(m) AS scluster FROM sreach GROUP BY n),
+           |${electSem}scomp AS (SELECT c.doc_id, k.keeper AS scluster
+           |  FROM scomp0 c JOIN scompk k USING (scluster))""".stripMargin
     s"""$SigCtes,
        |shd AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh),
        |dup AS (SELECT p.doc_a, p.doc_b
@@ -3727,7 +4060,7 @@ object ExtQueries {
        |  SELECT n, n FROM nodes
        |  UNION
        |  SELECT r.n, e.d FROM reach r JOIN edges e ON r.m = e.s),
-       |comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+       |$compCte,
        |${ivfCtesFrom(embRel)},
        |scz AS (SELECT cell, count(*) AS cn FROM asg GROUP BY cell),
        |sasg AS (SELECT g.vec_id, g.embedding, g.nrm, g.cell,
@@ -3743,7 +4076,7 @@ object ExtQueries {
        |  SELECT n, n FROM snodes
        |  UNION
        |  SELECT r.n, e2.d FROM sreach r JOIN sedges e2 ON r.m = e2.s),
-       |scomp AS (SELECT n AS doc_id, min(m) AS scluster FROM sreach GROUP BY n),
+       |$scompCte,
        |exh AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(array_to_string(toks, ' '))) AS ex_keeper
        |  FROM tok),
        |dec AS (SELECT exh.doc_id,
@@ -3758,6 +4091,7 @@ object ExtQueries {
        |FROM exh
        |LEFT JOIN comp c ON c.doc_id = exh.doc_id
        |LEFT JOIN scomp sc ON sc.doc_id = exh.doc_id)""".stripMargin
+  }
 
   private val dedupDecisionCtes =
     s"""$TokCte, $ShCte,
@@ -3765,6 +4099,26 @@ object ExtQueries {
 
   private val pipelineDedupApplySql =
     s"""WITH RECURSIVE $dedupDecisionCtes
+       |SELECT doc_id, decision, keeper_id FROM dec ORDER BY doc_id""".stripMargin
+
+  /** pipeline_dedup_apply_best (round 20, VERDICT r19 #3): the same
+    * three-tier decision surface with QUALITY-AWARE keeper election —
+    * each near/semantic cluster keeps its information-richest member
+    * (the dedup_cluster_best_keeper election) instead of the min id;
+    * the exact tier's byte-identical members stay min-id owned (their
+    * richness cannot differ). This is the `CORPUS_BUILD_KEEPER=best`
+    * arithmetic the batch build applies. */
+  def pipelineDedupApplyBest(spark: SparkSession, dir: String): DataFrame =
+    dedupDecision(docs(spark, dir).select("doc_id", "text"),
+      emb(spark, dir).select("vec_id", "embedding"),
+      semCents = Some(VectorIndex
+        .coarse(spark, vindexFor(spark, dir), "embedding")
+        .select(col("vi_cid").as("vec_id"), col("embedding"))),
+      keeperMode = "best")
+
+  private val pipelineDedupApplyBestSql =
+    s"""WITH RECURSIVE $TokCte, $ShCte,
+       |${dedupDecisionChainFrom("embeddings", best = true)}
        |SELECT doc_id, decision, keeper_id FROM dec ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
@@ -3875,17 +4229,26 @@ object ExtQueries {
       langModel: Option[LangId.LangModel] = None,
       semCents: Option[DataFrame] = None,
       dedupImpl: Option[(DataFrame, DataFrame) => DataFrame] = None,
-      hitsImpl: Option[(DataFrame, DataFrame) => DataFrame] = None): DataFrame = {
+      hitsImpl: Option[(DataFrame, DataFrame) => DataFrame] = None,
+      tok: Column => Column = TextOps.tokens,
+      keeperMode: String = "min"): DataFrame = {
     graft.functions.GraftFunctions.register(d0.sparkSession)
     // 1+2: normalize, wrap in the synthetic page, extract prose blocks
     val ext0 = phase("normalize_extract", extractStageOf(d0))
     val bench = Dedup.shingleRows(
-      ext0.filter(col("doc_id") < benchmarkMaxId), "doc_id", "text", ShingleN)
+      ext0.filter(col("doc_id") < benchmarkMaxId), "doc_id", "text", ShingleN, tok)
       .select("s").distinct()
     val corp = ext0.filter(col("doc_id") >= benchmarkMaxId)
-    // 3: quality gate (rule or bootstrapped classifier), post-extract
+    // 3: quality gate (rule or bootstrapped classifier), post-extract.
+    // `tok` (round 20, VERDICT r19 #1) is the build's ONE token layer:
+    // token stats, both quality gates, every near-dup shingle set, the
+    // exact-tier content hash, decontamination shingles and the pack
+    // counts all derive from it, so switching to [[TextOps.tokensU]]
+    // makes the ENTIRE chain see Unicode words — a pure-Cyrillic doc
+    // reaches the language gate and the dedup tiers instead of dying
+    // as a zero-token `drop_quality`.
     val stats = phase("token_stats", corp
-      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("toks", tok(col("text")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_unique", size(array_distinct(col("toks"))).cast("long")))
     val ruleCond = col("n_tokens").between(10, 5000) &&
@@ -3930,7 +4293,7 @@ object ExtQueries {
           .unionAll(junkRep).unionAll(junkRev)
         val feats = QualityClassifier
           .features(scored, srcQ.select("doc_id", "text"),
-            "doc_id", "text", StopWords)
+            "doc_id", "text", StopWords, tok = tok)
           .select((Seq("doc_id", "label") ++ QualityClassifier.FeatureCols).map(col): _*)
           .persist()
         val keepIds =
@@ -3957,7 +4320,8 @@ object ExtQueries {
     val ge = e.join(gated.select(col("doc_id").as("vec_id")), Seq("vec_id"))
     val dec = phase("dedup_decision", dedupImpl match {
       case Some(impl) => impl(gated.select("doc_id", "source", "text"), ge)
-      case None => dedupDecision(gated.select("doc_id", "text"), ge, semCents)
+      case None => dedupDecision(gated.select("doc_id", "text"), ge, semCents,
+        tok, keeperMode)
     })
     val keepers1 = dec.filter(col("decision") === "keep").select("doc_id")
     // 5: benchmark decontamination over dedup keepers (distinct
@@ -3972,7 +4336,7 @@ object ExtQueries {
     val hits = hitsImpl match {
       case Some(impl) => impl(keptDocs, bench)
       case None =>
-        Dedup.shingleRows(keptDocs, "doc_id", "text", ShingleN)
+        Dedup.shingleRows(keptDocs, "doc_id", "text", ShingleN, tok)
           .join(broadcast(bench), "s")
           .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_hits"))
     }
@@ -4227,7 +4591,10 @@ object ExtQueries {
   // defaults (0/null) into the SQL. Parameterized by the quality gate
   // (rule vs bootstrapped classifier — corpusBuildLedger's qualityMode)
   private def corpusBuildSql(classifierGate: Boolean,
-      langGate: Boolean = false): String = {
+      langGate: Boolean = false,
+      unicodeTok: Boolean = false,
+      srcRel: String = "documents",
+      preCte: String = ""): String = {
     val mixKey = hexPrefixKeySql("md5(doc_id::VARCHAR)")
     val mixPctSql = mixPctSqlOf("source")
     // DuckDB INLINES multiply-referenced CTEs, re-evaluating each
@@ -4237,7 +4604,7 @@ object ExtQueries {
     // exhausts time. Materializing the shared spines evaluates each
     // once; results are unchanged.
     def materialize(sql: String): String =
-      Seq("nrm", "ext0", "corp", "stats", "tok", "sh", "bench",
+      Seq("mxp", "nrm", "ext0", "corp", "stats", "tok", "sh", "bench",
         "qgsrc", "qgall", "qgsff", "qgfeats", "qgw", "qgkeep",
         "lid_out", "lgate")
         .foldLeft(sql)((s, c) =>
@@ -4278,19 +4645,21 @@ object ExtQueries {
       if (langGate) "WHEN lg.drop_lang THEN 'drop_lang'\n       " else ""
     val langJoin =
       if (langGate) "LEFT JOIN lgate lg ON lg.doc_id = st.doc_id\n" else ""
+    val tokRe = if (unicodeTok) "[^\\p{L}\\p{N}]+" else "[^a-z0-9]+"
+    val pre = if (preCte.isEmpty) "" else preCte + ",\n"
     materialize(s"""WITH RECURSIVE
-       |nrm AS (SELECT doc_id, source, ${normalizeSqlExpr("text")} AS text FROM documents),
+       |${pre}nrm AS (SELECT doc_id, source, ${normalizeSqlExpr("text")} AS text FROM $srcRel),
        |${htmlCtesFrom("nrm")},
        |ext0 AS (SELECT k.doc_id, n.source, $HtmlExtractedSql AS text
        |  FROM kp k JOIN nrm n ON n.doc_id = k.doc_id),
-       |btok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       |btok AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '$tokRe'), x -> x <> '') AS toks
        |  FROM ext0 WHERE doc_id < $BenchmarkDocs),
        |bsh AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - ${ShingleN - 1}),
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
        |  FROM btok WHERE len(toks) >= $ShingleN),
        |bench AS (SELECT DISTINCT s FROM (SELECT unnest(sh) AS s FROM bsh)),
        |corp AS (SELECT * FROM ext0 WHERE doc_id >= $BenchmarkDocs),
-       |${tokCteFrom("corp", "tok0")},
+       |${tokCteFrom("corp", "tok0", unicodeTok)},
        |stats AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens,
        |    len(list_distinct(toks))::BIGINT AS n_unique FROM tok0),
        |$gateCtes
@@ -4590,6 +4959,335 @@ object ExtQueries {
         .orderBy("doc_id")
         .localCheckpoint(true) // materialize before unpersisting feats
     } finally { feats.unpersist(); () }
+  }
+
+  // ------------------------------------------------------------------
+  // text_quality_classifier_ml (round 20, VERDICT r19 #2): PER-LANGUAGE
+  // quality — the CCNet/RedPajama pattern. One English stopword list
+  // and one corpus-wide bigram LM are language-BLIND: on a mixed
+  // corpus, minority-language clean prose carries x3 ≈ 0 (no English
+  // stopwords) and an inflated x5 (the majority LM calls its bigrams
+  // OOV), so it scores like junk. This mode partitions the classifier
+  // on the TRAINED language verdict: per language above a 10% mass
+  // floor, the LM, the x3 function-word list (the language's own top-K
+  // most frequent tokens — a data-derived stopword substitute), and
+  // the diagonal-LDA fit are all trained on THAT language's slice;
+  // below-floor languages pool into a '*' partition with its own fit,
+  // and partitions whose bootstrap lacks a class score as GUESTS under
+  // the dominant fitted partition (never polluting its training).
+  //
+  // The fixture is a TRANSLITERATED parallel corpus: ids ≡ 0 mod 5 map
+  // a-z through a 26-letter Cyrillic alphabet, ids ≡ 0 mod 7 (minus
+  // the former) through 26 CJK characters — character-bijective, so
+  // token structure (counts, uniqueness, repetition, bigram shape) is
+  // preserved EXACTLY while the surface vocabulary becomes disjoint:
+  // the precise confound per-language quality exists to solve. The
+  // language model is operator-trained (LangId.trainLocal) on the en
+  // seed and its two transliteration images — literals both engines
+  // re-derive. All arithmetic is the pinned classifier contract with a
+  // partition key added; DuckDB replays training, the floor/fallback
+  // election, per-partition tables, fits, and scores hash-identically.
+  // ------------------------------------------------------------------
+
+  private val TransAlpha = "abcdefghijklmnopqrstuvwxyz"
+  private val RuTransTo = "абвгдежзиклмнопрстуфхцчшщы"
+  private val ZhTransTo = "一二三四五六七八九十百千万丁口山川天地人手足目月火水"
+  private def translitLocal(s: String, to: String): String =
+    s.map { c =>
+      val i = TransAlpha.indexOf(c.toInt)
+      if (i >= 0) to(i) else c
+    }
+
+  /** The ml gate's language model training rows: the en seed and its
+    * two transliteration images — classify a transliterated doc by the
+    * image of the very grams that classify its English original. */
+  private[ext] val MlSeeds: Seq[(String, String)] = Seq(
+    "en" -> LangId.Seeds.head._2,
+    "ru" -> translitLocal(LangId.Seeds.head._2, RuTransTo),
+    "zh" -> translitLocal(LangId.Seeds.head._2, ZhTransTo))
+
+  private val MlFloorPct = 10L
+  private val MlTopKTokens = 16
+
+  /** The transliterated mixed corpus (Spark side; `mlq` CTE mirrors). */
+  private[ext] def mlMixDocs(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+          translate(lower(col("text")), TransAlpha, RuTransTo))
+        .when(pmod(col("doc_id"), lit(7)) === 0,
+          translate(lower(col("text")), TransAlpha, ZhTransTo))
+        .otherwise(col("text")).as("text"))
+
+  def textQualityClassifierMl(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val tok: Column => Column = TextOps.tokensU
+    val model = LangId.trainLocal(MlSeeds)
+    val d = mlMixDocs(spark, dir)
+    val src = d.withColumn("__t", tok(col("text")))
+      .filter(size(col("__t")) >= ShingleN)
+    // trained verdict — ONE native argmax walk (the LangBigramBest
+    // form; -1 = unk looks up array slot 1)
+    val ordArr = typedlit("unk" +: model.order)
+    val srcL = src.withColumn("lang",
+        element_at(ordArr, LangId.bestIdxColOf(model, col("text")) + lit(2)))
+      .persist()
+    try {
+      // mass floor — bounded language-cardinality collect
+      val shares = srcL.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      val total = shares.map(_._2).sum
+      val majors = shares.collect {
+        case (l, c) if c * 100L >= MlFloorPct * total => l }.sorted.toSeq
+      val srcP = srcL.withColumn("pk0",
+        when(col("lang").isin(majors: _*), col("lang")).otherwise(lit("*")))
+      // junk families (denser than the global gate's — every fitted
+      // partition must see both classes at spec scale): repetition at
+      // mod 3, reversal at mod 4; ids derived above the corpus
+      val junkBase = {
+        val r = d.agg(max(col("doc_id"))).head()
+        (if (r.isNullAt(0)) 0L else r.getLong(0)) + 1L
+      }
+      val junkRep = srcP.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") * 2L + junkBase).as("doc_id"), col("lang"),
+          array_join(array_repeat(element_at(col("__t"), 1), 80), " ").as("text"),
+          col("pk0"), lit(0L).as("label"))
+      val junkRev = srcP.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") * 2L + junkBase + 1L).as("doc_id"), col("lang"),
+          array_join(expr("transform(reverse(__t), t -> reverse(t))"), " ").as("text"),
+          col("pk0"), lit(0L).as("label"))
+      val scored = srcP
+        .select(col("doc_id"), col("lang"), col("text"), col("pk0"),
+          lit(1L).as("label"))
+        .unionAll(junkRep).unionAll(junkRev)
+      // fitted partitions: both classes present in the bootstrap
+      // (bounded collect); guests score under the dominant fitted
+      // partition — max clean mass, lexicographic ties
+      val labCnt = scored.groupBy("pk0", "label").count().collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+      val fitted = labCnt.keys.map(_._1).toSeq.distinct
+        .filter(p => labCnt.contains((p, 1L)) && labCnt.contains((p, 0L)))
+        .sorted
+      require(fitted.nonEmpty,
+        "classifier_ml: no partition carries both bootstrap classes")
+      // max clean mass; ties to the LEX-SMALLEST partition
+      val host = fitted.sortBy(p => (-labCnt((p, 1L)), p)).head
+      val sc2 = scored.withColumn("pk",
+          when(col("pk0").isin(fitted: _*), col("pk0")).otherwise(lit(host)))
+        .withColumn("__toks", tok(col("text")))
+        .filter(size(col("__toks")) >= ShingleN)
+        .persist()
+      try {
+        // per-partition training slices: clean rows of FITTED
+        // partitions only (guests never pollute a host's tables)
+        val lmc = sc2.filter(col("label") === 1L && col("pk") === col("pk0"))
+          .select(col("pk"), col("__toks"))
+        // x3 lists: top-K most frequent tokens per partition (count
+        // DESC, token ASC) — bounded collect, then a map-only literal
+        // when-chain (no join on the scoring side)
+        val topkRows = lmc.select(col("pk"), explode(col("__toks")).as("t"))
+          .groupBy("pk", "t").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("pk").orderBy(col("c").desc, col("t").asc)))
+          .filter(col("rn") <= MlTopKTokens)
+          .select("pk", "t").collect()
+          .map(r => r.getString(0) -> r.getString(1))
+        val topkByPk: Map[String, Seq[String]] =
+          topkRows.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSeq }
+        // per-partition LM tables + scalars
+        val big = lmc.filter(size(col("__toks")) >= 2)
+          .select(col("pk"), explode(expr(
+            "transform(sequence(1, size(__toks) - 1), i -> struct(element_at(__toks, i) AS a, element_at(__toks, i + 1) AS b))"))
+            .as("p"))
+          .select(col("pk"), col("p.a").as("a"), col("p.b").as("b"))
+        val cb = big.groupBy("pk", "a", "b").agg(count(lit(1)).as("c"))
+        val cp = big.groupBy("pk", "a").agg(count(lit(1)).as("cpn"))
+        val unis = lmc.select(col("pk"), explode(col("__toks")).as("t"))
+        val u = unis.groupBy("pk", "t").agg(count(lit(1)).as("cu"))
+          .withColumnRenamed("t", "b")
+        val nvByPk: Map[String, Long] = unis.groupBy("pk")
+          .agg(countDistinct(col("t")).as("vn"), count(lit(1)).as("nn"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1) + r.getLong(2))).toMap
+        def pkChain[A](m: Map[String, A])(f: A => Column): Column = {
+          val items = m.toSeq.sortBy(_._1)
+          items.tail.foldLeft(when(col("pk") === items.head._1, f(items.head._2))) {
+            case (acc, (k, v)) => acc.when(col("pk") === k, f(v))
+          }
+        }
+        // features: x1/x2/x4 the global arithmetic; x3 against the
+        // partition's own list; x5 against the partition's own LM
+        val f13 = sc2
+          .withColumn("x1", size(col("__toks")).cast("long"))
+          .withColumn("x2",
+            expr("(size(array_distinct(__toks)) * 10000L) div size(__toks)"))
+          .withColumn("__hits",
+            pkChain(topkByPk)(ws => TextOps.wordListHits(col("__toks"), ws)))
+          .withColumn("x3", expr("(__hits * 10000L) div size(__toks)"))
+          .select("doc_id", "lang", "pk", "label", "x1", "x2", "x3")
+        val sh = sc2.select(col("doc_id"),
+            explode(TextOps.shingles(col("__toks"), ShingleN)).as("s"))
+          .groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("ns"), count(lit(1)).as("nd"))
+          .select(col("doc_id"),
+            expr("((ns - nd) * 10000) div ns").cast("long").as("x4"))
+        val sbig = sc2.filter(size(col("__toks")) >= 2)
+          .select(col("doc_id"), col("pk"), explode(expr(
+            "transform(sequence(1, size(__toks) - 1), i -> struct(element_at(__toks, i) AS a, element_at(__toks, i + 1) AS b))"))
+            .as("p"))
+          .select(col("doc_id"), col("pk"), col("p.a").as("a"), col("p.b").as("b"))
+        val lt = sbig
+          .join(cb, Seq("pk", "a", "b"), "left")
+          .join(cp, Seq("pk", "a"), "left")
+          .join(u, Seq("pk", "b"), "left")
+          .withColumn("pb",
+            when(col("c").isNotNull,
+              col("c").cast("double") / col("cpn").cast("double"))
+              .otherwise(lit(0.0)))
+          .withColumn("pu",
+            (coalesce(col("cu"), lit(0L)) + lit(1L)).cast("double")
+              / pkChain(nvByPk)(nv => lit(nv)).cast("double"))
+          .withColumn("term",
+            least(
+              round(lit(1000000.0) / (lit(0.9) * col("pb") + lit(0.1) * col("pu"))),
+              lit(QualityClassifier.LmSurpriseCap.toDouble))
+              .cast("long"))
+        val f5 = lt.groupBy("doc_id")
+          .agg(expr(s"least(sum(term) DIV count(1), ${QualityClassifier.LmSurpriseCap}L) DIV 100000").as("x5"))
+        val feats = f13.join(sh, Seq("doc_id")).join(f5, Seq("doc_id"))
+          .persist()
+        try {
+          // per-partition fit over the NON-GUEST rows, then score all
+          val fits = QualityClassifier.fitByKey(
+            feats.join(
+              sc2.filter(col("pk") === col("pk0")).select("doc_id"),
+              Seq("doc_id"), "left_semi"),
+            "pk", "label")
+          QualityClassifier.scoreByKey(feats, "pk", fits)
+            .select("doc_id", "lang", "pk", "label",
+              "x1", "x2", "x3", "x4", "x5", "score_e6", "keep")
+            .orderBy("doc_id")
+            .localCheckpoint(true)
+        } finally { feats.unpersist(); () }
+      } finally { sc2.unpersist(); () }
+    } finally { srcL.unpersist(); () }
+  }
+
+  /** DuckDB replay of [[textQualityClassifierMl]]: re-derives the
+    * transliterated corpus, the trained language model
+    * ([[LangId.trainedOracleCtes]] over the same literal rows), the
+    * mass floor and guest-host election, per-partition top-K lists /
+    * LM tables / scalars, the per-partition LDA fits, and every score
+    * — the global classifier's pinned arithmetic with a partition key
+    * threaded through each CTE. */
+  // lazy: references qualityScoreLin, declared further down the object
+  private lazy val textQualityClassifierMlSql = {
+    val re = "[^\\p{L}\\p{N}]+"
+    s"""WITH mlq AS (SELECT doc_id,
+       |    CASE WHEN ((doc_id % 5) + 5) % 5 = 0
+       |           THEN translate(lower(text), '$TransAlpha', '$RuTransTo')
+       |         WHEN ((doc_id % 7) + 7) % 7 = 0
+       |           THEN translate(lower(text), '$TransAlpha', '$ZhTransTo')
+       |         ELSE text END AS text
+       |  FROM documents),
+       |t0 AS (SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '$re'), x -> x <> '') AS toks
+       |  FROM mlq),
+       |src AS (SELECT * FROM t0 WHERE len(toks) >= $ShingleN),
+       |srcm AS (SELECT doc_id, text FROM src),
+       |${LangId.trainedOracleCtes(MlSeeds, "srcm")},
+       |srcl AS (SELECT s.doc_id, s.text, s.toks, o.lang_id3 AS lang
+       |  FROM src s JOIN l3_out o ON o.doc_id = s.doc_id),
+       |mtot AS (SELECT count(*)::BIGINT AS n FROM srcl),
+       |msh0 AS (SELECT lang, count(*)::BIGINT AS c FROM srcl GROUP BY lang),
+       |srcp AS (SELECT sl.doc_id, sl.lang, sl.text, sl.toks,
+       |    CASE WHEN m.c * 100 >= $MlFloorPct * t.n THEN sl.lang ELSE '*' END AS pk0
+       |  FROM srcl sl JOIN msh0 m ON m.lang = sl.lang CROSS JOIN mtot t),
+       |jb AS (SELECT max(doc_id) + 1 AS b FROM mlq),
+       |scored AS (
+       |  SELECT doc_id, lang, text, pk0, 1::BIGINT AS label FROM srcp
+       |  UNION ALL SELECT doc_id * 2 + jb.b, lang,
+       |      trim(repeat(toks[1] || ' ', 80)), pk0, 0
+       |    FROM srcp, jb WHERE ((doc_id % 3) + 3) % 3 = 0
+       |  UNION ALL SELECT doc_id * 2 + jb.b + 1, lang,
+       |      array_to_string(list_transform(list_reverse(toks), t -> reverse(t)), ' '), pk0, 0
+       |    FROM srcp, jb WHERE ((doc_id % 4) + 4) % 4 = 0),
+       |prs AS (SELECT pk0 FROM scored GROUP BY pk0
+       |  HAVING count(DISTINCT label) = 2),
+       |mhost AS (SELECT s.pk0 FROM scored s JOIN prs p USING (pk0)
+       |  WHERE s.label = 1 GROUP BY s.pk0
+       |  ORDER BY count(*) DESC, s.pk0 ASC LIMIT 1),
+       |sff0 AS (SELECT s.doc_id, s.lang, s.pk0, s.label,
+       |    CASE WHEN s.pk0 IN (SELECT pk0 FROM prs) THEN s.pk0
+       |         ELSE (SELECT pk0 FROM mhost) END AS pk,
+       |    list_filter(string_split_regex(lower(s.text), '$re'), x -> x <> '') AS toks
+       |  FROM scored s),
+       |sff2 AS (SELECT * FROM sff0 WHERE len(toks) >= $ShingleN),
+       |lmc AS (SELECT pk, toks FROM sff2 WHERE label = 1 AND pk = pk0),
+       |mtc AS (SELECT pk, x AS t, count(*)::BIGINT AS c
+       |  FROM (SELECT pk, unnest(toks) AS x FROM lmc) GROUP BY pk, x),
+       |mtopk AS (SELECT pk, t FROM (SELECT pk, t,
+       |      row_number() OVER (PARTITION BY pk ORDER BY c DESC, t ASC) AS rn
+       |    FROM mtc) WHERE rn <= $MlTopKTokens),
+       |mbig AS (SELECT pk, toks[j] AS a, toks[j + 1] AS b
+       |  FROM (SELECT pk, toks, unnest(generate_series(1, len(toks) - 1)) AS j
+       |    FROM lmc WHERE len(toks) >= 2)),
+       |mcb AS (SELECT pk, a, b, count(*)::BIGINT AS c FROM mbig GROUP BY pk, a, b),
+       |mcp AS (SELECT pk, a, count(*)::BIGINT AS cpn FROM mbig GROUP BY pk, a),
+       |mu AS (SELECT pk, x AS t, count(*)::BIGINT AS cu
+       |  FROM (SELECT pk, unnest(toks) AS x FROM lmc) GROUP BY pk, x),
+       |mv AS (SELECT pk, count(DISTINCT x)::BIGINT AS vn, count(*)::BIGINT AS nn
+       |  FROM (SELECT pk, unnest(toks) AS x FROM lmc) GROUP BY pk),
+       |mf12 AS (SELECT doc_id, lang, pk0, pk, label,
+       |    len(toks)::BIGINT AS x1,
+       |    ((len(list_distinct(toks)) * 10000) // len(toks))::BIGINT AS x2
+       |  FROM sff2),
+       |sxt AS (SELECT doc_id, pk, len(toks)::BIGINT AS n, unnest(toks) AS t FROM sff2),
+       |mx3 AS (SELECT s.doc_id, ((count(k.t) * 10000) // max(s.n))::BIGINT AS x3
+       |  FROM sxt s LEFT JOIN mtopk k ON k.pk = s.pk AND k.t = s.t
+       |  GROUP BY s.doc_id),
+       |mshh AS (SELECT doc_id, list_transform(generate_series(1, len(toks) - ${ShingleN - 1}),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh FROM sff2),
+       |msex AS (SELECT doc_id, unnest(sh) AS s FROM mshh),
+       |mscnt AS (SELECT doc_id, s, count(*) AS c FROM msex GROUP BY doc_id, s),
+       |mx4 AS (SELECT doc_id, (((sum(c) - count(*)) * 10000) // sum(c))::BIGINT AS x4
+       |  FROM mscnt GROUP BY doc_id),
+       |msbig AS (SELECT doc_id, pk, toks[j] AS a, toks[j + 1] AS b
+       |  FROM (SELECT doc_id, pk, toks, unnest(generate_series(1, len(toks) - 1)) AS j
+       |    FROM sff2)),
+       |mlt AS (SELECT s.doc_id,
+       |    cast(least(round(1000000.0 / (0.9 *
+       |      (CASE WHEN cb.c IS NOT NULL
+       |            THEN cb.c::DOUBLE / cp.cpn::DOUBLE ELSE 0.0 END)
+       |      + 0.1 * ((coalesce(u.cu, 0) + 1)::DOUBLE / (v.nn + v.vn)::DOUBLE))),
+       |      ${QualityClassifier.LmSurpriseCap}.0)
+       |      AS BIGINT) AS term
+       |  FROM msbig s
+       |  LEFT JOIN mcb cb ON cb.pk = s.pk AND cb.a = s.a AND cb.b = s.b
+       |  LEFT JOIN mcp cp ON cp.pk = s.pk AND cp.a = s.a
+       |  LEFT JOIN mu u ON u.pk = s.pk AND u.t = s.b
+       |  JOIN mv v ON v.pk = s.pk),
+       |mf5 AS (SELECT doc_id,
+       |    (least(sum(term)::BIGINT // count(*), ${QualityClassifier.LmSurpriseCap}) // 100000)::BIGINT AS x5
+       |  FROM mlt GROUP BY doc_id),
+       |mfeats AS (SELECT f.doc_id, f.lang, f.pk0, f.pk, f.label,
+       |    f.x1, f.x2, x3.x3, x4.x4, x5.x5
+       |  FROM mf12 f JOIN mx3 x3 ON x3.doc_id = f.doc_id
+       |  JOIN mx4 x4 ON x4.doc_id = f.doc_id
+       |  JOIN mf5 x5 ON x5.doc_id = f.doc_id),
+       |magg AS (SELECT pk, label, count(*)::BIGINT AS n,
+       |    $ldaAggColsSql
+       |  FROM mfeats WHERE pk = pk0 GROUP BY pk, label),
+       |mw AS (SELECT k.pk,
+       |    ${(1 to 5).map(ldaFitExprSql).mkString(",\n    ")}
+       |  FROM (SELECT * FROM magg WHERE label = 1) k
+       |  JOIN (SELECT * FROM magg WHERE label = 0) j ON j.pk = k.pk)
+       |SELECT f.doc_id, f.lang, f.pk, f.label, f.x1, f.x2, f.x3, f.x4, f.x5,
+       |  cast(floor((
+       |    $qualityScoreLin) * 1000000.0) AS BIGINT) AS score_e6,
+       |  (CASE WHEN floor((
+       |    $qualityScoreLin) * 1000000.0) >= 0
+       |    THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM mfeats f JOIN mw w ON w.pk = f.pk ORDER BY f.doc_id""".stripMargin
   }
 
   // the pinned LDA fit expressions, spelled per feature exactly as
@@ -6688,6 +7386,12 @@ object ExtQueries {
     "pipeline_corpus_build" -> (pipelineCorpusBuild(_, _)),
     "pipeline_corpus_build_clf" -> (pipelineCorpusBuildClf(_, _)),
     "pipeline_corpus_build_lang" -> (pipelineCorpusBuildLang(_, _)),
+    "pipeline_corpus_build_multi" -> (pipelineCorpusBuildMulti(_, _)),
+    "dedup_near_multi" -> (dedupNearMulti(_, _)),
+    "pipeline_dedup_apply_best" -> (pipelineDedupApplyBest(_, _)),
+    "text_quality_classifier_ml" -> (textQualityClassifierMl(_, _)),
+    "text_tokenizer_decode" -> (textTokenizerDecode(_, _)),
+    "pipeline_pack_nosplit" -> (pipelinePackNosplit(_, _)),
     "embed_quantize" -> (embedQuantize(_, _)),
     "source_sketch" -> (sourceSketch(_, _)),
     "dedup_embed_cosine" -> (dedupEmbedCosine(_, _)),
@@ -6787,6 +7491,14 @@ object ExtQueries {
     "pipeline_corpus_build_clf" -> corpusBuildSql(classifierGate = true),
     "pipeline_corpus_build_lang" ->
       corpusBuildSql(classifierGate = false, langGate = true),
+    "pipeline_corpus_build_multi" ->
+      corpusBuildSql(classifierGate = false, langGate = true,
+        unicodeTok = true, srcRel = "mxp", preCte = PureScriptCte),
+    "dedup_near_multi" -> dedupNearMultiSql,
+    "pipeline_dedup_apply_best" -> pipelineDedupApplyBestSql,
+    "text_quality_classifier_ml" -> textQualityClassifierMlSql,
+    "text_tokenizer_decode" -> textTokenizerDecodeSql,
+    "pipeline_pack_nosplit" -> pipelinePackNosplitSql,
     "embed_quantize" -> embedQuantizeSql,
     "source_sketch" -> sourceSketchSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql,

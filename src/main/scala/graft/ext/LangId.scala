@@ -257,6 +257,41 @@ object LangId {
     LangModel(order, weights.toMap)
   }
 
+  /** [[train]]'s arithmetic on driver-side literal rows (round 20):
+    * the per-language quality gate's partition model trains on a few
+    * PLANTED (lang, text) literals, so paying a Spark job for three
+    * rows is waste — this computes the identical integer contract
+    * (count·1e6 // totalBigrams, top-K cap by count DESC / gram ASC,
+    * owner = max-r with earlier-language ties, order = sorted labels)
+    * in plain Scala. Equality with [[train]] on the same rows is
+    * spec-pinned (TextQualityMlSpec). */
+  def trainLocal(rows: Seq[(String, String)],
+      topK: Int = DefaultProfileGrams): LangModel = {
+    val capped: Seq[(String, String, Long)] = rows.groupBy(_._1).toSeq
+      .flatMap { case (lang, rs) =>
+        val gs = rs.map(_._2).filter(_.length >= 2).flatMap(bigramsOf)
+        val tot = rs.map(t => math.max(t._2.length - 1, 0).toLong).sum
+        gs.groupBy(identity).toSeq
+          .map { case (g, occ) => (g, occ.size.toLong) }
+          .sortBy { case (g, c) => (-c, g) }
+          .take(topK)
+          .map { case (g, c) => (lang, g, (c * RScale) / tot) }
+      }
+    // order from languages that KEPT a gram — [[train]]'s exact
+    // derivation (a label whose rows are all sub-bigram contributes
+    // no profile and no order slot)
+    val order = capped.map(_._1).distinct.sorted
+    val ordIdx = order.zipWithIndex.toMap
+    val weights = capped.groupBy(_._2).map { case (g, rs) =>
+      val best = rs.map { case (l, _, r) => (r, ordIdx(l)) }
+        .maxBy { case (r, i) => (r, -i.toLong) }
+      g -> (best._2, best._1)
+    }
+    require(weights.valuesIterator.forall(_._2 < Pack),
+      "profile ratio exceeds the packing bound")
+    LangModel(order, weights.toMap)
+  }
+
   /** ARGMAX language index in ONE native walk (round 19): 0-based
     * position in [[LangOrder]], -1 for `unk`/null text. Exists for
     * call sites whose downstream plan rewriting (filter pushdown,
@@ -314,6 +349,11 @@ object LangId {
     * trained model, not the in-repo seeds. */
   def save(spark: SparkSession, model: LangModel, root: String): Unit = {
     import spark.implicits._
+    // langid.json is emitted by interpolation and parsed by regex: a
+    // label carrying a quote/backslash/comma/']' would write a corrupt
+    // or mis-parsed store SILENTLY — refuse at save time (ADVICE r19)
+    model.order.foreach(l => require(l.matches("[a-z0-9_-]+"),
+      s"language label '$l' must match [a-z0-9_-]+ to persist safely"))
     StoreMeta.withWriterLease(spark, root, "langid-train") {
       model.weights.toSeq
         .map { case (g, (o, r)) => (model.order(o), o, g, r) }
@@ -355,7 +395,11 @@ object LangId {
     * are `l3_`-prefixed so the block composes with [[oracleCtes]]. */
   def trainedOracleCtes(rows: Seq[(String, String)], docsRel: String,
       topK: Int = DefaultProfileGrams): String = {
-    val order = rows.map(_._1).distinct.sorted
+    // gram-less labels (every row shorter than 2 chars) keep no profile
+    // and no order slot in [[train]] — mirror that here (ADVICE r19) so
+    // degenerate training sets replay instead of growing a phantom
+    // s_<lang> column with shifted tie-break indices
+    val order = rows.filter(_._2.length >= 2).map(_._1).distinct.sorted
     val seedRows = rows.map { case (l, t) => s"('$l', '$t')" }
       .mkString(",\n    ")
     val ordArms = order.zipWithIndex

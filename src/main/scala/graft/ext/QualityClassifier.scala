@@ -65,8 +65,9 @@ object QualityClassifier {
     * rule [[features]] applies by filter) get `__q_has = false` and
     * null ratio features; callers gate the verdict on `__q_has`. */
   def withLocalFeatures(df: DataFrame, textCol: String,
-      stopWords: Seq[String], shingleN: Int = 3): DataFrame =
-    df.withColumn("__toks", TextOps.tokens(col(textCol)))
+      stopWords: Seq[String], shingleN: Int = 3,
+      tok: Column => Column = TextOps.tokens): DataFrame =
+    df.withColumn("__toks", tok(col(textCol)))
       .withColumn("__q_has", size(col("__toks")) >= shingleN)
       // shingles() must not see < shingleN tokens (descending-sequence
       // trap) — null toks short-circuit the whole chain to null
@@ -114,10 +115,11 @@ object QualityClassifier {
     * scoring job. The two scalars are one bounded 1-row collect either
     * way. */
   def trainLm(corpus: DataFrame, idCol: String, textCol: String,
-      materialize: Boolean = true): LmModel = {
+      materialize: Boolean = true,
+      tok: Column => Column = TextOps.tokens): LmModel = {
     def mat(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint(true) else df
-    val ctoks = corpus.select(col(idCol), TextOps.tokens(col(textCol)).as("__ctoks"))
+    val ctoks = corpus.select(col(idCol), tok(col(textCol)).as("__ctoks"))
     val trainBig = bigramPairs(ctoks, col(idCol), col("__ctoks"))
     val cb = mat(trainBig.groupBy("a", "b").agg(count(lit(1)).as("c")))
     val cp = mat(trainBig.groupBy("a").agg(count(lit(1)).as("cpn")))
@@ -181,9 +183,10 @@ object QualityClassifier {
     * etc.). */
   def features(scored: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, stopWords: Seq[String],
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      tok: Column => Column = TextOps.tokens): DataFrame = {
     val sf = scored
-      .withColumn("__toks", TextOps.tokens(col(textCol)))
+      .withColumn("__toks", tok(col(textCol)))
       .filter(size(col("__toks")) >= shingleN)
     val f13 = sf
       .withColumn("x1", size(col("__toks")).cast("long"))
@@ -207,7 +210,7 @@ object QualityClassifier {
     // literal form produces the bit-identical double the old
     // crossJoin(v) column form did)
     val lm = withLmFeature(sf, idCol, "__toks",
-      trainLm(corpus, idCol, textCol, materialize = false))
+      trainLm(corpus, idCol, textCol, materialize = false, tok = tok))
     f13.drop("__toks").join(sh, Seq(idCol)).join(lm, Seq(idCol))
   }
 
@@ -250,6 +253,66 @@ object QualityClassifier {
       (col(c).cast("double") - lit(f.mid)) * lit(f.w)
     }
     val s = terms.reduceLeft(_ + _)
+    feats
+      .withColumn("score_e6", floor(s * lit(1000000.0)).cast("long"))
+      .withColumn("keep",
+        when(col("score_e6") >= 0L, 1L).otherwise(0L))
+  }
+
+  /** PER-PARTITION [[fit]] (round 20, VERDICT r19 #2): one grouped
+    * exact aggregate over (`keyCol`, `labelCol`), then the pinned
+    * per-feature expression tree per key — the CCNet-style
+    * per-language fit on the trained-verdict partition key. Keys
+    * missing either class are ABSENT from the result (callers remap
+    * those docs to their global-fallback key BEFORE fitting). Bounded:
+    * 2 × key-cardinality rows collected. */
+  def fitByKey(feats: DataFrame, keyCol: String, labelCol: String,
+      keepLabel: Long = 1L,
+      cols: Seq[String] = FeatureCols): Map[String, Seq[FeatureFit]] = {
+    val aggCols = cols.flatMap(c =>
+      Seq(sum(col(c)).as(s"s_$c"), sum(col(c) * col(c)).as(s"q_$c")))
+    val rows = feats.groupBy(col(keyCol), col(labelCol))
+      .agg(count(lit(1)).as("n"), aggCols: _*)
+      .collect()
+    rows.groupBy(_.getString(0)).collect {
+      case (key, rs) if rs.map(_.getLong(1)).toSet.size == 2 =>
+        val byLabel = rs.map(r => r.getLong(1) -> r).toMap
+        val k = byLabel(keepLabel)
+        val j = byLabel.collect { case (l, r) if l != keepLabel => r }.head
+        val nK = k.getAs[Long]("n"); val nJ = j.getAs[Long]("n")
+        key -> cols.map { c =>
+          val sK = k.getAs[Long](s"s_$c"); val qK = k.getAs[Long](s"q_$c")
+          val sJ = j.getAs[Long](s"s_$c"); val qJ = j.getAs[Long](s"q_$c")
+          // the same pinned tree [[fit]] evaluates
+          val mK = sK.toDouble / nK
+          val mJ = sJ.toDouble / nJ
+          val vK = qK.toDouble / nK - mK * mK
+          val vJ = qJ.toDouble / nJ - mJ * mJ
+          val pooled = (vK * nK + vJ * nJ) / (nK + nJ)
+          FeatureFit((mK - mJ) / (pooled + 1.0), (mK + mJ) / 2.0)
+        }
+    }
+  }
+
+  /** [[score]] under per-key fits: the key column selects its
+    * partition's literal weight tree through a when-chain (key
+    * cardinality is language-bounded, so this stays MAP-ONLY — no
+    * weights join). Every row's key must be present in `fits`. */
+  def scoreByKey(feats: DataFrame, keyCol: String,
+      fits: Map[String, Seq[FeatureFit]],
+      cols: Seq[String] = FeatureCols): DataFrame = {
+    require(fits.nonEmpty, "scoreByKey needs at least one fitted key")
+    val branches = fits.toSeq.sortBy(_._1).map { case (k, fs) =>
+      require(fs.size == cols.size, s"one fit per feature for key '$k'")
+      val terms = cols.zip(fs).map { case (c, f) =>
+        (col(c).cast("double") - lit(f.mid)) * lit(f.w)
+      }
+      k -> terms.reduceLeft(_ + _)
+    }
+    val s = branches.tail
+      .foldLeft(when(col(keyCol) === branches.head._1, branches.head._2)) {
+        case (acc, (k, e)) => acc.when(col(keyCol) === k, e)
+      }
     feats
       .withColumn("score_e6", floor(s * lit(1000000.0)).cast("long"))
       .withColumn("keep",

@@ -280,6 +280,35 @@ object TokenizerStore {
       .withColumn("n_bpe_tokens", size(col("token_ids")).cast("long"))
   }
 
+  /** DECODE (round 20, VERDICT r19 #5): ids → text under the stored
+    * vocab — the inspection/debugging surface every tokenizer
+    * deployment needs, and the other side of the vocab-integrity pin:
+    * decode(encode(x)) must equal the alphabet's NORMALIZED form of x
+    * (lowercase Unicode-word join — `text_tokenizer_decode` hashes
+    * that equality against DuckDB's independent normalization).
+    * Map-only and codegen'd: one literal-map probe per id, a
+    * concat, a split on the `_` word terminator (merge surfaces may
+    * EMBED `_`, but the symbol CONCATENATION always equals the base
+    * sequence, so the split is surface-agnostic), and — for the
+    * `bytes` alphabet — per-word hex → UTF-8 reassembly. An unknown
+    * id yields a null symbol and nulls the row's `decoded` (the
+    * element_at/concat_ws(map) null contract), never silent garbage. */
+  def decodeIds(df: DataFrame, idsCol: String, tok: Tokenizer): DataFrame = {
+    val invMap = map(tok.vocab.flatMap { case (t, i) =>
+      Seq(lit(i), lit(t)) }: _*)
+    val joined = concat_ws("",
+      transform(col(idsCol), i => element_at(invMap, i)))
+    val words = filter(split(joined, "_"), w => w =!= lit(""))
+    val decoded =
+      if (tok.alphabet == "bytes")
+        concat_ws(" ", transform(words,
+          w => call_function("decode", unhex(w), lit("UTF-8"))))
+      else concat_ws(" ", words)
+    df.withColumn("decoded",
+      when(forall(transform(col(idsCol), i => element_at(invMap, i)),
+        s => s.isNotNull), decoded))
+  }
+
   /** REFERENCE ENCODER — the literal-replace-chain formulation (one
     * codegen'd pass per merge; the arithmetic every oracle replays and
     * the form [[encodeIds]]' expression is spec-pinned equal to).

@@ -114,6 +114,27 @@ import graft.model.ExitCodes
   *       (default rule). classifier = the diagonal-LDA 5-feature gate
   *       bootstrapped from rule verdicts (see corpusBuildLedger) —
   *       fails fast if either label class is empty.
+  *   CORPUS_BUILD_TOKENS           optional  ascii | unicode (default
+  *       ascii): the build's ONE token layer (round 20, VERDICT r19
+  *       #1). `unicode` derives token stats, both quality gates, every
+  *       near-dup shingle set, the exact-tier content hash,
+  *       decontamination shingles and the pack counts from
+  *       TextOps.tokensU (`[^\p{L}\p{N}]+`), so pure non-Latin
+  *       documents flow through the chain instead of dying as
+  *       zero-token drop_quality. Guarded in build_config.json: a
+  *       resume or incremental rebuild under a different layer refuses
+  *       (stages and dedup state were tokenized under the old one).
+  *   CORPUS_BUILD_KEEPER           optional  min | best (default min):
+  *       dedup keeper election (round 20, VERDICT r19 #3). `best`
+  *       keeps each near/semantic cluster's information-richest member
+  *       (distinct-token count over the build's token layer,
+  *       id-ascending ties — the dedup_cluster_best_keeper election);
+  *       exact-tier groups stay min-id owned (byte-identical members).
+  *       The hosted STREAMING build keeps arrival-order ownership —
+  *       a stream cannot un-keep an already-admitted doc when a richer
+  *       copy arrives later (the r15 batch/stream divergence
+  *       precedent, documented not hidden). Guarded in
+  *       build_config.json like the token layer.
   *   CORPUS_BUILD_MATERIALIZE      optional  stage | local | none
   *       (default stage — see above)
   *   CORPUS_BUILD_RESUME           optional  true | false (default
@@ -189,6 +210,28 @@ object CorpusBuildJob {
     require(!incremental || materialize == "stage",
       "CORPUS_BUILD_INCREMENTAL requires CORPUS_BUILD_MATERIALIZE=stage")
     val qualityMode = env.getOrElse("CORPUS_BUILD_QUALITY", "rule")
+    // round 20 (VERDICT r19 #1): the build's ONE token layer. `unicode`
+    // switches token stats, both quality gates, every near-dup shingle
+    // set, the exact-tier content hash, decontamination shingles and
+    // the pack counts to [[graft.ext.TextOps.tokensU]] — pure
+    // non-Latin documents reach the language gate and the dedup tiers
+    // instead of dying as a zero-token drop_quality. `ascii` (default)
+    // keeps the round-19 arithmetic bit-identical.
+    // round 20 (VERDICT r19 #3): keeper election for the dedup tiers --
+    // `best` keeps each near/semantic cluster's information-richest
+    // member (the dedup_cluster_best_keeper election) instead of the
+    // min id; the streaming surface keeps arrival-order ownership (a
+    // stream cannot un-keep an already-admitted doc when a richer copy
+    // arrives later -- the r15 batch/stream divergence precedent).
+    val keeperMode = env.getOrElse("CORPUS_BUILD_KEEPER", "min")
+    require(Set("min", "best")(keeperMode),
+      s"CORPUS_BUILD_KEEPER must be min|best, got '$keeperMode'")
+    val tokensMode = env.getOrElse("CORPUS_BUILD_TOKENS", "ascii")
+    require(Set("ascii", "unicode")(tokensMode),
+      s"CORPUS_BUILD_TOKENS must be ascii|unicode, got '$tokensMode'")
+    val tokLayer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (tokensMode == "unicode") graft.ext.TextOps.tokensU
+      else graft.ext.TextOps.tokens
     val semDrift = env.getOrElse("CORPUS_BUILD_SEM_DRIFT", "auto")
     require(Set("auto", "off", "force")(semDrift),
       s"CORPUS_BUILD_SEM_DRIFT must be auto|off|force, got '$semDrift'")
@@ -300,7 +343,8 @@ object CorpusBuildJob {
       val langCfg = langRates.map { case (l, p) => s"$l:$p" }.mkString(",")
       val configJson =
         s"""{"benchmarkMaxId":$benchMaxId,"qualityMode":"$qualityMode","embFp":$embFp,""" +
-          s""""langRates":"$langCfg","langDefaultPct":$langDefaultPct}"""
+          s""""langRates":"$langCfg","langDefaultPct":$langDefaultPct,""" +
+          s""""tokens":"$tokensMode","keeper":"$keeperMode"}"""
       val cfgPath = new org.apache.hadoop.fs.Path(s"$out/build_config.json")
       val oldManifest: Option[Set[(String, String)]] =
         if (resume && fsOut.exists(new org.apache.hadoop.fs.Path(s"$out/input_manifest")))
@@ -392,6 +436,16 @@ object CorpusBuildJob {
           s"CORPUS_BUILD_INCREMENTAL: benchmark boundary changed since the prior build " +
             s"(prior ${priorBench.fold("<unrecorded>")(_.toString)}, now $benchMaxId) — " +
             "spliced token_stats rows would carry the OLD boundary; run a full rebuild")
+        // the spliced token_stats rows also carry the prior TOKEN LAYER
+        // (round 20): tokens/shingles/hashes all derive from it, so a
+        // layer change invalidates every per-doc stage and the dedup
+        // state. Prior configs without the field were ascii builds.
+        val priorTokens = """"tokens"\s*:\s*"([a-z]+)"""".r
+          .findFirstMatchIn(priorCfg).map(_.group(1)).getOrElse("ascii")
+        require(priorTokens == tokensMode,
+          s"CORPUS_BUILD_INCREMENTAL: token layer changed since the prior build " +
+            s"(prior $priorTokens, now $tokensMode) — spliced stages and dedup " +
+            "state were tokenized under the OLD layer; run a full rebuild")
         Seq("normalize_extract", "token_stats").foreach { st =>
           require(fs.exists(new org.apache.hadoop.fs.Path(s"$priorRoot/stages/$st/_SUCCESS")),
             s"CORPUS_BUILD_INCREMENTAL: prior build has no finished stages/$st " +
@@ -453,10 +507,12 @@ object CorpusBuildJob {
           case Some((priorRoot, unchanged)) =>
             Some((g, ge) => graft.ext.DedupState.incremental(spark, g, ge,
               s"$priorRoot/dedup_state", unchanged, s"$out/dedup_state",
-              reuseExisting = resume, driftPolicy = semDrift, status = status))
+              reuseExisting = resume, driftPolicy = semDrift, status = status,
+              tok = tokLayer, keeperMode = keeperMode))
           case None =>
             Some((g, ge) => graft.ext.DedupState.full(spark, g, ge,
-              s"$out/dedup_state", reuseExisting = resume))
+              s"$out/dedup_state", reuseExisting = resume, tok = tokLayer,
+              keeperMode = keeperMode))
         }
       // The decontamination seam (round 17): per-doc n_hits is a pure
       // function of (extracted text, benchmark shingle set), so an
@@ -487,7 +543,7 @@ object CorpusBuildJob {
               .select("doc_id").join(priorHits, Seq("doc_id"))
             val fresh = kept.join(reuse.select("doc_id"), Seq("doc_id"), "left_anti")
             val freshHits = graft.ext.Dedup
-              .shingleRows(fresh, "doc_id", "text")
+              .shingleRows(fresh, "doc_id", "text", tok = tokLayer)
               .join(org.apache.spark.sql.functions.broadcast(bench), "s")
               .groupBy("doc_id")
               .agg(org.apache.spark.sql.functions.count(
@@ -500,7 +556,8 @@ object CorpusBuildJob {
           benchmarkMaxId = benchMaxId, qualityMode = qualityMode,
           langRates = langRates, langDefaultPct = langDefaultPct,
           langModel = langModel,
-          dedupImpl = dedupImpl, hitsImpl = hitsSeam))
+          dedupImpl = dedupImpl, hitsImpl = hitsSeam,
+          tok = tokLayer, keeperMode = keeperMode))
       val kept = ledger.filter(col("verdict") === "keep")
 
       val t0 = System.nanoTime()
@@ -531,7 +588,14 @@ object CorpusBuildJob {
       // against DuckDB by the pipeline_pack_bpe CORRECTNESS entry.
       env.get("CORPUS_BUILD_TOKENIZER_PATH").foreach { tp =>
         val tTok = System.nanoTime()
-        val keptText = kept.select(col("doc_id"), col("source"), col("text"))
+        // read BACK the corpus just written (ADVICE r19): `kept` is the
+        // lazy ledger frame, so handing it to the drift gate / a tripped
+        // retrain / fertility recording / the pack encode would re-run
+        // the ENTIRE build chain (quality gate, dedup shuffles,
+        // decontamination) once per consumer — the finalize path already
+        // reads the parquet; the batch path now does too
+        val keptText = spark.read.parquet(s"$out/corpus")
+          .select(col("doc_id"), col("source"), col("text"))
         val tok = resolveTokenizer(spark, tp,
           env.getOrElse("CORPUS_BUILD_TOK_DRIFT", "auto"), out, keptText, status,
           env.getOrElse("CORPUS_BUILD_TOK_DRIFT_SAMPLE_PCT", "100").toLong)
@@ -617,6 +681,15 @@ object CorpusBuildJob {
           "the job reads build_ledger/ lazily while overwriting the output root")
     }
     val extract = env.getOrElse("CORPUS_FINALIZE_EXTRACT", "true").toBoolean
+    // round 20: pack counts must follow the layer the STREAM decided
+    // under (the pod's `tokens` spec field) — same grammar as the
+    // batch build's CORPUS_BUILD_TOKENS
+    val finTokensMode = env.getOrElse("CORPUS_BUILD_TOKENS", "ascii")
+    require(Set("ascii", "unicode")(finTokensMode),
+      s"CORPUS_BUILD_TOKENS must be ascii|unicode, got '$finTokensMode'")
+    val finTok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (finTokensMode == "unicode") graft.ext.TextOps.tokensU
+      else graft.ext.TextOps.tokens
     graft.functions.GraftFunctions.register(spark) // extraction uses graft_nfc
     val ledgerPath = s"$store/build_ledger"
     require(graft.ext.StoreMeta.fs(spark, ledgerPath)
@@ -670,7 +743,7 @@ object CorpusBuildJob {
         val docsKept = d0.join(keptIds.select("doc_id"), Seq("doc_id"))
         val ext = if (extract) graft.ext.ExtQueries.extractStageOf(docsKept)
           else docsKept.select("doc_id", "source", "text")
-        ext.withColumn("toks", graft.ext.TextOps.tokens(col("text")))
+        ext.withColumn("toks", finTok(col("text")))
           .select("doc_id", "source", "text", "toks")
           .write.mode("overwrite").parquet(s"$out/stages/kept_corpus")
         val k3 = spark.read.parquet(s"$out/stages/kept_corpus")

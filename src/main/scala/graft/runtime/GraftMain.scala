@@ -108,6 +108,21 @@ object GraftMain {
     protected def req(spec: StreamSpec, k: String): String =
       spec.string(k).getOrElse(
         throw new IllegalArgumentException(s"spec field '$k' is required"))
+    /** The pod's ONE token layer (round 20, VERDICT r19 #1): spec field
+      * `tokens` = `ascii` (default — round-19 arithmetic bit-identical)
+      * or `unicode` ([[graft.ext.TextOps.tokensU]]). Every tokenizing
+      * tier — exact-hash, near-dup shingles, quality features/LM, the
+      * build overlay's decontamination shingles — derives from it, so
+      * the streaming build gates pure non-Latin documents exactly like
+      * the batch build's `tok` parameter. */
+    protected def tokOf(spec: StreamSpec):
+        org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      spec.string("tokens").getOrElse("ascii") match {
+        case "ascii"   => graft.ext.TextOps.tokens
+        case "unicode" => graft.ext.TextOps.tokensU
+        case other => throw new IllegalArgumentException(
+          s"spec field 'tokens' must be ascii|unicode, got '$other'")
+      }
     /** Per-batch composition hook ([[CorpusBuildStreamGraph]] overlays
       * the build gates); receives (source batch, decisions, batchKey). */
     protected def onBatchHook(ctx: StreamContext,
@@ -161,8 +176,9 @@ object GraftMain {
         throw new IllegalArgumentException(
           s"qualityLmCorpusPath given but qualityWeights carries only $nLocal pairs — " +
             "the LM feature would be scored with weights fitted for a different feature space")
+      val tok = tokOf(spec)
       val qLm = lmPath.map(p => graft.ext.QualityClassifier.trainLm(
-        df.sparkSession.read.parquet(p), idCol, textCol))
+        df.sparkSession.read.parquet(p), idCol, textCol, tok = tok))
       // broadcast guard: count the materialized vocabulary tables once
       // at startup; over the threshold the per-batch plans fall back to
       // shuffle joins (same arithmetic, no driver/broadcast OOM)
@@ -183,7 +199,8 @@ object GraftMain {
         qualityStop = spec.stringList("qualityStopwords"),
         qualityLm = qLm,
         qualityLmBroadcast = lmBroadcast,
-        onBatch = onBatchHook(ctx, df.sparkSession))
+        onBatch = onBatchHook(ctx, df.sparkSession),
+        tok = tok)
     }
   }
 
@@ -268,6 +285,10 @@ object GraftMain {
       // loaded once at stream start, ridden into every batch
       val langModel = spec.string("langProfilePath")
         .map(p => graft.ext.LangId.loadModel(spark, p))
+      // the decontamination overlay shingles with the pod's one token
+      // layer (round 20): under `tokens=unicode` a pure-Cyrillic
+      // arrival sharing benchmark prose is CAUGHT, not shingle-less
+      val tok = tokOf(spec)
       Some { (batch: DataFrame, dec: DataFrame, batchKey: String) =>
         val withSrc =
           if (batch.columns.contains(srcCol))
@@ -278,7 +299,7 @@ object GraftMain {
               lit(null).cast("string").as("source"))
         val hits = bench match {
           case Some(b) =>
-            graft.ext.Dedup.shingleRows(withSrc, "doc_id", "__text")
+            graft.ext.Dedup.shingleRows(withSrc, "doc_id", "__text", tok = tok)
               .join(broadcast(b), "s")
               .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_hits"))
           case None => withSrc.select(col("doc_id")).limit(0)

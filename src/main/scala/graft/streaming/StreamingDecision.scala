@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
-import graft.ext.{Dedup, StoreMeta}
+import graft.ext.{Dedup, StoreMeta, TextOps}
 import graft.sinks.ArcaneLayout
 
 /** The STREAMING DECISION SURFACE (VERDICT r10 #2): every dedup tier
@@ -348,7 +348,9 @@ object StreamingDecision {
       qualityFits: Seq[graft.ext.QualityClassifier.FeatureFit] = Nil,
       qualityStop: Seq[String] = Nil,
       qualityLm: Option[graft.ext.QualityClassifier.LmModel] = None,
-      qualityLmBroadcast: Boolean = true): DataFrame = {
+      qualityLmBroadcast: Boolean = true,
+      tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     val b = buckets(spark, path)
@@ -381,7 +383,7 @@ object StreamingDecision {
 
       // ---- exact tier --------------------------------------------
       val bh = in.select(col("doc_id"), col("ep"),
-          Dedup.contentHash(col("text")).as("h"))
+          Dedup.contentHashWith(tok)(col("text")).as("h"))
         .withColumn("bkt", bktOf(col("h"), b))
       val storedH = readOrEmpty(spark, s"$path/hashes/data", hashesSchema)
       val ownerHits = storedH
@@ -401,7 +403,7 @@ object StreamingDecision {
             .as("ex_keeper"))
 
       // ---- near tier ---------------------------------------------
-      val exdIn = Dedup.shingleRows(in, "doc_id", "text", shingleN)
+      val exdIn = Dedup.shingleRows(in, "doc_id", "text", shingleN, tok)
       val projIn = Dedup.minhashFromShingles(exdIn, "doc_id", k, bands, rowsPerBand)
       val bandIn = projIn
         .select(col("doc_id"), col("sig"), explode(col("bands")).as("bk"))
@@ -457,7 +459,7 @@ object StreamingDecision {
       // quality-gated deployment
       val qFailR: DataFrame =
         qualityFailSet(in.select("doc_id", "text"), qualityFits, qualityStop,
-          shingleN, qualityLm, qualityLmBroadcast)
+          shingleN, qualityLm, qualityLmBroadcast, tok)
       val dec = in.select("doc_id", "batch")
         .join(broadcast(ex), Seq("doc_id"), "left")
         .join(broadcast(nearK), Seq("doc_id"), "left")
@@ -556,7 +558,9 @@ object StreamingDecision {
       qualityFits: Seq[graft.ext.QualityClassifier.FeatureFit],
       qualityStop: Seq[String], shingleN: Int,
       qualityLm: Option[graft.ext.QualityClassifier.LmModel],
-      qualityLmBroadcast: Boolean): DataFrame = {
+      qualityLmBroadcast: Boolean,
+      tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens): DataFrame = {
     val spark = in.sparkSession
     if (qualityFits.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -565,7 +569,7 @@ object StreamingDecision {
     else {
       import graft.ext.QualityClassifier
       val base = QualityClassifier.withLocalFeatures(
-        in.select("doc_id", "text"), "text", qualityStop, shingleN)
+        in.select("doc_id", "text"), "text", qualityStop, shingleN, tok)
       val (feats, cols) = qualityLm match {
         case Some(lm) =>
           require(qualityFits.size == QualityClassifier.FeatureCols.size,
@@ -594,7 +598,9 @@ object StreamingDecision {
       qualityFits: Seq[graft.ext.QualityClassifier.FeatureFit] = Nil,
       qualityStop: Seq[String] = Nil,
       qualityLm: Option[graft.ext.QualityClassifier.LmModel] = None,
-      qualityLmBroadcast: Boolean = true): DataFrame = {
+      qualityLmBroadcast: Boolean = true,
+      tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens): DataFrame = {
     val spark = batch.sparkSession
     def phase[A](label: String)(f: => A): A =
       if (sys.props.contains("graft.timing") || sys.env.contains("GRAFT_TIMING")) {
@@ -651,10 +657,11 @@ object StreamingDecision {
       // has seen; a quality-dropped doc is still a valid dedup member.
       val qFail: DataFrame =
         qualityFailSet(in, qualityFits, qualityStop, shingleN, qualityLm,
-          qualityLmBroadcast)
+          qualityLmBroadcast, tok)
 
       // ---- exact tier: stored owner, else smallest same-batch id ----
-      val bh = in.select(col("doc_id"), Dedup.contentHash(col("text")).as("h"))
+      val bh = in.select(col("doc_id"),
+          Dedup.contentHashWith(tok)(col("text")).as("h"))
         .withColumn("bkt", bktOf(col("h"), b))
       val storedH = readOrEmpty(spark, s"$path/hashes/data", hashesSchema)
       // store rows for the batch's hashes only: the broadcast batch key
@@ -680,7 +687,7 @@ object StreamingDecision {
             .as("ex_keeper"))
 
       // ---- near tier: batch bands vs stored bucket members ----------
-      val exdIn = Dedup.shingleRows(in, "doc_id", "text", shingleN)
+      val exdIn = Dedup.shingleRows(in, "doc_id", "text", shingleN, tok)
       val projIn = Dedup.minhashFromShingles(exdIn, "doc_id", k, bands, rowsPerBand)
       val bandIn = projIn
         .select(col("doc_id"), col("sig"), explode(col("bands")).as("bk"))
@@ -918,7 +925,9 @@ object StreamingDecision {
       qualityStop: Seq[String] = Nil,
       qualityLm: Option[graft.ext.QualityClassifier.LmModel] = None,
       qualityLmBroadcast: Boolean = true,
-      onBatch: Option[(DataFrame, DataFrame, String) => Unit] = None): StreamingQuery = {
+      onBatch: Option[(DataFrame, DataFrame, String) => Unit] = None,
+      tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens): StreamingQuery = {
     // Marker NAMESPACING (the VectorIndex.appendStream lesson, ADVICE
     // r10): epoch ids restart at 0 for a stream started without a
     // checkpoint and are shared by independent streams on one store
@@ -943,7 +952,8 @@ object StreamingDecision {
           maxCell = maxCell, nBuckets = nBuckets,
           clusterPath = clusterPath,
           qualityFits = qualityFits, qualityStop = qualityStop,
-          qualityLm = qualityLm, qualityLmBroadcast = qualityLmBroadcast)
+          qualityLm = qualityLm, qualityLmBroadcast = qualityLmBroadcast,
+          tok = tok)
         // composition seam (round 17): the hosted streaming corpus
         // build overlays the pure per-doc gates (decontamination,
         // mixture) on each batch's verdicts and lands the build ledger

@@ -94,12 +94,14 @@ object StreamingDedup {
     * frame — narrow per-row work, no aggregation. */
   def bandRows(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3,
-      shingleN: Int = 3): Dataset[BandRow] = {
+      shingleN: Int = 3,
+      tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens): Dataset[BandRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
       .select(col(idCol).cast("long").as("docId"),
-        TextOps.tokens(col(textCol)).as("toks"))
+        tok(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleN)
       .select(col("docId"),
         Dedup.minhashSigOnce(TextOps.shingles(col("toks"), shingleN), k).as("sig"))
@@ -211,13 +213,15 @@ object StreamingDedup {
     * carried (content-addressed routing to its band keys). */
   def bandRowsCtl(docs: DataFrame, idCol: String, textCol: String,
       retractCol: String, k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3,
-      shingleN: Int = 3): Dataset[BandRowC] = {
+      shingleN: Int = 3,
+      tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens): Dataset[BandRowC] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
       .select(col(idCol).cast("long").as("docId"),
         col(retractCol).cast("boolean").as("retract"),
-        TextOps.tokens(col(textCol)).as("toks"))
+        tok(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleN)
       .select(col("docId"), col("retract"),
         Dedup.minhashSigOnce(TextOps.shingles(col("toks"), shingleN), k).as("sig"))
@@ -271,7 +275,9 @@ object StreamingDedup {
     * what retires state. */
   def bandRowsTs(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, k: Int = 12, bands: Int = 4, rowsPerBand: Int = 3,
-      shingleN: Int = 3): Dataset[BandRowT] = {
+      shingleN: Int = 3,
+      tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens): Dataset[BandRowT] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -281,7 +287,7 @@ object StreamingDedup {
         // on this attribute, and the event-time-timeout analyzer check
         // requires it to reach the stateful operator)
         col(tsCol).as("ts"),
-        TextOps.tokens(col(textCol)).as("toks"))
+        tok(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleN)
       .select(col("docId"), col("ts"),
         Dedup.minhashSigOnce(TextOps.shingles(col("toks"), shingleN), k).as("sig"))
@@ -392,11 +398,13 @@ object StreamingDedup {
     * stream itself is the downstream sink's `dropDuplicates`
     * (the same contract the near tier documents). */
   def exactDupStream(docs: DataFrame, idCol: String,
-      textCol: String): Dataset[ExactDupHit] = {
+      textCol: String,
+      tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens): Dataset[ExactDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .select(Dedup.contentHash(col(textCol)).as("h"),
+      .select(Dedup.contentHashWith(tok)(col(textCol)).as("h"),
         col(idCol).cast("long").as("docId"))
       .as[(String, Long)]
       .groupByKey(_._1)
@@ -424,11 +432,13 @@ object StreamingDedup {
     * exactly [[exactDupStream]]'s. Oracle: `streaming_retraction_golden`
     * replays batches → retract → re-arrival → batches in DuckDB. */
   def exactDupStreamRetract(docs: DataFrame, idCol: String, textCol: String,
-      retractCol: String, maxTombstones: Int = 1024): Dataset[ExactDupHit] = {
+      retractCol: String, maxTombstones: Int = 1024,
+      tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens): Dataset[ExactDupHit] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .select(Dedup.contentHash(col(textCol)).as("h"),
+      .select(Dedup.contentHashWith(tok)(col(textCol)).as("h"),
         col(idCol).cast("long").as("docId"),
         col(retractCol).cast("boolean").as("retract"))
       .as[(String, Long, Boolean)]
@@ -485,12 +495,14 @@ object StreamingDedup {
     * lastSeenMs) per hash alive inside the horizon — bounded by the
     * ACTIVE hash vocabulary, not the stream's lifetime. */
   def exactDupStreamTtl(docs: DataFrame, idCol: String, textCol: String,
-      tsCol: String, ttlMs: Long): Dataset[ExactDupHit] = {
+      tsCol: String, ttlMs: Long,
+      tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens): Dataset[ExactDupHit] = {
     require(ttlMs > 0, "ttlMs must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .select(Dedup.contentHash(col(textCol)).as("h"),
+      .select(Dedup.contentHashWith(tok)(col(textCol)).as("h"),
         col(idCol).cast("long").as("docId"), col(tsCol).as("ts"))
       .as[(String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)

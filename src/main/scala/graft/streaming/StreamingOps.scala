@@ -95,11 +95,13 @@ object StreamingOps {
   def decontaminateStream(docs: DataFrame, benchShingles: DataFrame,
       idCol: String, textCol: String, tsCol: String,
       watermarkDelay: String, windowLength: String,
-      shingleN: Int = 3, minHits: Long = 1): DataFrame =
+      shingleN: Int = 3, minHits: Long = 1,
+      tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.ext.TextOps.tokens): DataFrame =
     docs
       .withWatermark(tsCol, watermarkDelay)
       .select(col(idCol).as("doc_id"), col(tsCol).as("ts"),
-        graft.ext.TextOps.tokens(col(textCol)).as("toks"))
+        tok(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleN)
       .select(col("doc_id"), col("ts"),
         explode(array_distinct(
