@@ -443,7 +443,20 @@ object Dedup {
   def shingleRows(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3,
       tok: Column => Column = TextOps.tokens): DataFrame =
-    df.select(col(idCol), tok(col(textCol)).as("toks"))
+    shingleRowsFromToks(
+      df.select(col(idCol), tok(col(textCol)).as("toks")),
+      idCol, "toks", shingleN)
+
+  /** [[shingleRows]] over an ALREADY-TOKENIZED frame (round-20
+    * optimization, guide §1.2 "don't compute things twice"): callers
+    * holding a materialized token array (the corpus build's
+    * `token_stats` stage, a tokenize-once decision pass) shingle it
+    * directly instead of re-running the regex split over the text —
+    * `explode(shingles(toks))` over the same `toks` the text form
+    * computes, so the rows are identical by construction. */
+  def shingleRowsFromToks(df: DataFrame, idCol: String, toksCol: String,
+      shingleN: Int = 3): DataFrame =
+    df.select(col(idCol), col(toksCol).as("toks"))
       .filter(size(col("toks")) >= shingleN)
       .select(col(idCol), explode(TextOps.shingles(col("toks"), shingleN)).as("s"))
       .distinct()

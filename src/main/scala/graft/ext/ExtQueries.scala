@@ -2779,7 +2779,8 @@ object ExtQueries {
       emb(spark, dir).select("vec_id", "embedding"),
       langRates = LangMixRates.filterNot(_._1 == "unk"),
       langDefaultPct = LangMixRates.toMap.apply("unk"),
-      tok = TextOps.tokensU)
+      tok = TextOps.tokensU,
+      phase = benchPhase)
       .drop("text")
       .orderBy("doc_id")
   }
@@ -3933,7 +3934,8 @@ object ExtQueries {
       // pass; the build amortizes across every store-backed query
       semCents = Some(VectorIndex
         .coarse(spark, vindexFor(spark, dir), "embedding")
-        .select(col("vi_cid").as("vec_id"), col("embedding"))))
+        .select(col("vi_cid").as("vec_id"), col("embedding"))),
+      materializeToks = true)
 
   /** The three-tier decision composition on explicit frames —
     * `d` (doc_id, text), `e` (vec_id, embedding) with vec_id keyed to
@@ -3943,14 +3945,35 @@ object ExtQueries {
   private[ext] def dedupDecision(d: DataFrame, e: DataFrame,
       semCents: Option[DataFrame] = None,
       tok: Column => Column = TextOps.tokens,
-      keeperMode: String = "min"): DataFrame = {
+      keeperMode: String = "min",
+      toksCol: Option[String] = None,
+      materializeToks: Boolean = false): DataFrame = {
     require(Set("min", "best")(keeperMode),
       s"keeperMode must be min|best, got '$keeperMode'")
-    val hashes = d.select(col("doc_id"),
-      Dedup.contentHashWith(tok)(col("text")).as("h"))
+    // Tokenize ONCE (round-20 optimization, guide §1.2): the exact
+    // tier's hash, the shingle explode, and the best-keeper richness
+    // stats all consume the same token array, but as three separate
+    // `tok(text)` expressions Catalyst re-runs the regex split per
+    // branch (the optimizer-cloning class the round-19 LangBigramBest
+    // fix documented). Callers holding an already-computed token
+    // column (the build chain's materialized `token_stats` stage) pass
+    // `toksCol`; standalone decision queries set `materializeToks` to
+    // checkpoint the (doc_id, toks) projection — at 100 TB the array
+    // is the same size class as the text it replaces, and one
+    // tokenization pass replaces three. Values are identical by
+    // construction: contentHashWith(tok)(text) ≡
+    // sha2(concat_ws(" ", toks)) for toks = tok(text).
+    val dt = toksCol match {
+      case Some(tc) => d.select(col("doc_id"), col(tc).as("__toks"))
+      case None =>
+        val t = d.select(col("doc_id"), tok(col("text")).as("__toks"))
+        if (materializeToks) t.localCheckpoint(true) else t
+    }
+    val hashes = dt.select(col("doc_id"),
+      sha2(concat_ws(" ", col("__toks")), 256).as("h"))
     val ex = hashes.withColumn("ex_keeper",
       min(col("doc_id")).over(Window.partitionBy(col("h"))))
-    val exd = Dedup.shingleRows(d, "doc_id", "text", ShingleN, tok)
+    val exd = Dedup.shingleRowsFromToks(dt, "doc_id", "__toks", ShingleN)
     val proj = Dedup.minhashFromShingles(exd, "doc_id", MinhashK, LshBands, LshRows)
     val candidates = Dedup.minhashCandidates(proj, "doc_id", MinhashK).drop("n_sig_match")
     val dupPairs = Dedup.jaccardVerifyExploded(candidates, exd, threshold = 0.8)
@@ -3965,8 +3988,8 @@ object ExtQueries {
     // are byte-identical, so richness cannot distinguish them.
     val richStats =
       if (keeperMode == "best")
-        Some(d.select(col("doc_id"),
-          size(array_distinct(tok(col("text")))).cast("long").as("n_unique")))
+        Some(dt.select(col("doc_id"),
+          size(array_distinct(col("__toks"))).cast("long").as("n_unique")))
       else None
     def elect(frame: DataFrame, labelCol: String): DataFrame =
       richStats.fold(frame)(st =>
@@ -4114,7 +4137,8 @@ object ExtQueries {
       semCents = Some(VectorIndex
         .coarse(spark, vindexFor(spark, dir), "embedding")
         .select(col("vi_cid").as("vec_id"), col("embedding"))),
-      keeperMode = "best")
+      keeperMode = "best",
+      materializeToks = true)
 
   private val pipelineDedupApplyBestSql =
     s"""WITH RECURSIVE $TokCte, $ShCte,
@@ -4147,11 +4171,36 @@ object ExtQueries {
   // by construction even when the corpus is 100 TB).
   // ------------------------------------------------------------------
 
+  /** Stage materialization for the DECLARED build queries (round-20
+    * optimization, guide §5 persist rule + §1.2 "remove unnecessary
+    * passes"): with the identity `phase` hook the build chain is one
+    * lazy DAG whose per-doc stats subtree (scan → normalize →
+    * htmlExtract → tokenize) is re-executed by every downstream branch
+    * — the measured `pipeline_corpus_build` plan carries 8 copies of
+    * the extract/tokenize scan (bench slice, quality gate, 2-3 dedup
+    * passes, decontamination shingles, pack/shard/manifest, ledger
+    * base), and the ENTIRE dedup decision (MinHash + Jaccard verify +
+    * iterative connected components + semantic cells) runs twice
+    * (keeper filter + ledger join). `localCheckpoint` of the three
+    * reused frames — corpus-sized `token_stats` (computed once, ~8
+    * consumers), small `dedup_decision` and `decontaminate` (doc_id +
+    * 2 cols, 2 consumers each) — is exactly the materialization the
+    * HOSTED job already performs via its `timed` stage hook
+    * (`CorpusBuildJob` materialize=local|stage); at 100 TB one
+    * materialized pass of the extracted corpus replaces ~8
+    * re-extractions. Results are unchanged (same rows, oracle
+    * hash-identical); the checkpoint is computed fresh inside every
+    * invocation — nothing persists across runs. */
+  private val benchMatStages = Set("token_stats", "dedup_decision", "decontaminate")
+  private[graft] val benchPhase: (String, DataFrame) => DataFrame =
+    (name, df) => if (benchMatStages(name)) df.localCheckpoint(true) else df
+
   def pipelineCorpusBuild(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     corpusBuildLedger(
       docs(spark, dir).select("doc_id", "source", "text"),
-      emb(spark, dir).select("vec_id", "embedding"))
+      emb(spark, dir).select("vec_id", "embedding"),
+      phase = benchPhase)
       .drop("text")
       .orderBy("doc_id")
   }
@@ -4163,7 +4212,8 @@ object ExtQueries {
     corpusBuildLedger(
       docs(spark, dir).select("doc_id", "source", "text"),
       emb(spark, dir).select("vec_id", "embedding"),
-      qualityMode = "classifier")
+      qualityMode = "classifier",
+      phase = benchPhase)
       .drop("text")
       .orderBy("doc_id")
   }
@@ -4180,7 +4230,8 @@ object ExtQueries {
       docs(spark, dir).select("doc_id", "source", "text"),
       emb(spark, dir).select("vec_id", "embedding"),
       langRates = LangMixRates.filterNot(_._1 == "unk"),
-      langDefaultPct = LangMixRates.toMap.apply("unk"))
+      langDefaultPct = LangMixRates.toMap.apply("unk"),
+      phase = benchPhase)
       .drop("text")
       .orderBy("doc_id")
   }
@@ -4320,8 +4371,11 @@ object ExtQueries {
     val ge = e.join(gated.select(col("doc_id").as("vec_id")), Seq("vec_id"))
     val dec = phase("dedup_decision", dedupImpl match {
       case Some(impl) => impl(gated.select("doc_id", "source", "text"), ge)
-      case None => dedupDecision(gated.select("doc_id", "text"), ge, semCents,
-        tok, keeperMode)
+      // the gate's frame already carries the token array — hand it
+      // down so the decision tiers never re-run the regex split
+      // (round-20 optimization; values identical by construction)
+      case None => dedupDecision(gated.select("doc_id", "text", "toks"), ge,
+        semCents, tok, keeperMode, toksCol = Some("toks"))
     })
     val keepers1 = dec.filter(col("decision") === "keep").select("doc_id")
     // 5: benchmark decontamination over dedup keepers (distinct
@@ -4336,7 +4390,11 @@ object ExtQueries {
     val hits = hitsImpl match {
       case Some(impl) => impl(keptDocs, bench)
       case None =>
-        Dedup.shingleRows(keptDocs, "doc_id", "text", ShingleN, tok)
+        // shingle from the gate's token array (round-20 optimization:
+        // no re-tokenization of kept text; same rows by construction)
+        Dedup.shingleRowsFromToks(
+          gated.join(keepers1, Seq("doc_id")).select("doc_id", "toks"),
+          "doc_id", "toks", ShingleN)
           .join(broadcast(bench), "s")
           .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_hits"))
     }

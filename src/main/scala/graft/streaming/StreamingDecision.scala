@@ -827,7 +827,21 @@ object StreamingDecision {
       // concurrent consumers reuse the cache instead of racing to
       // compute it.
       phase("materialize") {
-        in.count(); bandIn.count(); if (semOn) asgIn.count(): Unit
+        // bandIn and asgIn both derive from the (now cached) `in` —
+        // after in.count() they are independent jobs; overlap them
+        // (guide §2.6: independent actions from driver threads), so
+        // the materialize step costs max(bandIn, asgIn), not the sum
+        in.count()
+        if (semOn) {
+          val p = java.util.concurrent.Executors.newFixedThreadPool(2)
+          try {
+            Seq(() => bandIn.count(): Unit, () => asgIn.count(): Unit)
+              .map(j => p.submit(new java.util.concurrent.Callable[Unit] {
+                override def call(): Unit = j()
+              }))
+              .foreach(_.get())
+          } finally p.shutdown()
+        } else bandIn.count(): Unit
       }
       // replay-idempotent: the same batch rewrites the same rows
       val jobs: Seq[(String, () => Unit)] =
