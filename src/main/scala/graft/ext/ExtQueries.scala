@@ -7120,6 +7120,17 @@ object ExtQueries {
           maxBucket = RetractCap.toInt, maxCell = RetractCap.toInt,
           clusterPath = Some(s"$store/clusters"))
         try { q.processAllAvailable() } finally q.stop()
+        // Maintenance BEFORE the takedown rows measure (round-20
+        // optimization): ComponentStore.delete's member walk is
+        // depth-bound ("a compacted forest is depth-1, so run compact
+        // on cadence" — its own scaladoc), but 5 golden merges never
+        // reach the 64-merge compact cadence, so every heal_cluster
+        // pass paid ~5-deep pointer chases (descend/resolve/components
+        // each iterate per level, several small jobs per iteration).
+        // One compact here is the deployment's documented maintenance
+        // posture; labels (the oracle surface) are unchanged — compact
+        // is pure path compression.
+        graft.ext.ComponentStore.compact(s2, s"$store/clusters")
         store.toString
       })
     }
