@@ -115,7 +115,12 @@ object Bench {
       // harness-class: fit collects + IVF training + every stage
       // materialized; the per-stage plans are audited individually)
       "pipeline_corpus_build", "pipeline_corpus_build_clf",
-      "pipeline_corpus_build_lang")
+      "pipeline_corpus_build_lang",
+      // round 20: the pure-non-Latin build composition is the same
+      // full-chain harness class as its three siblings (VERDICT r14's
+      // criterion; it debuted mid-build in round 20 outside this set,
+      // which would have skewed engine_total by a whole build run)
+      "pipeline_corpus_build_multi")
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1) // PINNED order: alphabetical, every round
     queries.foreach { case (n, fn) => execute(n, fn) } // warm-up

@@ -1074,7 +1074,10 @@ object ExtQueries {
   private val CoDfCeilPct = 79
 
   def textCooccurrence(spark: SparkSession, dir: String): DataFrame = {
-    val t = toksDf(spark, dir)
+    // tokenize once (round-20 optimization): the document-frequency
+    // pass and the windowed-pair pass both consume the token frame;
+    // un-materialized, each re-runs the scan + regex split
+    val t = toksDf(spark, dir).localCheckpoint(true)
     val dfc = t.select(col("doc_id"), explode(array_distinct(col("toks"))).as("tk"))
       .groupBy("tk").agg(count(lit(1)).as("df"))
     val tot = docs(spark, dir).agg(count(lit(1)).as("n"))
