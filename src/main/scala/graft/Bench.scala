@@ -484,6 +484,12 @@ object Bench {
         idx = 0
       }
     }
+    // name the folded rows on stderr for the round record (VERDICT r20
+    // #8): the compact stdout line only carries other_n/other_sec, and
+    // a load-bearing row folding silently reads as "dropped"
+    if (folded.nonEmpty)
+      System.err.println(s"[bench] folded into other (${folded.size}): " +
+        folded.map(_._1).sorted.mkString(", "))
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       render(v => v.toString, minimal = false, displayRows.toSeq, 0, 0.0))

@@ -9,11 +9,17 @@ package graft
   *     sbt "runMain graft.PlanDump plans/r20 before q1 q2 ..."
   *
   * Args: <outDir> <suffix> <query...>; `all` expands to every declared
-  * query. Writes `<outDir>/<query>_<suffix>.txt`. Plans are built
-  * lazily (no execution), so this is cheap enough to run for the whole
-  * inventory; AQE plans print `isFinalPlan=false` — still the shape
-  * evidence (Exchange count, join strategy, PushedFilters, codegen
-  * spans) the optimization notes reference.
+  * query. Writes `<outDir>/<query>_<suffix>.txt`. MOST plans are built
+  * lazily (no execution), but queries that materialize reused stages at
+  * DataFrame-construction time (the four corpus builds' benchPhase
+  * persist/checkpoint of token_stats/dedup_decision/decontaminate; the
+  * classifier build's driver-side fit) DO run real corpus passes, and
+  * their dumped plans truncate lineage at the cache/checkpoint scans —
+  * that truncation is itself the plan evidence (ADVICE r20). Expect
+  * `all` to take minutes, not seconds, because of those rows; AQE plans
+  * print `isFinalPlan=false` — still the shape evidence (Exchange
+  * count, join strategy, PushedFilters, codegen spans) the optimization
+  * notes reference.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {

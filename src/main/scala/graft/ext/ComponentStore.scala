@@ -91,6 +91,28 @@ object ComponentStore {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** LAZY [[ckpt]] (round 21, VERDICT r20 #6): the checkpoint is
+    * materialized by the frame's FIRST consumer instead of a dedicated
+    * count job, so a hop's materialization rides a job it runs anyway.
+    * Lineage is truncated exactly as with [[ckpt]]. Under a reliable
+    * checkpoint dir the eager form is kept — the durable write is its
+    * own job either way and must not be left to an arbitrary consumer. */
+  private def lazyCkpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = false)
+
+  /** Materialize-and-count in ONE job (round 21, VERDICT r20 #6): the
+    * iterative loops paid an eager checkpoint job PLUS a separate
+    * `isEmpty` probe per hop; here the counting aggregate itself
+    * materializes the lazy checkpoint, so the hop costs one job and
+    * the returned frame is still lineage-truncated. Returns the frame
+    * and the number of rows satisfying `pred`. */
+  private def matCount(df: DataFrame, pred: Column): (DataFrame, Long) = {
+    val out = lazyCkpt(df)
+    (out, out.agg(count(when(pred, lit(1)))).head().getLong(0))
+  }
+
   /** Resolve each id in `ids` to its current root — (id, root). Each
     * hop reads only the probed ids' bucket partitions (broadcast key
     * set + partition pruning on `bkt`), so a batch resolution costs
@@ -103,7 +125,7 @@ object ComponentStore {
     val spark = ids.sparkSession
     val b = buckets(spark, path)
     val store = parents(spark, path)
-    var m = ckpt(ids.select(col(idColumn).cast("long").as("id")).distinct()
+    var m = lazyCkpt(ids.select(col(idColumn).cast("long").as("id")).distinct()
       .withColumn("cur", col("id")))
     var done = false
     var hops = 0
@@ -116,10 +138,13 @@ object ComponentStore {
         // a root's parent = itself → next = cur → fixed point; ids
         // absent from the store are their own roots
         .filter(col("parent") =!= col("cur"))
-      val m2 = ckpt(m.join(broadcast(hop), Seq("cur"), "left")
+      // one job per hop: the moved-count aggregate materializes the
+      // hop's checkpoint itself (no separate isEmpty probe)
+      val (m2, moved) = matCount(m.join(broadcast(hop), Seq("cur"), "left")
         .select(col("id"), coalesce(col("parent"), col("cur")).as("cur"),
-          (col("parent").isNotNull).as("moved")))
-      done = m2.filter(col("moved")).isEmpty
+          (col("parent").isNotNull).as("moved")),
+        col("moved"))
+      done = moved == 0L
       m = m2.select("id", "cur")
       hops += 1
     }
@@ -195,12 +220,13 @@ object ComponentStore {
     val kept = store.join(broadcast(affected), Seq("bkt"), "left_semi")
       .join(broadcast(upserts.select("id")), Seq("id"), "left_anti")
       .select("id", "parent", "bkt")
-    val patched = ckpt(kept.unionByName(upserts.select("id", "parent", "bkt")))
+    val (patched, nPatched) =
+      matCount(kept.unionByName(upserts.select("id", "parent", "bkt")), lit(true))
     // fencing check LAST before the partition overwrite: a merge that
     // wedged past its TTL and lost the lease to a new writer must NOT
     // interleave with that writer's rewrite (VERDICT r12 #4)
     StoreMeta.verifyLease(spark, lease)
-    if (!patched.isEmpty)
+    if (nPatched > 0L)
       patched.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bkt").parquet(s"$path/parents")
@@ -216,18 +242,20 @@ object ComponentStore {
     * the corpus-wide query, as opposed to [[resolve]]'s batch-pruned
     * lookup. */
   def components(spark: SparkSession, path: String): DataFrame = {
-    var l = ckpt(parents(spark, path).select(col("id"), col("parent").as("comp")))
+    var l = lazyCkpt(parents(spark, path).select(col("id"), col("parent").as("comp")))
     var done = false
     var iter = 0
     while (!done && iter < 30) {
       val p = l.select(col("id").as("p_id"), col("comp").as("p_comp"))
       // `moved` rides the step itself: comparing the stepped frame back
       // against `l` would be an ambiguous self-join (localCheckpoint
-      // keeps attribute ids)
-      val stepped = ckpt(l.join(p, l("comp") === p("p_id"), "left")
+      // keeps attribute ids). One job per jump: the moved-count
+      // aggregate materializes the step's checkpoint (no isEmpty probe)
+      val (stepped, moved) = matCount(l.join(p, l("comp") === p("p_id"), "left")
         .select(l("id"), coalesce(p("p_comp"), l("comp")).as("comp"),
-          (p("p_comp").isNotNull && p("p_comp") =!= l("comp")).as("moved")))
-      done = stepped.filter(col("moved")).isEmpty
+          (p("p_comp").isNotNull && p("p_comp") =!= l("comp")).as("moved")),
+        col("moved"))
+      done = moved == 0L
       l = stepped.select("id", "comp")
       iter += 1
     }
@@ -289,17 +317,19 @@ object ComponentStore {
     // DOWNWARD from the roots (each hop is one column-pruned store
     // pass; depth-1 after compact)
     def descend(roots: DataFrame): DataFrame = {
-      var members = ckpt(roots.select("id").distinct())
+      var members = lazyCkpt(roots.select("id").distinct())
       var frontier = members
       var grew = true
-      while (grew && !frontier.isEmpty) {
-        val children = ckpt(store
+      while (grew) {
+        // one job per hop: the count materializes the children frame
+        // (no separate isEmpty probes on frontier and children)
+        val (children, n) = matCount(store
           .join(broadcast(frontier.select(col("id").as("parent"))), Seq("parent"), "left_semi")
           .select("id")
-          .join(broadcast(members), Seq("id"), "left_anti"))
-        grew = !children.isEmpty
+          .join(broadcast(members), Seq("id"), "left_anti"), lit(true))
+        grew = n > 0L
         if (grew) {
-          members = ckpt(members.unionAll(children).distinct())
+          members = lazyCkpt(members.unionAll(children).distinct())
           frontier = children
         }
       }
@@ -315,11 +345,11 @@ object ComponentStore {
         Seq("src"), "left_semi")
       val touchingDst = pairs.join(broadcast(members.select(col("id").as("dst"))),
         Seq("dst"), "left_semi")
-      val outside = ckpt(touchingSrc.select(col("dst").as("id"))
+      val (outside, nOut) = matCount(touchingSrc.select(col("dst").as("id"))
         .unionAll(touchingDst.select(col("src").as("id"))).distinct()
-        .join(broadcast(members), Seq("id"), "left_anti"))
-      if (outside.isEmpty) closed = true
-      else members = ckpt(members.unionAll(
+        .join(broadcast(members), Seq("id"), "left_anti"), lit(true))
+      if (nOut == 0L) closed = true
+      else members = lazyCkpt(members.unionAll(
         descend(resolve(outside, "id", path).select(col("root").as("id"))))
         .distinct())
     }
@@ -328,7 +358,7 @@ object ComponentStore {
     val inPairs = pairs
       .join(broadcast(members.select(col("id").as("src"))), Seq("src"), "left_semi")
       .distinct()
-    val rebuilt = ckpt(
+    val rebuilt = lazyCkpt(
       if (inPairs.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           StructType(Seq(StructField("id", LongType), StructField("parent", LongType))))
@@ -337,17 +367,17 @@ object ComponentStore {
 
     // patch the members' bucket partitions: every member's old row goes,
     // rebuilt rows (and nothing else) come back
-    val allOut = ckpt(members.unionAll(del).distinct())
+    val allOut = lazyCkpt(members.unionAll(del).distinct())
     val touched = allOut.select(bktOf(col("id"), b).as("bkt")).distinct()
       .collect().map(_.getInt(0)).sorted
     if (touched.nonEmpty) {
       val slice = store.filter(col("bkt").isin(touched.map(Integer.valueOf).toSeq: _*))
       val kept = slice.join(broadcast(allOut), Seq("id"), "left_anti")
         .select("id", "parent", "bkt")
-      val patched = ckpt(kept.unionByName(
-        rebuilt.withColumn("bkt", bktOf(col("id"), b))))
+      val (patched, nPatched) = matCount(kept.unionByName(
+        rebuilt.withColumn("bkt", bktOf(col("id"), b))), lit(true))
       StoreMeta.verifyLease(spark, lease)
-      if (!patched.isEmpty)
+      if (nPatched > 0L)
         patched.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("bkt").parquet(s"$path/parents")
@@ -400,11 +430,11 @@ object ComponentStore {
   def compact(spark: SparkSession, path: String): Unit =
     StoreMeta.withWriterLeaseFenced(spark, path, "compact") { lease =>
       val b = buckets(spark, path)
-      val resolved = ckpt(components(spark, path)
+      val (resolved, nResolved) = matCount(components(spark, path)
         .select(col("id"), col("comp").as("parent"))
-        .withColumn("bkt", bktOf(col("id"), b)))
+        .withColumn("bkt", bktOf(col("id"), b)), lit(true))
       StoreMeta.verifyLease(spark, lease)
-      if (!resolved.isEmpty)
+      if (nResolved > 0L)
         resolved.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("bkt").parquet(s"$path/parents")

@@ -643,6 +643,16 @@ object Dedup {
       df.join(parents, df("comp") === parents("p_id"), "left")
         .select(df("id"), coalesce(parents("p_comp"), df("comp")).as("comp"))
     }
+    // ONE job per round (round 21, VERDICT r20 #6): mark the shortcut
+    // frame with a LAZY localCheckpoint and let the signature
+    // aggregate's own job materialize it — the previous shape paid an
+    // eager-checkpoint materialization job PLUS the aggregate per
+    // round. Lineage is still truncated every round (the loop's plan
+    // cannot nest round over round), the labels' blocks land exactly
+    // as before; only the separate materialization job is gone. Under
+    // a RELIABLE checkpoint dir the eager per-round checkpoint is
+    // retained — there the checkpoint write is its own job either way
+    // and the point is durable truncation.
     def signature(df: DataFrame): (java.math.BigDecimal, Long) = {
       val row = df.agg(
         sum(col("comp").cast("decimal(38,0)")).as("s"),
@@ -657,7 +667,9 @@ object Dedup {
         .select(col("src").as("id"), col("comp"))
       val stepped = labels.unionAll(nbr)
         .groupBy("id").agg(min("comp").as("comp"))
-      val shortcut = ckpt(jump(jump(stepped)))
+      val shortcut =
+        if (reliable) ckpt(jump(jump(stepped)))
+        else jump(jump(stepped)).localCheckpoint(eager = false)
       val sig = signature(shortcut)
       labels = shortcut
       done = sig._2 == 0L || prevSig.contains(sig)

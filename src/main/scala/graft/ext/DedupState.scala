@@ -124,36 +124,53 @@ object DedupState {
     require(Set("min", "best")(keeperMode),
       s"keeperMode must be min|best, got '$keeperMode'")
     val d = gated.select("doc_id", "source", "text")
-    val hashes = d.select(col("doc_id"), col("source"),
-      Dedup.contentHashWith(tok)(col("text")).as("h"))
-    val exd = Dedup.shingleRows(d, "doc_id", "text", ExtQueries.ShingleN, tok)
-    val proj = Dedup.minhashFromShingles(exd, "doc_id",
-      ExtQueries.MinhashK, ExtQueries.LshBands, ExtQueries.LshRows)
-    // sig table: signatures ∪ hashes. A gated doc with < ShingleN
-    // tokens has no signature row — hash columns still ride (left join)
-    val sigM = writeOnce(spark,
-      hashes.join(proj, Seq("doc_id"), "left"),
-      s"$stateRoot/sig", reuseExisting)
+    // Tokenize ONCE (round 21, VERDICT r20 #4 / guide §1.2): the exact
+    // hash, the shingle explode (consumed by BOTH the signature build
+    // and the verify stage) and the best-keeper richness stats all
+    // derive from one cached token array instead of re-running the
+    // regex split per consumer — the hosted-job seam of the
+    // tokenize-once the in-plan dedupDecision got in round 20.
+    // persist(MEMORY_AND_DISK), not localCheckpoint (guide §5): lineage
+    // kept (executor loss recomputes instead of failing the build),
+    // blocks spill instead of pinning memory; dropped in the finally —
+    // everything downstream of the cache is parquet-backed (writeOnce)
+    // or checkpoint-truncated (connectedComponents) by then.
+    val dt = d.select(col("doc_id"), col("source"), tok(col("text")).as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ≡ Dedup.contentHashWith(tok)(text): sha2(concat_ws(" ", tok(text)))
+      val hashes = dt.select(col("doc_id"), col("source"),
+        sha2(concat_ws(" ", col("__toks")), 256).as("h"))
+      val exd = Dedup.shingleRowsFromToks(dt, "doc_id", "__toks", ExtQueries.ShingleN)
+      val proj = Dedup.minhashFromShingles(exd, "doc_id",
+        ExtQueries.MinhashK, ExtQueries.LshBands, ExtQueries.LshRows)
+      // sig table: signatures ∪ hashes. A gated doc with < ShingleN
+      // tokens has no signature row — hash columns still ride (left join)
+      val sigM = writeOnce(spark,
+        hashes.join(proj, Seq("doc_id"), "left"),
+        s"$stateRoot/sig", reuseExisting)
 
-    val candidates = Dedup.minhashCandidates(
-      sigM.filter(col("sig").isNotNull)
-        .select(col("doc_id"), col("sig"), col("bands"), col("n_sh")),
-      "doc_id", ExtQueries.MinhashK).drop("n_sig_match")
-    val verified = writeOnce(spark,
-      Dedup.jaccardVerifyExploded(candidates, exd, threshold = 0.8)
-        .select("doc_a", "doc_b", "is_dup"),
-      s"$stateRoot/near_pairs", reuseExisting)
-    val comps = Dedup.connectedComponents(
-      verified.filter(col("is_dup") === 1L).select("doc_a", "doc_b"),
-      "doc_a", "doc_b")
-      .select(col("id").as("doc_id"), col("comp"))
+      val candidates = Dedup.minhashCandidates(
+        sigM.filter(col("sig").isNotNull)
+          .select(col("doc_id"), col("sig"), col("bands"), col("n_sh")),
+        "doc_id", ExtQueries.MinhashK).drop("n_sig_match")
+      val verified = writeOnce(spark,
+        Dedup.jaccardVerifyExploded(candidates, exd, threshold = 0.8)
+          .select("doc_a", "doc_b", "is_dup"),
+        s"$stateRoot/near_pairs", reuseExisting)
+      val comps = Dedup.connectedComponents(
+        verified.filter(col("is_dup") === 1L).select("doc_a", "doc_b"),
+        "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("comp"))
 
-    val scomp = semanticFull(spark, e, stateRoot, semCents, reuseExisting)
+      val scomp = semanticFull(spark, e, stateRoot, semCents, reuseExisting)
 
-    val ex = sigM.select(col("doc_id"), col("h"))
-      .withColumn("ex_keeper", min(col("doc_id")).over(Window.partitionBy(col("h"))))
-    assemble(ex, electBoth(d, tok, keeperMode, comps, "comp"),
-      electBoth(d, tok, keeperMode, scomp, "scomp"))
+      val stats = richnessStats(dt, keeperMode)
+      val ex = sigM.select(col("doc_id"), col("h"))
+        .withColumn("ex_keeper", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      assemble(ex, electWith(stats, comps, "comp"),
+        electWith(stats, scomp, "scomp"))
+    } finally dt.unpersist()
   }
 
   /** The FULL build's semantic tier — train (or adopt `semCents`),
@@ -231,15 +248,25 @@ object DedupState {
     val reuseIds = reuseSig.select("doc_id")
     val freshD = d.join(reuseIds, Seq("doc_id"), "left_anti")
 
-    val freshHashes = freshD.select(col("doc_id"), col("source"),
-      Dedup.contentHashWith(tok)(col("text")).as("h"))
-    val freshExd = Dedup.shingleRows(freshD, "doc_id", "text", ExtQueries.ShingleN, tok)
-    val freshProj = Dedup.minhashFromShingles(freshExd, "doc_id",
-      ExtQueries.MinhashK, ExtQueries.LshBands, ExtQueries.LshRows)
-    val sigM = writeOnce(spark,
-      reuseSig.unionByName(
-        freshHashes.join(freshProj, Seq("doc_id"), "left")),
-      s"$stateRoot/sig", reuseExisting)
+    // Tokenize the FRESH slice once (round 21, VERDICT r20 #4): hash
+    // and shingles both read the cached array — see [[full]]'s note.
+    // The verify stage's candidate-restricted shingle pass below stays
+    // its own (deliberately small) read of the current corpus text.
+    val dtFresh = freshD
+      .select(col("doc_id"), col("source"), tok(col("text")).as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigM = try {
+      val freshHashes = dtFresh.select(col("doc_id"), col("source"),
+        sha2(concat_ws(" ", col("__toks")), 256).as("h"))
+      val freshExd = Dedup.shingleRowsFromToks(
+        dtFresh, "doc_id", "__toks", ExtQueries.ShingleN)
+      val freshProj = Dedup.minhashFromShingles(freshExd, "doc_id",
+        ExtQueries.MinhashK, ExtQueries.LshBands, ExtQueries.LshRows)
+      writeOnce(spark,
+        reuseSig.unionByName(
+          freshHashes.join(freshProj, Seq("doc_id"), "left")),
+        s"$stateRoot/sig", reuseExisting)
+    } finally dtFresh.unpersist()
 
     // candidate enumeration over the UNION signatures — the full
     // rebuild's exact candidate set (incl. bucket-cap semantics), at
@@ -349,24 +376,36 @@ object DedupState {
         .select(col("id").as("doc_id"), col("comp").as("scomp"))
     }
 
+    val stats = richnessStats(
+      d.select(col("doc_id"), tok(col("text")).as("__toks")), keeperMode)
     val ex = sigM.select(col("doc_id"), col("h"))
       .withColumn("ex_keeper", min(col("doc_id")).over(Window.partitionBy(col("h"))))
-    assemble(ex, electBoth(d, tok, keeperMode, comps, "comp"),
-      electBoth(d, tok, keeperMode, scomp, "scomp"))
+    assemble(ex, electWith(stats, comps, "comp"),
+      electWith(stats, scomp, "scomp"))
   }
 
   /** Keeper election seam (round 20, VERDICT r19 #3): under `best`,
     * relabel a component frame with its richest member (distinct-token
     * count over the build's token layer, id-ascending ties) — the
     * [[Dedup.electKeepers]] relabel, computed from the CURRENT corpus
-    * text (map-only per-doc stats; never persisted, so the spliced
-    * near_pairs/sig state stays keeper-agnostic and one store serves
-    * both modes). `min` is the identity. */
-  private def electBoth(d: DataFrame,
-      tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      keeperMode: String, frame: DataFrame, labelCol: String): DataFrame =
-    if (keeperMode == "min") frame
-    else Dedup.electKeepers(frame, "doc_id", labelCol,
-      d.select(col("doc_id"),
-        size(array_distinct(tok(col("text")))).cast("long").as("n_unique")))
+    * text (map-only per-doc stats; never persisted as state, so the
+    * spliced near_pairs/sig state stays keeper-agnostic and one store
+    * serves both modes). `min` needs no stats.
+    *
+    * Round 21: the stats frame is computed ONCE and shared by both
+    * tier elections (electBoth previously re-tokenized the corpus per
+    * call), reading the caller's token layer where one is cached. The
+    * small (doc_id, n_unique) projection is eagerly localCheckpointed
+    * so the returned decision plan no longer references the
+    * corpus-sized token cache the caller unpersists before returning
+    * (guide §5 — localCheckpoint for small frames only). */
+  private def richnessStats(dt: DataFrame, keeperMode: String): Option[DataFrame] =
+    if (keeperMode == "min") None
+    else Some(dt.select(col("doc_id"),
+      size(array_distinct(col("__toks"))).cast("long").as("n_unique"))
+      .localCheckpoint(true))
+
+  private def electWith(stats: Option[DataFrame], frame: DataFrame,
+      labelCol: String): DataFrame =
+    stats.fold(frame)(st => Dedup.electKeepers(frame, "doc_id", labelCol, st))
 }

@@ -1076,8 +1076,13 @@ object ExtQueries {
   def textCooccurrence(spark: SparkSession, dir: String): DataFrame = {
     // tokenize once (round-20 optimization): the document-frequency
     // pass and the windowed-pair pass both consume the token frame;
-    // un-materialized, each re-runs the scan + regex split
-    val t = toksDf(spark, dir).localCheckpoint(true)
+    // un-materialized, each re-runs the scan + regex split. Round 21:
+    // persist(MEMORY_AND_DISK) instead of an eager localCheckpoint
+    // (VERDICT r20 #5 / guide §5) — the corpus-sized token frame keeps
+    // its lineage and spills, and the cache fills lazily inside the
+    // one query execution (no separate materialization job).
+    val t = toksDf(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfc = t.select(col("doc_id"), explode(array_distinct(col("toks"))).as("tk"))
       .groupBy("tk").agg(count(lit(1)).as("df"))
     val tot = docs(spark, dir).agg(count(lit(1)).as("n"))
@@ -4196,7 +4201,23 @@ object ExtQueries {
     * invocation — nothing persists across runs. */
   private val benchMatStages = Set("token_stats", "dedup_decision", "decontaminate")
   private[graft] val benchPhase: (String, DataFrame) => DataFrame =
-    (name, df) => if (benchMatStages(name)) df.localCheckpoint(true) else df
+    (name, df) =>
+      if (name == "token_stats") {
+        // CORPUS-SIZED stage: persist(MEMORY_AND_DISK) + eager count
+        // instead of localCheckpoint (round 21, VERDICT r20 #5 / guide
+        // §5): lineage is kept, so at 100 TB a lost executor recomputes
+        // its blocks instead of killing the build, and the blocks spill
+        // to disk instead of requiring the extracted corpus to fit in
+        // executor memory. The subtree still executes exactly once —
+        // downstream branches read the InMemoryRelation.
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count(): Unit
+        p
+      }
+      // small doc_id+2-col frames: localCheckpoint stays the right
+      // primitive (cheap, truncates the big decision lineage)
+      else if (benchMatStages(name)) df.localCheckpoint(true)
+      else df
 
   def pipelineCorpusBuild(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

