@@ -78,6 +78,21 @@ import org.apache.spark.sql.functions._
   * — the same rule as the job's stage files. */
 object DedupState {
 
+  /** Corpus-sized one-pass materialization (round 21, VERDICT r20 #5):
+    * RELIABLE checkpoint when the session has a checkpoint dir (the
+    * cluster shape — a lost executor replays from the store instead of
+    * failing the build), localCheckpoint on single-box runs. A
+    * persist(MEMORY_AND_DISK) swap was measured and rejected — the
+    * columnar cache encode of token-array rows costs several times the
+    * row-format checkpoint write at sf0.1; both spill to disk. */
+  private def ckptOrLocal(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+    // eager = false: the FIRST consumer materializes the checkpoint, so
+    // a crash-resume whose state tables all carry _SUCCESS (writeOnce
+    // reads them back and never consumes the token frame) pays nothing
+
   /** Write-once-or-reuse materialization: the state-table sibling of
     * the job's stage materializer. */
   private def writeOnce(spark: SparkSession, df: => DataFrame, path: String,
@@ -130,14 +145,11 @@ object DedupState {
     // derive from one cached token array instead of re-running the
     // regex split per consumer — the hosted-job seam of the
     // tokenize-once the in-plan dedupDecision got in round 20.
-    // persist(MEMORY_AND_DISK), not localCheckpoint (guide §5): lineage
-    // kept (executor loss recomputes instead of failing the build),
-    // blocks spill instead of pinning memory; dropped in the finally —
-    // everything downstream of the cache is parquet-backed (writeOnce)
-    // or checkpoint-truncated (connectedComponents) by then.
-    val dt = d.select(col("doc_id"), col("source"), tok(col("text")).as("__toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // Materialized via [[ckptOrLocal]] (reliable on clusters, local
+    // row-format blocks on single boxes — see its scaladoc).
+    val dt = ckptOrLocal(
+      d.select(col("doc_id"), col("source"), tok(col("text")).as("__toks")))
+    locally {
       // ≡ Dedup.contentHashWith(tok)(text): sha2(concat_ws(" ", tok(text)))
       val hashes = dt.select(col("doc_id"), col("source"),
         sha2(concat_ws(" ", col("__toks")), 256).as("h"))
@@ -170,7 +182,7 @@ object DedupState {
         .withColumn("ex_keeper", min(col("doc_id")).over(Window.partitionBy(col("h"))))
       assemble(ex, electWith(stats, comps, "comp"),
         electWith(stats, scomp, "scomp"))
-    } finally dt.unpersist()
+    }
   }
 
   /** The FULL build's semantic tier — train (or adopt `semCents`),
@@ -252,10 +264,9 @@ object DedupState {
     // and shingles both read the cached array — see [[full]]'s note.
     // The verify stage's candidate-restricted shingle pass below stays
     // its own (deliberately small) read of the current corpus text.
-    val dtFresh = freshD
-      .select(col("doc_id"), col("source"), tok(col("text")).as("__toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigM = try {
+    val dtFresh = ckptOrLocal(freshD
+      .select(col("doc_id"), col("source"), tok(col("text")).as("__toks")))
+    val sigM = locally {
       val freshHashes = dtFresh.select(col("doc_id"), col("source"),
         sha2(concat_ws(" ", col("__toks")), 256).as("h"))
       val freshExd = Dedup.shingleRowsFromToks(
@@ -266,7 +277,7 @@ object DedupState {
         reuseSig.unionByName(
           freshHashes.join(freshProj, Seq("doc_id"), "left")),
         s"$stateRoot/sig", reuseExisting)
-    } finally dtFresh.unpersist()
+    }
 
     // candidate enumeration over the UNION signatures — the full
     // rebuild's exact candidate set (incl. bucket-cap semantics), at
